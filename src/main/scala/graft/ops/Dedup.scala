@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, from exact to
+  * approximate:
+  *
+  *  - exact: hash-groupBy on content (one shuffle on the hash key);
+  *  - MinHash + LSH: shingle → k minhashes → b bands → bucket join —
+  *    candidate generation is O(n·b) rows, never O(n²);
+  *  - SimHash: 64-bit locality-sensitive signature via per-bit token
+  *    voting; prefix buckets give near-dup candidates;
+  *  - n-gram Jaccard: exact set overlap via an inverted-index join
+  *    (explode tokens, join on token, count shared) — the verification
+  *    stage behind the approximate candidate generators.
+  *
+  * All operators are expression-only DataFrame transforms: the only
+  * shuffles are the groupBy on doc id and the bucket join, both of which
+  * scale horizontally. Skewed buckets (a shingle shared by millions of
+  * docs) are the classic hazard at 100 TB — `maxBucket` caps them.
+  */
+object Dedup {
+
+  /** Exact content dedup: group by md5(content), keep the smallest id as
+    * the canonical survivor. */
+  def exactByContent(df: DataFrame, id: String, content: String): DataFrame =
+    df.groupBy(md5(col(content)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(id)).as("keeper_id"))
+
+  /** Word n-gram shingles (space-joined); documents shorter than `n`
+    * tokens collapse to a single whole-document shingle. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+
+  /** MinHash signature columns m0..m(k-1): for each of k seeded hash
+    * functions, the min over the doc's distinct shingles. One explode +
+    * one groupBy — a single shuffle keyed on the doc id. */
+  def minhashSignatures(df: DataFrame, id: String, text: String,
+                        shingleSize: Int = 3, k: Int = 16): DataFrame = {
+    val toks = TextAnalysis.tokens(col(text))
+    val sh = df.select(col(id),
+        explode(array_distinct(shingles(toks, shingleSize))).as("shingle"))
+    val aggs = (0 until k).map(s => min(xxhash64(lit(s), col("shingle"))).as(s"m$s"))
+    sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding of a k-column minhash signature into `bands` buckets per
+    * doc: docs agreeing on all rows of any band land in the same bucket. */
+  def lshBuckets(sig: DataFrame, id: String, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    sig.select(col(id), explode(array(bandCols: _*)).as("bb"))
+      .select(col(id), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate near-duplicate pairs from LSH buckets, with the signature
+    * estimate of Jaccard similarity (fraction of agreeing minhashes).
+    * `maxBucket` drops degenerate buckets (skew guard: a bucket of B docs
+    * yields B² pair rows; at web scale one boilerplate bucket can melt a
+    * join without this cap). */
+  def minhashCandidatePairs(df: DataFrame, id: String, text: String,
+                            shingleSize: Int = 3, k: Int = 16, bands: Int = 4,
+                            maxBucket: Int = 1000): DataFrame = {
+    val sig = minhashSignatures(df, id, text, shingleSize, k).cache()
+    val sigArr = sig.select(col(id), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    val buckets = lshBuckets(sig, id, k, bands)
+    val sized = buckets.withColumn("bsize",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsize") <= maxBucket)
+    val a = sized.select(col("band"), col("bucket"), col(id).as("id_a"))
+    val b = sized.select(col("band"), col("bucket"), col(id).as("id_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    pairs
+      .join(sigArr.select(col(id).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigArr.select(col(id).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
+          lit(0), (acc, x) => acc + x).cast("double") / lit(16.0))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over tokens: each token's xxhash64 votes +1/-1 on
+    * every bit; the sign of each bit-sum forms the signature. Near-dups
+    * differ in few bits. Implemented as 64 conditional sums in ONE hash
+    * aggregate (single shuffle on doc id). */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    val tok = df.select(col(id),
+      explode(array_distinct(TextAnalysis.tokens(col(text)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val voted = tok.groupBy(col(id)).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+    }
+    voted.select(col(id), sig.as("simhash"))
+      .withColumn("bucket16", shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)))
+  }
+
+  /** Exact unigram-Jaccard similarity for all pairs sharing ≥1 token,
+    * via inverted-index join. Use after LSH candidate generation at
+    * scale; here also exposed standalone (bounded inputs). */
+  def jaccardPairs(df: DataFrame, id: String, text: String,
+                   threshold: Double): DataFrame = {
+    val tokSets = df.select(col(id), array_distinct(TextAnalysis.tokens(col(text))).as("toks"))
+    val inv = tokSets.select(col(id), explode(col("toks")).as("tok"))
+    val shared = inv.as("a").join(inv.as("b"),
+        col("a.tok") === col("b.tok") && col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    val sizes = tokSets.select(col(id), size(col("toks")).as("n"))
+    shared
+      .join(sizes.select(col(id).as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col(id).as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("shared") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.agg.ProductAgg
+
+/** Return derivation over ordered per-key series.
+  *
+  * Reference semantics: `pct_change() over ticker` (scripts/transform.py:67-70)
+  * and cumulative compounding `(1 + r).cumprod()` (scripts/app.py:47-51).
+  *
+  * Scale notes: all three operators share ONE window spec
+  * (partitionBy(keys) orderBy(order)), so Catalyst plans a single exchange +
+  * sort and stacks the window functions in one WindowExec. At 100 TB the
+  * only shuffle is the hash partitioning on the series key; no driver-side
+  * iteration anywhere.
+  */
+object Returns {
+
+  def seriesWindow(partition: Seq[String], order: Seq[String]) =
+    Window.partitionBy(partition.map(col): _*).orderBy(order.map(col): _*)
+
+  /** `(x - lag(x)) / lag(x)` per key in series order; first row per key is
+    * null (reference: scripts/transform.py:69). Division guarded with
+    * nullif so a zero previous value yields null, not an ANSI error. */
+  def lagReturn(df: DataFrame, partition: Seq[String], order: Seq[String],
+                value: String, out: String = "daily_return"): DataFrame = {
+    val w = seriesWindow(partition, order)
+    val prev = lag(col(value), 1).over(w)
+    df.withColumn(out, (col(value) - prev) / nullif(prev, lit(0)))
+  }
+
+  /** Cumulative compounded return via the codegen-friendly
+    * `exp(running_sum(ln(1+r)))` rewrite — valid because 1+r > 0 for any
+    * real return series (reference: scripts/app.py:49-50). Nulls (first row
+    * per key) are treated as 0 return, mirroring the dashboard's
+    * `fillna(0)` (scripts/app.py:48). */
+  def cumulativeReturn(df: DataFrame, partition: Seq[String], order: Seq[String],
+                       ret: String, out: String = "cumulative_return"): DataFrame = {
+    val w = seriesWindow(partition, order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(out, exp(sum(log(lit(1.0) + coalesce(col(ret), lit(0.0)))).over(w)))
+  }
+
+  /** Exact cumulative product via the custom [[graft.agg.ProductAgg]]
+    * Aggregator — the numerically exact counterpart of
+    * [[cumulativeReturn]]; property-tested for agreement. */
+  def cumulativeReturnExact(df: DataFrame, partition: Seq[String], order: Seq[String],
+                            ret: String, out: String = "cumulative_return"): DataFrame = {
+    val w = seriesWindow(partition, order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(out, ProductAgg.product(lit(1.0) + coalesce(col(ret), lit(0.0))).over(w))
+  }
+
+  /** Relative performance of two aligned series: equi-join two filtered
+    * views of one frame on the series axis and diff them
+    * (reference: scripts/app.py:68-73). */
+  def relativeReturns(df: DataFrame, axis: String, seriesCol: String,
+                      base: String, comp: String, value: String): DataFrame = {
+    val b = df.filter(col(seriesCol) === base).select(col(axis), col(value).as("v_base"))
+    val c = df.filter(col(seriesCol) === comp).select(col(axis), col(value).as("v_comp"))
+    b.join(c, Seq(axis))
+      .withColumn("pct_diff", lit(100.0) * (col("v_base") - col("v_comp")))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * stream the candidate side; one pass, no shuffle of the big side, the
+  * per-query top-k is a TakeOrdered-style window on the query key.
+  *
+  * Scale path: random-hyperplane LSH — a 16-bit signature buckets the
+  * corpus; search touches only the query's bucket (and optionally
+  * neighboring buckets). Hyperplanes are derived from a fixed seed so the
+  * index is reproducible across runs and clusters.
+  *
+  * All vector math is `zip_with` + `aggregate` Column expressions
+  * (codegen'd, no UDF, no driver collect).
+  */
+object Similarity {
+
+  /** Dot product of two array<numeric> columns (double accumulator). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Euclidean norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, null on zero vectors rather than ANSI error. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
+
+  /** Brute-force cosine top-k: for every row of `queries` (small —
+    * broadcast), the k most similar rows of `candidates` (large —
+    * streamed). Excludes self-pairs when ids collide. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+                     id: String, vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    val c = candidates.select(col(id).as("neighbor_id"), col(vec).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `bits` planes × `dim`
+    * components in [-1, 1), seeded — reproducible across executors. */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rng.nextDouble() * 2 - 1))
+  }
+
+  /** Random-hyperplane LSH signature: bit i = sign(v · plane_i). Two
+    * vectors with cosine ≈ 1 agree on almost all bits, so equal
+    * signatures (or low Hamming distance) are near-dup candidates. */
+  def lshSignature(df: DataFrame, vec: String, dim: Int, bits: Int = 16,
+                   seed: Long = 42L, out: String = "lsh_bucket"): DataFrame = {
+    val planes = hyperplanes(dim, bits, seed)
+    val sig = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      val plane = typedLit(planes(i).toSeq)
+      acc.bitwiseOR(
+        when(dot(col(vec), plane) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+    }
+    df.withColumn(out, sig)
+  }
+
+  /** Embedding near-duplicate candidates: top `perBucket` most-similar
+    * pairs inside each LSH bucket. Pair generation is bounded by bucket
+    * size, not corpus size — the 100 TB-safe shape. */
+  def nearDupInBuckets(df: DataFrame, id: String, vec: String, dim: Int,
+                       bits: Int = 8, perBucket: Int = 3): DataFrame = {
+    val bucketed = lshSignature(df, vec, dim, bits).select(
+      col(id), col(vec), col("lsh_bucket"))
+    val a = bucketed.select(col("lsh_bucket"),
+      col(id).as("id_a"), col(vec).as("va"))
+    val b = bucketed.select(col("lsh_bucket"),
+      col(id).as("id_b"), col(vec).as("vb"))
+    val pairs = a.join(b, Seq("lsh_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+    val w = Window.partitionBy(col("lsh_bucket"))
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perBucket)
+      .select(col("lsh_bucket"), col("id_a"), col("id_b"),
+        col("cosine"), col("rank").cast("long").as("rank"))
+  }
+}

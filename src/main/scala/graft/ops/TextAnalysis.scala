@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token statistics, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is pure `Column` expressions (whole-stage-codegen'd,
+  * no UDFs) — per-row, embarrassingly parallel, no shuffles: exactly the
+  * shape that scales linearly to 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(trim(text)), " ")
+
+  /** Small multilingual stopword tables for the heuristics below. */
+  val stopwordsEn: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "it", "as", "for")
+  val stopwordsFr: Seq[String] = Seq("le", "la", "et", "les", "des", "un", "une", "du", "que", "est")
+  val stopwordsEs: Seq[String] = Seq("el", "la", "y", "los", "las", "un", "una", "del", "que", "es")
+  val stopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "ein", "eine", "zu", "den", "von", "ist")
+  val stopwordsZh: Seq[String] = Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*))).cast("long")
+
+  /** Per-document token statistics: char count, token count, average token
+    * length. */
+  def tokenStats(df: DataFrame, text: String = "text"): DataFrame = {
+    val toks = split(trim(col(text)), " ")
+    df.withColumn("n_chars_calc", length(col(text)).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("avg_token_len",
+        length(regexp_replace(col(text), " ", "")).cast("double") /
+          nullif(size(toks), lit(0)))
+  }
+
+  /** Heuristic document-quality score in [0,1]: length saturation,
+    * stopword density (natural-language signal), and lexical diversity.
+    * The linear form keeps it SQL-expressible for the oracle. */
+  def qualityScore(df: DataFrame, text: String = "text"): DataFrame = {
+    val toks = tokens(col(text))
+    val nTok = size(toks)
+    val stopRatio = countIn(toks, stopwordsEn).cast("double") / nullif(nTok, lit(0))
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nullif(nTok, lit(0))
+    val lengthScore = least(lit(1.0), nTok.cast("double") / lit(100.0))
+    df.withColumn("quality_score",
+      lit(0.4) * lengthScore + lit(0.3) * stopRatio + lit(0.3) * distinctRatio)
+  }
+
+  /** Stopword-voting language ID: count hits against each language's
+    * stopword table, argmax with a fixed tie-break order (en > fr > es >
+    * de > zh). N-gram-free but the same shape as real lexicon LID — and
+    * deterministic, so the oracle can mirror it. */
+  def langId(df: DataFrame, text: String = "text", out: String = "lang_pred"): DataFrame = {
+    val toks = tokens(col(text))
+    val en = countIn(toks, stopwordsEn)
+    val fr = countIn(toks, stopwordsFr)
+    val es = countIn(toks, stopwordsEs)
+    val de = countIn(toks, stopwordsDe)
+    val zh = countIn(toks, stopwordsZh)
+    df.withColumn(out,
+      when(en >= fr && en >= es && en >= de && en >= zh, "en")
+        .when(fr >= es && fr >= de && fr >= zh, "fr")
+        .when(es >= de && es >= zh, "es")
+        .when(de >= zh, "de")
+        .otherwise("zh"))
+  }
+
+  /** Canonical-form fingerprint: lowercase, strip non-alphanumerics,
+    * collapse whitespace, md5. Two documents with the same fingerprint are
+    * exact duplicates modulo formatting — the first-line dedup key. */
+  def fingerprint(df: DataFrame, text: String = "text", out: String = "fingerprint"): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(text)), "[^a-z0-9 ]", ""), " +", " "))
+    df.withColumn(out, md5(norm))
+  }
+}

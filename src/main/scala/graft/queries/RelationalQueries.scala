@@ -1,0 +1,395 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.ops.{Merge, Quality, Returns, Snapshot, Volatility}
+
+/** Core relational operator inventory (SURVEY.md §2.2–§2.9) expressed over
+  * the driver's TPC-H-ish lake, each with a DuckDB oracle.
+  *
+  * Cross-engine determinism conventions (driver hash-compares values):
+  *  - money/measure sums go through DECIMAL(18,2) (exact, order-independent)
+  *    and surface as DOUBLE;
+  *  - computed ratios/stddevs surface as FLOAT (REAL) — a 1-ulp double
+  *    divergence between engines cannot survive the downcast;
+  *  - computed integers surface as BIGINT;
+  *  - every result has a total ORDER BY on non-null key columns;
+  *  - divisions are nullif-guarded on both sides (Spark ANSI mode).
+  */
+object RelationalQueries {
+
+  private val dec = DecimalType(18, 2)
+  private def d2(c: org.apache.spark.sql.Column) = c.cast(dec)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── A-family aggregations + flagship (SURVEY §2.6) ──────────────────
+    "q1_pricing_summary" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(d2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(d2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(d2(col("l_extendedprice")) * d2(lit(1) - col("l_discount"))).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+          (sum(d2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(d2(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "a1_watermark_max" -> ((s, dir) =>
+      Tables.orders(s, dir).agg(max(col("o_orderdate")).as("max_order_date"))),
+
+    "a2_watermark_year" -> ((s, dir) =>
+      Tables.orders(s, dir).agg(year(max(col("o_orderdate"))).cast("long").as("max_year"))),
+
+    "a3_grouped_watermarks" -> ((s, dir) =>
+      Merge.watermarks(Tables.orders(s, dir), "o_custkey", "o_orderdate")
+        .withColumnRenamed("latest_o_orderdate", "latest_date")
+        .orderBy(col("o_custkey"))),
+
+    "a5_distinct_years" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(year(col("l_shipdate")).cast("long").as("ship_year"))
+        .distinct().orderBy(col("ship_year"))),
+
+    "a6_dedup_by_key" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(min(col("o_orderkey")).as("keeper_orderkey"), count(lit(1)).as("n_rows"))
+        .orderBy(col("o_custkey"), col("o_orderdate"))),
+
+    "a7_null_audit" -> ((s, dir) =>
+      Tables.orders(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("o_custkey").isNull, 1)).as("null_custkey"),
+        count(when(col("o_orderdate").isNull, 1)).as("null_orderdate"),
+        countDistinct(col("o_orderkey")).as("distinct_orderkey"))),
+
+    "dq_gate_lineitem" -> ((s, dir) => {
+      val audit = Quality.nullAudit(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_shipdate", "l_quantity"))
+      val li = Tables.lineitem(s, dir)
+      audit.crossJoin(li.agg(
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_extendedprice")).as("min_price")))
+    }),
+
+    // ── Window family (SURVEY §2.5) ─────────────────────────────────────
+    // (l_orderkey, l_linenumber) is NOT unique in this lake — the window
+    // order and the output order both carry the full identifying tuple so
+    // ties cannot reorder across engines.
+    "w1_lag_return" -> ((s, dir) =>
+      Returns.lagReturn(Tables.lineitem(s, dir),
+          partition = Seq("l_partkey"),
+          order = Seq("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice", "l_suppkey"),
+          value = "l_extendedprice", out = "ret")
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_suppkey"), col("ret").cast("float").as("ret"))
+        .orderBy(col("l_partkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"), col("l_suppkey"))),
+
+    "w2_rolling_vol" -> ((s, dir) =>
+      Volatility.rollingStd(Tables.events(s, dir),
+          partition = Seq("user_id"), order = Seq("ts", "event_id"),
+          value = "value", window = 30, out = "rolling_vol")
+        .select(col("user_id"), col("event_id"),
+          col("rolling_vol").cast("float").as("rolling_vol"))
+        .orderBy(col("user_id"), col("event_id"))),
+
+    "w3_cum_return" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("r", col("value") / lit(1000.0))
+      Returns.cumulativeReturn(e,
+          partition = Seq("user_id"), order = Seq("ts", "event_id"),
+          ret = "r", out = "cum_return")
+        .select(col("user_id"), col("event_id"),
+          col("cum_return").cast("float").as("cum_return"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "w4_latest_order" -> ((s, dir) =>
+      Snapshot.latestPerKey(Tables.orders(s, dir),
+          keys = Seq("o_custkey"), order = Seq("o_orderdate", "o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_custkey"))),
+
+    "w5_final_snapshot" -> ((s, dir) =>
+      Snapshot.finalValueByKey(Tables.orders(s, dir),
+          key = "o_custkey", value = "o_totalprice",
+          order = Seq("o_orderdate", "o_orderkey"))
+        .select(col("o_custkey"), col("last_o_totalprice").as("last_price"),
+          col("last_o_orderdate").as("last_order_date"), col("n_rows").as("n_orders"))
+        .orderBy(col("o_custkey"))),
+
+    // ── Joins (SURVEY §2.4) ─────────────────────────────────────────────
+    "j1_incremental_load" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val wm = Merge.watermarks(
+        o.filter(col("o_orderdate") < lit("2001-01-01").cast("timestamp")),
+        "o_custkey", "o_orderdate")
+      Merge.incrementalFilter(o, wm, "o_custkey", "o_orderdate")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "j2_dim_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
+        .orderBy(col("c_custkey"))),
+
+    "j3_relative_series" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts_utc")).as("day"), col("event_type"))
+        .agg((sum(d2(col("value"))).cast("double") / count(lit(1))).as("avg_value"))
+      Returns.relativeReturns(daily, axis = "day", seriesCol = "event_type",
+          base = "click", comp = "purchase", value = "avg_value")
+        .select(col("day"), col("pct_diff").cast("float").as("pct_diff"))
+        .orderBy(col("day"))
+    }),
+
+    // ── Filters / projections / scalar functions (SURVEY §2.2, §2.3) ───
+    "p10_filtered_scan" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate").between(
+            lit("1997-01-01").cast("timestamp"), lit("1998-12-31").cast("timestamp")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_shipdate"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_returnflag"))),
+
+    "p13_fill_compound" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("value"), 1).over(w)
+      e.withColumn("r", (col("value") - prev) / nullif(prev, lit(0)))
+        .select(col("user_id"), col("event_id"),
+          coalesce(col("r"), lit(0.0)).cast("float").as("ret_filled"),
+          (lit(1.0) + coalesce(col("r"), lit(0.0))).cast("float").as("growth"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "f_string_funcs" -> ((s, dir) =>
+      Tables.part(s, dir).select(
+          col("p_partkey"),
+          lower(col("p_name")).as("name_lower"),
+          expr("replace(p_brand, '#', '-')").as("brand_norm"),
+          trim(col("p_type")).as("type_trim"),
+          length(col("p_name")).cast("long").as("name_len"),
+          abs(col("p_retailprice") - lit(1000.0)).as("price_dev"))
+        .orderBy(col("p_partkey"))),
+
+    "f_datetime_funcs" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_ds"),
+          year(col("o_orderdate")).cast("long").as("order_year"),
+          month(col("o_orderdate")).cast("long").as("order_month"),
+          dayofmonth(col("o_orderdate")).cast("long").as("order_day"))
+        .orderBy(col("o_orderkey"))),
+
+    "json_extract_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))),
+
+    // ── Sort / top-k / set ops (SURVEY §2.7, §2.8) ──────────────────────
+    "o3_top_movers" -> ((s, dir) =>
+      Snapshot.topK(
+          Tables.customer(s, dir).select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+          by = "c_acctbal", k = 20, tiebreak = "c_custkey")),
+
+    "u1_union_dedup" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      val a = li.filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      val b = li.filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+      a.unionByName(b).distinct()
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    }),
+
+    // ── Micro-batch equivalent of the streaming tumbling agg (§2.10) ───
+    "stream_tumbling_hourly" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts_utc")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(d2(col("value"))).cast("double").as("sum_value"))
+        .orderBy(col("hour"), col("event_type")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-06-30'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a1_watermark_max" ->
+      "SELECT max(o_orderdate) AS max_order_date FROM orders",
+
+    "a2_watermark_year" ->
+      "SELECT CAST(year(max(o_orderdate)) AS BIGINT) AS max_year FROM orders",
+
+    "a3_grouped_watermarks" ->
+      """SELECT o_custkey, max(o_orderdate) AS latest_date
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "a5_distinct_years" ->
+      """SELECT DISTINCT CAST(year(l_shipdate) AS BIGINT) AS ship_year
+        |FROM lineitem ORDER BY ship_year""".stripMargin,
+
+    "a6_dedup_by_key" ->
+      """SELECT o_custkey, o_orderdate, min(o_orderkey) AS keeper_orderkey, count(*) AS n_rows
+        |FROM orders GROUP BY o_custkey, o_orderdate
+        |ORDER BY o_custkey, o_orderdate""".stripMargin,
+
+    "a7_null_audit" ->
+      """SELECT count(*) AS n_rows,
+        | count(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_custkey,
+        | count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS null_orderdate,
+        | count(DISTINCT o_orderkey) AS distinct_orderkey
+        |FROM orders""".stripMargin,
+
+    "dq_gate_lineitem" ->
+      """SELECT count(*) AS n_rows,
+        | count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS null_l_orderkey,
+        | count(CASE WHEN l_partkey IS NULL THEN 1 END) AS null_l_partkey,
+        | count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS null_l_shipdate,
+        | count(CASE WHEN l_quantity IS NULL THEN 1 END) AS null_l_quantity,
+        | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        | min(l_extendedprice) AS min_price
+        |FROM lineitem""".stripMargin,
+
+    "w1_lag_return" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber, l_suppkey,
+        | CAST((l_extendedprice - lag(l_extendedprice) OVER w)
+        |      / nullif(lag(l_extendedprice) OVER w, 0) AS REAL) AS ret
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_partkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_suppkey)
+        |ORDER BY l_partkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_suppkey""".stripMargin,
+
+    "w2_rolling_vol" ->
+      """SELECT user_id, event_id,
+        | CAST(stddev_samp(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS REAL) AS rolling_vol
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "w3_cum_return" ->
+      """SELECT user_id, event_id,
+        | CAST(exp(sum(ln(1 + value / CAST(1000 AS DOUBLE)))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS REAL) AS cum_return
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "w4_latest_order" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate FROM (
+        | SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "w5_final_snapshot" ->
+      """SELECT o_custkey,
+        | max(CASE WHEN rn = 1 THEN o_totalprice END) AS last_price,
+        | max(o_orderdate) AS last_order_date,
+        | count(*) AS n_orders
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) t
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "j1_incremental_load" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_orderdate
+        |FROM orders o LEFT JOIN (
+        | SELECT o_custkey, max(o_orderdate) AS latest_date FROM orders
+        | WHERE o_orderdate < TIMESTAMP '2001-01-01' GROUP BY o_custkey) w
+        |ON o.o_custkey = w.o_custkey
+        |WHERE w.latest_date IS NULL OR o.o_orderdate > w.latest_date
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "j2_dim_join" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j3_relative_series" ->
+      """WITH daily AS (
+        | SELECT date_trunc('day', ts) AS day, event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        | FROM events GROUP BY 1, 2)
+        |SELECT b.day AS day,
+        | CAST(CAST(100 AS DOUBLE) * (b.avg_value - c.avg_value) AS REAL) AS pct_diff
+        |FROM daily b JOIN daily c ON b.day = c.day
+        |WHERE b.event_type = 'click' AND c.event_type = 'purchase'
+        |ORDER BY day""".stripMargin,
+
+    "p10_filtered_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate, l_extendedprice
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A','R')
+        |  AND l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1998-12-31'
+        |ORDER BY l_orderkey, l_linenumber, l_shipdate, l_extendedprice, l_returnflag""".stripMargin,
+
+    "p13_fill_compound" ->
+      """SELECT user_id, event_id,
+        | CAST(coalesce((value - lag(value) OVER w) / nullif(lag(value) OVER w, 0), 0) AS REAL) AS ret_filled,
+        | CAST(1 + coalesce((value - lag(value) OVER w) / nullif(lag(value) OVER w, 0), 0) AS REAL) AS growth
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "f_string_funcs" ->
+      """SELECT p_partkey, lower(p_name) AS name_lower,
+        | replace(p_brand, '#', '-') AS brand_norm,
+        | trim(p_type) AS type_trim,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | abs(p_retailprice - CAST(1000 AS DOUBLE)) AS price_dev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "f_datetime_funcs" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_ds,
+        | CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        | CAST(month(o_orderdate) AS BIGINT) AS order_month,
+        | CAST(day(o_orderdate) AS BIGINT) AS order_day
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "json_extract_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "o3_top_movers" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "u1_union_dedup" ->
+      """SELECT DISTINCT l_orderkey, l_linenumber, l_shipdate FROM (
+        | SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |  WHERE l_shipdate < TIMESTAMP '1999-01-01'
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01') t
+        |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin,
+
+    "stream_tumbling_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, TextAnalysis}
+
+/** LLM-training-data text pipeline over the `documents` table:
+  * dedup (exact / MinHash-LSH / SimHash / Jaccard), token statistics,
+  * quality scoring, language ID, fingerprinting, and the multimodal
+  * binary-column plumbing.
+  *
+  * Oracle entries mirror the exact expression in DuckDB SQL; the
+  * hash-based approximate operators (MinHash, SimHash) have no
+  * engine-portable SQL form and take the driver's rows-only check.
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "dedup_exact_text" -> ((s, dir) =>
+      Dedup.exactByContent(Tables.documents(s, dir), id = "doc_id", content = "text")
+        .withColumnRenamed("keeper_id", "keeper_doc_id")
+        .orderBy(col("content_hash"))),
+
+    "text_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_chars_calc"), col("n_tokens"),
+          col("avg_token_len").cast("float").as("avg_token_len"))
+        .orderBy(col("doc_id"))),
+
+    "text_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir))
+        .select(col("doc_id"), col("quality_score").cast("float").as("quality_score"))
+        .orderBy(col("doc_id"))),
+
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir))
+        .select(col("doc_id"), col("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(
+          Tables.documents(s, dir).filter(col("doc_id") < 300),
+          id = "doc_id", text = "text", threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard").cast("float").as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // rows-only (hash functions are engine-specific; no portable SQL oracle)
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidatePairs(docs, id = "doc_id", text = "text")
+      val perDoc = pairs.groupBy(col("id_a").as("doc_id"))
+        .agg(count(lit(1)).as("n_candidates"), max(col("est_jaccard")).as("max_est_jaccard"))
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .na.fill(0, Seq("n_candidates")).na.fill(0.0, Seq("max_est_jaccard"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // rows-only
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), id = "doc_id", text = "text")
+        .orderBy(col("doc_id"))),
+
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(
+          Multimodal.withBinaryPayload(Tables.documents(s, dir)))
+        .toDF()
+        .orderBy(col("doc_id"))),
+
+    // rows-only (frame-sampling generator shape)
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.withBinaryPayload(Tables.documents(s, dir).filter(col("doc_id") < 100)))
+        .select(col("doc_id"), col("frame_idx"), length(col("frame_bytes")).cast("long").as("frame_len"))
+        .orderBy(col("doc_id"), col("frame_idx")))
+  )
+
+  private val stopList = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
+  private def langList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact_text" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper_doc_id
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "text_token_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
+        | CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        | CAST(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / nullif(len(string_split(trim(text), ' ')), 0) AS REAL) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents)
+         |SELECT doc_id,
+         | CAST(0.4 * least(CAST(1 AS DOUBLE), CAST(len(toks) AS DOUBLE) / CAST(100 AS DOUBLE))
+         |  + 0.3 * (CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE) / nullif(len(toks), 0))
+         |  + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0)) AS REAL) AS quality_score
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |  len(list_filter(toks, x -> x IN (${langList(graft.ops.TextAnalysis.stopwordsEn)}))) AS en,
+         |  len(list_filter(toks, x -> x IN (${langList(graft.ops.TextAnalysis.stopwordsFr)}))) AS fr,
+         |  len(list_filter(toks, x -> x IN (${langList(graft.ops.TextAnalysis.stopwordsEs)}))) AS es,
+         |  len(list_filter(toks, x -> x IN (${langList(graft.ops.TextAnalysis.stopwordsDe)}))) AS de,
+         |  len(list_filter(toks, x -> x IN (${langList(graft.ops.TextAnalysis.stopwordsZh)}))) AS zh
+         | FROM t)
+         |SELECT doc_id,
+         | CASE WHEN en >= fr AND en >= es AND en >= de AND en >= zh THEN 'en'
+         |      WHEN fr >= es AND fr >= de AND fr >= zh THEN 'fr'
+         |      WHEN es >= de AND es >= zh THEN 'es'
+         |      WHEN de >= zh THEN 'de'
+         |      ELSE 'zh' END AS lang_pred
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                         ' +', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+        |           FROM documents WHERE doc_id < 300),
+        | t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |       FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        | s AS (SELECT doc_id, len(toks) AS n FROM d)
+        |SELECT doc_a, doc_b, CAST(shared / (sa.n + sb.n - shared) AS REAL) AS jaccard
+        |FROM p JOIN s sa ON p.doc_a = sa.doc_id JOIN s sb ON p.doc_b = sb.doc_id
+        |WHERE shared / (sa.n + sb.n - shared) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+        | CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
+        | CASE octet_length(encode(text)) % 3
+        |   WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
