@@ -37,15 +37,17 @@ object Dedup {
       .otherwise(array(array_join(toks, " ")))
 
   /** MinHash signature columns m0..m(k-1): for each of k seeded hash
-    * functions, the min over the doc's distinct shingles. One explode +
-    * one groupBy — a single shuffle keyed on the doc id. */
+    * functions, the min over the doc's distinct shingles. Computed
+    * entirely per-row with higher-order array expressions — NO explode,
+    * NO groupBy, NO shuffle; at 100 TB this is a pure map stage that
+    * scales linearly with input splits. */
   def minhashSignatures(df: DataFrame, id: String, text: String,
                         shingleSize: Int = 3, k: Int = 16): DataFrame = {
     val toks = TextAnalysis.tokens(col(text))
-    val sh = df.select(col(id),
-        explode(array_distinct(shingles(toks, shingleSize))).as("shingle"))
-    val aggs = (0 until k).map(s => min(xxhash64(lit(s), col("shingle"))).as(s"m$s"))
-    sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    val sigCols = (0 until k).map(s =>
+      array_min(transform(col("__sh"), x => xxhash64(lit(s), x))).as(s"m$s"))
+    df.withColumn("__sh", array_distinct(shingles(toks, shingleSize)))
+      .select(col(id) +: sigCols: _*)
   }
 
   /** LSH banding of a k-column minhash signature into `bands` buckets per
@@ -84,26 +86,29 @@ object Dedup {
       .join(sigArr.select(col(id).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
-          lit(0), (acc, x) => acc + x).cast("double") / lit(16.0))
+          lit(0), (acc, x) => acc + x).cast("double") / lit(k.toDouble))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
   /** 64-bit SimHash over tokens: each token's xxhash64 votes +1/-1 on
     * every bit; the sign of each bit-sum forms the signature. Near-dups
-    * differ in few bits. Implemented as 64 conditional sums in ONE hash
-    * aggregate (single shuffle on doc id). */
+    * differ in few bits.
+    *
+    * Computed entirely per-row: hash every distinct token once, then fold
+    * the hashes into a 64-slot vote array with `aggregate`/`zip_with` —
+    * NO explode, NO groupBy, NO shuffle (the previous explode+groupBy
+    * form shuffled docs×tokens rows; this is a pure map stage). */
   def simhash(df: DataFrame, id: String, text: String): DataFrame = {
-    val tok = df.select(col(id),
-      explode(array_distinct(TextAnalysis.tokens(col(text)))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
-    }
-    val voted = tok.groupBy(col(id)).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
-      acc.bitwiseOR(when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-    }
-    voted.select(col(id), sig.as("simhash"))
+    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
+    val hashes = transform(array_distinct(TextAnalysis.tokens(col(text))),
+      t => xxhash64(t))
+    val votes = aggregate(hashes, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, masks,
+        (a, m) => a + when(h.bitwiseAND(m) === m, 1).otherwise(-1)))
+    val sig = aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    df.select(col(id), sig.as("simhash"))
       .withColumn("bucket16", shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)))
   }
 
