@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (4L, "completely different words entirely unrelated text here")
+  ).toDF("doc_id", "text")
+
+  test("exactByContent: identical docs collapse, smallest id survives") {
+    val out = Dedup.exactByContent(docs, "doc_id", "text")
+    out.count() shouldBe 3
+    val dup = out.filter(col("n_copies") === 2).select("keeper_id").rows
+    dup shouldBe Seq(Seq(1L))
+  }
+
+  test("shingles: n-gram windows; short docs collapse to whole-doc shingle") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(Dedup.shingles(split(col("text"), " "), 3).as("sh"))
+    df.rows.map(_.head) shouldBe Seq(Seq("a b c", "b c d"), Seq("a b"))
+  }
+
+  test("minhash signatures: identical docs get identical signatures") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val s1 = sig.filter(col("doc_id") === 1).drop("doc_id").rows.head
+    val s2 = sig.filter(col("doc_id") === 2).drop("doc_id").rows.head
+    s1 shouldBe s2
+  }
+
+  test("minhashCandidatePairs: exact dups get est_jaccard 1.0; (1,2) found") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+    val p12 = pairs.filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("est_jaccard").rows
+    p12 shouldBe Seq(Seq(1.0))
+  }
+
+  test("simhash: identical docs equal; near-dups closer in Hamming than unrelated") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+      .orderBy("doc_id").select("simhash").rows.map(_.head.asInstanceOf[Long])
+    sig(0) shouldBe sig(1)
+    hamming(sig(0), sig(2)) should be < hamming(sig(0), sig(3))
+  }
+
+  test("jaccardPairs: hand-computed unigram jaccard") {
+    // doc1 tokens {the,quick,brown,fox,jumps,over,lazy,dog} (8 distinct)
+    // doc3 swaps dog→cat: intersection 7, union 9 → 7/9 ≈ 0.778
+    val out = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+    val j13 = out.filter(col("doc_a") === 1 && col("doc_b") === 3)
+      .select("jaccard").rows.head.head.asInstanceOf[Double]
+    j13 shouldBe 7.0 / 9.0 +- 1e-12
+    out.filter(col("doc_a") === 1 && col("doc_b") === 2)
+      .select("jaccard").rows.head.head.asInstanceOf[Double] shouldBe 1.0 +- 1e-12
+    // unrelated doc4 shares no tokens with doc1 → absent
+    out.filter(col("doc_b") === 4).count() shouldBe 0
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class MergeQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val existing = Seq(("A", 1, "old1"), ("A", 2, "old2"), ("B", 1, "old3"))
+    .toDF("k", "t", "payload")
+  private val incoming = Seq(("A", 2, "new2"), ("A", 2, "new2dup"), ("C", 1, "new4"))
+    .toDF("k", "t", "payload")
+
+  test("watermarks + incrementalFilter: unknown keys pass, stale rows drop") {
+    val wm = Merge.watermarks(existing, "k", "t")
+    val out = Merge.incrementalFilter(
+      Seq(("A", 1, "stale"), ("A", 3, "fresh"), ("C", 1, "newkey")).toDF("k", "t", "payload"),
+      wm, "k", "t").orderBy("k").select("payload").rows.map(_.head)
+    out shouldBe Seq("fresh", "newkey")
+  }
+
+  test("upsert: incoming replaces colliding keys; deterministic dedup survivor") {
+    val out = Merge.upsert(existing, incoming, Seq("k", "t"), tiebreak = "payload")
+      .orderBy("k", "t").rows
+    out shouldBe Seq(
+      Seq("A", 1, "old1"), Seq("A", 2, "new2dup"),   // max payload survives
+      Seq("B", 1, "old3"), Seq("C", 1, "new4"))
+  }
+
+  test("upsert is idempotent: applying the same batch twice changes nothing") {
+    val once = Merge.upsert(existing, incoming, Seq("k", "t"), "payload")
+    val twice = Merge.upsert(once, incoming, Seq("k", "t"), "payload")
+    twice.orderBy("k", "t").rows shouldBe once.orderBy("k", "t").rows
+  }
+
+  test("quality gate: structural violations reported before scan") {
+    val df = Seq((1, "x")).toDF("a", "b")
+    val expected = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", IntegerType),
+      StructField("missing", DoubleType)))
+    val Left(vs) = Quality.check(df, expected, Seq("a")): @unchecked
+    vs.map(_.getClass.getSimpleName).toSet shouldBe Set("MissingColumn", "TypeMismatch")
+  }
+
+  test("quality gate: null critical column → Left, clean frame → Right") {
+    val schema = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))
+    val bad = Seq((null.asInstanceOf[Integer], "x"), (Integer.valueOf(1), "y"))
+      .toDF("a", "b")
+    Quality.check(bad, schema, Seq("a")).isLeft shouldBe true
+    val good = Seq((Integer.valueOf(1), "y")).toDF("a", "b")
+    Quality.check(good, schema, Seq("a")).isRight shouldBe true
+  }
+}

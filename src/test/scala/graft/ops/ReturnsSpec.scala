@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ReturnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val series = Seq(
+    ("A", 1, 100.0), ("A", 2, 110.0), ("A", 3, 99.0),
+    ("B", 1, 50.0), ("B", 2, 50.0)
+  ).toDF("k", "t", "v")
+
+  test("lagReturn: first row per key is null, then (v - prev)/prev") {
+    val out = Returns.lagReturn(series, Seq("k"), Seq("t"), "v", "r")
+      .orderBy("k", "t").select("r").rows.map(_.head)
+    assert(out(0) == null)
+    out(1).asInstanceOf[Double] shouldBe 0.10 +- 1e-12
+    out(2).asInstanceOf[Double] shouldBe (99.0 - 110.0) / 110.0 +- 1e-12
+    assert(out(3) == null)
+    out(4).asInstanceOf[Double] shouldBe 0.0 +- 1e-12
+  }
+
+  test("lagReturn: zero previous value yields null, not error/Infinity") {
+    val df = Seq(("A", 1, 0.0), ("A", 2, 5.0)).toDF("k", "t", "v")
+    val out = Returns.lagReturn(df, Seq("k"), Seq("t"), "v", "r")
+      .orderBy("t").select("r").rows.map(_.head)
+    out shouldBe Seq(null, null)
+  }
+
+  test("cumulativeReturn: compounds (1+r) in order, null r treated as 0") {
+    val df = Seq(("A", 1, null.asInstanceOf[java.lang.Double]),
+      ("A", 2, java.lang.Double.valueOf(0.10)),
+      ("A", 3, java.lang.Double.valueOf(-0.50))).toDF("k", "t", "r")
+    val out = Returns.cumulativeReturn(df, Seq("k"), Seq("t"), "r", "c")
+      .orderBy("t").select("c").rows.map(_.head.asInstanceOf[Double])
+    out(0) shouldBe 1.0 +- 1e-12
+    out(1) shouldBe 1.10 +- 1e-12
+    out(2) shouldBe 0.55 +- 1e-12
+  }
+
+  test("cumulativeReturn (exp-sum-ln) agrees with exact ProductAgg form") {
+    // seeded random series (property-style, deterministic replay)
+    val rng = new scala.util.Random(42)
+    val rs = List.fill(120)(rng.nextDouble() * 2.9 - 0.9)  // returns in (-0.9, 2.0)
+    val df = rs.zipWithIndex.map { case (r, i) => ("k" + (i % 3), i, r) }.toDF("k", "t", "r")
+    val approx = Returns.cumulativeReturn(df, Seq("k"), Seq("t"), "r", "c")
+      .orderBy("k", "t").select("c").rows.map(_.head.asInstanceOf[Double])
+    val exact = Returns.cumulativeReturnExact(df, Seq("k"), Seq("t"), "r", "c")
+      .orderBy("k", "t").select("c").rows.map(_.head.asInstanceOf[Double])
+    approx.zip(exact).foreach { case (a, e) =>
+      a shouldBe e +- math.max(1e-9, math.abs(e) * 1e-9)
+    }
+  }
+
+  test("relativeReturns: aligned diff × 100") {
+    val df = Seq((1, "base", 0.5), (1, "comp", 0.2), (2, "base", 0.1), (2, "comp", 0.4))
+      .toDF("t", "s", "v")
+    val out = Returns.relativeReturns(df, "t", "s", "base", "comp", "v")
+      .orderBy("t").select("pct_diff").rows.map(_.head.asInstanceOf[Double])
+    out(0) shouldBe 30.0 +- 1e-9
+    out(1) shouldBe -30.0 +- 1e-9
+  }
+}

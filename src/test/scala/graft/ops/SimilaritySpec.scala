@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f)),       // orthogonal to 1
+    (3L, Seq(2.0f, 0.0f, 0.0f)),       // parallel to 1
+    (4L, Seq(-1.0f, 0.0f, 0.0f)),      // opposite to 1
+    (5L, Seq(1.0f, 1.0f, 0.0f))        // 45° to 1
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: hand-computed values, zero vector → null") {
+    val pairs = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 0.0f))
+    ).toDF("a", "b")
+    val out = pairs.select(Similarity.cosine(col("a"), col("b")).as("c")).rows.map(_.head)
+    out(0).asInstanceOf[Double] shouldBe 1.0 +- 1e-9
+    out(1).asInstanceOf[Double] shouldBe 0.0 +- 1e-9
+    assert(out(2) == null)
+  }
+
+  test("bruteForceTopK: ranks by cosine desc, excludes self, respects k") {
+    val out = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 1), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").rows.map(_.head)
+    out shouldBe Seq(3L, 5L, 2L)   // cos: 1.0, 0.707, 0.0 (4 is -1.0, cut by k)
+  }
+
+  test("lshSignature: deterministic; parallel vectors share a bucket, opposite do not") {
+    val sig = Similarity.lshSignature(vecs, "embedding", dim = 3, bits = 16)
+      .select("vec_id", "lsh_bucket").rows.map(r => r(0) -> r(1)).toMap
+    val sig2 = Similarity.lshSignature(vecs, "embedding", dim = 3, bits = 16)
+      .select("vec_id", "lsh_bucket").rows.map(r => r(0) -> r(1)).toMap
+    sig shouldBe sig2                         // seeded → reproducible
+    sig(1L) shouldBe sig(3L)                  // parallel → identical signature
+    sig(1L) should not be sig(4L)             // antipodal → all bits flip
+  }
+
+  test("nearDupInBuckets: parallel pair surfaces with cosine 1") {
+    val out = Similarity.nearDupInBuckets(vecs, "vec_id", "embedding",
+      dim = 3, bits = 8, perBucket = 5)
+    val top = out.filter(col("id_a") === 1 && col("id_b") === 3)
+      .select("cosine").rows
+    top.head.head.asInstanceOf[Double] shouldBe 1.0 +- 1e-9
+  }
+}
