@@ -24,6 +24,16 @@ object Quality {
   /** Validate `df` against an expected schema and critical non-null
     * columns. Returns Right(df) when clean, Left(violations) otherwise —
     * callers quarantine on Left, mirroring the reference's skip-and-log. */
+  /** The reference stores naive (timezone-less) datetimes
+    * (scripts/transform.py:82-87); parquet lakes surface those as either
+    * TIMESTAMP or TIMESTAMP_NTZ depending on writer flags — the gate
+    * treats them as the same logical type. */
+  private def norm(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt match {
+      case org.apache.spark.sql.types.TimestampNTZType => org.apache.spark.sql.types.TimestampType
+      case other => other
+    }
+
   def check(df: DataFrame, expected: StructType,
             criticalNonNull: Seq[String]): Either[Seq[Violation], DataFrame] = {
     val actual = df.schema.map(f => f.name -> f.dataType).toMap
@@ -32,7 +42,7 @@ object Quality {
       case f if !actual.contains(f.name) => MissingColumn(f.name)
     }.toSeq
     val mismatched = expected.fields.collect {
-      case f if actual.get(f.name).exists(_ != f.dataType) =>
+      case f if actual.get(f.name).exists(a => norm(a) != norm(f.dataType)) =>
         TypeMismatch(s"${f.name}: expected ${f.dataType.simpleString}, got ${actual(f.name).simpleString}")
     }.toSeq
 

@@ -1,0 +1,131 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.ops.Reshape
+import graft.pipeline.StockPipeline
+import graft.sources.LakeReader
+
+/** Pipeline-level and streaming-semantics queries:
+  *
+  *  - the full 3-stage stock pipeline run end-to-end over a synthetic
+  *    bar series derived from `orders` (ingest → transform → load →
+  *    read back the warehouse), oracled by one SQL expression of the
+  *    whole derivation;
+  *  - unpivot (reference P4);
+  *  - batch-mode equivalents of the sliding-window and session-window
+  *    streaming aggregations (identical expressions to
+  *    [[graft.streaming.EventStreams]], minus the watermark) — DuckDB
+  *    oracles them via epoch arithmetic / gaps-and-islands.
+  */
+object PipelineQueries {
+
+  private val dec = DecimalType(18, 2)
+  private def d2(c: org.apache.spark.sql.Column) = c.cast(dec)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "pipeline_stock_e2e" -> ((s, dir) => {
+      // synthetic bars: one "ticker" per order priority, daily close =
+      // decimal-exact sum of that day's order totals
+      val bars = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("date"), col("o_orderpriority").as("ticker"))
+        .agg(sum(d2(col("o_totalprice"))).cast("double").as("close"))
+        .withColumn("open", col("close")).withColumn("high", col("close"))
+        .withColumn("low", col("close")).withColumn("volume", lit(0L))
+        .withColumn("adj_close", col("close"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+      StockPipeline.run(s, bars, Timestamp.valueOf("2024-01-01 00:00:00"),
+        s"$tmp/raw", s"$tmp/enriched", s"$tmp/warehouse")
+      LakeReader.read(s, s"$tmp/warehouse")
+        .select(col("ticker"), col("date"), col("close"),
+          col("daily_return").cast("float").as("daily_return"),
+          col("rolling_vol_30d").cast("float").as("rolling_vol_30d"))
+        .orderBy(col("ticker"), col("date"))
+    }),
+
+    "p4_unpivot" -> ((s, dir) =>
+      Reshape.unpivot(
+          Tables.part(s, dir).select(col("p_partkey"),
+            col("p_retailprice").as("retailprice"),
+            col("p_size").cast("double").as("size")),
+          ids = Seq("p_partkey"), values = Seq("retailprice", "size"),
+          varName = "attr", valueName = "val")
+        .orderBy(col("p_partkey"), col("attr"))),
+
+    "stream_sliding_avg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts_utc"), "1 hour", "15 minutes"), col("event_type"))
+        .agg((sum(d2(col("value"))).cast("double") / count(lit(1))).as("avg_value"),
+          count(lit(1)).as("n_events"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("avg_value").cast("float").as("avg_value"), col("n_events"))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    "stream_session_windows" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts_utc"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(d2(col("value"))).cast("double").as("session_value"))
+        .select(col("session_window.start").as("session_start"), col("user_id"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "pipeline_stock_e2e" ->
+      """WITH bars AS (
+        |  SELECT o_orderdate AS date, o_orderpriority AS ticker,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS close
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT ticker, date, close,
+        |         (close - lag(close) OVER w) / nullif(lag(close) OVER w, 0) AS dr
+        |  FROM bars WINDOW w AS (PARTITION BY ticker ORDER BY date))
+        |SELECT ticker, date, close, CAST(dr AS REAL) AS daily_return,
+        |  CAST(stddev_samp(dr) OVER (PARTITION BY ticker ORDER BY date
+        |       ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS REAL) AS rolling_vol_30d
+        |FROM r ORDER BY ticker, date""".stripMargin,
+
+    "p4_unpivot" ->
+      """SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |ORDER BY p_partkey, attr""".stripMargin,
+
+    // sliding windows: each event belongs to the 4 epoch-aligned 15-min-slid
+    // 1-hour windows covering it
+    "stream_sliding_avg" ->
+      """WITH w AS (
+        |  SELECT TIMESTAMP '1970-01-01'
+        |           + (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k * 900)
+        |             * INTERVAL '1 second' AS window_start,
+        |         event_type, value
+        |  FROM events CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(k))
+        |SELECT window_start, event_type,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS REAL) AS avg_value,
+        |  COUNT(*) AS n_events
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // session windows: gaps-and-islands — a new session starts when the gap
+    // from the previous event reaches the 30-minute threshold (Spark
+    // session_window merges only strictly-overlapping [ts, ts+gap) spans)
+    "stream_session_windows" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+  )
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumblingAgg: windows aggregate; late data beyond watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventStreams.tumblingAgg(
+      input.toDF().toDF("ts_utc", "event_type", "value"),
+      windowLen = "1 hour", lateness = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events in the 10:00 window, one in 11:00
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:50:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "click", 4.0))
+      q.processAllAvailable()
+      // batch 2: advance watermark far past the 10:00 window → it closes
+      input.addData((ts("2024-01-01 13:00:00"), "click", 8.0))
+      q.processAllAvailable()
+      // batch 3: a late event for the long-closed 10:00 window → dropped
+      input.addData((ts("2024-01-01 10:30:00"), "click", 100.0))
+      q.processAllAvailable()
+
+      val out = spark.table("tumbling")
+        .select("window_start", "n_events", "sum_value")
+        .orderBy("window_start").rows
+      // emitted (closed) windows: 10:00 with the ORIGINAL two events, 11:00
+      out.head shouldBe Seq(ts("2024-01-01 10:00:00"), 2L, 3.0)
+      out(1) shouldBe Seq(ts("2024-01-01 11:00:00"), 1L, 4.0)
+    } finally q.stop()
+  }
+
+  test("sessionize: events within gap merge into one session, beyond gap split") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val sess = EventStreams.sessionize(
+      input.toDF().toDF("ts_utc", "user_id", "value"),
+      gap = "30 minutes", lateness = "5 minutes")
+    val q = sess.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (ts("2024-01-01 10:10:00"), 1L, 2.0),   // same session (10 min gap)
+        (ts("2024-01-01 12:00:00"), 1L, 4.0))   // new session (110 min gap)
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 15:00:00"), 1L, 0.0))  // advance watermark
+      q.processAllAvailable()
+
+      val out = spark.table("sessions")
+        .orderBy("session_start").select("n_events", "session_value").rows
+      out.head shouldBe Seq(2L, 3.0)
+      out(1) shouldBe Seq(1L, 4.0)
+    } finally q.stop()
+  }
+
+  test("toLake: AvailableNow file stream lands partitioned parquet exactly once") {
+    val dir = Files.createTempDirectory("evstream").toString
+    val src = s"$dir/src"; val sink = s"$dir/lake"; val ckpt = s"$dir/ckpt"
+    val events = Seq(
+      (ts("2024-01-01 10:00:00"), "click", 1.0),
+      (ts("2024-01-02 11:00:00"), "view", 2.0)
+    ).toDF("ts_utc", "event_type", "value")
+    events.write.parquet(src)
+
+    val stream = EventStreams.fromParquetDir(spark, src, events.schema)
+      .withColumn("day", to_date(col("ts_utc")))
+    val q1 = EventStreams.toLake(stream, sink, ckpt, Seq("day"))
+    q1.awaitTermination()
+    spark.read.parquet(sink).count() shouldBe 2
+
+    // re-running with the same checkpoint re-reads nothing → still 2 rows
+    val q2 = EventStreams.toLake(stream, sink, ckpt, Seq("day"))
+    q2.awaitTermination()
+    spark.read.parquet(sink).count() shouldBe 2
+  }
+
+  test("mergeIntoWarehouse: streamed upsert collapses duplicate keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("evmerge").toString
+    val input = MemoryStream[(Long, String, Long)]
+    val q = EventStreams.mergeIntoWarehouse(
+      input.toDF().toDF("id", "payload", "version"),
+      s"$dir/wh", s"$dir/ckpt", keys = Seq("id"), tiebreak = "version")
+    try {
+      input.addData((1L, "a", 1L), (2L, "b", 1L))
+      q.processAllAvailable()
+      input.addData((1L, "a2", 2L), (3L, "c", 1L))   // update id=1, insert id=3
+      q.processAllAvailable()
+      val wh = spark.read.parquet(s"$dir/wh").orderBy("id")
+      wh.select("payload").rows.map(_.head) shouldBe Seq("a2", "b", "c")
+    } finally q.stop()
+  }
+}
