@@ -21,16 +21,30 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<numeric> columns (double accumulator). */
+  /** Dot product — native codegen'd expression
+    * ([[graft.functions.DotProduct]]; requires [[graft.functions.GraftExtensions]]
+    * installed in the session). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dotProduct(a, b)
+
+  /** Dot product in portable higher-order-function form — no extension
+    * registration needed, but allocates per element and stays outside
+    * whole-stage codegen; prefer [[dot]] on the hot path. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
 
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity, null on zero vectors rather than ANSI error. */
+  /** Cosine similarity — native single-loop expression
+    * ([[graft.functions.CosineSimilarity]]); null on zero vectors rather
+    * than ANSI error. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
+    graft.functions.GraftFunctions.cosineSim(a, b)
+
+  /** Portable HOF form of [[cosine]]. */
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / nullif(sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)), lit(0.0))
 
   /** Brute-force cosine top-k: for every row of `queries` (small —
     * broadcast), the k most similar rows of `candidates` (large —

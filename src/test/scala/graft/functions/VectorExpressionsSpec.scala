@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Similarity
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(7)
+  private val vecs = (1 to 50).map { i =>
+    (i.toLong, Seq.fill(64)(rng.nextFloat() * 2 - 1))
+  }.toDF("id", "v")
+
+  test("native dot_product agrees with the HOF form on random vectors") {
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.id") < col("b.id")).limit(200)
+      .select(
+        Similarity.dot(col("a.v"), col("b.v")).as("native"),
+        Similarity.dotHof(col("a.v"), col("b.v")).as("hof"))
+    pairs.collect().foreach { r =>
+      r.getDouble(0) shouldBe r.getDouble(1) +- 1e-9
+    }
+  }
+
+  test("native cosine_sim agrees with the HOF form; zero vector → null") {
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.id") < col("b.id")).limit(200)
+      .select(
+        Similarity.cosine(col("a.v"), col("b.v")).as("native"),
+        Similarity.cosineHof(col("a.v"), col("b.v")).as("hof"))
+    pairs.collect().foreach { r =>
+      r.getDouble(0) shouldBe r.getDouble(1) +- 1e-9
+    }
+    val z = Seq((Seq(1.0f, 2.0f), Seq(0.0f, 0.0f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).rows.head.head
+    assert(z == null)
+  }
+
+  test("functions are SQL-callable after extension registration") {
+    vecs.createOrReplaceTempView("vex")
+    val out = spark.sql(
+      """SELECT a.id, dot_product(a.v, a.v) AS d, cosine_sim(a.v, a.v) AS c
+        |FROM vex a WHERE a.id = 1""".stripMargin).rows.head
+    out(1).asInstanceOf[Double] should be > 0.0
+    out(2).asInstanceOf[Double] shouldBe 1.0 +- 1e-9
+  }
+
+  test("mixed float/double arrays and null array inputs") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(3.0, 4.0))).toDF("f", "d")
+    df.select(Similarity.dot(col("f"), col("d"))).rows.head.head
+      .asInstanceOf[Double] shouldBe 11.0 +- 1e-9
+    val nul = Seq((Seq(1.0f), null.asInstanceOf[Seq[Float]])).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b"))).rows.head.head
+    assert(nul == null)
+  }
+}
