@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for every left row, the most recent right row
+  * with `right.ts <= left.ts` within the same key group — the canonical
+  * time-series operator (latest quote for each trade) that Spark SQL has
+  * no built-in for.
+  *
+  * Implementation is the scale-safe composition, not a nested-loop or
+  * range join: tag both sides, UNION them, and run ONE window pass per
+  * key ordered by (ts, side) taking `last_value(..., ignoreNulls)` of the
+  * right-side payload. Cost = one shuffle on the key + one sort — the
+  * same plan shape as any windowed aggregation, linear in |L|+|R| and
+  * skew-bounded by the key distribution (vs. the O(|L|·|R|) fallback a
+  * naive `left.ts >= right.ts` range join degenerates to).
+  *
+  * Tie semantics: a right row at exactly left.ts matches (right sorts
+  * before left at equal ts), matching DuckDB/pandas `ASOF JOIN`
+  * backward semantics.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side (keeps all rows)
+    * @param right     reference side
+    * @param on        ordering column name (present in both; numeric/timestamp)
+    * @param by        equi-key column names (present in both)
+    * @param valueCols right-side payload columns to carry to left rows
+    */
+  def asOf(left: DataFrame, right: DataFrame, on: String, by: Seq[String],
+           valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // 0 = right side, 1 = left side → right sorts first at equal ts
+    val l = left.withColumn("__side", lit(1))
+      .withColumns(valueCols.map(v => s"__r_$v" -> lit(null)).toMap)
+    val r = right.select(
+      (by.map(col) :+ col(on) :+ lit(0).as("__side")) ++
+        valueCols.map(v => col(v).as(s"__r_$v")): _*)
+    val unioned = l.select(
+      (leftCols.map(col) :+ col("__side")) ++ valueCols.map(v => col(s"__r_$v")): _*)
+      .unionByName(r.withColumns(
+        leftCols.filterNot(c => by.contains(c) || c == on)
+          .map(c => c -> lit(null)).toMap).select(
+        (leftCols.map(col) :+ col("__side")) ++ valueCols.map(v => col(s"__r_$v")): _*))
+    // payload columns join the sort key so duplicate right timestamps
+    // resolve deterministically (greatest payload wins the tie)
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col(on).asc +: col("__side").asc +: valueCols.map(v => col(s"__r_$v").asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned) { (df, v) =>
+      df.withColumn(s"asof_$v", last(col(s"__r_$v"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(v => col(s"asof_$v")): _*)
+  }
+}

@@ -72,8 +72,31 @@ object TextAnalysis {
     * collapse whitespace, md5. Two documents with the same fingerprint are
     * exact duplicates modulo formatting — the first-line dedup key. */
   def fingerprint(df: DataFrame, text: String = "text", out: String = "fingerprint"): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col(text)), "[^a-z0-9 ]", ""), " +", " "))
-    df.withColumn(out, md5(norm))
+    df.withColumn(out, md5(canonical(col(text))))
+  }
+
+  /** Canonical text form shared by [[fingerprint]] and [[rollingHashFingerprint]]. */
+  def canonical(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** BPE-style pre-tokenizer counts: letter runs, digit runs, and single
+    * punctuation marks each count as one token — the GPT-2-ish shape a
+    * training pipeline budgets with, vs. plain whitespace splitting.
+    * Pure regexp expression, codegen'd, no UDF. */
+  def bpeTokenCount(df: DataFrame, text: String = "text",
+                    out: String = "n_bpe_tokens"): DataFrame =
+    df.withColumn(out,
+      size(regexp_extract_all(col(text),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
+
+  /** Polynomial (Karp–Rabin) rolling hash of the canonical text:
+    * h = Σ c·257^i mod 1e9+7, folded left-to-right per row with
+    * higher-order array expressions — no shuffle, no UDF. The modulus
+    * keeps every intermediate in int64 on any engine. */
+  def rollingHashFingerprint(df: DataFrame, text: String = "text",
+                             out: String = "rolling_hash"): DataFrame = {
+    val codes = transform(split(canonical(col(text)), ""), c => ascii(c).cast("long"))
+    df.withColumn(out,
+      aggregate(codes, lit(0L), (acc, c) => (acc * lit(257L) + c) % lit(1000000007L)))
   }
 }

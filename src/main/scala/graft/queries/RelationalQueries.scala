@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.ops.{Merge, Quality, Returns, Snapshot, Volatility}
+import graft.ops.{AsOfJoin, Merge, Quality, Returns, Skew, Snapshot, Volatility}
 
 /** Core relational operator inventory (SURVEY.md §2.2–§2.9) expressed over
   * the driver's TPC-H-ish lake, each with a DuckDB oracle.
@@ -218,6 +218,29 @@ object RelationalQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
     }),
 
+    // ── As-of join: latest purchase at-or-before each click ────────────
+    "asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.asOf(clicks, purchases, on = "ts", by = Seq("user_id"),
+          valueCols = Seq("value"))
+        .select(col("user_id"), col("event_id"),
+          col("asof_value").cast("float").as("asof_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ── Salted two-phase aggregation ≡ straight aggregation ────────────
+    "skew_salted_agg" -> ((s, dir) =>
+      Skew.saltedAggregate(Tables.lineitem(s, dir),
+          keys = Seq("l_returnflag"), discriminator = "l_orderkey", salts = 8,
+          partialAggs = Seq(sum(d2(col("l_quantity"))).as("__s"), count(lit(1)).as("__c")),
+          finalAggs = Seq(sum(col("__s")).cast("double").as("sum_qty"),
+            sum(col("__c")).as("n_rows")))
+        .orderBy(col("l_returnflag"))),
+
     // ── Micro-batch equivalent of the streaming tumbling agg (§2.10) ───
     "stream_tumbling_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -385,6 +408,19 @@ object RelationalQueries {
         | SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1998-01-01') t
         |ORDER BY l_orderkey, l_linenumber, l_shipdate""".stripMargin,
+
+    "asof_join" ->
+      """SELECT c.user_id, c.event_id, CAST(p.value AS REAL) AS asof_value
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+
+    "skew_salted_agg" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "stream_tumbling_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -34,6 +34,18 @@ object SimilarityQueries {
         .select(col("vec_id"), col("lsh_bucket"))
         .orderBy(col("vec_id"))),
 
+    // rows-only: IVF probes a subset of centroid lists (approximate by design)
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(
+          queries = emb.filter(col("vec_id") < 8),
+          candidates = emb, id = "vec_id", vec = "embedding",
+          dim = dim, k = 5, nCentroids = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cosine").cast("float").as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "emb_near_dup" -> ((s, dir) =>
       Similarity.nearDupInBuckets(Tables.embeddings(s, dir),
           id = "vec_id", vec = "embedding", dim = dim, bits = 8, perBucket = 3)

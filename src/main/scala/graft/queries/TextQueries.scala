@@ -45,6 +45,16 @@ object TextQueries {
         .select(col("doc_id"), col("fingerprint"))
         .orderBy(col("doc_id"))),
 
+    "text_bpe_tokens" -> ((s, dir) =>
+      TextAnalysis.bpeTokenCount(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_bpe_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "text_rolling_hash" -> ((s, dir) =>
+      TextAnalysis.rollingHashFingerprint(Tables.documents(s, dir))
+        .select(col("doc_id"), col("rolling_hash"))
+        .orderBy(col("doc_id"))),
+
     "dedup_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(
           Tables.documents(s, dir).filter(col("doc_id") < 300),
@@ -128,6 +138,22 @@ object TextQueries {
         | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |                         ' +', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_rolling_hash" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                      ' +', ' ', 'g')) AS norm FROM documents)
+        |SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |   (acc, c) -> (acc * 257 + c) % 1000000007) AS rolling_hash
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS toks

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.ops.Merge
 import graft.sources.LakeWriter
@@ -78,6 +78,29 @@ object EventStreams {
         LakeWriter.overwritePartitions(batch, path, partitionCols)
       }
       .start()
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user
+    * totals that survive across micro-batches (the shape of any
+    * online-feature / anomaly-score stream). State lives in the state
+    * store per key; emits one updated row per key per batch. */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    implicit val stateEnc: Encoder[(Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val outEnc: Encoder[UserRunning] = Encoders.product[UserRunning]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), UserRunning](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0.0))
+          it.foreach { e => n += 1; s += e.value }
+          state.update((n, s))
+          Iterator(UserRunning(uid, n, s))
+      }
+  }
 
   /** Stream → serving upsert: merge each micro-batch into a keyed
     * warehouse (streaming replacement for the reference's

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AsOfSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOf: latest right row at-or-before each left row, per key") {
+    val trades = Seq(("A", 10L, 1), ("A", 20L, 2), ("A", 5L, 3), ("B", 10L, 4))
+      .toDF("sym", "ts", "trade_id")
+    val quotes = Seq(("A", 8L, 100.0), ("A", 15L, 110.0), ("A", 20L, 120.0), ("C", 1L, 999.0))
+      .toDF("sym", "ts", "px")
+    val out = AsOfJoin.asOf(trades, quotes, on = "ts", by = Seq("sym"),
+        valueCols = Seq("px"))
+      .orderBy("trade_id").select("trade_id", "asof_px").rows
+    out(0) shouldBe Seq(1, 100.0)      // ts=10 → quote@8
+    out(1) shouldBe Seq(2, 120.0)      // ts=20 → quote@20 (equal ts matches)
+    assert(out(2)(1) == null)          // ts=5 → no prior quote
+    assert(out(3)(1) == null)          // key B has no quotes at all
+  }
+
+  test("asOf keeps every left row and all left columns") {
+    val l = Seq((1L, 100L, "x")).toDF("k", "ts", "payload")
+    val r = Seq((1L, 50L, 7.0)).toDF("k", "ts", "v")
+    val out = AsOfJoin.asOf(l, r, "ts", Seq("k"), Seq("v"))
+    out.columns.toSeq shouldBe Seq("k", "ts", "payload", "asof_v")
+    out.rows shouldBe Seq(Seq(1L, 100L, "x", 7.0))
+  }
+
+  test("saltedAggregate equals straight aggregation") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toLong))
+      .toDF("k", "v")
+    val straight = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("c")).orderBy("k").rows
+    val salted = Skew.saltedAggregate(df, Seq("k"), "v", salts = 8,
+        partialAggs = Seq(sum("v").as("__s"), count(lit(1)).as("__c")),
+        finalAggs = Seq(sum("__s").as("s"), sum("__c").as("c")))
+      .orderBy("k").rows
+    salted shouldBe straight
+  }
+
+  test("saltedJoin equals plain join (inner and left)") {
+    val big = (1 to 500).map(i => (i % 5, i)).toDF("k", "v")
+    val small = Seq((0, "zero"), (1, "one"), (9, "nine")).toDF("k", "name")
+    for (jt <- Seq("inner", "left")) {
+      val plain = big.join(small, Seq("k"), jt).orderBy("k", "v").rows
+      val salted = Skew.saltedJoin(big, small, Seq("k"), "v", salts = 4, joinType = jt)
+        .select("k", "v", "name").orderBy("k", "v").rows
+      salted shouldBe plain
+    }
+  }
+
+  test("bpeTokenCount and rollingHashFingerprint basics") {
+    val df = Seq((1L, "Hello, world42!"), (2L, "hello world42"), (3L, "")).toDF("doc_id", "text")
+    // "Hello, world42!" → Hello , world 42 !  (5); "hello world42" → hello world 42 (3)
+    TextAnalysis.bpeTokenCount(df).orderBy("doc_id")
+      .select("n_bpe_tokens").rows.map(_.head) shouldBe Seq(5L, 3L, 0L)
+
+    val rh = TextAnalysis.rollingHashFingerprint(df).orderBy("doc_id")
+      .select("rolling_hash").rows.map(_.head.asInstanceOf[Long])
+    rh(0) shouldBe rh(1)   // canonical forms agree: "hello world42"
+    rh(2) shouldBe 0L      // empty text
+    // closed-form check on "ab": (0*257+97)*257+98 mod p — space-free
+    val ab = TextAnalysis.rollingHashFingerprint(Seq((1L, "ab")).toDF("doc_id", "text"))
+      .select("rolling_hash").rows.head.head
+    ab shouldBe (97L * 257 + 98) % 1000000007L
+  }
+
+  test("ivfTopK: recalls the exact nearest neighbor for clustered vectors") {
+    val rng = new scala.util.Random(3)
+    // two tight clusters far apart; near-dup pairs inside each
+    val base = Seq.fill(8)(rng.nextFloat() * 2 - 1)
+    def jitter(v: Seq[Float]) = v.map(x => x + rng.nextFloat() * 0.01f)
+    val a = Seq.fill(8)(rng.nextFloat() * 2 - 1)
+    val vecs = ((1 to 10).map(i => (i.toLong, jitter(base))) ++
+      (11 to 20).map(i => (i.toLong, jitter(a)))).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(
+      vecs.filter(col("vec_id") === 1), vecs, "vec_id", "embedding",
+      dim = 8, k = 3, nCentroids = 4, nprobe = 2)
+    val neighbors = out.select("neighbor_id").rows.map(_.head.asInstanceOf[Long])
+    neighbors.foreach(n => assert(n >= 2 && n <= 10))   // all from vec 1's cluster
+    out.count() shouldBe 3
+  }
+}

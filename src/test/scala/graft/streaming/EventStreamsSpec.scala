@@ -89,6 +89,28 @@ class EventStreamsSpec extends SparkSpec {
     spark.read.parquet(sink).count() shouldBe 2
   }
 
+  test("runningUserTotals: state persists across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.UserEvent
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    try {
+      input.addData(UserEvent(1L, 10.0), UserEvent(1L, 5.0), UserEvent(2L, 1.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(1L, 2.0))
+      q.processAllAvailable()
+      // last update per user reflects accumulated state
+      val latest = spark.table("running")
+        .groupBy("user_id").agg(max_by(struct(col("n_events"), col("total_value")),
+          col("n_events")).as("s"))
+        .select("user_id", "s.n_events", "s.total_value")
+        .orderBy("user_id").rows
+      latest shouldBe Seq(Seq(1L, 3L, 17.0), Seq(2L, 1L, 1.0))
+    } finally q.stop()
+  }
+
   test("mergeIntoWarehouse: streamed upsert collapses duplicate keys") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("evmerge").toString
