@@ -72,4 +72,9 @@ object StockAnalytics {
     concat(
       when(c >= 0, lit("⬆ ")).otherwise(lit("⬇ ")),
       format_number(abs(c) * 100, 2), lit("%"))
+
+  /** Edge-of-system timezone conversion: storage stays UTC, display
+    * converts (reference: app.py:212-213, config.py:46 US/Eastern). */
+  def displayInTz(utcTs: Column, tz: String = "America/New_York"): Column =
+    from_utc_timestamp(utcTs, tz)
 }

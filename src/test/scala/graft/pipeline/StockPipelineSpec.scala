@@ -108,6 +108,13 @@ class StockPipelineSpec extends SparkSpec {
     // reference semantics: n = min(count/2, 20) → a 1-row sector yields 0
     StockAnalytics.topMovers(snap, "Tech", gainers = true).count() shouldBe 0
 
+    // display formatting (F7) + tz conversion (F6): native expressions
+    val fmt = Seq((0.01234, ts("2024-01-01"))).toDF("r", "t")
+      .select(StockAnalytics.formatDailyReturn(col("r")).as("f"),
+        StockAnalytics.displayInTz(col("t")).as("est")).rows.head
+    fmt(0) shouldBe "⬆ 1.23%"
+    fmt(1) shouldBe java.sql.Timestamp.valueOf("2023-12-31 19:00:00")  // UTC→EST −5h
+
     // unpivot: wide quotes → long (reference P4)
     val wide = Seq((ts("2024-01-01"), 10.0, 50.0)).toDF("date", "AAA", "BBB")
     val long = Reshape.unpivot(wide, ids = Seq("date"), values = Seq("AAA", "BBB"),
