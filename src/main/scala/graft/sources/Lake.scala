@@ -44,6 +44,11 @@ object LakeWriter {
     df.write.mode(SaveMode.Append)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** CSV export (reference S10: scripts/ingest_backfill_sp500.py:34-39 —
+    * dormant local CSV path for dashboard hosting). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 }
 
 object LakeReader {
@@ -52,6 +57,13 @@ object LakeReader {
   def read(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
     val r = spark.read
     schema.fold(r)(s => r.schema(s)).parquet(path)
+  }
+
+  /** CSV read with header + schema (reference S2 seed-file shape). */
+  def readCsv(spark: SparkSession, path: String,
+              schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
   }
 
   /** One partition subset, expressed as a filter so Catalyst prunes at
