@@ -112,6 +112,45 @@ object Dedup {
       .withColumn("bucket16", shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)))
   }
 
+  /** Exact Jaccard verification of candidate pairs: joins each (id_a,
+    * id_b) with both shingle sets and computes set overlap per pair with
+    * array expressions — cost is |candidates|, not |corpus|².
+    *
+    * `shingleSize` MUST match the candidate generator's: verifying
+    * unigram similarity against 3-shingle MinHash candidates silently
+    * loses recall (unigram-similar pairs never become candidates).
+    * shingleSize = 1 → plain distinct-token Jaccard. */
+  def verifyJaccard(df: DataFrame, pairs: DataFrame, id: String,
+                    text: String, shingleSize: Int = 1): DataFrame = {
+    val units =
+      if (shingleSize <= 1) TextAnalysis.tokens(col(text))
+      else shingles(TextAnalysis.tokens(col(text)), shingleSize)
+    val tokSets = df.select(col(id), array_distinct(units).as("toks"))
+    pairs
+      .join(tokSets.select(col(id).as("id_a"), col("toks").as("ta")), Seq("id_a"))
+      .join(tokSets.select(col(id).as("id_b"), col("toks").as("tb")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          nullif(size(array_union(col("ta"), col("tb"))), lit(0)))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** End-to-end near-duplicate removal: MinHash-LSH candidate generation
+    * → exact Jaccard verification of candidates only → drop every doc
+    * with a verified duplicate of smaller id (the canonical survivor).
+    * Total cost: two map passes + one bounded bucket join + one
+    * |candidates| verify join + one anti-join — never O(n²). */
+  def dedupCorpus(df: DataFrame, id: String, text: String,
+                  threshold: Double = 0.8,
+                  shingleSize: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val candidates = minhashCandidatePairs(df, id, text, shingleSize, k, bands)
+      .select(col("id_a"), col("id_b"))
+    val dups = verifyJaccard(df, candidates, id, text, shingleSize)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_b").as(id)).distinct()
+    df.join(dups, Seq(id), "left_anti")
+  }
+
   /** Exact unigram-Jaccard similarity for all pairs sharing ≥1 token,
     * via inverted-index join. Use after LSH candidate generation at
     * scale; here also exposed standalone (bounded inputs). */

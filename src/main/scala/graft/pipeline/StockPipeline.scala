@@ -55,7 +55,8 @@ object StockPipeline {
     * quarantines, mirroring transform.py:133-136. */
   def transform(spark: SparkSession, rawPath: String, enrichedPath: String,
                 sinceYear: Option[Int] = None,
-                rollingWindow: Int = 30): Either[Seq[Quality.Violation], DataFrame] = {
+                rollingWindow: Int = 30,
+                quarantinePath: Option[String] = None): Either[Seq[Quality.Violation], DataFrame] = {
     val raw0 = LakeReader.read(spark, rawPath)
     val raw = sinceYear.fold(raw0)(y => raw0.filter(col("year") >= y))
     val withRet = Returns.lagReturn(raw.drop("adj_close"),
@@ -65,6 +66,16 @@ object StockPipeline {
       partition = Seq("ticker"), order = Seq("date"),
       value = "daily_return", window = rollingWindow, out = "rolling_vol_30d")
     Quality.check(enriched.drop("year"), Schemas.stockMetrics, Seq("ticker", "date"))
+      .left.map { violations =>
+        // quarantine the rejected batch with the reasons attached — the
+        // durable form of the reference's log-and-skip (transform.py:133-136)
+        quarantinePath.foreach { qp =>
+          enriched
+            .withColumn("dq_violations", lit(violations.map(_.detail).mkString("; ")))
+            .write.mode("append").parquet(qp)
+        }
+        violations
+      }
       .map { clean =>
         val out = clean.withColumn("year", year(col("date")))
         LakeWriter.overwritePartitions(out, enrichedPath, partitionCols)

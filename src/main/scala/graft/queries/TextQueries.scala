@@ -62,6 +62,20 @@ object TextQueries {
         .select(col("doc_a"), col("doc_b"), col("jaccard").cast("float").as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // exact dedup-survivors: drop docs with a >= 0.6-jaccard partner of
+    // smaller id (inverted-index candidates → exact verify → anti-join)
+    "dedup_survivors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val cand = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.0)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      val dups = Dedup.verifyJaccard(docs, cand, "doc_id", "text")
+        .filter(col("jaccard") >= 0.6)
+        .select(col("id_b").as("doc_id")).distinct()
+      docs.join(dups, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // rows-only (hash functions are engine-specific; no portable SQL oracle)
     "dedup_minhash_lsh" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -154,6 +168,22 @@ object TextQueries {
         |     list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
         |   (acc, c) -> (acc * 257 + c) % 1000000007) AS rolling_hash
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "dedup_survivors" ->
+      """WITH d AS (SELECT doc_id, text, lang, source,
+        |             list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+        |           FROM documents WHERE doc_id < 300),
+        | t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |       FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        | s AS (SELECT doc_id, len(toks) AS n FROM d),
+        | dups AS (SELECT DISTINCT id_b FROM p
+        |          JOIN s sa ON p.id_a = sa.doc_id JOIN s sb ON p.id_b = sb.doc_id
+        |          WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6)
+        |SELECT doc_id, lang, source FROM d
+        |WHERE doc_id NOT IN (SELECT id_b FROM dups)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS toks

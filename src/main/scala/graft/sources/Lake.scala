@@ -49,6 +49,20 @@ object LakeWriter {
     * dormant local CSV path for dashboard hosting). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Bucketed catalog table: pre-shuffles ONCE at write time so every
+    * subsequent equi-join/aggregation on the bucket keys is
+    * co-located — no exchange in the join plan. The 100 TB pattern for
+    * fact tables that are repeatedly joined on the same key (bucket both
+    * sides with the same count; sortBy makes the merge join sort-free
+    * too). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    keys: Seq[String], sortCols: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.drop(1): _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.drop(1): _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
 }
 
 object LakeReader {

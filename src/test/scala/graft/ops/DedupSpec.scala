@@ -49,6 +49,19 @@ class DedupSpec extends SparkSpec {
     hamming(sig(0), sig(2)) should be < hamming(sig(0), sig(3))
   }
 
+  test("dedupCorpus: drops verified near-dups, keeps canonical smallest id") {
+    val out = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").rows.map(_.head).toSet
+    // doc2 (exact dup of 1) and doc3 (7/9 ≈ 0.78 jaccard) drop; 1 and 4 survive
+    out shouldBe Set(1L, 4L)
+  }
+
+  test("dedupCorpus at threshold 1.0 removes only exact duplicates") {
+    val out = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 1.0)
+      .select("doc_id").rows.map(_.head).toSet
+    out shouldBe Set(1L, 3L, 4L)
+  }
+
   test("jaccardPairs: hand-computed unigram jaccard") {
     // doc1 tokens {the,quick,brown,fox,jumps,over,lazy,dog} (8 distinct)
     // doc3 swaps dog→cat: intersection 7, union 9 → 7/9 ≈ 0.778

@@ -77,8 +77,13 @@ class StockPipelineSpec extends SparkSpec {
     val dir = Files.createTempDirectory("stockpipe4").toString
     val bad = bars.withColumn("volume", col("volume").cast("double"))  // wrong dtype
     StockPipeline.ingest(bad, ingestTs, s"$dir/raw")
-    val out = StockPipeline.transform(spark, s"$dir/raw", s"$dir/enriched")
+    val out = StockPipeline.transform(spark, s"$dir/raw", s"$dir/enriched",
+      quarantinePath = Some(s"$dir/quarantine"))
     out.isLeft shouldBe true
+    // the rejected batch landed in the quarantine zone with reasons attached
+    val q = spark.read.parquet(s"$dir/quarantine")
+    q.count() shouldBe 5
+    q.select("dq_violations").rows.head.head.toString should include("volume")
   }
 
   test("analytics: trends, final returns, relative, snapshot, top movers, unpivot") {

@@ -1,0 +1,55 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dynamic partition overwrite touches only the batch's partitions") {
+    val dir = Files.createTempDirectory("lake1").toString
+    val full = Seq((2023, "A", 1.0), (2023, "B", 2.0), (2024, "A", 3.0))
+      .toDF("year", "ticker", "v")
+    LakeWriter.write(full, dir, Seq("year", "ticker"))
+    // overwrite ONLY (2023, A)
+    LakeWriter.overwritePartitions(
+      Seq((2023, "A", 9.0)).toDF("year", "ticker", "v"), dir, Seq("year", "ticker"))
+    val back = LakeReader.read(spark, dir).orderBy("year", "ticker")
+      .select("year", "ticker", "v").rows
+    back shouldBe Seq(Seq(2023, "A", 9.0), Seq(2023, "B", 2.0), Seq(2024, "A", 3.0))
+  }
+
+  test("partition-pruned read plans skip other partitions") {
+    val dir = Files.createTempDirectory("lake2").toString
+    LakeWriter.write((1 to 100).map(i => (2000 + i % 5, s"T${i % 3}", i.toDouble))
+      .toDF("year", "ticker", "v"), dir, Seq("year", "ticker"))
+    val plan = LakeReader.readPartition(spark, dir, Map("year" -> 2003, "ticker" -> "T1"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && !plan.contains("PartitionFilters: []"))
+  }
+
+  test("bucketed tables join without an exchange") {
+    val n = 1000
+    LakeWriter.writeBucketed((1 to n).map(i => (i.toLong, s"left$i")).toDF("k", "lv"),
+      "bucketed_l", buckets = 4, keys = Seq("k"), sortCols = Seq("k"))
+    LakeWriter.writeBucketed((1 to n).map(i => (i.toLong, s"right$i")).toDF("k", "rv"),
+      "bucketed_r", buckets = 4, keys = Seq("k"), sortCols = Seq("k"))
+    // force the sort-merge path (small test tables would otherwise
+    // broadcast); bucketed SMJ needs neither a shuffle nor a sort
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bucketed_l").join(spark.table("bucketed_r"), Seq("k"))
+      joined.count() shouldBe n
+      val plan = joined.queryExecution.executedPlan.toString
+      withClue(plan) {
+        assert(!plan.contains("Exchange"))
+        assert(plan.contains("SortMergeJoin"))
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE bucketed_l"); spark.sql("DROP TABLE bucketed_r")
+  }
+}
