@@ -53,14 +53,19 @@ object Returns {
     df.withColumn(out, ProductAgg.product(lit(1.0) + coalesce(col(ret), lit(0.0))).over(w))
   }
 
-  /** Relative performance of two aligned series: equi-join two filtered
-    * views of one frame on the series axis and diff them
-    * (reference: scripts/app.py:68-73). */
+  /** Relative performance of two aligned series
+    * (reference: scripts/app.py:68-73 joins two filtered views; here ONE
+    * conditional aggregation — one scan, one shuffle, no join. Requires
+    * one row per (axis, series), which every caller satisfies; the
+    * both-sides-present filter preserves the reference's inner-join
+    * alignment semantics). */
   def relativeReturns(df: DataFrame, axis: String, seriesCol: String,
-                      base: String, comp: String, value: String): DataFrame = {
-    val b = df.filter(col(seriesCol) === base).select(col(axis), col(value).as("v_base"))
-    val c = df.filter(col(seriesCol) === comp).select(col(axis), col(value).as("v_comp"))
-    b.join(c, Seq(axis))
+                      base: String, comp: String, value: String): DataFrame =
+    df.filter(col(seriesCol).isin(base, comp))
+      .groupBy(col(axis))
+      .agg(
+        max(when(col(seriesCol) === base, col(value))).as("v_base"),
+        max(when(col(seriesCol) === comp, col(value))).as("v_comp"))
+      .filter(col("v_base").isNotNull && col("v_comp").isNotNull)
       .withColumn("pct_diff", lit(100.0) * (col("v_base") - col("v_comp")))
-  }
 }

@@ -54,12 +54,15 @@ class ReturnsSpec extends SparkSpec {
     }
   }
 
-  test("relativeReturns: aligned diff × 100") {
-    val df = Seq((1, "base", 0.5), (1, "comp", 0.2), (2, "base", 0.1), (2, "comp", 0.4))
+  test("relativeReturns: aligned diff × 100; one-sided axis values drop (inner-join semantics)") {
+    val df = Seq((1, "base", 0.5), (1, "comp", 0.2), (2, "base", 0.1), (2, "comp", 0.4),
+      (3, "base", 9.9),            // no comp on t=3 → excluded
+      (4, "other", 1.0))           // unrelated series ignored entirely
       .toDF("t", "s", "v")
     val out = Returns.relativeReturns(df, "t", "s", "base", "comp", "v")
-      .orderBy("t").select("pct_diff").rows.map(_.head.asInstanceOf[Double])
-    out(0) shouldBe 30.0 +- 1e-9
-    out(1) shouldBe -30.0 +- 1e-9
+      .orderBy("t").select("t", "pct_diff").rows
+    out.map(_.head) shouldBe Seq(1, 2)
+    out(0)(1).asInstanceOf[Double] shouldBe 30.0 +- 1e-9
+    out(1)(1).asInstanceOf[Double] shouldBe -30.0 +- 1e-9
   }
 }
