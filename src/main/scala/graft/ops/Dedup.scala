@@ -28,6 +28,18 @@ object Dedup {
     df.groupBy(md5(col(content)).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(id)).as("keeper_id"))
 
+  /** Sketch-based corpus profile: HyperLogLog distinct counts and
+    * t-digest percentiles in ONE pass with constant memory per sketch —
+    * how a 100 TB corpus is profiled before dedup (exact distinct-count
+    * would shuffle every value). `rsd` is the HLL relative error. */
+  def corpusProfile(df: DataFrame, content: String, sizeCol: String,
+                    rsd: Double = 0.05): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_docs"),
+      approx_count_distinct(md5(col(content)), rsd).as("approx_distinct_docs"),
+      percentile_approx(col(sizeCol), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
+        .as("size_p50_p95_p99"))
+
   /** Word n-gram shingles (space-joined); documents shorter than `n`
     * tokens collapse to a single whole-document shingle. */
   def shingles(toks: Column, n: Int): Column =

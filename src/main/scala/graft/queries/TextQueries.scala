@@ -76,6 +76,12 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // rows-only (HLL/t-digest sketches are engine-specific by design)
+    "dedup_corpus_profile" -> ((s, dir) =>
+      Dedup.corpusProfile(Tables.documents(s, dir), "text", "n_chars")
+        .select(col("n_docs"), col("approx_distinct_docs"),
+          col("size_p50_p95_p99").getItem(0).as("p50"))),
+
     // rows-only (hash functions are engine-specific; no portable SQL oracle)
     "dedup_minhash_lsh" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)

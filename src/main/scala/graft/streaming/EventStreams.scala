@@ -79,6 +79,16 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming dedup: drop rows whose key was already seen within the
+    * watermark horizon — the streaming form of the training-data exact
+    * dedup (state expires with the watermark, so memory stays bounded
+    * by the lateness window, not the stream's lifetime). */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+                     tsCol: String = "ts_utc",
+                     lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -62,6 +62,19 @@ class DedupSpec extends SparkSpec {
     out shouldBe Set(1L, 3L, 4L)
   }
 
+  test("corpusProfile: HLL distinct within rsd of exact; percentiles ordered") {
+    val n = 2000
+    val df = (1 to n).map(i => (i.toLong, s"doc body ${i % 500}", (i % 100).toLong))
+      .toDF("doc_id", "text", "n_chars")
+    val r = Dedup.corpusProfile(df, "text", "n_chars").rows.head
+    r(0) shouldBe n.toLong
+    val approxDistinct = r(1).asInstanceOf[Long].toDouble
+    approxDistinct shouldBe 500.0 +- 500 * 0.15            // 3× the 5% rsd
+    val ps = r(2).asInstanceOf[scala.collection.Seq[Long]]
+    (ps(0) <= ps(1) && ps(1) <= ps(2)) shouldBe true
+    ps(0) shouldBe 49L +- 2                                 // median of 0..99
+  }
+
   test("jaccardPairs: hand-computed unigram jaccard") {
     // doc1 tokens {the,quick,brown,fox,jumps,over,lazy,dog} (8 distinct)
     // doc3 swaps dog→cat: intersection 7, union 9 → 7/9 ≈ 0.778

@@ -89,6 +89,28 @@ class EventStreamsSpec extends SparkSpec {
     spark.read.parquet(sink).count() shouldBe 2
   }
 
+  test("streamingDedup: duplicate keys within the watermark horizon drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = EventStreams.streamingDedup(
+      input.toDF().toDF("ts_utc", "doc_id", "payload"),
+      keys = Seq("doc_id"), lateness = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "first"),
+        (ts("2024-01-01 10:01:00"), 1L, "dup-same-batch"),
+        (ts("2024-01-01 10:02:00"), 2L, "other"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:03:00"), 1L, "dup-next-batch"))
+      q.processAllAvailable()
+      val out = spark.table("dedupstream").select("doc_id", "payload")
+        .orderBy("doc_id").rows
+      out shouldBe Seq(Seq(1L, "first"), Seq(2L, "other"))
+    } finally q.stop()
+  }
+
   test("runningUserTotals: state persists across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.UserEvent
