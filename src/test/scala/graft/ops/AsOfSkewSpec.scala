@@ -29,6 +29,26 @@ class AsOfSkewSpec extends SparkSpec {
     out.rows shouldBe Seq(Seq(1L, 100L, "x", 7.0))
   }
 
+  test("asOf matches a brute-force reference on seeded random data") {
+    val rng = new scala.util.Random(11)
+    val leftRows = (1 to 300).map(i =>
+      (rng.nextInt(5).toLong, rng.nextInt(1000).toLong, i.toLong))  // (k, ts, rowid)
+    val rightRows = (1 to 200).map(_ =>
+      (rng.nextInt(6).toLong, rng.nextInt(1000).toLong, rng.nextInt(100000).toDouble))
+    val l = leftRows.toDF("k", "ts", "rowid")
+    val r = rightRows.toDF("k", "ts", "v")
+    val got = AsOfJoin.asOf(l, r, on = "ts", by = Seq("k"), valueCols = Seq("v"))
+      .select("rowid", "asof_v").rows.map(x => x.head -> x(1)).toMap
+    leftRows.foreach { case (k, ts, rowid) =>
+      val candidates = rightRows.filter(q => q._1 == k && q._2 <= ts)
+      val expected =
+        if (candidates.isEmpty) null
+        // tie on max ts → greatest payload survives (documented determinism)
+        else candidates.maxBy(q => (q._2, q._3))._3
+      withClue(s"rowid=$rowid k=$k ts=$ts: ") { got(rowid) shouldBe expected }
+    }
+  }
+
   test("saltedAggregate equals straight aggregation") {
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toLong))
       .toDF("k", "v")
