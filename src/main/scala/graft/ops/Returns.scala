@@ -32,15 +32,24 @@ object Returns {
   }
 
   /** Cumulative compounded return via the codegen-friendly
-    * `exp(running_sum(ln(1+r)))` rewrite — valid because 1+r > 0 for any
-    * real return series (reference: scripts/app.py:49-50). Nulls (first row
-    * per key) are treated as 0 return, mirroring the dashboard's
-    * `fillna(0)` (scripts/app.py:48). */
+    * `exp(running_sum(ln(1+r)))` rewrite — valid while 1+r > 0
+    * (reference: scripts/app.py:49-50). Nulls (first row per key) are
+    * treated as 0 return, mirroring the dashboard's `fillna(0)`
+    * (scripts/app.py:48).
+    *
+    * Wipeout guard: a return of −100% (close falls to 0 → r = −1) makes
+    * ln(0) undefined; without the guard, sum() would silently SKIP the
+    * null and the worthless asset would keep compounding. Once the
+    * running min of (1+r) hits ≤ 0 the cumulative return clamps to 0 —
+    * pandas cumprod semantics (a 0 factor zeroes everything after). */
   def cumulativeReturn(df: DataFrame, partition: Seq[String], order: Seq[String],
                        ret: String, out: String = "cumulative_return"): DataFrame = {
     val w = seriesWindow(partition, order)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn(out, exp(sum(log(lit(1.0) + coalesce(col(ret), lit(0.0)))).over(w)))
+    val g = lit(1.0) + coalesce(col(ret), lit(0.0))
+    df.withColumn(out,
+      when(min(g).over(w) <= 0, lit(0.0))
+        .otherwise(exp(sum(log(g)).over(w))))
   }
 
   /** Exact cumulative product via the custom [[graft.agg.ProductAgg]]

@@ -58,12 +58,13 @@ object StockAnalytics {
     * n = min(count/2, 20), TakeOrderedAndProject in Spark). */
   def topMovers(snapshot: DataFrame, sector: String,
                 gainers: Boolean): DataFrame = {
-    val sectorDf = snapshot.filter(col("gics_sector") === sector).cache()
+    val sectorDf = snapshot.filter(col("gics_sector") === sector)
+    // n needs a count before the limit can be planned; snapshots are
+    // ≤ |tickers| rows, so the second scan is cheaper than managing a
+    // cache whose lifetime would have to outlive this method's return
     val n = math.min(sectorDf.count() / 2, 20L).toInt
     val by: Column = if (gainers) col("daily_return").desc else col("daily_return").asc
-    val out = sectorDf.orderBy(by, col("ticker")).limit(n)
-    sectorDf.unpersist()
-    out
+    sectorDf.orderBy(by, col("ticker")).limit(n)
   }
 
   /** Display formatting (reference: app.py:121-124 — ⬆/⬇ glyph + 2dp

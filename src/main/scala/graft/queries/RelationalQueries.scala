@@ -167,16 +167,14 @@ object RelationalQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
           col("l_extendedprice"), col("l_returnflag"))),
 
-    "p13_fill_compound" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val prev = lag(col("value"), 1).over(w)
-      e.withColumn("r", (col("value") - prev) / nullif(prev, lit(0)))
+    "p13_fill_compound" -> ((s, dir) =>
+      Returns.lagReturn(Tables.events(s, dir),
+          partition = Seq("user_id"), order = Seq("ts", "event_id"),
+          value = "value", out = "r")
         .select(col("user_id"), col("event_id"),
           coalesce(col("r"), lit(0.0)).cast("float").as("ret_filled"),
           (lit(1.0) + coalesce(col("r"), lit(0.0))).cast("float").as("growth"))
-        .orderBy(col("user_id"), col("event_id"))
-    }),
+        .orderBy(col("user_id"), col("event_id"))),
 
     "f_string_funcs" -> ((s, dir) =>
       Tables.part(s, dir).select(

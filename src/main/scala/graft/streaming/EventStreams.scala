@@ -65,18 +65,20 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
-  /** Stream → lake: upsert each micro-batch into a partitioned parquet
-    * zone via foreachBatch (the streaming form of the reference's
-    * ingest-merge, ingest_hourly.py:117-131). Exactly-once per partition
-    * comes from idempotent dynamic partition overwrite + checkpointing. */
+  /** Stream → lake: land micro-batches in a partitioned parquet zone via
+    * the built-in file sink, whose commit manifest gives exactly-once
+    * (retried batches re-commit the same files; readers see only
+    * committed ones). NOT dynamic partition overwrite: two batches
+    * routinely hit the same time partition, and overwrite would delete
+    * the earlier batch's rows. */
   def toLake(stream: DataFrame, path: String, checkpoint: String,
              partitionCols: Seq[String]): StreamingQuery =
     stream.writeStream
+      .format("parquet")
+      .option("path", path)
       .option("checkpointLocation", checkpoint)
+      .partitionBy(partitionCols: _*)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        LakeWriter.overwritePartitions(batch, path, partitionCols)
-      }
       .start()
 
   /** Streaming dedup: drop rows whose key was already seen within the
@@ -89,26 +91,48 @@ object EventStreams {
     events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys)
 
-  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserEvent(user_id: Long, ts_utc: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * totals that survive across micro-batches (the shape of any
     * online-feature / anomaly-score stream). State lives in the state
-    * store per key; emits one updated row per key per batch. */
-  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    * store per key; emits one updated row per key per batch.
+    *
+    * Keys idle longer than `idleGapMs` of EVENT time have their state
+    * expired once the watermark passes — without expiry, unbounded key
+    * cardinality grows the state store forever (the invariant every
+    * operator in this file keeps). Event-time (not processing-time)
+    * timeouts: watermark-driven, replay-deterministic, and they don't
+    * make the engine busy-loop empty batches waiting for wall-clock
+    * timers. */
+  def runningUserTotals(events: Dataset[UserEvent],
+                        lateness: String = "10 minutes",
+                        idleGapMs: Long = 3600000L): Dataset[UserRunning] = {
     implicit val stateEnc: Encoder[(Long, Double)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
     implicit val outEnc: Encoder[UserRunning] = Encoders.product[UserRunning]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts_utc", lateness)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Double), UserRunning](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, it, state) =>
-          var (n, s) = state.getOption.getOrElse((0L, 0.0))
-          it.foreach { e => n += 1; s += e.value }
-          state.update((n, s))
-          Iterator(UserRunning(uid, n, s))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (n, s) = state.getOption.getOrElse((0L, 0.0))
+            var maxTs = 0L
+            it.foreach { e =>
+              n += 1; s += e.value
+              maxTs = math.max(maxTs, e.ts_utc.getTime)
+            }
+            state.update((n, s))
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs()) + idleGapMs)
+            Iterator(UserRunning(uid, n, s))
+          }
       }
   }
 

@@ -21,6 +21,19 @@ class AsOfSkewSpec extends SparkSpec {
     assert(out(3)(1) == null)          // key B has no quotes at all
   }
 
+  test("asOf carries the latest right ROW as a unit — no cross-row stitching, nulls preserved") {
+    val l = Seq((1L, 10L)).toDF("k", "ts")
+    val r = Seq(
+      (1L, 1L, java.lang.Double.valueOf(5.0), null.asInstanceOf[java.lang.Long]),
+      (1L, 2L, null.asInstanceOf[java.lang.Double], java.lang.Long.valueOf(7L))
+    ).toDF("k", "ts", "price", "qty")
+    val out = AsOfJoin.asOf(l, r, "ts", Seq("k"), Seq("price", "qty"))
+      .select("asof_price", "asof_qty").rows.head
+    // latest row (ts=2) wins wholesale: price is ITS null, not ts=1's 5.0
+    assert(out(0) == null)
+    out(1) shouldBe 7L
+  }
+
   test("asOf keeps every left row and all left columns") {
     val l = Seq((1L, 100L, "x")).toDF("k", "ts", "payload")
     val r = Seq((1L, 50L, 7.0)).toDF("k", "ts", "v")

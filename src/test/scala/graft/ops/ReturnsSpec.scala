@@ -40,6 +40,16 @@ class ReturnsSpec extends SparkSpec {
     out(2) shouldBe 0.55 +- 1e-12
   }
 
+  test("cumulativeReturn: a -100% day zeroes the series forever (wipeout clamp)") {
+    val df = Seq(("A", 1, 0.5), ("A", 2, -1.0), ("A", 3, 0.8))
+      .toDF("k", "t", "r")
+    val out = Returns.cumulativeReturn(df, Seq("k"), Seq("t"), "r", "c")
+      .orderBy("t").select("c").rows.map(_.head.asInstanceOf[Double])
+    out(0) shouldBe 1.5 +- 1e-12
+    out(1) shouldBe 0.0
+    out(2) shouldBe 0.0   // without the clamp, ln(0)→null is skipped and this would be 2.7
+  }
+
   test("cumulativeReturn (exp-sum-ln) agrees with exact ProductAgg form") {
     // seeded random series (property-style, deterministic replay)
     val rng = new scala.util.Random(42)

@@ -111,25 +111,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("runningUserTotals: state persists across micro-batches") {
+  test("runningUserTotals: state persists across batches, expires after event-time idle gap") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams.UserEvent
     val input = MemoryStream[UserEvent]
-    val q = EventStreams.runningUserTotals(input.toDS())
+    val q = EventStreams.runningUserTotals(input.toDS(),
+        lateness = "1 minute", idleGapMs = 10 * 60 * 1000L)  // 10-minute idle gap
       .writeStream.format("memory").queryName("running")
       .outputMode("update").start()
     try {
-      input.addData(UserEvent(1L, 10.0), UserEvent(1L, 5.0), UserEvent(2L, 1.0))
+      input.addData(
+        UserEvent(1L, ts("2024-01-01 10:00:00"), 10.0),
+        UserEvent(1L, ts("2024-01-01 10:00:30"), 5.0),
+        UserEvent(2L, ts("2024-01-01 10:01:00"), 1.0))
       q.processAllAvailable()
-      input.addData(UserEvent(1L, 2.0))
+      input.addData(UserEvent(1L, ts("2024-01-01 10:02:00"), 2.0))
       q.processAllAvailable()
-      // last update per user reflects accumulated state
-      val latest = spark.table("running")
+      // state accumulated across batches
+      val afterTwo = spark.table("running")
         .groupBy("user_id").agg(max_by(struct(col("n_events"), col("total_value")),
           col("n_events")).as("s"))
         .select("user_id", "s.n_events", "s.total_value")
         .orderBy("user_id").rows
-      latest shouldBe Seq(Seq(1L, 3L, 17.0), Seq(2L, 1L, 1.0))
+      afterTwo shouldBe Seq(Seq(1L, 3L, 17.0), Seq(2L, 1L, 1.0))
+
+      // push the watermark far past user 1's idle horizon, then send a new
+      // user-1 event: its totals restart — old state was expired, not resumed
+      input.addData(UserEvent(3L, ts("2024-01-01 12:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(1L, ts("2024-01-01 12:00:30"), 4.0))
+      q.processAllAvailable()
+      val user1Latest = spark.table("running").filter(col("user_id") === 1)
+        .orderBy(col("n_events").desc).select("n_events", "total_value").rows
+      user1Latest should contain(Seq(1L, 4.0))   // fresh state, not 4 events / 21.0
+      user1Latest should not contain Seq(4L, 21.0)
     } finally q.stop()
   }
 
