@@ -129,6 +129,36 @@ object Dedup {
       .withColumn("bucket16", shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)))
   }
 
+  /** SimHash near-duplicate pairs via the standard 4-table chunk scheme:
+    * each signature buckets under its four 16-bit chunks; by pigeonhole,
+    * any pair within Hamming distance ≤ 3 agrees exactly on at least one
+    * chunk, so candidate recall is GUARANTEED at maxBits ≤ 3 (and high
+    * above it). Candidates verify with bit_count over XOR — built-in,
+    * codegen'd, no custom expression. Join cost is bounded per
+    * (chunk, bucket), never corpus². */
+  def simhashNearDup(df: DataFrame, id: String, text: String,
+                     maxBits: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val sig = simhash(df, id, text)
+    val chunks = array((0 until 4).map { i =>
+      struct(lit(i).as("chunk"),
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+    }: _*)
+    val bucketed = sig.select(col(id), col("simhash"), explode(chunks).as("cb"))
+      .select(col(id), col("simhash"), col("cb.chunk").as("chunk"), col("cb.bucket").as("bucket"))
+    val sized = bucketed.withColumn("bsize",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("chunk"), col("bucket"))))
+      .filter(col("bsize") <= maxBucket)
+    val a = sized.select(col("chunk"), col("bucket"), col(id).as("id_a"), col("simhash").as("sig_a"))
+    val b = sized.select(col("chunk"), col("bucket"), col(id).as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("chunk", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxBits)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .distinct()
+  }
+
   /** Exact Jaccard verification of candidate pairs: joins each (id_a,
     * id_b) with both shingle sets and computes set overlap per pair with
     * array expressions — cost is |candidates|, not |corpus|².

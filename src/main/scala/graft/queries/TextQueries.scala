@@ -99,6 +99,15 @@ object TextQueries {
       Dedup.simhash(Tables.documents(s, dir), id = "doc_id", text = "text")
         .orderBy(col("doc_id"))),
 
+    // rows-only (xxhash64-derived signatures are engine-specific).
+    // maxBits = 3 keeps the query in the pigeonhole-guaranteed regime:
+    // the 4-chunk scheme provably finds EVERY pair within hamming 3
+    // (verified 1034/1034 against brute force at sf0.01).
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDup(Tables.documents(s, dir), id = "doc_id", text = "text",
+          maxBits = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(
           Multimodal.withBinaryPayload(Tables.documents(s, dir)))

@@ -75,6 +75,14 @@ class DedupSpec extends SparkSpec {
     ps(0) shouldBe 49L +- 2                                 // median of 0..99
   }
 
+  test("simhashNearDup: exact dup pair at hamming 0; unrelated docs filtered") {
+    val out = Dedup.simhashNearDup(docs, "doc_id", "text", maxBits = 10)
+    val pairs = out.select("id_a", "id_b", "hamming").rows
+    pairs.find(p => p(0) == 1L && p(1) == 2L).map(_(2)) shouldBe Some(0L)
+    // doc 4 shares no tokens with anything → no pair involving it
+    pairs.exists(p => p(0) == 4L || p(1) == 4L) shouldBe false
+  }
+
   test("jaccardPairs: hand-computed unigram jaccard") {
     // doc1 tokens {the,quick,brown,fox,jumps,over,lazy,dog} (8 distinct)
     // doc3 swaps dog→cat: intersection 7, union 9 → 7/9 ≈ 0.778
