@@ -44,10 +44,7 @@ object AsOfJoin {
     val r = right.select(
       by.map(col) :+ col(on) :+ lit(0).as("__side") :+ payload.as("__r"): _*)
     val unioned = l.select(leftCols.map(col) :+ col("__side") :+ col("__r"): _*)
-      .unionByName(r.withColumns(
-        leftCols.filterNot(c => by.contains(c) || c == on)
-          .map(c => c -> lit(null)).toMap)
-        .select(leftCols.map(col) :+ col("__side") :+ col("__r"): _*))
+      .unionByName(r, allowMissingColumns = true)
     // the payload struct joins the sort key so duplicate right timestamps
     // resolve deterministically (greatest payload row wins the tie)
     val w = Window.partitionBy(by.map(col): _*)

@@ -91,17 +91,20 @@ object Similarity {
     Array.fill(k)(Array.fill(dim)(rng.nextDouble() * 2 - 1))
   }
 
+  /** (cosine, id) struct per centroid — shared by index build and probe. */
+  private def centroidScores(vec: Column, cents: Array[Array[Double]]): Column =
+    array(cents.indices.map { i =>
+      struct(coalesce(cosine(vec, typedLit(cents(i).toSeq)), lit(-2.0)).as("cos"),
+        lit(i).as("id"))
+    }: _*)
+
   /** Assign each vector to its nearest (max-cosine) centroid — the IVF
     * index build. One broadcast-free map pass: centroids are literals in
     * the plan, the argmax is an array_max over (cosine, id) structs. */
   def ivfAssign(df: DataFrame, vec: String, dim: Int, k: Int = 16,
                 seed: Long = 7L, out: String = "centroid_id"): DataFrame = {
     val cents = ivfCentroids(dim, k, seed)
-    val scored = array((0 until k).map { i =>
-      struct(coalesce(cosine(col(vec), typedLit(cents(i).toSeq)), lit(-2.0)).as("cos"),
-        lit(i).as("id"))
-    }: _*)
-    df.withColumn(out, array_max(scored).getField("id"))
+    df.withColumn(out, array_max(centroidScores(col(vec), cents)).getField("id"))
   }
 
   /** IVF approximate top-k: search only the `nprobe` centroid lists
@@ -115,10 +118,7 @@ object Similarity {
     val indexed = ivfAssign(candidates, vec, dim, nCentroids, seed)
       .select(col(id).as("neighbor_id"), col(vec).as("cv"), col("centroid_id"))
     // per query: the nprobe highest-cosine centroids
-    val probeList = sort_array(array((0 until nCentroids).map { i =>
-      struct(coalesce(cosine(col(vec), typedLit(cents(i).toSeq)), lit(-2.0)).as("cos"),
-        lit(i).as("id"))
-    }: _*), asc = false)
+    val probeList = sort_array(centroidScores(col(vec), cents), asc = false)
     val probed = queries
       .select(col(id).as("query_id"), col(vec).as("qv"),
         slice(probeList, 1, nprobe).as("probes"))

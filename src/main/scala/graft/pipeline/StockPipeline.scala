@@ -93,7 +93,8 @@ object StockPipeline {
   def load(spark: SparkSession, enrichedPath: String, warehousePath: String): Long = {
     val incoming = LakeReader.read(spark, enrichedPath).drop("year")
     val merged =
-      if (!exists(spark, warehousePath)) Merge.dedupByKey(incoming, Seq("ticker", "date"), "ingest_ts")
+      if (!LakeReader.exists(spark, warehousePath))
+        Merge.dedupByKey(incoming, Seq("ticker", "date"), "ingest_ts")
       else {
         val warehouse = LakeReader.read(spark, warehousePath).drop("year")
         val wm = Merge.watermarks(warehouse, "ticker", "date")
@@ -120,8 +121,4 @@ object StockPipeline {
       .map(_ => load(spark, enrichedPath, warehousePath))
   }
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
 }

@@ -4,7 +4,6 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.ops.Reshape
@@ -25,8 +24,7 @@ import graft.sources.LakeReader
   */
 object PipelineQueries {
 
-  private val dec = DecimalType(18, 2)
-  private def d2(c: org.apache.spark.sql.Column) = c.cast(dec)
+  import QuerySql.d2
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.ops.{AsOfJoin, Merge, Quality, Returns, Skew, Snapshot, Volatility}
@@ -22,8 +21,7 @@ import graft.ops.{AsOfJoin, Merge, Quality, Returns, Skew, Snapshot, Volatility}
   */
 object RelationalQueries {
 
-  private val dec = DecimalType(18, 2)
-  private def d2(c: org.apache.spark.sql.Column) = c.cast(dec)
+  import QuerySql.d2
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -67,6 +67,12 @@ object LakeWriter {
 
 object LakeReader {
 
+  /** Zone existence check (first-run vs incremental branching). */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Schema-enforced zone read; partition/pushdown filters apply at scan. */
   def read(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
     val r = spark.read

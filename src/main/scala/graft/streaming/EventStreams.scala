@@ -147,10 +147,8 @@ object EventStreams {
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(warehousePath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
-          if (!fs.exists(new org.apache.hadoop.fs.Path(warehousePath)))
+          if (!graft.sources.LakeReader.exists(spark, warehousePath))
             Merge.dedupByKey(batch, keys, tiebreak)
           else Merge.upsert(
             spark.read.parquet(warehousePath), batch, keys, tiebreak)
