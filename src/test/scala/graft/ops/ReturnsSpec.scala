@@ -64,6 +64,25 @@ class ReturnsSpec extends SparkSpec {
     }
   }
 
+  test("ProductAgg works as a grouping aggregate, not only a window function") {
+    val df = Seq[(String, java.lang.Double)](("A", 2.0), ("A", 3.0), ("B", 0.5),
+      ("B", null)).toDF("k", "v")
+    val out = df.groupBy("k")
+      .agg(graft.agg.ProductAgg.product(col("v")).as("p"))
+      .orderBy("k").select("p").rows.map(_.head.asInstanceOf[Double])
+    out(0) shouldBe 6.0 +- 1e-12
+    out(1) shouldBe 0.5 +- 1e-12   // null input ignored
+  }
+
+  test("unpivot → pivot round-trips") {
+    import graft.ops.Reshape
+    val wide = Seq((1, 10.0, 20.0), (2, 30.0, 40.0)).toDF("id", "a", "b")
+    val long = Reshape.unpivot(wide, Seq("id"), Seq("a", "b"), "attr", "val")
+    val back = Reshape.pivot(long, "id", "attr", "val").orderBy("id")
+    back.columns.toSeq shouldBe Seq("id", "a", "b")
+    back.rows shouldBe Seq(Seq(1, 10.0, 20.0), Seq(2, 30.0, 40.0))
+  }
+
   test("relativeReturns: aligned diff × 100; one-sided axis values drop (inner-join semantics)") {
     val df = Seq((1, "base", 0.5), (1, "comp", 0.2), (2, "base", 0.1), (2, "comp", 0.4),
       (3, "base", 9.9),            // no comp on t=3 → excluded

@@ -113,6 +113,12 @@ class StockPipelineSpec extends SparkSpec {
     // reference semantics: n = min(count/2, 20) → a 1-row sector yields 0
     StockAnalytics.topMovers(snap, "Tech", gainers = true).count() shouldBe 0
 
+    // history slice pushes its predicates into the parquet scan
+    val histPlan = StockAnalytics.history(metrics, Seq("AAA"), "2024-01-01", "2024-01-31")
+      .queryExecution.executedPlan.toString
+    assert(histPlan.contains("PushedFilters") && histPlan.contains("EqualTo(ticker,AAA)"),
+      s"expected ticker pushdown in:\n$histPlan")
+
     // display formatting (F7) + tz conversion (F6): native expressions
     val fmt = Seq((0.01234, ts("2024-01-01"))).toDF("r", "t")
       .select(StockAnalytics.formatDailyReturn(col("r")).as("f"),

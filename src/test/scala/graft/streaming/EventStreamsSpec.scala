@@ -68,6 +68,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingAvg: an event lands in every overlapping window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventStreams.slidingAvg(
+      input.toDF().toDF("ts_utc", "event_type", "value"),
+      windowLen = "1 hour", slide = "15 minutes", lateness = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("sliding")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 10:31:00"), "click", 8.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 13:00:00"), "click", 0.0))  // close the windows
+      q.processAllAvailable()
+      val starts = spark.table("sliding")
+        .filter(col("avg_value") === 8.0)
+        .select("window_start").rows.map(_.head.toString).sorted
+      // 10:31 falls in the 4 hour-long windows starting 09:45..10:30
+      starts shouldBe Seq("2024-01-01 09:45:00.0", "2024-01-01 10:00:00.0",
+        "2024-01-01 10:15:00.0", "2024-01-01 10:30:00.0")
+    } finally q.stop()
+  }
+
   test("toLake: AvailableNow file stream lands partitioned parquet exactly once") {
     val dir = Files.createTempDirectory("evstream").toString
     val src = s"$dir/src"; val sink = s"$dir/lake"; val ckpt = s"$dir/ckpt"
