@@ -198,6 +198,33 @@ object Dedup {
     df.join(dups, Seq(id), "left_anti")
   }
 
+  /** Exact threshold-Jaccard pairs with PREFIX FILTERING (the
+    * AllPairs/PPJoin bound): index only each document's
+    * ⌈(1−t)·|d|⌉ + 1 globally-rarest tokens — any pair with
+    * J ≥ t MUST collide inside these prefixes, so the candidate join
+    * touches a small, rare-token slice of the inverted index instead of
+    * every posting ("the" never generates candidates). Candidates are
+    * then verified exactly. Same output as [[jaccardPairs]], provably;
+    * the join is orders of magnitude smaller on natural text. */
+  def jaccardPairsPrefix(df: DataFrame, id: String, text: String,
+                         threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokSets = df.select(col(id), array_distinct(TextAnalysis.tokens(col(text))).as("toks"))
+    val inv = tokSets.select(col(id), explode(col("toks")).as("tok"))
+    val freq = inv.groupBy(col("tok")).agg(count(lit(1)).as("tok_freq"))
+    val ranked = inv.join(freq, Seq("tok"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(id)).orderBy(col("tok_freq"), col("tok"))))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(id))))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+    val cand = ranked.as("a").join(ranked.as("b"),
+        col("a.tok") === col("b.tok") && col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b")).distinct()
+    verifyJaccard(df, cand, id, text)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
+  }
+
   /** Exact unigram-Jaccard similarity for all pairs sharing ≥1 token,
     * via inverted-index join. Use after LSH candidate generation at
     * scale; here also exposed standalone (bounded inputs). */

@@ -55,6 +55,11 @@ object TextQueries {
         .select(col("doc_id"), col("rolling_hash"))
         .orderBy(col("doc_id"))),
 
+    // Naive inverted-index form. The prefix-filtered variant
+    // (Dedup.jaccardPairsPrefix, proven output-identical) is the scale
+    // default for NATURAL text, but this synthetic corpus's tiny uniform
+    // vocabulary defeats the filter (measured 1.0x candidate reduction at
+    // sf0.1) so here it would only add its freq-join overhead.
     "dedup_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(
           Tables.documents(s, dir).filter(col("doc_id") < 300),

@@ -75,6 +75,23 @@ class DedupSpec extends SparkSpec {
     ps(0) shouldBe 49L +- 2                                 // median of 0..99
   }
 
+  test("jaccardPairsPrefix: identical results to the unfiltered form (prefix-filter lemma)") {
+    // randomized corpus with heavy token overlap to stress the filter
+    val rng = new scala.util.Random(5)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+      "iota", "kappa", "the", "and", "of")
+    val corpus = (1L to 60L).map { i =>
+      (i, Seq.fill(6 + rng.nextInt(6))(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val plain = Dedup.jaccardPairs(corpus, "doc_id", "text", t)
+        .orderBy("doc_a", "doc_b").rows
+      val prefix = Dedup.jaccardPairsPrefix(corpus, "doc_id", "text", t)
+        .orderBy("doc_a", "doc_b").rows
+      withClue(s"threshold $t: ") { prefix shouldBe plain }
+    }
+  }
+
   test("simhashNearDup: exact dup pair at hamming 0; unrelated docs filtered") {
     val out = Dedup.simhashNearDup(docs, "doc_id", "text", maxBits = 10)
     val pairs = out.select("id_a", "id_b", "hamming").rows
