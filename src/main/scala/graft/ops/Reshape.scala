@@ -26,7 +26,17 @@ object Reshape {
   def lowercaseColumns(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(_.toLowerCase): _*)
 
-  /** Long→wide pivot (inverse of unpivot; dashboard-side reshaping). */
+  /** Long→wide pivot (inverse of unpivot; dashboard-side reshaping).
+    * Without an explicit value list Spark runs a driver-side DISTINCT
+    * job to discover the columns first — fine interactively, an extra
+    * full pass at 100 TB. */
   def pivot(df: DataFrame, id: String, varName: String, valueName: String): DataFrame =
     df.groupBy(col(id)).pivot(varName).agg(first(col(valueName)))
+
+  /** Pivot with the output columns declared up front: single pass, no
+    * driver-side distinct job — the form to use at scale (and the only
+    * deterministic one when the value domain matters). */
+  def pivot(df: DataFrame, id: String, varName: String, valueName: String,
+            values: Seq[String]): DataFrame =
+    df.groupBy(col(id)).pivot(varName, values).agg(first(col(valueName)))
 }

@@ -9,6 +9,7 @@ import graft.Tables
 import graft.ops.Reshape
 import graft.pipeline.StockPipeline
 import graft.sources.LakeReader
+import graft.streaming.EventStreams
 
 /** Pipeline-level and streaming-semantics queries:
   *
@@ -26,6 +27,19 @@ object PipelineQueries {
 
   import QuerySql.d2
 
+  /** Scratch dir for the side-effectful entries, deleted on JVM exit so
+    * repeated bench/verify runs leak nothing. */
+  private def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "pipeline_stock_e2e" -> ((s, dir) => {
@@ -37,7 +51,7 @@ object PipelineQueries {
         .withColumn("open", col("close")).withColumn("high", col("close"))
         .withColumn("low", col("close")).withColumn("volume", lit(0L))
         .withColumn("adj_close", col("close"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+      val tmp = tempDir("graft_pipe")
       StockPipeline.run(s, bars, Timestamp.valueOf("2024-01-01 00:00:00"),
         s"$tmp/raw", s"$tmp/enriched", s"$tmp/warehouse")
       LakeReader.read(s, s"$tmp/warehouse")
@@ -55,6 +69,37 @@ object PipelineQueries {
           ids = Seq("p_partkey"), values = Seq("retailprice", "size"),
           varName = "attr", valueName = "val")
         .orderBy(col("p_partkey"), col("attr"))),
+
+    // THE ACTUAL STREAMING ENGINE on the hard signal: a file-source
+    // stream over the events parquet → watermarked tumbling agg →
+    // AvailableNow file sink → read the sink back. Append mode emits
+    // only watermark-finalized windows; both sides therefore restrict to
+    // windows ending ≥20 min before the stream's max event time — a
+    // conservative bound strictly inside the 10-min-lateness horizon, so
+    // the emitted set is identical however the engine batches the files.
+    "stream_tumbling_live" -> ((s, dir) => {
+      val tmp = tempDir("graft_stream")
+      // the file source wants a directory: stage the (read-only) events
+      // file into one via symlink — no copy
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$tmp/src/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = EventStreams.fromParquetDir(s, s"$tmp/src", schema)
+        .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      val q = EventStreams.toLake(EventStreams.tumblingAgg(src),
+        s"$tmp/sink", s"$tmp/ckpt", partitionCols = Seq.empty)
+      q.awaitTermination()
+      val bound = Tables.events(s, dir)
+        .agg((max(col("ts_utc")) - expr("INTERVAL 20 MINUTES")).as("bound"))
+      LakeReader.read(s, s"$tmp/sink")
+        .crossJoin(broadcast(bound))
+        .filter(col("window_end") <= col("bound"))
+        .select(col("window_start"), col("event_type"), col("n_events"),
+          col("sum_value").cast("float").as("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
 
     "stream_sliding_avg" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -95,6 +140,18 @@ object PipelineQueries {
         |UNION ALL
         |SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
         |ORDER BY p_partkey, attr""".stripMargin,
+
+    // the streaming sink holds hourly windows already finalized by the
+    // watermark; the 20-min bound replicates the query-side restriction
+    "stream_tumbling_live" ->
+      """WITH b AS (SELECT max(ts) - INTERVAL '20 minutes' AS bound FROM events),
+        | h AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |         count(*) AS n_events, CAST(sum(value) AS REAL) AS sum_value
+        |       FROM events GROUP BY 1, 2)
+        |SELECT window_start, event_type, n_events, sum_value
+        |FROM h, b
+        |WHERE window_start + INTERVAL '1 hour' <= b.bound
+        |ORDER BY window_start, event_type""".stripMargin,
 
     // sliding windows: each event belongs to the 4 epoch-aligned 15-min-slid
     // 1-hour windows covering it

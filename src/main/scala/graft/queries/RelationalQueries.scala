@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, Merge, Quality, Returns, Skew, Snapshot, Volatility}
+import graft.ops.{AsOfJoin, Merge, Quality, Reshape, Returns, Skew, Snapshot, Volatility}
 
 /** Core relational operator inventory (SURVEY.md §2.2–§2.9) expressed over
   * the driver's TPC-H-ish lake, each with a DuckDB oracle.
@@ -105,6 +105,20 @@ object RelationalQueries {
       val e = Tables.events(s, dir)
         .withColumn("r", col("value") / lit(1000.0))
       Returns.cumulativeReturn(e,
+          partition = Seq("user_id"), order = Seq("ts", "event_id"),
+          ret = "r", out = "cum_return")
+        .select(col("user_id"), col("event_id"),
+          col("cum_return").cast("float").as("cum_return"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Exact windowed cumprod via the custom ProductAgg UDAF — the
+    // numerically exact counterpart of w3 (DuckDB oracles it with its
+    // native windowed product()).
+    "w3_cum_return_exact" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("r", col("value") / lit(1000.0))
+      Returns.cumulativeReturnExact(e,
           partition = Seq("user_id"), order = Seq("ts", "event_id"),
           ret = "r", out = "cum_return")
         .select(col("user_id"), col("event_id"),
@@ -228,6 +242,43 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // ── Upsert: incoming batch replaces colliding keys ─────────────────
+    // existing = pre-1997 orders, incoming = 1996+ orders → the 1996
+    // overlap is replaced by the incoming copy; incoming duplicates on
+    // (custkey, orderdate) collapse to the max-orderkey row.
+    "merge_upsert" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      val existing = o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val incoming = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      Merge.upsert(existing, incoming,
+          keys = Seq("o_custkey", "o_orderdate"), tiebreak = "o_orderkey")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ── Long→wide pivot with a declared column set (single pass) ───────
+    "p_pivot_daily" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts_utc")).as("day"), col("event_type"))
+        .agg((sum(d2(col("value"))).cast("double") / count(lit(1)))
+          .cast("float").as("avg_value"))
+      Reshape.pivot(daily, id = "day", varName = "event_type",
+          valueName = "avg_value",
+          values = Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy(col("day"))
+    }),
+
+    // ── Salted replicate-join ≡ plain join (hot-key mitigation) ────────
+    "skew_salted_join" -> ((s, dir) => {
+      val big = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val small = Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_acctbal"))
+      Skew.saltedJoin(big, small, keys = Seq("o_custkey"),
+          bigDiscriminator = "o_orderkey", salts = 8)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ── Salted two-phase aggregation ≡ straight aggregation ────────────
     "skew_salted_agg" -> ((s, dir) =>
       Skew.saltedAggregate(Tables.lineitem(s, dir),
@@ -310,11 +361,26 @@ object RelationalQueries {
         |      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS REAL) AS rolling_vol
         |FROM events ORDER BY user_id, event_id""".stripMargin,
 
+    // the CASE mirrors the Spark-side wipeout clamp (a factor <= 0 zeroes
+    // everything after); the inner CASE keeps ln() off non-positive
+    // factors — those rows are clamped by the outer CASE anyway
     "w3_cum_return" ->
       """SELECT user_id, event_id,
-        | CAST(exp(sum(ln(1 + value / CAST(1000 AS DOUBLE)))
+        | CAST(CASE WHEN min(1 + value / CAST(1000 AS DOUBLE)) OVER w <= 0 THEN 0
+        |   ELSE exp(sum(ln(CASE WHEN 1 + value / CAST(1000 AS DOUBLE) > 0
+        |                        THEN 1 + value / CAST(1000 AS DOUBLE)
+        |                        ELSE 1 END)) OVER w)
+        |   END AS REAL) AS cum_return
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "w3_cum_return_exact" ->
+      """SELECT user_id, event_id,
+        | CAST(product(1 + value / CAST(1000 AS DOUBLE))
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS REAL) AS cum_return
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS REAL) AS cum_return
         |FROM events ORDER BY user_id, event_id""".stripMargin,
 
     "w4_latest_order" ->
@@ -411,6 +477,38 @@ object RelationalQueries {
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.user_id, c.event_id""".stripMargin,
+
+    "merge_upsert" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders),
+        | ex AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+        | inc AS (SELECT * FROM o WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+        | ded AS (SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |     ORDER BY o_orderkey DESC) AS rn FROM inc) WHERE rn = 1)
+        |SELECT * FROM (
+        | SELECT * FROM ex WHERE NOT EXISTS (
+        |   SELECT 1 FROM inc WHERE inc.o_custkey = ex.o_custkey
+        |     AND inc.o_orderdate = ex.o_orderdate)
+        | UNION ALL SELECT * FROM ded) t
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "p_pivot_daily" ->
+      """WITH daily AS (
+        | SELECT date_trunc('day', ts) AS day, event_type,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS REAL) AS v
+        | FROM events GROUP BY 1, 2)
+        |SELECT day,
+        | max(CASE WHEN event_type = 'click' THEN v END) AS click,
+        | max(CASE WHEN event_type = 'error' THEN v END) AS error,
+        | max(CASE WHEN event_type = 'purchase' THEN v END) AS purchase,
+        | max(CASE WHEN event_type = 'signup' THEN v END) AS signup,
+        | max(CASE WHEN event_type = 'view' THEN v END) AS view
+        |FROM daily GROUP BY day ORDER BY day""".stripMargin,
+
+    "skew_salted_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "skew_salted_agg" ->
       """SELECT l_returnflag,

@@ -8,10 +8,13 @@ import graft.ops.Similarity
 
 /** Similarity search over the `embeddings` table (array<float>, dim 64).
   *
-  * These are rows-only checks for the driver: cross-engine float
-  * reduction order makes a bit-exact SQL oracle for cosine top-k
-  * meaningless, so correctness is instead covered by ScalaTest unit
-  * tests against hand-computed vectors (SimilaritySpec).
+  * `sim_cosine_topk` carries a full DuckDB oracle: both engines compute
+  * cosine in double (the oracle casts the float lists to DOUBLE[] first)
+  * and the result surfaces as REAL, so a 1-ulp reduction-order divergence
+  * cannot survive the downcast. The hash/seed-derived entries (LSH
+  * buckets, IVF probes) stay rows-only — their signatures are
+  * engine-specific by construction — with ScalaTest covering semantics
+  * (SimilaritySpec).
   */
 object SimilarityQueries {
 
@@ -54,5 +57,22 @@ object SimilarityQueries {
         .orderBy(col("lsh_bucket"), col("rank"), col("id_a"), col("id_b")))
   )
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        | c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |       FROM embeddings),
+        | s AS (SELECT query_id, neighbor_id,
+        |         list_cosine_similarity(qv, cv) AS cos
+        |       FROM q JOIN c ON query_id <> neighbor_id),
+        | r AS (SELECT query_id, neighbor_id, cos,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cos DESC, neighbor_id) AS rank
+        |       FROM s)
+        |SELECT query_id, neighbor_id, CAST(cos AS REAL) AS cosine,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
+  )
 }

@@ -55,13 +55,13 @@ object TextQueries {
         .select(col("doc_id"), col("rolling_hash"))
         .orderBy(col("doc_id"))),
 
-    // Naive inverted-index form. The prefix-filtered variant
-    // (Dedup.jaccardPairsPrefix, proven output-identical) is the scale
-    // default for NATURAL text, but this synthetic corpus's tiny uniform
-    // vocabulary defeats the filter (measured 1.0x candidate reduction at
-    // sf0.1) so here it would only add its freq-join overhead.
+    // Prefix-filtered (AllPairs bound) form — the variant that runs at
+    // scale is the variant under verification. On this synthetic uniform
+    // vocabulary the filter yields little candidate reduction (measured
+    // ~1.0x at sf0.1) so the input stays capped; on natural text the
+    // prefix index is what makes exact threshold-Jaccard tractable.
     "dedup_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairs(
+      Dedup.jaccardPairsPrefix(
           Tables.documents(s, dir).filter(col("doc_id") < 300),
           id = "doc_id", text = "text", threshold = 0.5)
         .select(col("doc_a"), col("doc_b"), col("jaccard").cast("float").as("jaccard"))
@@ -119,7 +119,7 @@ object TextQueries {
         .toDF()
         .orderBy(col("doc_id"))),
 
-    // rows-only (frame-sampling generator shape)
+    // frame sampling: every 4th 16-byte slice (last slice may be short)
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.withBinaryPayload(Tables.documents(s, dir).filter(col("doc_id") < 100)))
@@ -217,6 +217,19 @@ object TextQueries {
         |FROM p JOIN s sa ON p.doc_a = sa.doc_id JOIN s sb ON p.doc_b = sb.doc_id
         |WHERE shared / (sa.n + sb.n - shared) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // frame_idx enumerates ceil(n/16) slices; only idx % 4 == 0 survive,
+    // and the last slice carries the remainder bytes
+    "multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
+        |           FROM documents WHERE doc_id < 100),
+        | f AS (SELECT doc_id, n,
+        |         unnest(range(0, CAST(ceil(n / 16.0) AS BIGINT))) AS idx
+        |       FROM d)
+        |SELECT doc_id, idx AS frame_idx,
+        | CAST(least(16, n - idx * 16) AS BIGINT) AS frame_len
+        |FROM f WHERE idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,
