@@ -32,6 +32,14 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, on: String, by: Seq[String],
            valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // internal/output name collisions would silently corrupt the result
+    // (a pre-existing __side column, or a left column shadowing asof_*)
+    val internal = Seq("__side", "__r", "__asof")
+    val outputs = valueCols.map(v => s"asof_$v")
+    val clash = (leftCols ++ right.columns).intersect(internal) ++
+      leftCols.intersect(outputs)
+    require(clash.isEmpty,
+      s"asOf: input columns collide with internal/output names: ${clash.mkString(", ")}")
     // The whole right-row payload travels as ONE struct, so the fill
     // carries the latest matching ROW — per-column fills would stitch
     // values from different right rows (and skip a legitimate null in

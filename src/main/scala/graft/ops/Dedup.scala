@@ -85,26 +85,36 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, id: String, text: String,
                             shingleSize: Int = 3, k: Int = 16, bands: Int = 4,
                             maxBucket: Int = 1000): DataFrame = {
-    // no cache: signatures are a pure map stage post-rewrite, cheap to
-    // recompute — caching here leaked storage for the session lifetime
+    require(bands > 0 && k % bands == 0,
+      s"bands ($bands) must evenly divide the signature size ($k)")
+    val rows = k / bands
+    // ONE projection computes the signature array AND the band buckets,
+    // carried together through the explode — the pair join below reads
+    // sig_a/sig_b straight off the bucket rows instead of joining back
+    // to a recomputed signature frame (the old shape scanned the corpus
+    // 5x; this one feeds a self-join whose two branches are identical,
+    // so the shuffle is planned once and reused).
     val sig = minhashSignatures(df, id, text, shingleSize, k)
-    val sigArr = sig.select(col(id), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-    val buckets = lshBuckets(sig, id, k, bands)
-    val sized = buckets.withColumn("bsize",
+    val banded = sig.select(
+        col(id),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"),
+        explode(array((0 until bands).map { b =>
+          val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
+          struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col(id), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val sized = banded.withColumn("bsize",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("bsize") <= maxBucket)
-    val a = sized.select(col("band"), col("bucket"), col(id).as("id_a"))
-    val b = sized.select(col("band"), col("bucket"), col(id).as("id_b"))
-    val pairs = a.join(b, Seq("band", "bucket"))
+    val a = sized.select(col("band"), col("bucket"), col(id).as("id_a"), col("sig").as("sig_a"))
+    val b = sized.select(col("band"), col("bucket"), col(id).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    pairs
-      .join(sigArr.select(col(id).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigArr.select(col(id).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
           lit(0), (acc, x) => acc + x).cast("double") / lit(k.toDouble))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .distinct()
   }
 
   /** 64-bit SimHash over tokens: each token's xxhash64 votes +1/-1 on

@@ -46,21 +46,37 @@ object Similarity {
   def cosineHof(a: Column, b: Column): Column =
     dotHof(a, b) / nullif(sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)), lit(0.0))
 
+  /** Two-phase per-query top-k over a scored (query_id, neighbor_id,
+    * cosine) frame. A single `Window.partitionBy(query_id)` funnels the
+    * WHOLE scored stream onto |queries| reducers — the classic hot-spot
+    * when queries are few and candidates are 100 TB. Phase 1 takes a
+    * per-(query, salt) partial top-k (each reducer sorts a 1/salts
+    * slice); phase 2 ranks only |queries|·salts·k survivors. The global
+    * top-k is provably the top-k of the per-salt top-ks, so output is
+    * identical to the one-window form. */
+  private[ops] def topKPerQuery(scored: DataFrame, k: Int, salts: Int = 32): DataFrame = {
+    val w1 = Window.partitionBy(col("query_id"), col("__salt"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("__salt", Skew.salt(col("neighbor_id"), salts))
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine"), col("rank").cast("long").as("rank"))
+  }
+
   /** Brute-force cosine top-k: for every row of `queries` (small —
     * broadcast), the k most similar rows of `candidates` (large —
-    * streamed). Excludes self-pairs when ids collide. */
+    * streamed; never shuffled whole). Excludes self-pairs when ids
+    * collide. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
                      id: String, vec: String, k: Int): DataFrame = {
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
     val c = candidates.select(col(id).as("neighbor_id"), col(vec).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        col("cosine"), col("rank").cast("long").as("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplanes: `bits` planes × `dim`
@@ -124,15 +140,14 @@ object Similarity {
         slice(probeList, 1, nprobe).as("probes"))
       .select(col("query_id"), col("qv"),
         explode(col("probes").getField("id")).as("centroid_id"))
-    val scored = probed.join(indexed, Seq("centroid_id"))
+    // BROADCAST the probe side: the corpus must never hash-shuffle on
+    // centroid_id (nCentroids distinct values would pin the whole corpus
+    // onto ≤nCentroids reducers regardless of cluster size). Broadcasting
+    // the tiny queries×nprobe frame keeps the index a pure streamed scan.
+    val scored = indexed.join(broadcast(probed), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"),
-        col("rank").cast("long").as("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** Embedding near-duplicate candidates: top `perBucket` most-similar

@@ -102,14 +102,13 @@ object StockPipeline {
         warehouse.unionByName(Merge.dedupByKey(fresh, Seq("ticker", "date"), "ingest_ts"))
       }
     // serving layer is small relative to the lake (reference: ≤2.6M rows);
-    // a plain overwrite keeps it a single consistent snapshot.
-    // localCheckpoint (not cache) CUTS LINEAGE before overwriting the path
-    // we just read: with cache alone, a lost block would recompute from
-    // the already-deleted source and the overwrite would eat the warehouse.
-    val staged = merged.localCheckpoint()
-    val n = staged.count()
-    LakeWriter.write(staged.withColumn("year", year(col("date"))), warehousePath, Seq("year"))
-    n
+    // a single consistent snapshot, committed via staging-dir + rename —
+    // the previous snapshot stays on disk until the new one is complete,
+    // so a crash mid-write can never destroy the warehouse.
+    LakeWriter.replaceSnapshot(
+      merged.withColumn("year", year(col("date"))), warehousePath, Seq("year"))
+    // parquet metadata count — no data read
+    spark.read.parquet(warehousePath).count()
   }
 
   /** Run all three stages (reference: run_pipeline.py / hourly DAG). */

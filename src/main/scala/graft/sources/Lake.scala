@@ -50,6 +50,35 @@ object LakeWriter {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** Crash-safe snapshot replace for a serving table DERIVED FROM the
+    * path being replaced: write the new snapshot to a sibling staging
+    * dir first, then swap via two renames. A plain overwrite-in-place
+    * deletes the source mid-job — a crash or lost executor there
+    * destroys the table unrecoverably (even a localCheckpoint stage is
+    * executor-local, not durable). Here the previous snapshot survives
+    * on disk (`<path>.__old__`) until the new one is fully committed;
+    * the only non-atomic window is between the two renames, where the
+    * data still exists and a janitor can roll either way. On HDFS/local
+    * FS rename is atomic; object stores should use a pointer-file
+    * indirection instead. */
+  def replaceSnapshot(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val sc = df.sparkSession.sparkContext
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(sc.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(path + ".__staging__")
+    val old = new org.apache.hadoop.fs.Path(path + ".__old__")
+    fs.delete(staging, true)
+    fs.delete(old, true)
+    write(df, staging.toString, partitionCols) // reads target, writes sibling
+    if (fs.exists(target)) require(fs.rename(target, old),
+      s"replaceSnapshot: could not stage out previous snapshot at $path")
+    require(fs.rename(staging, target),
+      s"replaceSnapshot: could not commit new snapshot at $path " +
+        s"(previous snapshot preserved at $old)")
+    fs.delete(old, true)
+    ()
+  }
+
   /** Bucketed catalog table: pre-shuffles ONCE at write time so every
     * subsequent equi-join/aggregation on the bucket keys is
     * co-located — no exchange in the join plan. The 100 TB pattern for

@@ -152,8 +152,10 @@ object EventStreams {
             Merge.dedupByKey(batch, keys, tiebreak)
           else Merge.upsert(
             spark.read.parquet(warehousePath), batch, keys, tiebreak)
-        val staged = merged.localCheckpoint()  // cut lineage before overwrite-in-place
-        LakeWriter.write(staged, warehousePath, Seq.empty)
+        // staging-dir + rename swap: the previous snapshot survives until
+        // the new one commits (an overwrite-in-place of the path the
+        // merge just read would be unrecoverable on a mid-write crash)
+        LakeWriter.replaceSnapshot(merged, warehousePath, Seq.empty)
       }
       .start()
 }
