@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side contract — schema, partition-parallel decode via
   * mapPartitions over the binary column, stable output shape — is real
-  * and tested. The codec itself is a clearly-marked deterministic STUB
-  * (`fakeDecode`): this container has no image/audio libraries, so the
-  * stub derives metadata purely from the byte content. Swapping in a real
-  * decoder changes only the function body, not the plumbing or the plan
-  * shape.
+  * and tested. Metadata decode ([[decodeMeta]]) parses real PNG / JPEG /
+  * GIF container headers in pure JVM byte arithmetic (no image
+  * libraries in this container); payloads that are none of these fall
+  * back to a clearly-marked deterministic stub ([[fakeDecode]]), which
+  * is what the text-payload test corpus exercises. Frame sampling
+  * remains a stub (byte slicing) pending a real video codec.
   *
   * Scale notes: decode runs inside mapPartitions — one task per input
   * split, no shuffle, no driver involvement; exactly how a 100 TB media
@@ -24,8 +25,9 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
                              height: Long, format: String)
 
-  /** STUB decoder: deterministic metadata from raw bytes. A real
-    * implementation would parse the container header here. */
+  /** STUB decoder: deterministic metadata from raw bytes, for payloads
+    * that are not a recognized media container (the test corpus carries
+    * UTF-8 text as its stand-in payload). */
   def fakeDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
     val n = bytes.length.toLong
     val format = (n % 3) match {
@@ -35,6 +37,59 @@ object Multimodal {
     }
     MediaMeta(id, n, n % 640 + 1, n % 480 + 1, format)
   }
+
+  private def u8(b: Byte): Int = b & 0xFF
+  private def be16(b: Array[Byte], i: Int): Long = (u8(b(i)) << 8 | u8(b(i + 1))).toLong
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((u8(b(i)).toLong << 24) | (u8(b(i + 1)) << 16) | (u8(b(i + 2)) << 8) | u8(b(i + 3)))
+  private def le16(b: Array[Byte], i: Int): Long = (u8(b(i + 1)) << 8 | u8(b(i))).toLong
+
+  /** PNG: 8-byte signature, then the IHDR chunk — width/height are the
+    * big-endian u32s at offsets 16 and 20. */
+  private[ops] def parsePng(b: Array[Byte]): Option[(Long, Long, String)] = {
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    if (b.length >= 24 && b.take(8).sameElements(sig) &&
+      new String(b.slice(12, 16), "US-ASCII") == "IHDR")
+      Some((be32(b, 16), be32(b, 20), "png"))
+    else None
+  }
+
+  /** JPEG: SOI (FF D8) then marker segments; the frame header (SOF0/1/2/3
+    * and the extended SOF5–15 family, excluding DHT C4 / JPG C8 / DAC CC)
+    * carries height then width as big-endian u16s after the 1-byte
+    * precision field. */
+  private[ops] def parseJpeg(b: Array[Byte]): Option[(Long, Long, String)] = {
+    if (b.length < 4 || u8(b(0)) != 0xFF || u8(b(1)) != 0xD8) return None
+    var i = 2
+    while (i + 3 < b.length && u8(b(i)) == 0xFF) {
+      val marker = u8(b(i + 1))
+      if (marker >= 0xC0 && marker <= 0xCF && marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+        if (i + 8 >= b.length) return None
+        return Some((be16(b, i + 7), be16(b, i + 5), "jpeg")) // (width, height)
+      } else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD9)) {
+        i += 2 // standalone marker, no length field
+      } else {
+        i += 2 + be16(b, i + 2).toInt // skip segment by its length
+      }
+    }
+    None
+  }
+
+  /** GIF87a/GIF89a: width/height are little-endian u16s at offsets 6/8. */
+  private[ops] def parseGif(b: Array[Byte]): Option[(Long, Long, String)] = {
+    if (b.length >= 10 && {
+      val h = new String(b.take(6), "US-ASCII"); h == "GIF87a" || h == "GIF89a"
+    }) Some((le16(b, 6), le16(b, 8), "gif"))
+    else None
+  }
+
+  /** Real header decode for PNG / JPEG / GIF payloads (pure JVM — byte
+    * arithmetic only, no image libraries); any other payload falls back
+    * to the deterministic stub. */
+  def decodeMeta(id: Long, bytes: Array[Byte]): MediaMeta =
+    parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parseGif(bytes))
+      .map { case (w, h, fmt) => MediaMeta(id, bytes.length.toLong, w, h, fmt) }
+      .getOrElse(fakeDecode(id, bytes))
 
   /** Attach a binary payload column derived from text (UTF-8 bytes) —
     * stand-in for reading real media blobs from a lake. */
@@ -48,7 +103,7 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(id), col(bin)).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (i, b) => fakeDecode(i, b) })
+      .mapPartitions(_.map { case (i, b) => decodeMeta(i, b) })
   }
 
   /** STUB frame sampler: every `stride`-th fixed-size byte slice of a

@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   * only the scalar/grouped result crosses the wire, exactly like the
   * reference's `SELECT MAX(date)`.
   *
-  * Untested in-container (no database available; zero egress) — the API
-  * shape is the deliverable; the same logic is exercised against parquet
-  * serving tables in the pipeline tests.
+  * Exercised at runtime against embedded Derby (JdbcSpec — the driver
+  * jars ship with Spark), which covers the same Spark JDBC codepath a
+  * Postgres warehouse would use; only the dialect differs.
   */
 object Jdbc {
 
@@ -26,6 +26,39 @@ object Jdbc {
     p.setProperty("password", password)
     p.setProperty("driver", driver)
     p
+  }
+
+  /** Properties for an embedded Derby database (in-JVM, no server) —
+    * the offline integration-test stand-in for the warehouse. */
+  def derbyProps(): Properties = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  /** Identifier validation + quoting before SQL interpolation:
+    * table/column names reach [[watermark]] as strings, and unvalidated
+    * interpolation could inject if a name is ever externally sourced.
+    * Column quoting matches Spark's own JDBC DDL (JdbcUtils quotes the
+    * columns it creates, preserving case, but passes TABLE names through
+    * unquoted — so tables must stay unquoted here too, or the database's
+    * case-folded name won't resolve; verified against embedded Derby in
+    * JdbcSpec). Dotted qualification allowed; each part is validated and
+    * quoted separately. */
+  private[sources] def quoteIdent(name: String): String = {
+    val part = "[A-Za-z_][A-Za-z0-9_]*"
+    require(name.matches(s"$part(\\.$part)?"),
+      s"illegal SQL identifier: '$name'")
+    name.split('.').map(p => "\"" + p + "\"").mkString(".")
+  }
+
+  /** Validate WITHOUT quoting — for table names, which Spark's own JDBC
+    * write path interpolates unquoted (the database case-folds them). */
+  private[sources] def checkIdent(name: String): String = {
+    val part = "[A-Za-z_][A-Za-z0-9_]*"
+    require(name.matches(s"$part(\\.$part)?"),
+      s"illegal SQL identifier: '$name'")
+    name
   }
 
   /** Full-table analytical read (reference: scripts/app.py:34-44). */
@@ -40,7 +73,9 @@ object Jdbc {
   /** Global high-watermark: MAX(ord) pushed down to the database. */
   def watermark(spark: SparkSession, url: String, table: String, ord: String,
                 p: Properties): DataFrame =
-    readQuery(spark, url, s"SELECT MAX($ord) AS latest_$ord FROM $table", p)
+    readQuery(spark, url,
+      s"SELECT MAX(${quoteIdent(ord)}) AS ${quoteIdent("latest_" + ord)} " +
+        s"FROM ${checkIdent(table)}", p)
 
   /** Incremental append (reference: load_stock_metrics.py:89). */
   def append(df: DataFrame, url: String, table: String, p: Properties): Unit =

@@ -56,6 +56,55 @@ class TextMultimodalSpec extends SparkSpec {
     meta.head.width shouldBe 7L           // 6 % 640 + 1
   }
 
+  private def be32(v: Long): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+
+  private val png640x480: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 6, 0, 0, 0)
+
+  // SOI, APP0 (JFIF), SOF0 with height 480 / width 640
+  private val jpeg640x480: Array[Byte] =
+    Array(0xFF, 0xD8).map(_.toByte) ++
+      (Array(0xFF, 0xE0).map(_.toByte) ++ be16(16) ++
+        "JFIF".getBytes("US-ASCII") ++ Array.fill[Byte](10)(0)) ++
+      (Array(0xFF, 0xC0).map(_.toByte) ++ be16(17) ++ Array[Byte](8) ++
+        be16(480) ++ be16(640) ++ Array.fill[Byte](10)(0))
+
+  test("decodeMeta parses real PNG / JPEG / progressive JPEG / GIF headers") {
+    val png = Multimodal.decodeMeta(1L, png640x480)
+    (png.format, png.width, png.height, png.n_bytes) shouldBe
+      ("png", 640L, 480L, png640x480.length.toLong)
+
+    val jpg = Multimodal.decodeMeta(2L, jpeg640x480)
+    (jpg.format, jpg.width, jpg.height) shouldBe ("jpeg", 640L, 480L)
+
+    // progressive JPEG: SOF2 (0xC2) instead of SOF0
+    val prog = jpeg640x480.clone()
+    prog(jpeg640x480.indexOfSlice(Array(0xFF.toByte, 0xC0.toByte)) + 1) = 0xC2.toByte
+    val p = Multimodal.decodeMeta(3L, prog)
+    (p.format, p.width, p.height) shouldBe ("jpeg", 640L, 480L)
+
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x40, 0x01, 0xC8.toByte, 0x00, 0, 0, 0, 0)
+    val g = Multimodal.decodeMeta(4L, gif)
+    (g.format, g.width, g.height) shouldBe ("gif", 320L, 200L)
+
+    // non-media payload falls back to the deterministic stub
+    val txt = Multimodal.decodeMeta(5L, "abcdef".getBytes("UTF-8"))
+    (txt.format, txt.width) shouldBe ("png", 7L)
+  }
+
+  test("extractMeta decodes real media payloads through the Spark plumbing") {
+    val df = Seq((1L, png640x480), (2L, jpeg640x480))
+      .toDF("doc_id", "media")
+    val out = Multimodal.extractMeta(df).collect().sortBy(_.doc_id)
+    out.map(m => (m.doc_id, m.format, m.width, m.height)).toSeq shouldBe
+      Seq((1L, "png", 640L, 480L), (2L, "jpeg", 640L, 480L))
+  }
+
   test("multimodal sampleFrames: 1 row → strided frame rows") {
     val df = Seq((1L, "a" * 100)).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrames(Multimodal.withBinaryPayload(df),
