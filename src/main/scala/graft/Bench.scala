@@ -12,12 +12,13 @@ object Bench {
     // Untimed warmup: JIT-compile the scan/codegen/shuffle paths once so
     // whichever query happens to run first isn't charged ~7s of JVM warmup.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // best-of-2 per query: the box shows intermittent background load and
-    // single runs vary ±2×; min-of-two measures the engine, not the noise.
-    // A failed query records -1 (never a fast-looking time-to-throw) and
-    // logs to stderr.
+    // median-of-3 per query: the box shows intermittent background load
+    // and single runs vary ±2×; the median measures the engine, not the
+    // noise, and unlike min it can't be flattered by one lucky cache-warm
+    // run. A failed query records -1 (never a fast-looking time-to-throw)
+    // and logs to stderr.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -25,7 +26,7 @@ object Bench {
           -1.0
         }
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(1))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

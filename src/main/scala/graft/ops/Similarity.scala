@@ -118,9 +118,38 @@ object Similarity {
     * index build. One broadcast-free map pass: centroids are literals in
     * the plan, the argmax is an array_max over (cosine, id) structs. */
   def ivfAssign(df: DataFrame, vec: String, dim: Int, k: Int = 16,
-                seed: Long = 7L, out: String = "centroid_id"): DataFrame = {
-    val cents = ivfCentroids(dim, k, seed)
+                seed: Long = 7L, out: String = "centroid_id"): DataFrame =
+    ivfAssignWith(df, vec, ivfCentroids(dim, k, seed), out)
+
+  /** [[ivfAssign]] against an explicit centroid set (e.g. a refined one). */
+  def ivfAssignWith(df: DataFrame, vec: String, cents: Array[Array[Double]],
+                    out: String = "centroid_id"): DataFrame =
     df.withColumn(out, array_max(centroidScores(col(vec), cents)).getField("id"))
+
+  /** One Lloyd (k-means) refinement pass over the seeded centroids:
+    * assign every vector, take per-centroid elementwise means, return
+    * the k×dim result as the new centroid set (collected to the driver
+    * to become plan literals — k·dim doubles, an index-build action, not
+    * a per-row collect). Fixes the known low recall of random centroids
+    * on non-clustered corpora while staying deterministic: the
+    * elementwise sums go through DECIMAL so reduction order cannot
+    * perturb the centroids between runs. Centroids that attract no
+    * vectors keep their seeded position. */
+  def refineCentroids(df: DataFrame, vec: String, dim: Int, k: Int = 16,
+                      seed: Long = 7L): Array[Array[Double]] = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 12)
+    val assigned = ivfAssign(df, vec, dim, k, seed)
+    val aggs = count(lit(1)).as("n") +:
+      (0 until dim).map(i => sum(element_at(col(vec), i + 1).cast(dec)).as(s"s$i"))
+    val rows = assigned.groupBy(col("centroid_id")).agg(aggs.head, aggs.tail: _*).collect()
+    val out = ivfCentroids(dim, k, seed).map(_.clone())
+    rows.foreach { r =>
+      val cid = r.getInt(0)
+      val n = r.getLong(1)
+      if (n > 0)
+        out(cid) = Array.tabulate(dim)(i => r.getDecimal(2 + i).doubleValue() / n)
+    }
+    out
   }
 
   /** IVF approximate top-k: search only the `nprobe` centroid lists
@@ -129,9 +158,10 @@ object Similarity {
     * clustered data — the standard ANN recall/cost dial. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, id: String, vec: String,
               dim: Int, k: Int, nCentroids: Int = 16, nprobe: Int = 4,
-              seed: Long = 7L): DataFrame = {
-    val cents = ivfCentroids(dim, nCentroids, seed)
-    val indexed = ivfAssign(candidates, vec, dim, nCentroids, seed)
+              seed: Long = 7L,
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(dim, nCentroids, seed))
+    val indexed = ivfAssignWith(candidates, vec, cents)
       .select(col(id).as("neighbor_id"), col(vec).as("cv"), col("centroid_id"))
     // per query: the nprobe highest-cosine centroids
     val probeList = sort_array(centroidScores(col(vec), cents), asc = false)

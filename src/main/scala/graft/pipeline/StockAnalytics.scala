@@ -44,6 +44,13 @@ object StockAnalytics {
       axis = "date", seriesCol = "ticker", base = base, comp = comp,
       value = "cumulative_return")
 
+  /** Final relative-performance figure — the last element of the ordered
+    * relative series, the single number the dashboard prints
+    * (reference: app.py:247). Deterministic max_by, not positional last. */
+  def finalRelativeReturn(trends: DataFrame, base: String, comp: String): DataFrame =
+    relativeReturns(trends, base, comp)
+      .agg(max_by(col("pct_diff"), col("date")).as("final_pct_diff"))
+
   /** Latest-day snapshot joined with the dimension table
     * (reference: app.py:75-97 — dim join, ROW_NUMBER window, rn=1). */
   def latestSnapshot(metrics: DataFrame, dim: DataFrame): DataFrame = {

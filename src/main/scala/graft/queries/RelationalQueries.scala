@@ -168,6 +168,16 @@ object RelationalQueries {
         .orderBy(col("day"))
     }),
 
+    // ── W6: last element of the ordered relative series ────────────────
+    "w6_final_relative" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts_utc")).as("day"), col("event_type"))
+        .agg((sum(d2(col("value"))).cast("double") / count(lit(1))).as("avg_value"))
+      Returns.relativeReturns(daily, axis = "day", seriesCol = "event_type",
+          base = "click", comp = "purchase", value = "avg_value")
+        .agg(max_by(col("pct_diff"), col("day")).cast("float").as("final_pct_diff"))
+    }),
+
     // ── Filters / projections / scalar functions (SURVEY §2.2, §2.3) ───
     "p10_filtered_scan" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -423,6 +433,17 @@ object RelationalQueries {
         |FROM daily b JOIN daily c ON b.day = c.day
         |WHERE b.event_type = 'click' AND c.event_type = 'purchase'
         |ORDER BY day""".stripMargin,
+
+    "w6_final_relative" ->
+      """WITH daily AS (
+        | SELECT date_trunc('day', ts) AS day, event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        | FROM events GROUP BY 1, 2),
+        |rel AS (
+        | SELECT b.day AS day, CAST(100 AS DOUBLE) * (b.avg_value - c.avg_value) AS pct_diff
+        | FROM daily b JOIN daily c ON b.day = c.day
+        | WHERE b.event_type = 'click' AND c.event_type = 'purchase')
+        |SELECT CAST(arg_max(pct_diff, day) AS REAL) AS final_pct_diff FROM rel""".stripMargin,
 
     "p10_filtered_scan" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate, l_extendedprice

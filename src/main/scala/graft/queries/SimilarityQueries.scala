@@ -49,6 +49,21 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // rows-only: one Lloyd pass over the seeded centroids before probing
+    // (the index-build collect is k×dim doubles, not data)
+    "sim_ivf_refined_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.refineCentroids(emb, "embedding", dim, k = 16)
+      Similarity.ivfTopK(
+          queries = emb.filter(col("vec_id") < 8),
+          candidates = emb, id = "vec_id", vec = "embedding",
+          dim = dim, k = 5, nCentroids = 16, nprobe = 4,
+          centroids = Some(cents))
+        .select(col("query_id"), col("neighbor_id"),
+          col("cosine").cast("float").as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "emb_near_dup" -> ((s, dir) =>
       Similarity.nearDupInBuckets(Tables.embeddings(s, dir),
           id = "vec_id", vec = "embedding", dim = dim, bits = 8, perBucket = 3)

@@ -116,4 +116,26 @@ class AsOfSkewSpec extends SparkSpec {
     neighbors.foreach(n => assert(n >= 2 && n <= 10))   // all from vec 1's cluster
     out.count() shouldBe 3
   }
+
+  test("refineCentroids: deterministic, and refined IVF matches brute force on clusters") {
+    val rng = new scala.util.Random(5)
+    def jitter(v: Seq[Float]) = v.map(x => x + rng.nextFloat() * 0.01f)
+    val c1 = Seq.fill(8)(rng.nextFloat() * 2 - 1)
+    val c2 = Seq.fill(8)(rng.nextFloat() * 2 - 1)
+    val vecs = ((1 to 15).map(i => (i.toLong, jitter(c1))) ++
+      (16 to 30).map(i => (i.toLong, jitter(c2)))).toDF("vec_id", "embedding")
+
+    val r1 = Similarity.refineCentroids(vecs, "embedding", dim = 8, k = 4)
+    val r2 = Similarity.refineCentroids(vecs, "embedding", dim = 8, k = 4)
+    // decimal-summed means: bit-identical across runs
+    r1.map(_.toSeq).toSeq shouldBe r2.map(_.toSeq).toSeq
+
+    val q = vecs.filter(col("vec_id").isin(1L, 20L))
+    val exact = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank").rows
+    val refined = Similarity.ivfTopK(q, vecs, "vec_id", "embedding",
+        dim = 8, k = 3, nCentroids = 4, nprobe = 2, centroids = Some(r1))
+      .select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank").rows
+    refined shouldBe exact   // full recall once centroids sit on the clusters
+  }
 }
