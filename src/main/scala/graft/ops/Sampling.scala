@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling, splitting and mixing for training-data
+  * pipelines.
+  *
+  * All "randomness" is md5-derived from the row's stable id, never
+  * `rand()`: a row's fate is a pure function of its key, so results are
+  * reproducible across runs, task retries, cluster sizes — and engines,
+  * which lets the DuckDB oracle replay every decision bit-for-bit.
+  * Every operator is a pure map or a salted bounded window — the shapes
+  * that scale linearly to 100 TB.
+  */
+object Sampling {
+
+  /** Uniform deterministic bucket in [0, buckets): the first 8 hex chars
+    * of md5(tag ++ id) as an unsigned int, mod buckets. The `tag`
+    * decorrelates independent decisions on the same id (a row's
+    * train/test split must not correlate with its mixture draw). */
+  def hashBucket(id: Column, buckets: Int, tag: String = ""): Column =
+    conv(substring(md5(concat(lit(tag), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Train/validation/test split by hash bucket. Deterministic and
+    * stable under corpus growth: a row's split never changes when other
+    * rows are added or removed (unlike `randomSplit`), which is what
+    * makes incremental re-runs of a 100 TB pipeline reproducible. */
+  def hashSplit(df: DataFrame, id: String, trainPct: Int = 90, valPct: Int = 5,
+                out: String = "split"): DataFrame = {
+    require(trainPct + valPct <= 100, "train + val must leave room for test")
+    val b = hashBucket(col(id), 100, tag = "split:")
+    df.withColumn(out,
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Per-stratum deterministic sample of up to `n` rows: rank rows
+    * inside each stratum by md5(id) — a uniform but replayable order —
+    * and keep the first n. Two-phase (salted partial rank, then final
+    * rank over ≤ salts·n survivors per stratum) so a hot stratum never
+    * pins a single reducer; provably identical output to the one-window
+    * form because the global first-n is contained in the per-salt
+    * first-n. */
+  def stratifiedSample(df: DataFrame, stratum: String, id: String, n: Int,
+                       salts: Int = 32): DataFrame = {
+    val key = md5(concat(lit("sample:"), col(id).cast("string")))
+    val w1 = Window.partitionBy(col(stratum), col("__salt"))
+      .orderBy(key, col(id))
+    val w2 = Window.partitionBy(col(stratum)).orderBy(key, col(id))
+    df.withColumn("__salt", Skew.salt(col(id), salts))
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= n)
+      .withColumn("sample_rank", row_number().over(w2).cast("long"))
+      .filter(col("sample_rank") <= n)
+      .drop("__salt", "__r1")
+  }
+
+  /** Weighted corpus mixing: keep each row with its domain's probability
+    * (a training-mixture downsample, e.g. en→0.5, code→1.0). The draw is
+    * hash-threshold per row — one codegen'd map, no shuffle, no join —
+    * and uses its own hash tag so mixture draws stay independent of
+    * [[hashSplit]] decisions on the same ids. Domains absent from
+    * `weights` keep `default`. Weights are quantized to 1/10000. */
+  def weightedMix(df: DataFrame, id: String, domain: String,
+                  weights: Map[String, Double], default: Double = 1.0): DataFrame = {
+    val thresh = weights.toSeq.sortBy(_._1).foldLeft(lit((default * 10000).toInt): Column) {
+      case (acc, (dom, w)) => when(col(domain) === dom, lit((w * 10000).toInt)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(id), 10000, tag = "mix:") < thresh)
+  }
+}

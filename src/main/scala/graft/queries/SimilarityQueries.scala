@@ -64,6 +64,22 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Fully-oracled IVF: centroids are the first 16 corpus vectors, so
+    // DuckDB can rebuild the identical index and probe path in SQL —
+    // ANN semantics verified end-to-end on the hard signal.
+    "sim_ivf_data_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.dataCentroids(emb, "vec_id", "embedding", k = 16)
+      Similarity.ivfTopK(
+          queries = emb.filter(col("vec_id") < 8),
+          candidates = emb, id = "vec_id", vec = "embedding",
+          dim = dim, k = 5, nCentroids = 16, nprobe = 4,
+          centroids = Some(cents))
+        .select(col("query_id"), col("neighbor_id"),
+          col("cosine").cast("float").as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "emb_near_dup" -> ((s, dir) =>
       Similarity.nearDupInBuckets(Tables.embeddings(s, dir),
           id = "vec_id", vec = "embedding", dim = dim, bits = 8, perBucket = 3)
@@ -85,6 +101,41 @@ object SimilarityQueries {
         |         row_number() OVER (PARTITION BY query_id
         |           ORDER BY cos DESC, neighbor_id) AS rank
         |       FROM s)
+        |SELECT query_id, neighbor_id, CAST(cos AS REAL) AS cosine,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Mirrors ivfTopK with dataCentroids exactly: the assignment argmax is
+    // array_max over (cos, id) structs — highest cosine, ties to the
+    // HIGHER centroid id — hence ORDER BY cos DESC, centroid_id DESC;
+    // the probe list uses the same ordering; zero vectors coalesce to -2.
+    "sim_ivf_data_topk" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+        |              FROM embeddings WHERE vec_id < 16),
+        | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+        | assign AS (SELECT vec_id, centroid_id, dv,
+        |     row_number() OVER (PARTITION BY vec_id ORDER BY
+        |       COALESCE(list_cosine_similarity(dv, cvec), -2) DESC,
+        |       centroid_id DESC) AS rn
+        |   FROM v CROSS JOIN cent),
+        | idx AS (SELECT vec_id AS neighbor_id, centroid_id, dv AS cv
+        |         FROM assign WHERE rn = 1),
+        | q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id < 8),
+        | probes AS (SELECT query_id, qv, centroid_id,
+        |     row_number() OVER (PARTITION BY query_id ORDER BY
+        |       COALESCE(list_cosine_similarity(qv, cvec), -2) DESC,
+        |       centroid_id DESC) AS pr
+        |   FROM q CROSS JOIN cent),
+        | scored AS (SELECT p.query_id, i.neighbor_id,
+        |     list_cosine_similarity(p.qv, i.cv) AS cos
+        |   FROM (SELECT query_id, qv, centroid_id FROM probes WHERE pr <= 4) p
+        |   JOIN idx i USING (centroid_id)
+        |   WHERE p.query_id <> i.neighbor_id),
+        | r AS (SELECT query_id, neighbor_id, cos,
+        |     row_number() OVER (PARTITION BY query_id
+        |       ORDER BY cos DESC, neighbor_id) AS rank
+        |   FROM scored)
         |SELECT query_id, neighbor_id, CAST(cos AS REAL) AS cosine,
         |  CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5
