@@ -3,17 +3,31 @@ package graft
 /** Dev tool: run ONE SparkEntry query by name and show rows/sample.
   *
   * Usage: runMain graft.RunQuery <queryName> [sfDir] [showN]
+  * Set SPARK_GRAFT_TIME=3 to instead time N runs (prints each run's
+  * seconds) and SPARK_GRAFT_EXPLAIN=1 to dump the formatted plan.
   */
 object RunQuery {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').toSeq
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
     val showN = args.lift(2).map(_.toInt).getOrElse(5)
     val spark = GraftSession.local("run-query")
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    println(s"[runquery] $name rows=${df.count()}")
-    df.show(showN, truncate = false)
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
+      sys.env.get("SPARK_GRAFT_TIME").map(_.toInt) match {
+        case Some(n) =>
+          (1 to n).foreach { i =>
+            val t0 = System.nanoTime()
+            val rows = SparkEntry.queries(name)(spark, sfDir).count()
+            println(f"[runquery] $name run$i rows=$rows ${(System.nanoTime() - t0) / 1e9}%.3fs")
+          }
+        case None =>
+          println(s"[runquery] $name rows=${df.count()}")
+          df.show(showN, truncate = false)
+      }
+    }
     spark.stop()
   }
 }

@@ -90,9 +90,18 @@ object Similarity {
     * vectors with cosine ≈ 1 agree on almost all bits, so equal
     * signatures (or low Hamming distance) are near-dup candidates. */
   def lshSignature(df: DataFrame, vec: String, dim: Int, bits: Int = 16,
-                   seed: Long = 42L, out: String = "lsh_bucket"): DataFrame = {
-    val planes = hyperplanes(dim, bits, seed)
-    val sig = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+                   seed: Long = 42L, out: String = "lsh_bucket"): DataFrame =
+    lshSignatureWith(df, vec, hyperplanes(dim, bits, seed), out)
+
+  /** [[lshSignature]] against an explicit plane set — e.g. planes drawn
+    * from the corpus itself ([[dataVectors]]), which makes the whole
+    * bucketing engine-portable: any SQL engine that can read the same
+    * rows rebuilds the identical index (the trick that puts LSH on the
+    * hard correctness signal instead of rows-only). */
+  def lshSignatureWith(df: DataFrame, vec: String,
+                       planes: Array[Array[Double]],
+                       out: String = "lsh_bucket"): DataFrame = {
+    val sig = planes.indices.foldLeft(lit(0L)) { (acc, i) =>
       val plane = typedLit(planes(i).toSeq)
       acc.bitwiseOR(
         when(dot(col(vec), plane) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
@@ -136,13 +145,23 @@ object Similarity {
     * perturb the centroids between runs. Centroids that attract no
     * vectors keep their seeded position. */
   def refineCentroids(df: DataFrame, vec: String, dim: Int, k: Int = 16,
-                      seed: Long = 7L): Array[Array[Double]] = {
+                      seed: Long = 7L): Array[Array[Double]] =
+    refineCentroidsWith(df, vec, ivfCentroids(dim, k, seed))
+
+  /** [[refineCentroids]] from an explicit seed set. With a data-derived
+    * seed ([[dataCentroids]]) the whole Lloyd pass is engine-portable —
+    * assignment is argmax-cosine over readable rows and the elementwise
+    * means go through DECIMAL(30,12), so an oracle can replay the refined
+    * centroids bit-for-bit. */
+  def refineCentroidsWith(df: DataFrame, vec: String,
+                          seedCents: Array[Array[Double]]): Array[Array[Double]] = {
+    val dim = seedCents(0).length
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 12)
-    val assigned = ivfAssign(df, vec, dim, k, seed)
+    val assigned = ivfAssignWith(df, vec, seedCents)
     val aggs = count(lit(1)).as("n") +:
       (0 until dim).map(i => sum(element_at(col(vec), i + 1).cast(dec)).as(s"s$i"))
     val rows = assigned.groupBy(col("centroid_id")).agg(aggs.head, aggs.tail: _*).collect()
-    val out = ivfCentroids(dim, k, seed).map(_.clone())
+    val out = seedCents.map(_.clone())
     rows.foreach { r =>
       val cid = r.getInt(0)
       val n = r.getLong(1)
@@ -158,12 +177,20 @@ object Similarity {
     * are all plain cosine/argmax over data the oracle can also read, so
     * the whole ANN pipeline sits on the hard correctness signal. The
     * collect is k×dim doubles — an index-build action, not a data read. */
-  def dataCentroids(df: DataFrame, id: String, vec: String, k: Int): Array[Array[Double]] = {
-    val rows = df.filter(col(id) < k).select(col(id).cast("long"), col(vec)).collect()
-    require(rows.length == k, s"expected $k seed vectors with $id in [0,$k), got ${rows.length}")
-    val out = Array.ofDim[Array[Double]](k)
+  def dataCentroids(df: DataFrame, id: String, vec: String, k: Int): Array[Array[Double]] =
+    dataVectors(df, id, vec, from = 0, n = k)
+
+  /** The `n` corpus vectors with `id` in [from, from+n), as plan-literal
+    * material (result index i holds the vector with id = from+i). The
+    * collect is n×dim doubles — an index-build action, not a data read. */
+  def dataVectors(df: DataFrame, id: String, vec: String, from: Long, n: Int): Array[Array[Double]] = {
+    val rows = df.filter(col(id) >= from && col(id) < from + n)
+      .select(col(id).cast("long"), col(vec)).collect()
+    require(rows.length == n,
+      s"expected $n seed vectors with $id in [$from,${from + n}), got ${rows.length}")
+    val out = Array.ofDim[Array[Double]](n)
     rows.foreach { r =>
-      out(r.getLong(0).toInt) = r.getSeq[Float](1).map(_.toDouble).toArray
+      out((r.getLong(0) - from).toInt) = r.getSeq[Float](1).map(_.toDouble).toArray
     }
     out
   }
@@ -200,9 +227,11 @@ object Similarity {
     * pairs inside each LSH bucket. Pair generation is bounded by bucket
     * size, not corpus size — the 100 TB-safe shape. */
   def nearDupInBuckets(df: DataFrame, id: String, vec: String, dim: Int,
-                       bits: Int = 8, perBucket: Int = 3): DataFrame = {
-    val bucketed = lshSignature(df, vec, dim, bits).select(
-      col(id), col(vec), col("lsh_bucket"))
+                       bits: Int = 8, perBucket: Int = 3,
+                       planes: Option[Array[Array[Double]]] = None): DataFrame = {
+    val bucketed = planes.fold(lshSignature(df, vec, dim, bits))(
+        p => lshSignatureWith(df, vec, p))
+      .select(col(id), col(vec), col("lsh_bucket"))
     val a = bucketed.select(col("lsh_bucket"),
       col(id).as("id_a"), col(vec).as("va"))
     val b = bucketed.select(col("lsh_bucket"),

@@ -153,7 +153,8 @@ object SamplingQueries {
         |    CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin_id
         |  FROM b)
-        |SELECT lang, bin_id, count(*) AS n_docs, sum(n_tok) AS n_tokens
+        |SELECT lang, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM p GROUP BY lang, bin_id
         |ORDER BY lang, bin_id""".stripMargin,
 

@@ -11,10 +11,18 @@ import graft.ops.Similarity
   * `sim_cosine_topk` carries a full DuckDB oracle: both engines compute
   * cosine in double (the oracle casts the float lists to DOUBLE[] first)
   * and the result surfaces as REAL, so a 1-ulp reduction-order divergence
-  * cannot survive the downcast. The hash/seed-derived entries (LSH
-  * buckets, IVF probes) stay rows-only — their signatures are
-  * engine-specific by construction — with ScalaTest covering semantics
-  * (SimilaritySpec).
+  * cannot survive the downcast.
+  *
+  * The LSH and IVF entries are on the hard signal too, via data-derived
+  * index parameters: hyperplanes are the corpus vectors with vec_id
+  * 16..16+bits, IVF centroids the vectors with vec_id < 16 (optionally
+  * Lloyd-refined through DECIMAL(30,12) sums) — all recomputable by any
+  * engine that can read the same rows, so DuckDB rebuilds the identical
+  * index in SQL. Both sides accumulate dot products left-to-right in
+  * double, giving bit-identical signatures/assignments away from exact
+  * decision-boundary ties. Only `sim_ivf_topk` (java.util.Random seeded
+  * centroids by construction) stays rows-only, with ScalaTest covering
+  * semantics (SimilaritySpec).
   */
 object SimilarityQueries {
 
@@ -32,10 +40,14 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    "sim_lsh_buckets" -> ((s, dir) =>
-      Similarity.lshSignature(Tables.embeddings(s, dir), "embedding", dim, bits = 16)
+    // hyperplanes = corpus vectors 16..31 → DuckDB rebuilds the same buckets
+    "sim_lsh_buckets" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val planes = Similarity.dataVectors(emb, "vec_id", "embedding", from = 16, n = 16)
+      Similarity.lshSignatureWith(emb, "embedding", planes)
         .select(col("vec_id"), col("lsh_bucket"))
-        .orderBy(col("vec_id"))),
+        .orderBy(col("vec_id"))
+    }),
 
     // rows-only: IVF probes a subset of centroid lists (approximate by design)
     "sim_ivf_topk" -> ((s, dir) => {
@@ -49,11 +61,14 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // rows-only: one Lloyd pass over the seeded centroids before probing
-    // (the index-build collect is k×dim doubles, not data)
+    // one Lloyd pass over the data-centroid seed before probing — the
+    // refinement is DECIMAL-exact and the seed readable, so the oracle
+    // replays the whole assign→mean→probe chain in SQL (the index-build
+    // collect is k×dim doubles, not data)
     "sim_ivf_refined_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val cents = Similarity.refineCentroids(emb, "embedding", dim, k = 16)
+      val cents = Similarity.refineCentroidsWith(emb, "embedding",
+        Similarity.dataCentroids(emb, "vec_id", "embedding", k = 16))
       Similarity.ivfTopK(
           queries = emb.filter(col("vec_id") < 8),
           candidates = emb, id = "vec_id", vec = "embedding",
@@ -80,12 +95,18 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    "emb_near_dup" -> ((s, dir) =>
-      Similarity.nearDupInBuckets(Tables.embeddings(s, dir),
-          id = "vec_id", vec = "embedding", dim = dim, bits = 8, perBucket = 3)
+    // near-dup candidates in data-derived LSH buckets (planes = vectors
+    // 16..23) — fully oracled end-to-end
+    "emb_near_dup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val planes = Similarity.dataVectors(emb, "vec_id", "embedding", from = 16, n = 8)
+      Similarity.nearDupInBuckets(emb,
+          id = "vec_id", vec = "embedding", dim = dim, bits = 8, perBucket = 3,
+          planes = Some(planes))
         .select(col("lsh_bucket"), col("id_a"), col("id_b"),
           col("cosine").cast("float").as("cosine"), col("rank"))
-        .orderBy(col("lsh_bucket"), col("rank"), col("id_a"), col("id_b")))
+        .orderBy(col("lsh_bucket"), col("rank"), col("id_a"), col("id_b"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -114,6 +135,94 @@ object SimilarityQueries {
       """WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
         |              FROM embeddings WHERE vec_id < 16),
         | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+        | assign AS (SELECT vec_id, centroid_id, dv,
+        |     row_number() OVER (PARTITION BY vec_id ORDER BY
+        |       COALESCE(list_cosine_similarity(dv, cvec), -2) DESC,
+        |       centroid_id DESC) AS rn
+        |   FROM v CROSS JOIN cent),
+        | idx AS (SELECT vec_id AS neighbor_id, centroid_id, dv AS cv
+        |         FROM assign WHERE rn = 1),
+        | q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id < 8),
+        | probes AS (SELECT query_id, qv, centroid_id,
+        |     row_number() OVER (PARTITION BY query_id ORDER BY
+        |       COALESCE(list_cosine_similarity(qv, cvec), -2) DESC,
+        |       centroid_id DESC) AS pr
+        |   FROM q CROSS JOIN cent),
+        | scored AS (SELECT p.query_id, i.neighbor_id,
+        |     list_cosine_similarity(p.qv, i.cv) AS cos
+        |   FROM (SELECT query_id, qv, centroid_id FROM probes WHERE pr <= 4) p
+        |   JOIN idx i USING (centroid_id)
+        |   WHERE p.query_id <> i.neighbor_id),
+        | r AS (SELECT query_id, neighbor_id, cos,
+        |     row_number() OVER (PARTITION BY query_id
+        |       ORDER BY cos DESC, neighbor_id) AS rank
+        |   FROM scored)
+        |SELECT query_id, neighbor_id, CAST(cos AS REAL) AS cosine,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Planes are corpus vectors 16..31; bit i = (v · plane_i) > 0. Both
+    // engines accumulate the dot left-to-right in double, so the sign —
+    // and hence the bucket — is bit-identical away from exact-zero dots.
+    "sim_lsh_buckets" ->
+      """WITH p AS (SELECT vec_id - 16 AS i, CAST(embedding AS DOUBLE[]) AS pv
+        |           FROM embeddings WHERE vec_id >= 16 AND vec_id < 32),
+        | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings)
+        |SELECT v.vec_id,
+        |  CAST(coalesce(sum(CASE WHEN list_dot_product(dv, pv) > 0
+        |    THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END), 0) AS BIGINT) AS lsh_bucket
+        |FROM v CROSS JOIN p
+        |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin,
+
+    // Same bucketing with 8 planes (vectors 16..23), then the top-3
+    // most-similar pairs inside each bucket.
+    "emb_near_dup" ->
+      """WITH p AS (SELECT vec_id - 16 AS i, CAST(embedding AS DOUBLE[]) AS pv
+        |           FROM embeddings WHERE vec_id >= 16 AND vec_id < 24),
+        | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+        | so AS (SELECT v.vec_id,
+        |     CAST(coalesce(sum(CASE WHEN list_dot_product(dv, pv) > 0
+        |       THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) ELSE 0 END), 0) AS BIGINT) AS lsh_bucket
+        |   FROM v CROSS JOIN p GROUP BY v.vec_id),
+        | sig AS (SELECT so.vec_id, so.lsh_bucket, v.dv
+        |         FROM so JOIN v ON so.vec_id = v.vec_id),
+        | pairs AS (SELECT a.lsh_bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+        |     list_cosine_similarity(a.dv, b.dv) AS cos
+        |   FROM sig a JOIN sig b
+        |     ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY lsh_bucket
+        |         ORDER BY cos DESC, id_a, id_b) AS rank FROM pairs)
+        |SELECT lsh_bucket, id_a, id_b, CAST(cos AS REAL) AS cosine,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3
+        |ORDER BY lsh_bucket, rank, id_a, id_b""".stripMargin,
+
+    // Replays the full Lloyd-refined IVF chain: assign to the data-centroid
+    // seed (argmax cosine, ties to the HIGHER centroid id), per-centroid
+    // elementwise means through DECIMAL(30,12) sums (reduction-order-proof
+    // in both engines; decimal→double then double÷count mirrors the Scala
+    // getDecimal.doubleValue/n exactly), empty centroids keep their seed
+    // vector, then the same probe/top-k as sim_ivf_data_topk.
+    "sim_ivf_refined_topk" ->
+      """WITH cent0 AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+        |               FROM embeddings WHERE vec_id < 16),
+        | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+        | a0 AS (SELECT vec_id, centroid_id, dv,
+        |     row_number() OVER (PARTITION BY vec_id ORDER BY
+        |       COALESCE(list_cosine_similarity(dv, cvec), -2) DESC,
+        |       centroid_id DESC) AS rn
+        |   FROM v CROSS JOIN cent0),
+        | a1 AS (SELECT vec_id, centroid_id, dv FROM a0 WHERE rn = 1),
+        | comp AS (SELECT centroid_id, j,
+        |     CAST(SUM(CAST(dv[CAST(j AS INTEGER)] AS DECIMAL(30,12))) AS DOUBLE)
+        |       / COUNT(*) AS c
+        |   FROM a1 CROSS JOIN range(1, 65) t(j)
+        |   GROUP BY centroid_id, j),
+        | rf AS (SELECT centroid_id, list(c ORDER BY j) AS cvec
+        |        FROM comp GROUP BY centroid_id),
+        | cent AS (SELECT c0.centroid_id, COALESCE(rf.cvec, c0.cvec) AS cvec
+        |          FROM cent0 c0 LEFT JOIN rf USING (centroid_id)),
         | assign AS (SELECT vec_id, centroid_id, dv,
         |     row_number() OVER (PARTITION BY vec_id ORDER BY
         |       COALESCE(list_cosine_similarity(dv, cvec), -2) DESC,
