@@ -34,6 +34,9 @@ object Bench {
     // per-query entries and stderr lines, never as a lower total
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // second compact line: the r2 driver tail-capture truncated the full
+    // JSON's head — this one always fits whatever window grabs the tail
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

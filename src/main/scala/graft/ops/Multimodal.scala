@@ -75,11 +75,20 @@ object Multimodal {
     None
   }
 
-  /** GIF87a/GIF89a: width/height are little-endian u16s at offsets 6/8. */
+  /** GIF87a/GIF89a: width/height are little-endian u16s at offsets 6/8.
+    *
+    * Unlike the PNG/JPEG signatures (unreachable in valid UTF-8 text),
+    * "GIF87a" is plain ASCII, so a text payload could collide. Sanity
+    * checks before accepting: nonzero dimensions and a logical-screen
+    * packed byte (offset 10) outside printable ASCII — real GIFs have
+    * the global-color-table flag set (≥0x80) or a tiny control value,
+    * while a text payload has a printable character there. */
   private[ops] def parseGif(b: Array[Byte]): Option[(Long, Long, String)] = {
-    if (b.length >= 10 && {
+    if (b.length >= 13 && {
       val h = new String(b.take(6), "US-ASCII"); h == "GIF87a" || h == "GIF89a"
-    }) Some((le16(b, 6), le16(b, 8), "gif"))
+    } && le16(b, 6) > 0 && le16(b, 8) > 0
+      && (u8(b(10)) < 0x20 || u8(b(10)) >= 0x7f))
+      Some((le16(b, 6), le16(b, 8), "gif"))
     else None
   }
 

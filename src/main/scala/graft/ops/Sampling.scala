@@ -66,8 +66,10 @@ object Sampling {
     * `weights` keep `default`. Weights are quantized to 1/10000. */
   def weightedMix(df: DataFrame, id: String, domain: String,
                   weights: Map[String, Double], default: Double = 1.0): DataFrame = {
-    val thresh = weights.toSeq.sortBy(_._1).foldLeft(lit((default * 10000).toInt): Column) {
-      case (acc, (dom, w)) => when(col(domain) === dom, lit((w * 10000).toInt)).otherwise(acc)
+    // round, don't truncate: (0.29 * 10000).toInt is 2899 under binary
+    // float, silently shifting the keep-probability by 1e-4
+    val thresh = weights.toSeq.sortBy(_._1).foldLeft(lit(math.round(default * 10000).toInt): Column) {
+      case (acc, (dom, w)) => when(col(domain) === dom, lit(math.round(w * 10000).toInt)).otherwise(acc)
     }
     df.filter(hashBucket(col(id), 10000, tag = "mix:") < thresh)
   }

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Returns, Snapshot}
@@ -65,13 +66,17 @@ object StockAnalytics {
     * n = min(count/2, 20), TakeOrderedAndProject in Spark). */
   def topMovers(snapshot: DataFrame, sector: String,
                 gainers: Boolean): DataFrame = {
-    val sectorDf = snapshot.filter(col("gics_sector") === sector)
-    // n needs a count before the limit can be planned; snapshots are
-    // ≤ |tickers| rows, so the second scan is cheaper than managing a
-    // cache whose lifetime would have to outlive this method's return
-    val n = math.min(sectorDf.count() / 2, 20L).toInt
     val by: Column = if (gainers) col("daily_return").desc else col("daily_return").asc
-    sectorDf.orderBy(by, col("ticker")).limit(n)
+    // one pass: rank and count share the same single-partition window
+    // frame (snapshots are ≤ |tickers| rows), so no pre-count scan
+    val w = Window.orderBy(by, col("ticker"))
+    val wAll = Window.partitionBy()
+    snapshot.filter(col("gics_sector") === sector)
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("__n", least(floor(count(lit(1)).over(wAll) / 2), lit(20L)))
+      .filter(col("__rank") <= col("__n"))
+      .orderBy(by, col("ticker"))
+      .drop("__rank", "__n")
   }
 
   /** Display formatting (reference: app.py:121-124 — ⬆/⬇ glyph + 2dp

@@ -101,6 +101,64 @@ object PipelineQueries {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // REAL-ENGINE stateful dedup: dropDuplicatesWithinWatermark over the
+    // staged file stream. One staged file + AvailableNow = exactly one
+    // micro-batch, during which the watermark is still 0 — no late-row
+    // drop, no state expiry — so the surviving set is precisely "first
+    // occurrence per key". Which physical row wins a key race is
+    // task-order-dependent, so the query projects onto the key columns,
+    // making the output DISTINCT(keys): deterministic and oracle-exact.
+    "stream_dedup_live" -> ((s, dir) => {
+      val tmp = tempDir("graft_sdedup")
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$tmp/src/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = EventStreams.fromParquetDir(s, s"$tmp/src", schema)
+        .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      val deduped = EventStreams
+        .streamingDedup(src, Seq("user_id", "event_type", "value"))
+        .select(col("user_id"), col("event_type"), col("value"))
+      val q = EventStreams.toLake(deduped, s"$tmp/sink", s"$tmp/ckpt",
+        partitionCols = Seq.empty)
+      q.awaitTermination()
+      LakeReader.read(s, s"$tmp/sink")
+        .orderBy(col("user_id"), col("event_type"), col("value"))
+    }),
+
+    // REAL-ENGINE flatMapGroupsWithState: per-user running totals through
+    // the state store. The value is pre-scaled to integer cents
+    // (round(value·100) — the data is 2-dp), so the Double state
+    // accumulates exactly whatever the per-key iterator order; one data
+    // micro-batch (single staged file) emits exactly one Update row per
+    // user. A trailing timeout batch emits nothing (expiry removes
+    // state silently), keeping the output batching-invariant.
+    "stream_running_totals_live" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = tempDir("graft_srt")
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$tmp/src/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = EventStreams.fromParquetDir(s, s"$tmp/src", schema)
+        .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      val ue = src.select(col("user_id"), col("ts_utc"),
+          round(col("value") * 100).cast("double").as("value"))
+        .as[EventStreams.UserEvent]
+      val q = EventStreams.runningUserTotals(ue).toDF()
+        .writeStream.format("memory").queryName("graft_srt_mem")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_srt_mem")
+        .select(col("user_id"), col("n_events"),
+          col("total_value").cast("long").as("total_cents"))
+        .orderBy(col("user_id"))
+    }),
+
     "stream_sliding_avg" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(window(col("ts_utc"), "1 hour", "15 minutes"), col("event_type"))
@@ -152,6 +210,19 @@ object PipelineQueries {
         |FROM h, b
         |WHERE window_start + INTERVAL '1 hour' <= b.bound
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // one micro-batch ⇒ the dedup survivors are first-occurrence-per-key;
+    // projected onto the keys that is exactly DISTINCT
+    "stream_dedup_live" ->
+      """SELECT DISTINCT user_id, event_type, value FROM events
+        |ORDER BY user_id, event_type, value""".stripMargin,
+
+    // integer-cents running totals: one Update row per user after the
+    // single data batch = the full per-user aggregate
+    "stream_running_totals_live" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // sliding windows: each event belongs to the 4 epoch-aligned 15-min-slid
     // 1-hour windows covering it

@@ -70,12 +70,17 @@ object Jdbc {
   def readQuery(spark: SparkSession, url: String, sql: String, p: Properties): DataFrame =
     spark.read.jdbc(url, s"($sql) AS pushed", p)
 
-  /** Global high-watermark: MAX(ord) pushed down to the database. */
+  /** Global high-watermark: MAX(ord) pushed down to the database. `ord`
+    * must be a single-part column name — a dotted qualifier would make
+    * the derived alias ("latest_" + ord) invalid SQL. */
   def watermark(spark: SparkSession, url: String, table: String, ord: String,
-                p: Properties): DataFrame =
+                p: Properties): DataFrame = {
+    require(!ord.contains('.'),
+      s"watermark column must be unqualified, got '$ord'")
     readQuery(spark, url,
       s"SELECT MAX(${quoteIdent(ord)}) AS ${quoteIdent("latest_" + ord)} " +
         s"FROM ${checkIdent(table)}", p)
+  }
 
   /** Incremental append (reference: load_stock_metrics.py:89). */
   def append(df: DataFrame, url: String, table: String, p: Properties): Unit =
