@@ -48,16 +48,28 @@ object Dedup {
         i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
       .otherwise(array(array_join(toks, " ")))
 
+  /** Engine-portable 32-bit hash: the first 8 hex chars of
+    * md5(tag ++ x) as an unsigned int (the [[Sampling.hashBucket]]
+    * trick) — any engine with md5 replays it bit-for-bit, which is what
+    * puts the MinHash pipeline on the hard correctness signal. ~3× the
+    * cost of xxhash64, so the non-portable default keeps xxhash64 for
+    * the 100 TB hot path. */
+  private def mdHash(tag: String, x: Column): Column =
+    conv(substring(md5(concat(lit(tag), x)), 1, 8), 16, 10).cast("long")
+
   /** MinHash signature columns m0..m(k-1): for each of k seeded hash
     * functions, the min over the doc's distinct shingles. Computed
     * entirely per-row with higher-order array expressions — NO explode,
     * NO groupBy, NO shuffle; at 100 TB this is a pure map stage that
-    * scales linearly with input splits. */
+    * scales linearly with input splits. `portable = true` swaps xxhash64
+    * for the md5-derived hash (cross-engine replayable, slower). */
   def minhashSignatures(df: DataFrame, id: String, text: String,
-                        shingleSize: Int = 3, k: Int = 16): DataFrame = {
+                        shingleSize: Int = 3, k: Int = 16,
+                        portable: Boolean = false): DataFrame = {
     val toks = TextAnalysis.tokens(col(text))
     val sigCols = (0 until k).map(s =>
-      array_min(transform(col("__sh"), x => xxhash64(lit(s), x))).as(s"m$s"))
+      array_min(transform(col("__sh"),
+        x => if (portable) mdHash(s"mh$s:", x) else xxhash64(lit(s), x))).as(s"m$s"))
     df.withColumn("__sh", array_distinct(shingles(toks, shingleSize)))
       .select(col(id) +: sigCols: _*)
   }
@@ -84,7 +96,8 @@ object Dedup {
     * join without this cap). */
   def minhashCandidatePairs(df: DataFrame, id: String, text: String,
                             shingleSize: Int = 3, k: Int = 16, bands: Int = 4,
-                            maxBucket: Int = 1000): DataFrame = {
+                            maxBucket: Int = 1000,
+                            portable: Boolean = false): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"bands ($bands) must evenly divide the signature size ($k)")
     val rows = k / bands
@@ -94,13 +107,15 @@ object Dedup {
     // to a recomputed signature frame (the old shape scanned the corpus
     // 5x; this one feeds a self-join whose two branches are identical,
     // so the shuffle is planned once and reused).
-    val sig = minhashSignatures(df, id, text, shingleSize, k)
+    val sig = minhashSignatures(df, id, text, shingleSize, k, portable)
+    def bandBucket(cols: Seq[Column]): Column =
+      if (portable) md5(concat_ws(",", cols: _*)) else xxhash64(cols: _*)
     val banded = sig.select(
         col(id),
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"),
         explode(array((0 until bands).map { b =>
           val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
-          struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+          struct(lit(b).as("band"), bandBucket(cols).as("bucket"))
         }: _*)).as("bb"))
       .select(col(id), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val sized = banded.withColumn("bsize",
@@ -117,27 +132,36 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash over tokens: each token's xxhash64 votes +1/-1 on
-    * every bit; the sign of each bit-sum forms the signature. Near-dups
-    * differ in few bits.
+  /** SimHash over tokens: each token's hash votes +1/-1 on every bit;
+    * the sign of each bit-sum forms the signature. Near-dups differ in
+    * few bits. Default: 64-bit xxhash64 (fast). `portable = true`: a
+    * 60-bit md5-derived signature (60 = what fits a signed BIGINT from
+    * 15 hex chars) that any md5-capable engine replays bit-for-bit.
     *
     * Computed entirely per-row: hash every distinct token once, then fold
-    * the hashes into a 64-slot vote array with `aggregate`/`zip_with` —
+    * the hashes into a bit-slot vote array with `aggregate`/`zip_with` —
     * NO explode, NO groupBy, NO shuffle (the previous explode+groupBy
     * form shuffled docs×tokens rows; this is a pure map stage). */
-  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
-    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
+  def simhash(df: DataFrame, id: String, text: String,
+              portable: Boolean = false): DataFrame = {
+    val bits = if (portable) 60 else 64
+    val masks = array((0 until bits).map(i => lit(1L << i)): _*)
     val hashes = transform(array_distinct(TextAnalysis.tokens(col(text))),
-      t => xxhash64(t))
-    val votes = aggregate(hashes, array_repeat(lit(0), 64),
+      t => if (portable) mdHash60("sh:", t) else xxhash64(t))
+    val votes = aggregate(hashes, array_repeat(lit(0), bits),
       (acc, h) => zip_with(acc, masks,
         (a, m) => a + when(h.bitwiseAND(m) === m, 1).otherwise(-1)))
     val sig = aggregate(
       zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
     df.select(col(id), sig.as("simhash"))
-      .withColumn("bucket16", shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)))
+      .withColumn("bucket16",
+        shiftright(col("simhash"), bits - 16).bitwiseAND(lit(0xFFFFL)))
   }
+
+  /** 60-bit engine-portable hash (15 hex chars of md5 — see [[mdHash]]). */
+  private def mdHash60(tag: String, x: Column): Column =
+    conv(substring(md5(concat(lit(tag), x)), 1, 15), 16, 10).cast("long")
 
   /** SimHash near-duplicate pairs via the standard 4-table chunk scheme:
     * each signature buckets under its four 16-bit chunks; by pigeonhole,
@@ -147,11 +171,15 @@ object Dedup {
     * codegen'd, no custom expression. Join cost is bounded per
     * (chunk, bucket), never corpus². */
   def simhashNearDup(df: DataFrame, id: String, text: String,
-                     maxBits: Int = 3, maxBucket: Int = 10000): DataFrame = {
-    val sig = simhash(df, id, text)
+                     maxBits: Int = 3, maxBucket: Int = 10000,
+                     portable: Boolean = false): DataFrame = {
+    val sig = simhash(df, id, text, portable)
+    // 4 chunks of 16 (64-bit) or 15 (60-bit portable) bits — pigeonhole
+    // recall at hamming ≤ 3 holds for any 4-way disjoint chunking
+    val (cb, cm) = if (portable) (15, 0x7FFFL) else (16, 0xFFFFL)
     val chunks = array((0 until 4).map { i =>
       struct(lit(i).as("chunk"),
-        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+        shiftright(col("simhash"), i * cb).bitwiseAND(lit(cm)).as("bucket"))
     }: _*)
     val bucketed = sig.select(col(id), col("simhash"), explode(chunks).as("cb"))
       .select(col(id), col("simhash"), col("cb.chunk").as("chunk"), col("cb.bucket").as("bucket"))
@@ -207,6 +235,39 @@ object Dedup {
       .select(col("id_b").as(id)).distinct()
     df.join(dups, Seq(id), "left_anti")
   }
+
+  /** Benchmark decontamination flags: mark every training doc that shares
+    * at least one word n-gram with the benchmark/eval set — the standard
+    * guard against test-set leakage into training data (contamination ≔
+    * shingle overlap). The benchmark's distinct shingle index is
+    * BROADCAST (eval suites are tiny next to a 100 TB corpus), so the
+    * doc side is one map+explode and a broadcast join — the corpus never
+    * shuffles. Returns (id, n_contaminated_grams, contaminated). */
+  def contaminationFlags(docs: DataFrame, id: String, text: String,
+                         bench: DataFrame, benchText: String,
+                         shingleSize: Int = 3): DataFrame = {
+    val benchGrams = bench.select(
+      explode(array_distinct(shingles(TextAnalysis.tokens(col(benchText)), shingleSize)))
+        .as("gram")).distinct()
+    val docGrams = docs.select(col(id),
+      explode(array_distinct(shingles(TextAnalysis.tokens(col(text)), shingleSize)))
+        .as("gram"))
+    val hits = docGrams.join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_contaminated_grams"))
+    docs.select(col(id))
+      .join(hits, Seq(id), "left")
+      .na.fill(0, Seq("n_contaminated_grams"))
+      .withColumn("contaminated", col("n_contaminated_grams") > 0)
+  }
+
+  /** Drop contaminated docs ([[contaminationFlags]] ≥ 1 shared n-gram). */
+  def decontaminate(docs: DataFrame, id: String, text: String,
+                    bench: DataFrame, benchText: String,
+                    shingleSize: Int = 3): DataFrame =
+    docs.join(
+      contaminationFlags(docs, id, text, bench, benchText, shingleSize)
+        .filter(col("contaminated")).select(col(id)),
+      Seq(id), "left_anti")
 
   /** Exact threshold-Jaccard pairs with PREFIX FILTERING (the
     * AllPairs/PPJoin bound): index only each document's

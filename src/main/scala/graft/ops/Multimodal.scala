@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * GIF container headers in pure JVM byte arithmetic (no image
   * libraries in this container); payloads that are none of these fall
   * back to a clearly-marked deterministic stub ([[fakeDecode]]), which
-  * is what the text-payload test corpus exercises. Frame sampling
-  * remains a stub (byte slicing) pending a real video codec.
+  * is what the text-payload test corpus exercises. Frame sampling walks
+  * real AVI/RIFF containers ([[parseAviFrames]] — splitting frames needs
+  * only the container index, not a codec) and falls back to fixed-size
+  * byte slicing for non-container payloads.
   *
   * Scale notes: decode runs inside mapPartitions — one task per input
   * split, no shuffle, no driver involvement; exactly how a 100 TB media
@@ -115,19 +117,63 @@ object Multimodal {
       .mapPartitions(_.map { case (i, b) => decodeMeta(i, b) })
   }
 
-  /** STUB frame sampler: every `stride`-th fixed-size byte slice of a
-    * "video" payload — demonstrates the 1-row → N-frame-rows explode
-    * shape (generator output) without a real codec. */
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b(i)).toLong | (u8(b(i + 1)).toLong << 8) |
+      (u8(b(i + 2)).toLong << 16) | (u8(b(i + 3)).toLong << 24))
+
+  /** AVI (RIFF) container walk: the video frame payloads — the
+    * "NNdc"/"NNdb" chunks inside the 'movi' LIST (including ones nested
+    * in 'rec ' LISTs) — or None if the bytes are not an AVI. Splitting
+    * frames needs only the container's chunk index, not a codec, so this
+    * path is REAL: pure JVM chunk arithmetic, robust to truncated files
+    * (sizes are clamped to the buffer). Decoding the frame bytes to
+    * pixels would need a codec and stays out of scope. */
+  private[ops] def parseAviFrames(b: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    def fourcc(i: Int) = new String(b.slice(i, i + 4), "US-ASCII")
+    if (b.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    val frames = Vector.newBuilder[Array[Byte]]
+    def isFrame(cc: String) = cc.length == 4 &&
+      cc(0).isDigit && cc(1).isDigit &&
+      (cc.endsWith("dc") || cc.endsWith("db"))
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val cc = fourcc(i)
+        val sz = math.max(0L, le32(b, i + 4)).toInt
+        val dataStart = i + 8
+        val dataEnd = math.min(dataStart.toLong + sz, end.toLong).toInt
+        if (cc == "LIST" && dataStart + 4 <= end) {
+          val listType = fourcc(dataStart)
+          walk(dataStart + 4, dataEnd, inMovi || listType == "movi")
+        } else if (inMovi && isFrame(cc)) {
+          frames += b.slice(dataStart, dataEnd)
+        }
+        i = dataEnd + (sz & 1) // chunks pad to even length
+      }
+    }
+    val riffEnd = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
+    walk(12, riffEnd, inMovi = false)
+    Some(frames.result())
+  }
+
+  /** Frame sampler: every `stride`-th frame of a video payload. AVI/RIFF
+    * payloads are split on their REAL container chunk index
+    * ([[parseAviFrames]]); any other payload demonstrates the
+    * 1-row → N-frame-rows generator shape via fixed-size byte slicing
+    * (the declared stand-in for containers this parser doesn't know). */
   def sampleFrames(df: DataFrame, id: String = "doc_id", bin: String = "media",
                    frameSize: Int = 16, stride: Int = 4): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(id), col(bin)).as[(Long, Array[Byte])]
       .flatMap { case (i, b) =>
-        b.grouped(frameSize).zipWithIndex
-          .collect { case (frame, idx) if idx % stride == 0 =>
-            (i, idx.toLong, frame)
-          }
+        val frames: Iterator[(Array[Byte], Int)] = parseAviFrames(b) match {
+          case Some(fs) => fs.iterator.zipWithIndex
+          case None => b.grouped(frameSize).zipWithIndex
+        }
+        frames.collect { case (frame, idx) if idx % stride == 0 =>
+          (i, idx.toLong, frame)
+        }
       }
       .toDF(id, "frame_idx", "frame_bytes")
   }

@@ -87,10 +87,15 @@ object TextQueries {
         .select(col("n_docs"), col("approx_distinct_docs"),
           col("size_p50_p95_p99").getItem(0).as("p50"))),
 
-    // rows-only (hash functions are engine-specific; no portable SQL oracle)
+    // HARD SIGNAL: the portable (md5-hash) MinHash-LSH variant — DuckDB
+    // replays shingling, all 16 minhashes, band buckets, the maxBucket
+    // skew cap, and the candidate join, so the whole LSH pipeline is
+    // row/schema/hash-verified (xxhash64 stays the non-portable default
+    // for the scale hot path; semantics identical by construction).
     "dedup_minhash_lsh" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashCandidatePairs(docs, id = "doc_id", text = "text")
+      val pairs = Dedup.minhashCandidatePairs(docs, id = "doc_id", text = "text",
+        portable = true)
       val perDoc = pairs.groupBy(col("id_a").as("doc_id"))
         .agg(count(lit(1)).as("n_candidates"), max(col("est_jaccard")).as("max_est_jaccard"))
       docs.select(col("doc_id"))
@@ -99,19 +104,32 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // rows-only
+    // HARD SIGNAL: 60-bit portable (md5-hash) SimHash — DuckDB replays
+    // the per-token bit votes and the signature fold exactly
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhash(Tables.documents(s, dir), id = "doc_id", text = "text")
+      Dedup.simhash(Tables.documents(s, dir), id = "doc_id", text = "text",
+          portable = true)
         .orderBy(col("doc_id"))),
 
-    // rows-only (xxhash64-derived signatures are engine-specific).
-    // maxBits = 3 keeps the query in the pigeonhole-guaranteed regime:
-    // the 4-chunk scheme provably finds EVERY pair within hamming 3
-    // (verified 1034/1034 against brute force at sf0.01).
+    // HARD SIGNAL: portable SimHash near-dup pairs. maxBits = 3 keeps the
+    // query in the pigeonhole-guaranteed regime: the 4-chunk scheme
+    // provably finds EVERY pair within hamming 3 (verified 1034/1034
+    // against brute force at sf0.01 for the 64-bit variant; the same
+    // pigeonhole argument covers the 4×15-bit portable chunking).
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDup(Tables.documents(s, dir), id = "doc_id", text = "text",
-          maxBits = 3)
+          maxBits = 3, portable = true)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // benchmark decontamination: docs with doc_id % 97 == 0 act as the
+    // held-out eval set; every training doc sharing a 3-gram is flagged
+    "decontaminate_docs" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      Dedup.contaminationFlags(
+          all.filter(col("doc_id") % 97 =!= 0), id = "doc_id", text = "text",
+          bench = all.filter(col("doc_id") % 97 === 0), benchText = "text")
+        .orderBy(col("doc_id"))
+    }),
 
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(
@@ -129,6 +147,18 @@ object TextQueries {
 
   private val stopList = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
   private def langList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  // generated SQL fragments for the portable MinHash oracle (16 hash
+  // functions / 4 bands, mirroring Dedup.minhashSignatures(portable=true))
+  private val mhAggs = (0 until 16).map(s =>
+    s"min(CAST(concat('0x', substr(md5(concat('mh$s:', sh)), 1, 8)) AS BIGINT)) AS m$s")
+    .mkString(", ")
+  private val mhBands = (0 until 4).map { b =>
+    val cs = (b * 4 until b * 4 + 4).map(i => s"m$i").mkString(", ")
+    s"WHEN $b THEN md5(concat_ws(',', $cs))"
+  }.mkString(" ")
+  private val mhMatches = (0 until 16)
+    .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
 
   val oracle: Map[String, String] = Map(
     "dedup_exact_text" ->
@@ -217,6 +247,112 @@ object TextQueries {
         |FROM p JOIN s sa ON p.doc_a = sa.doc_id JOIN s sb ON p.doc_b = sb.doc_id
         |WHERE shared / (sa.n + sb.n - shared) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Portable MinHash-LSH replay: 3-token shingles (short docs collapse
+    // to one whole-doc shingle), 16 md5-derived minhashes, 4 band buckets
+    // (md5 of the comma-joined band), the maxBucket=1000 skew cap, the
+    // bucket self-join, then per-doc candidate counts.
+    "dedup_minhash_lsh" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+         | pos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p,
+         |           len(t) AS n FROM tk),
+         | sh3 AS (SELECT a.doc_id, concat(a.tok, ' ', b.tok, ' ', c.tok) AS sh
+         |   FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         |              JOIN pos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+         |   WHERE a.n >= 3),
+         | shw AS (SELECT doc_id, array_to_string(t, ' ') AS sh FROM tk WHERE len(t) < 3),
+         | shingle AS (SELECT DISTINCT doc_id, sh
+         |             FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM shw) u),
+         | sig AS (SELECT doc_id, $mhAggs FROM shingle GROUP BY doc_id),
+         | banded AS (SELECT sig.*, bb.band, CASE bb.band $mhBands END AS bucket
+         |   FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bb),
+         | sized AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsize
+         |           FROM banded),
+         | flt AS (SELECT * FROM sized WHERE bsize <= 1000),
+         | pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |     ($mhMatches) / 16.0 AS est_jaccard
+         |   FROM flt a JOIN flt b
+         |     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         | agg AS (SELECT id_a AS doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+         |     max(est_jaccard) AS max_est_jaccard
+         |   FROM pairs GROUP BY id_a)
+         |SELECT d.doc_id, COALESCE(g.n_candidates, 0) AS n_candidates,
+         |  COALESCE(g.max_est_jaccard, 0.0) AS max_est_jaccard
+         |FROM documents d LEFT JOIN agg g ON d.doc_id = g.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Decontamination replay: shared 3-gram shingles (short docs collapse
+    // to a whole-doc shingle) between the %97 benchmark slice and the rest.
+    "decontaminate_docs" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+        | pos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p,
+        |           len(t) AS n FROM tk),
+        | sh3 AS (SELECT a.doc_id, concat(a.tok, ' ', b.tok, ' ', c.tok) AS sh
+        |   FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |              JOIN pos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+        |   WHERE a.n >= 3),
+        | shw AS (SELECT doc_id, array_to_string(t, ' ') AS sh FROM tk WHERE len(t) < 3),
+        | sh AS (SELECT DISTINCT doc_id, sh
+        |        FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM shw) u),
+        | bg AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        | hits AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
+        |   FROM sh s JOIN bg USING (sh) WHERE s.doc_id % 97 <> 0
+        |   GROUP BY s.doc_id)
+        |SELECT d.doc_id, COALESCE(h.n_contaminated_grams, 0) AS n_contaminated_grams,
+        |  COALESCE(h.n_contaminated_grams, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 97 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Portable 60-bit SimHash replay: per-distinct-token 15-hex-char md5
+    // hash, ±1 votes per bit, sign fold, top-16-bit bucket.
+    "dedup_simhash" ->
+      """WITH tk AS (SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS t
+        |            FROM documents),
+        | tok AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+        | h AS (SELECT doc_id,
+        |     CAST(concat('0x', substr(md5(concat('sh:', tok)), 1, 15)) AS BIGINT) AS hv
+        |   FROM tok),
+        | votes AS (SELECT doc_id, i,
+        |     sum(CASE WHEN (hv >> CAST(i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |   FROM h CROSS JOIN range(0, 60) r(i) GROUP BY doc_id, i),
+        | sig AS (SELECT doc_id,
+        |     CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+        |              ELSE 0 END) AS BIGINT) AS simhash
+        |   FROM votes GROUP BY doc_id)
+        |SELECT doc_id, simhash,
+        |  CAST((simhash >> 44) & 65535 AS BIGINT) AS bucket16
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
+    // Portable SimHash near-dup: same signature, 4×15-bit chunk buckets,
+    // bucket self-join (maxBucket = 10000 cap replayed), XOR bit count.
+    "dedup_simhash_pairs" ->
+      """WITH tk AS (SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS t
+        |            FROM documents),
+        | tok AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+        | h AS (SELECT doc_id,
+        |     CAST(concat('0x', substr(md5(concat('sh:', tok)), 1, 15)) AS BIGINT) AS hv
+        |   FROM tok),
+        | votes AS (SELECT doc_id, i,
+        |     sum(CASE WHEN (hv >> CAST(i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |   FROM h CROSS JOIN range(0, 60) r(i) GROUP BY doc_id, i),
+        | sig AS (SELECT doc_id,
+        |     CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+        |              ELSE 0 END) AS BIGINT) AS simhash
+        |   FROM votes GROUP BY doc_id),
+        | bucketed AS (SELECT doc_id, simhash, chunk,
+        |     (simhash >> CAST(chunk * 15 AS INTEGER)) & 32767 AS bucket
+        |   FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk) c),
+        | sized AS (SELECT *, count(*) OVER (PARTITION BY chunk, bucket) AS bsize
+        |           FROM bucketed),
+        | flt AS (SELECT * FROM sized WHERE bsize <= 10000),
+        | pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |     bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |   FROM flt a JOIN flt b
+        |     ON a.chunk = b.chunk AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM pairs WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // frame_idx enumerates ceil(n/16) slices; only idx % 4 == 0 survive,
     // and the last slice carries the remainder bytes

@@ -100,6 +100,34 @@ class DedupSpec extends SparkSpec {
     pairs.exists(p => p(0) == 4L || p(1) == 4L) shouldBe false
   }
 
+  test("contaminationFlags/decontaminate: shared n-grams with the benchmark flag docs") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val flags = Dedup.contaminationFlags(docs, "doc_id", "text", bench, "text")
+      .orderBy(col("doc_id")).rows
+    // docs 1-3 share "the quick brown" (etc.) with the benchmark; doc 4 none
+    flags.map(r => (r(0), r(2))) shouldBe
+      Seq((1L, true), (2L, true), (3L, true), (4L, false))
+    Dedup.decontaminate(docs, "doc_id", "text", bench, "text")
+      .select("doc_id").rows.map(_.head) shouldBe Seq(4L)
+  }
+
+  test("portable minhash/simhash variants: same structural semantics as the fast path") {
+    // identical docs get identical portable signatures; candidate pairs found
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", portable = true)
+    val s12 = sig.filter(col("doc_id") <= 2).drop("doc_id").rows
+    s12.head shouldBe s12(1)
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text", portable = true)
+      .filter(col("id_a") === 1 && col("id_b") === 2).rows
+    pairs.head(2) shouldBe 1.0
+    val sh = Dedup.simhash(docs, "doc_id", "text", portable = true)
+      .select("simhash").rows.map(_.head.asInstanceOf[Long])
+    sh(0) shouldBe sh(1)
+    all(sh) should (be >= 0L and be < (1L << 60))
+    Dedup.simhashNearDup(docs, "doc_id", "text", portable = true)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .rows.head(2) shouldBe 0L
+  }
+
   test("jaccardPairs: hand-computed unigram jaccard") {
     // doc1 tokens {the,quick,brown,fox,jumps,over,lazy,dog} (8 distinct)
     // doc3 swaps dog→cat: intersection 7, union 9 → 7/9 ≈ 0.778

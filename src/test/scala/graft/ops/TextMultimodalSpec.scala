@@ -112,4 +112,46 @@ class TextMultimodalSpec extends SparkSpec {
     // 100 bytes → 7 chunks (idx 0..6), stride 4 keeps idx 0 and 4
     frames.select("frame_idx").rows.map(_.head) should contain theSameElementsAs Seq(0L, 4L)
   }
+
+  /** Minimal RIFF/AVI: header + 'movi' LIST holding video ('00dc'/'00db'),
+    * audio ('01wb', skipped), odd-size padding, and a nested 'rec ' LIST. */
+  private def craftedAvi: Array[Byte] = {
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def le(n: Int) = Array[Byte]((n & 0xFF).toByte, ((n >> 8) & 0xFF).toByte,
+      ((n >> 16) & 0xFF).toByte, ((n >> 24) & 0xFF).toByte)
+    def chunk(tag: String, data: Array[Byte]) =
+      cc(tag) ++ le(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val rec = cc("rec ") ++ chunk("00dc", cc("CC"))
+    val movi = cc("movi") ++
+      chunk("00dc", cc("AAAA")) ++    // video frame 0
+      chunk("01wb", cc("ZZ")) ++      // audio — skipped
+      chunk("00db", cc("BBB")) ++     // video frame 1, odd size → padded
+      chunk("LIST", rec)              // video frame 2, nested in rec LIST
+    val body = chunk("LIST", movi) ++ chunk("idx1", cc("XXXXXXXX"))
+    cc("RIFF") ++ le(4 + body.length) ++ cc("AVI ") ++ body
+  }
+
+  test("parseAviFrames walks the real RIFF chunk index") {
+    val frames = Multimodal.parseAviFrames(craftedAvi).get
+    frames.map(new String(_, "US-ASCII")) shouldBe Vector("AAAA", "BBB", "CC")
+    // non-AVI payloads are rejected, not mis-parsed
+    Multimodal.parseAviFrames("RIFFxxxxWAVE".getBytes("US-ASCII")) shouldBe None
+    Multimodal.parseAviFrames("plain text".getBytes("UTF-8")) shouldBe None
+    // truncated file: sizes clamp, no crash, partial frame recovered
+    val cut = craftedAvi.take(30)
+    Multimodal.parseAviFrames(cut).get.length should be <= 1
+  }
+
+  test("sampleFrames splits AVI payloads on container frames, others by slicing") {
+    val df = Seq((1L, craftedAvi), (2L, ("x" * 40).getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val out = Multimodal.sampleFrames(df, frameSize = 16, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        new String(r.getAs[Array[Byte]](2), "US-ASCII"))).sortBy(t => (t._1, t._2))
+    // doc 1: AVI frames 0,1,2 → stride 2 keeps 0 ("AAAA") and 2 ("CC");
+    // doc 2: 40 bytes → slices 0,1,2 → stride 2 keeps 0 and 2 (8 bytes)
+    out.toSeq shouldBe Seq((1L, 0L, "AAAA"), (1L, 2L, "CC"),
+      (2L, 0L, "x" * 16), (2L, 2L, "x" * 8))
+  }
 }
