@@ -159,6 +159,29 @@ object PipelineQueries {
         .orderBy(col("user_id"))
     }),
 
+    // REAL-ENGINE foreachBatch upsert — the reference's watermark+DELETE+
+    // append load pattern as a streaming merge. The tiebreak (event_id) is
+    // globally unique, so the per-key survivor is deterministic; one data
+    // micro-batch (single staged file) makes the final warehouse equal to
+    // dedupByKey(all rows) regardless of task order.
+    "stream_upsert_live" -> ((s, dir) => {
+      val tmp = tempDir("graft_sup")
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$tmp/src/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = EventStreams.fromParquetDir(s, s"$tmp/src", schema)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val q = EventStreams.mergeIntoWarehouse(src, s"$tmp/wh", s"$tmp/ckpt",
+        keys = Seq("user_id", "event_type"), tiebreak = "event_id",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      LakeReader.read(s, s"$tmp/wh")
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     "stream_sliding_avg" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(window(col("ts_utc"), "1 hour", "15 minutes"), col("event_type"))
@@ -223,6 +246,16 @@ object PipelineQueries {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // streamed upsert: last-writer-wins per key, writer order = event_id
+    "stream_upsert_live" ->
+      """WITH r AS (SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, value
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
 
     // sliding windows: each event belongs to the 4 epoch-aligned 15-min-slid
     // 1-hour windows covering it

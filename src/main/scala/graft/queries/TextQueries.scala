@@ -40,6 +40,13 @@ object TextQueries {
         .select(col("doc_id"), col("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionScore(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          col("dup_token_frac").cast("float").as("dup_token_frac"),
+          col("top_2gram_frac").cast("float").as("top_2gram_frac"))
+        .orderBy(col("doc_id"))),
+
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir))
         .select(col("doc_id"), col("fingerprint"))
@@ -196,6 +203,20 @@ object TextQueries {
          |      WHEN de >= zh THEN 'de'
          |      ELSE 'zh' END AS lang_pred
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+        | base AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd FROM tk),
+        | pos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p FROM tk),
+        | g2 AS (SELECT a.doc_id, concat(a.tok, ' ', b.tok) AS g
+        |   FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+        | gc AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        | gm AS (SELECT doc_id, max(c) AS maxc, sum(c) AS total FROM gc GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CAST(1.0 - CAST(nd AS DOUBLE) / nullif(n, 0) AS REAL) AS dup_token_frac,
+        |  CAST(COALESCE(CAST(maxc AS DOUBLE) / nullif(total, 0), 0.0) AS REAL) AS top_2gram_frac
+        |FROM base b LEFT JOIN gm ON b.doc_id = gm.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -141,8 +141,9 @@ object EventStreams {
     * watermark+DELETE+append load, load_stock_metrics.py:40-89). */
   def mergeIntoWarehouse(stream: DataFrame, warehousePath: String,
                          checkpoint: String, keys: Seq[String],
-                         tiebreak: String): StreamingQuery =
-    stream.writeStream
+                         tiebreak: String,
+                         trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -157,5 +158,6 @@ object EventStreams {
         // merge just read would be unrecoverable on a mid-write crash)
         LakeWriter.replaceSnapshot(merged, warehousePath, Seq.empty)
       }
-      .start()
+    trigger.fold(w)(w.trigger).start()
+  }
 }

@@ -27,6 +27,22 @@ class TextMultimodalSpec extends SparkSpec {
     s(0) should be > s(1)
   }
 
+  test("repetitionScore: hand-computed dup-token and top-2-gram fractions") {
+    val df = Seq(
+      (1L, "a b a b a"),   // toks 5, distinct 2; grams: "a b"×2, "b a"×2 → 2/4
+      (2L, "x y z w"),     // all distinct; each gram once → 1/3
+      (3L, "solo")         // 1 token: no grams → 0.0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionScore(df).orderBy("doc_id")
+      .select("dup_token_frac", "top_2gram_frac").rows
+      .map(r => (r(0).asInstanceOf[Double], r(1).asInstanceOf[Double]))
+    out(0)._1 shouldBe (1.0 - 2.0 / 5.0) +- 1e-12
+    out(0)._2 shouldBe 0.5 +- 1e-12
+    out(1)._1 shouldBe 0.0 +- 1e-12
+    out(1)._2 shouldBe (1.0 / 3.0) +- 1e-12
+    out(2) shouldBe ((0.0, 0.0))
+  }
+
   test("langId: stopword voting picks the right language") {
     val df = Seq(
       (1L, "the cat is in the house and it is big"),
