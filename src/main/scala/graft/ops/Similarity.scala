@@ -223,6 +223,64 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Product-quantization codebooks drawn from the corpus: the `k`
+    * vectors with `id` in [from, from+k), sliced into `m` equal
+    * subspaces → result[s][j] is code j's codeword in subspace s.
+    * Data-derived (like [[dataCentroids]]), so any engine reading the
+    * same rows rebuilds the identical codebooks — the whole PQ pipeline
+    * sits on the hard correctness signal. */
+  def pqCodebooks(df: DataFrame, id: String, vec: String, dim: Int,
+                  m: Int = 8, k: Int = 16, from: Long = 32): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val seeds = dataVectors(df, id, vec, from, k)
+    val sub = dim / m
+    Array.tabulate(m)(s => seeds.map(v => v.slice(s * sub, (s + 1) * sub)))
+  }
+
+  /** PQ encoding: per subspace, the nearest codeword by L2
+    * (argmin |x−c|² ≡ argmax 2·x·c − |c|², ties to the HIGHER code id) —
+    * an `m`-byte code per vector instead of `dim` floats, the standard
+    * ~32× memory compression for billion-scale ANN. Pure map stage:
+    * codebooks are plan literals, no shuffle, no driver. */
+  def pqEncode(df: DataFrame, vec: String, codebooks: Array[Array[Array[Double]]],
+               out: String = "pq_code"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val codes = (0 until m).map { s =>
+      val subv = slice(col(vec), s * sub + 1, sub)
+      val scores = array(codebooks(s).indices.map { j =>
+        val cw = codebooks(s)(j)
+        val c2 = cw.map(x => x * x).sum
+        struct((dot(subv, typedLit(cw.toSeq)) * 2 - lit(c2)).as("sc"),
+          lit(j).as("id"))
+      }: _*)
+      array_max(scores).getField("id")
+    }
+    df.withColumn(out, array(codes: _*))
+  }
+
+  /** PQ approximate top-k via asymmetric distance computation: score =
+    * q · reconstruct(code), where reconstruct concatenates the code's
+    * codewords (so the dot runs left-to-right over the full dim — the
+    * order an oracle can replay exactly). The corpus is scanned as codes
+    * (m small ints, not dim floats); the query side is broadcast; the
+    * top-k is the salted two-phase window. The recall/cost dial of real
+    * PQ indexes, minus the training loop (codebooks are data-derived). */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, id: String, vec: String,
+             codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val m = codebooks.length
+    val litCB = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val enc = pqEncode(candidates, vec, codebooks)
+      .select(col(id).as("neighbor_id"), col("pq_code"))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    val recon = concat((0 until m).map(s =>
+      element_at(element_at(litCB, s + 1),
+        element_at(col("pq_code"), s + 1) + 1)): _*)
+    val scored = enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), recon))
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding near-duplicate candidates: top `perBucket` most-similar
     * pairs inside each LSH bucket. Pair generation is bounded by bucket
     * size, not corpus size — the 100 TB-safe shape. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Packing, Sampling, TextAnalysis, Vocab}
+import graft.ops.{Dedup, Packing, Sampling, TextAnalysis, Vocab}
 
 /** Training-data curation layer over `documents`: deterministic
   * splits/samples/mixtures, vocabulary + TF-IDF, token-budget packing,
@@ -67,6 +67,30 @@ object SamplingQueries {
           tokens = "n_bpe_tokens", group = Seq("lang"))
         .orderBy(col("lang"), col("bin_id"))),
 
+    // THE FULL CURATION PIPELINE composed end-to-end: quality gate →
+    // exact-dedup canonical survivors → benchmark decontamination →
+    // deterministic train split → per-language token-budget packing.
+    // Every stage is an already-verified operator; this entry verifies
+    // that they compose (each stage's input is the previous stage's
+    // output, replayed stage-for-stage by the oracle).
+    "pipeline_curation_e2e" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      val bench = all.filter(col("doc_id") % 97 === 0)
+      val q = TextAnalysis.qualityScore(all.filter(col("doc_id") % 97 =!= 0))
+        .filter(col("quality_score") >= 0.45)
+      val keepers = Dedup.exactByContent(q, "doc_id", "text")
+        .select(col("keeper_id").as("doc_id"))
+      val deduped = q.join(keepers, Seq("doc_id"), "left_semi")
+      val clean = Dedup.decontaminate(deduped, "doc_id", "text", bench, "text")
+      val train = Sampling.hashSplit(clean, "doc_id")
+        .filter(col("split") === "train")
+      Packing.packByBudget(TextAnalysis.bpeTokenCount(train),
+          id = "doc_id", tokens = "n_bpe_tokens", budget = 2048L,
+          group = Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_bpe_tokens"), col("bin_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the synthetic corpus has no PII, so append an email/url/phone tail
     // derived from doc_id (identically in the oracle) — every row then
     // exercises all three redaction patterns plus the no-op path on the
@@ -82,7 +106,55 @@ object SamplingQueries {
     })
   )
 
+  private val stopList =
+    graft.ops.TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
+
   val oracle: Map[String, String] = Map(
+
+    // stage-for-stage replay of the curation pipeline; each fragment is
+    // the already-verified oracle of its standalone operator
+    "pipeline_curation_e2e" ->
+      s"""WITH t0 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 97 <> 0),
+         | qs AS (SELECT doc_id, text, lang,
+         |     0.4 * least(CAST(1 AS DOUBLE), CAST(len(toks) AS DOUBLE) / CAST(100 AS DOUBLE))
+         |     + 0.3 * (CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE) / nullif(len(toks), 0))
+         |     + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0)) AS q
+         |   FROM (SELECT doc_id, text, lang,
+         |           string_split(lower(trim(text)), ' ') AS toks FROM t0) z),
+         | q AS (SELECT doc_id, text, lang FROM qs WHERE q >= 0.45),
+         | keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         | d AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+         | dtk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM d),
+         | dpos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p,
+         |            len(t) AS n FROM dtk),
+         | dsh AS (SELECT DISTINCT doc_id, sh FROM (
+         |     SELECT a.doc_id, concat(a.tok, ' ', b.tok, ' ', c.tok) AS sh
+         |     FROM dpos a JOIN dpos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         |                 JOIN dpos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+         |     WHERE a.n >= 3
+         |     UNION ALL SELECT doc_id, array_to_string(t, ' ') FROM dtk WHERE len(t) < 3) u),
+         | btk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+         |         FROM documents WHERE doc_id % 97 = 0),
+         | bpos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p,
+         |            len(t) AS n FROM btk),
+         | bg AS (SELECT DISTINCT sh FROM (
+         |     SELECT concat(a.tok, ' ', b.tok, ' ', c.tok) AS sh
+         |     FROM bpos a JOIN bpos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         |                 JOIN bpos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+         |     WHERE a.n >= 3
+         |     UNION ALL SELECT array_to_string(t, ' ') FROM btk WHERE len(t) < 3) u),
+         | contaminated AS (SELECT DISTINCT s.doc_id FROM dsh s JOIN bg USING (sh)),
+         | clean AS (SELECT d.* FROM d
+         |           WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         | train AS (SELECT * FROM clean
+         |   WHERE CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 90),
+         | b AS (SELECT doc_id, lang,
+         |     CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+         |   FROM train)
+         |SELECT doc_id, lang, n_bpe_tokens,
+         |  CAST(floor(coalesce(sum(n_bpe_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin_id
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "sample_hash_split" ->
       """SELECT doc_id,

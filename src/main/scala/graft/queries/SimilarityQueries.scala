@@ -95,6 +95,22 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // product-quantization ANN: codebooks = subspace slices of vectors
+    // 32..47; corpus scanned as 8-code rows, ADC = dot(q, reconstruction)
+    // — fully oracled (codebooks data-derived, dot order left-to-right)
+    "sim_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", dim,
+        m = 8, k = 16, from = 32)
+      Similarity.pqTopK(
+          queries = emb.filter(col("vec_id") < 8),
+          candidates = emb, id = "vec_id", vec = "embedding",
+          codebooks = cb, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cosine").cast("float").as("adc_score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // near-dup candidates in data-derived LSH buckets (planes = vectors
     // 16..23) — fully oracled end-to-end
     "emb_near_dup" -> ((s, dir) => {
@@ -160,6 +176,41 @@ object SimilarityQueries {
         |SELECT query_id, neighbor_id, CAST(cos AS REAL) AS cosine,
         |  CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // PQ replay: codebooks from vectors 32..47 (8 subspaces × 8 dims),
+    // encode by argmax(2·x·c − |c|², ties to higher code), reconstruct by
+    // flattening the codewords in subspace order, ADC = one left-to-right
+    // dot over the full 64 dims — bit-identical to the Spark loop.
+    "sim_pq_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+        | seed AS (SELECT vec_id - 32 AS code, dv FROM v
+        |          WHERE vec_id >= 32 AND vec_id < 48),
+        | cbn AS (SELECT s, code, list_slice(dv, s*8 + 1, s*8 + 8) AS cw,
+        |     list_dot_product(list_slice(dv, s*8 + 1, s*8 + 8),
+        |                      list_slice(dv, s*8 + 1, s*8 + 8)) AS c2
+        |   FROM seed CROSS JOIN range(0, 8) t(s)),
+        | encs AS (SELECT v.vec_id, c.s, c.code,
+        |     row_number() OVER (PARTITION BY v.vec_id, c.s ORDER BY
+        |       2 * list_dot_product(list_slice(v.dv, c.s*8 + 1, c.s*8 + 8), c.cw)
+        |         - c.c2 DESC,
+        |       c.code DESC) AS rn
+        |   FROM v CROSS JOIN cbn c),
+        | rec AS (SELECT e.vec_id, flatten(list(c.cw ORDER BY e.s)) AS rv
+        |   FROM (SELECT * FROM encs WHERE rn = 1) e
+        |   JOIN cbn c ON c.s = e.s AND c.code = e.code
+        |   GROUP BY e.vec_id),
+        | q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id < 8),
+        | scored AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+        |     list_dot_product(q.qv, r.rv) AS adc
+        |   FROM q CROSS JOIN rec r WHERE q.query_id <> r.vec_id),
+        | rk AS (SELECT query_id, neighbor_id, adc,
+        |     row_number() OVER (PARTITION BY query_id
+        |       ORDER BY adc DESC, neighbor_id) AS rank
+        |   FROM scored)
+        |SELECT query_id, neighbor_id, CAST(adc AS REAL) AS adc_score,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
     // Planes are corpus vectors 16..31; bit i = (v · plane_i) > 0. Both

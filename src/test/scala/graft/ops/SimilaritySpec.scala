@@ -51,4 +51,29 @@ class SimilaritySpec extends SparkSpec {
       .select("cosine").rows
     top.head.head.asInstanceOf[Double] shouldBe 1.0 +- 1e-9
   }
+
+  test("PQ: seeds encode to their own code; ADC is exact when a vector IS a codeword") {
+    // 4-dim corpus, 2 subspaces of 2; seeds (ids 10,11) are well-separated
+    val pv = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (11L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.1f, 0.1f, 1.0f)),   // near seed 10 in both subspaces
+      (2L, Seq(0.1f, 1.0f, 1.0f, 0.1f))    // near seed 11 in both subspaces
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(pv, "vec_id", "embedding", dim = 4,
+      m = 2, k = 2, from = 10)
+    val codes = Similarity.pqEncode(pv, "embedding", cb)
+      .select("vec_id", "pq_code").rows.map(r => r(0) -> r(1)).toMap
+    codes(10L) shouldBe Seq(0, 0)   // each seed's nearest codeword is itself
+    codes(11L) shouldBe Seq(1, 1)
+    codes(1L) shouldBe Seq(0, 0)
+    codes(2L) shouldBe Seq(1, 1)
+    // ADC against a query equals the true dot with the reconstruction:
+    // neighbor 10 reconstructs exactly (it is codeword (0,0))
+    val top = Similarity.pqTopK(pv.filter(col("vec_id") === 1), pv,
+      "vec_id", "embedding", cb, k = 3)
+      .orderBy("rank").select("neighbor_id", "cosine").rows
+    top.head.head shouldBe 10L   // q=(1,.1,.1,1) · (1,0,0,1) = 2.0 — the max
+    top.head(1).asInstanceOf[Double] shouldBe 2.0 +- 1e-9
+  }
 }
