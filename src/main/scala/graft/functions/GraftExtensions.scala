@@ -30,7 +30,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => DotProduct(es(0), es(1))),
     (FunctionIdentifier("cosine_sim"),
       info("CosineSimilarity", "cosine_sim(a, b) - cosine similarity of two float/double arrays"),
-      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)))
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    (FunctionIdentifier("pq_encode"),
+      info("PqEncodeExpr", "pq_encode(v, codebooks) - product-quantization codes per subspace"),
+      (es: Seq[Expression]) => PqEncodeExpr(es(0), es(1)))
   )
 
   /** Imperative registration on an existing session (idempotent). */
@@ -41,4 +44,5 @@ object GraftFunctions {
 
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def pqEncode(v: Column, codebooks: Column): Column = call_function("pq_encode", v, codebooks)
 }

@@ -243,21 +243,9 @@ object Similarity {
     * ~32× memory compression for billion-scale ANN. Pure map stage:
     * codebooks are plan literals, no shuffle, no driver. */
   def pqEncode(df: DataFrame, vec: String, codebooks: Array[Array[Array[Double]]],
-               out: String = "pq_code"): DataFrame = {
-    val m = codebooks.length
-    val sub = codebooks(0)(0).length
-    val codes = (0 until m).map { s =>
-      val subv = slice(col(vec), s * sub + 1, sub)
-      val scores = array(codebooks(s).indices.map { j =>
-        val cw = codebooks(s)(j)
-        val c2 = cw.map(x => x * x).sum
-        struct((dot(subv, typedLit(cw.toSeq)) * 2 - lit(c2)).as("sc"),
-          lit(j).as("id"))
-      }: _*)
-      array_max(scores).getField("id")
-    }
-    df.withColumn(out, array(codes: _*))
-  }
+               out: String = "pq_code"): DataFrame =
+    df.withColumn(out, graft.functions.GraftFunctions.pqEncode(col(vec),
+      typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)))
 
   /** PQ approximate top-k via asymmetric distance computation: score =
     * q · reconstruct(code), where reconstruct concatenates the code's

@@ -122,6 +122,28 @@ object TextAnalysis {
       size(regexp_extract_all(col(text),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
 
+  /** Fixed-size token chunking with stride — the window splitter that
+    * turns documents into training/RAG sequences. Chunk k covers tokens
+    * [k·stride, k·stride + size); the last window starts at the final
+    * position < n that still adds new tokens, so every token lands in at
+    * least one chunk and short docs yield exactly one. Per-row
+    * slice+join expressions feeding one explode — no join, no shuffle;
+    * output grows by the overlap factor size/stride, exactly as at
+    * 100 TB. */
+  def chunk(df: DataFrame, id: String = "doc_id", text: String = "text",
+            size: Int = 64, stride: Int = 48): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride ($stride) <= size ($size)")
+    val toks = tokens(col(text))
+    val n = org.apache.spark.sql.functions.size(toks)
+    // number of windows: 1 + ceil(max(0, n - size) / stride)
+    val nChunks = lit(1) + ceil(greatest(n - size, lit(0)).cast("double") / stride).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      k => array_join(slice(toks, k * stride + 1, lit(size)), " "))
+    df.select(col(id), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+  }
+
   /** PII-style redaction: emails, then URLs, then phone-shaped digit
     * runs are replaced with typed placeholders. Patterns stay in the
     * RE2-compatible subset (no backrefs/lookaround) so any engine's

@@ -81,7 +81,10 @@ object SamplingQueries {
       val keepers = Dedup.exactByContent(q, "doc_id", "text")
         .select(col("keeper_id").as("doc_id"))
       val deduped = q.join(keepers, Seq("doc_id"), "left_semi")
-      val clean = Dedup.decontaminate(deduped, "doc_id", "text", bench, "text")
+      // 8-gram contamination (the realistic decontamination n-gram size:
+      // 3-grams flag ~every doc on this near-dup-heavy corpus)
+      val clean = Dedup.decontaminate(deduped, "doc_id", "text", bench, "text",
+        shingleSize = 8)
       val train = Sampling.hashSplit(clean, "doc_id")
         .filter(col("split") === "train")
       Packing.packByBudget(TextAnalysis.bpeTokenCount(train),
@@ -125,24 +128,18 @@ object SamplingQueries {
          | keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
          | d AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
          | dtk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM d),
-         | dpos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p,
-         |            len(t) AS n FROM dtk),
          | dsh AS (SELECT DISTINCT doc_id, sh FROM (
-         |     SELECT a.doc_id, concat(a.tok, ' ', b.tok, ' ', c.tok) AS sh
-         |     FROM dpos a JOIN dpos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
-         |                 JOIN dpos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
-         |     WHERE a.n >= 3
-         |     UNION ALL SELECT doc_id, array_to_string(t, ' ') FROM dtk WHERE len(t) < 3) u),
+         |     SELECT doc_id, array_to_string(list_slice(t, p, p + 7), ' ') AS sh
+         |     FROM (SELECT doc_id, t,
+         |             unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS p FROM dtk) z
+         |     UNION ALL SELECT doc_id, array_to_string(t, ' ') FROM dtk WHERE len(t) < 8) u),
          | btk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
          |         FROM documents WHERE doc_id % 97 = 0),
-         | bpos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p,
-         |            len(t) AS n FROM btk),
          | bg AS (SELECT DISTINCT sh FROM (
-         |     SELECT concat(a.tok, ' ', b.tok, ' ', c.tok) AS sh
-         |     FROM bpos a JOIN bpos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
-         |                 JOIN bpos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
-         |     WHERE a.n >= 3
-         |     UNION ALL SELECT array_to_string(t, ' ') FROM btk WHERE len(t) < 3) u),
+         |     SELECT array_to_string(list_slice(t, p, p + 7), ' ') AS sh
+         |     FROM (SELECT doc_id, t,
+         |             unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS p FROM btk) z
+         |     UNION ALL SELECT array_to_string(t, ' ') FROM btk WHERE len(t) < 8) u),
          | contaminated AS (SELECT DISTINCT s.doc_id FROM dsh s JOIN bg USING (sh)),
          | clean AS (SELECT d.* FROM d
          |           WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),

@@ -57,6 +57,11 @@ object TextQueries {
         .select(col("doc_id"), col("n_bpe_tokens"))
         .orderBy(col("doc_id"))),
 
+    // 64-token windows, stride 48 (the training/RAG sequence splitter)
+    "text_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(Tables.documents(s, dir), size = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     "text_rolling_hash" -> ((s, dir) =>
       TextAnalysis.rollingHashFingerprint(Tables.documents(s, dir))
         .select(col("doc_id"), col("rolling_hash"))
@@ -228,6 +233,17 @@ object TextQueries {
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // chunk k = tokens [k·48+1, k·48+64]; 1 + ceil(max(0, n−64)/48) windows
+    "text_chunk" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+        | m AS (SELECT doc_id, t,
+        |     1 + CAST(ceil(greatest(len(t) - 64, 0) / 48.0) AS INTEGER) AS nc
+        |   FROM tk),
+        | c AS (SELECT doc_id, t, unnest(range(0, nc)) AS k FROM m)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(t, k * 48 + 1, k * 48 + 64), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "text_rolling_hash" ->
       """WITH n AS (SELECT doc_id,

@@ -43,6 +43,16 @@ class TextMultimodalSpec extends SparkSpec {
     out(2) shouldBe ((0.0, 0.0))
   }
 
+  test("chunk: strided windows cover every token; short docs yield one chunk") {
+    val df = Seq((1L, "a b c d e"), (2L, "x")).toDF("doc_id", "text")
+    val overlapped = TextAnalysis.chunk(df, size = 2, stride = 1)
+      .orderBy("doc_id", "chunk_idx").select("chunk_text").rows.map(_.head)
+    overlapped shouldBe Seq("a b", "b c", "c d", "d e", "x")
+    val tiled = TextAnalysis.chunk(df, size = 2, stride = 2)
+      .orderBy("doc_id", "chunk_idx").select("chunk_text").rows.map(_.head)
+    tiled shouldBe Seq("a b", "c d", "e", "x")
+  }
+
   test("langId: stopword voting picks the right language") {
     val df = Seq(
       (1L, "the cat is in the house and it is big"),
