@@ -236,6 +236,44 @@ object Dedup {
     df.join(dups, Seq(id), "left_anti")
   }
 
+  /** Connected components over a near-duplicate pair list: every doc in a
+    * transitively-connected duplicate family gets the family's minimum id
+    * as `comp` — the cluster step real dedup pipelines run between
+    * pair generation and survivor selection (pairwise drop-the-larger-id
+    * alone mislabels chains like A~B, B~C where A≁C).
+    *
+    * Iterative min-label propagation (the GraphX/Pregel recipe in plain
+    * DataFrames): each round, every node takes the min of its own and its
+    * neighbors' labels; rounds ≤ component diameter (`maxIter` guards
+    * pathological chains — for web-scale graphs swap in the large-star/
+    * small-star variant, which converges in O(log n) rounds). Each round
+    * is one shuffle-join + one aggregate; `localCheckpoint` cuts the
+    * growing lineage so round N's plan doesn't replay rounds 1..N-1. The
+    * convergence probe collects a single count — no data ever reaches
+    * the driver. */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
+                        idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("comp")).as("nbr_comp"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp_new"))
+        .localCheckpoint()
+      converged = updated.filter(col("comp_new") < col("comp")).isEmpty
+      labels = updated.select(col("id"), col("comp_new").as("comp"))
+      i += 1
+    }
+    labels
+  }
+
   /** Benchmark decontamination flags: mark every training doc that shares
     * at least one word n-gram with the benchmark/eval set — the standard
     * guard against test-set leakage into training data (contamination ≔

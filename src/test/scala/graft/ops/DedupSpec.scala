@@ -128,6 +128,14 @@ class DedupSpec extends SparkSpec {
       .rows.head(2) shouldBe 0L
   }
 
+  test("duplicateClusters: chains merge transitively, isolated pairs stay separate") {
+    // chain 1-2-3 (1~2, 2~3 but never 1~3 directly) + isolated pair 7-9
+    val pairs = Seq((2L, 1L), (2L, 3L), (9L, 7L), (3L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs).orderBy("id").rows
+      .map(r => (r(0), r(1)))
+    out shouldBe Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+  }
+
   test("jaccardPairs: hand-computed unigram jaccard") {
     // doc1 tokens {the,quick,brown,fox,jumps,over,lazy,dog} (8 distinct)
     // doc3 swaps dog→cat: intersection 7, union 9 → 7/9 ≈ 0.778
