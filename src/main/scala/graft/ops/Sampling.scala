@@ -73,4 +73,48 @@ object Sampling {
     }
     df.filter(hashBucket(col(id), 10000, tag = "mix:") < thresh)
   }
+
+  /** Exact quantile-band filter: keep rows whose `value` has
+    * fraction-below in [lo, hi) — the outlier trim (e.g. drop the
+    * shortest 5% and longest 5% of documents) curation pipelines run
+    * before training. The ranking runs on the DISTINCT-value histogram:
+    * groupBy(value) + one running-sum window over |distinct values| rows
+    * (not the corpus) + a broadcast of the single total row, then a join
+    * back on value — no corpus-wide global window, so the only
+    * corpus-sized shuffle is the value join. Exact (not approximate)
+    * and therefore engine-replayable. */
+  def quantileBand(df: DataFrame, value: String, lo: Double, hi: Double): DataFrame = {
+    require(0.0 <= lo && lo < hi && hi <= 1.0, s"need 0 <= lo < hi <= 1, got [$lo, $hi)")
+    val hist = df.groupBy(col(value)).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col(value)).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist.withColumn("__below", coalesce(sum(col("__c")).over(w), lit(0L)))
+    val total = df.agg(count(lit(1)).as("__n"))
+    val band = ranked.crossJoin(broadcast(total))
+      .filter(col("__below") >= lit(lo) * col("__n") &&
+        col("__below") < lit(hi) * col("__n"))
+      .select(col(value))
+    df.join(band, Seq(value), "left_semi")
+  }
+
+  /** Domain upsampling with replacement — the "epochs per domain" form of
+    * a training mixture (weights may exceed 1; weights < 1 degrade to a
+    * [[weightedMix]]-style keep). Each row emits
+    * `floor(w) + (hash(id) < frac(w))` copies, so every domain's expected
+    * multiplicity is exactly its weight while staying a pure deterministic
+    * map + per-row explode (no shuffle, replayable under task retry, and
+    * a row's copy count never changes when the corpus grows). `copy_idx`
+    * distinguishes the replicas downstream (e.g. for shuffling salts). */
+  def upsample(df: DataFrame, id: String, domain: String,
+               weights: Map[String, Double], default: Double = 1.0): DataFrame = {
+    val wq = weights.toSeq.sortBy(_._1).foldLeft(lit(math.round(default * 10000).toInt): Column) {
+      case (acc, (dom, w)) => when(col(domain) === dom, lit(math.round(w * 10000).toInt)).otherwise(acc)
+    }
+    val copies = (wq / 10000).cast("int") +
+      when(hashBucket(col(id), 10000, tag = "up:") < wq % 10000, 1).otherwise(0)
+    df.withColumn("__copies", copies)
+      .select(col("*"), posexplode(array_repeat(lit(1), col("__copies"))))
+      .withColumnRenamed("pos", "copy_idx")
+      .withColumn("copy_idx", col("copy_idx").cast("long"))
+      .drop("col", "__copies")
+  }
 }

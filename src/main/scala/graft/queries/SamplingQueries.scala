@@ -37,6 +37,20 @@ object SamplingQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // outlier trim: drop the shortest 5% and longest 5% by n_chars
+    "sample_quantile_band" -> ((s, dir) =>
+      Sampling.quantileBand(Tables.documents(s, dir), value = "n_chars",
+          lo = 0.05, hi = 0.95)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // epochs-per-domain mixture: en ×2.5, zh ×0.5, everything else ×1
+    "sample_upsample" -> ((s, dir) =>
+      Sampling.upsample(Tables.documents(s, dir), id = "doc_id",
+          domain = "lang", weights = Map("en" -> 2.5, "zh" -> 0.5))
+        .select(col("doc_id"), col("lang"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))),
+
     "vocab_topk" -> ((s, dir) =>
       Vocab.topKTokens(Tables.documents(s, dir), text = "text", k = 50)
         .select(col("rank"), col("token"), col("n"))
@@ -177,6 +191,30 @@ object SamplingQueries {
         |WHERE CAST(concat('0x', substr(md5(concat('mix:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000
         |  < CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2500 WHEN 'zh' THEN 1000 ELSE 10000 END
         |ORDER BY doc_id""".stripMargin,
+
+    // keep value v iff count(rows with value < v) / n in [0.05, 0.95)
+    "sample_quantile_band" ->
+      """WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+        | r AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |       FROM h),
+        | n AS (SELECT count(*) AS n FROM documents)
+        |SELECT d.doc_id, d.n_chars
+        |FROM documents d JOIN r ON d.n_chars = r.v CROSS JOIN n
+        |WHERE r.below >= 0.05 * n.n AND r.below < 0.95 * n.n
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // copies = floor(w) + (hash < frac(w)); expected multiplicity = w
+    "sample_upsample" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 25000 WHEN 'zh' THEN 5000 ELSE 10000 END AS wq,
+        |    CAST(concat('0x', substr(md5(concat('up:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 AS h
+        |  FROM documents),
+        | c AS (SELECT doc_id, lang,
+        |    wq // 10000 + (CASE WHEN h < wq % 10000 THEN 1 ELSE 0 END) AS n FROM w)
+        |SELECT doc_id, lang, CAST(k AS BIGINT) AS copy_idx
+        |FROM (SELECT doc_id, lang, unnest(range(0, n)) AS k FROM c) z
+        |ORDER BY doc_id, copy_idx""".stripMargin,
 
     "vocab_topk" ->
       """WITH t AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
