@@ -159,6 +159,34 @@ object PipelineQueries {
         .orderBy(col("user_id"))
     }),
 
+    // STREAMING CURATION: the LLM-data path run as a stream — stateless
+    // quality gate (pure column expressions work unchanged on streaming
+    // frames), then stateful exact dedup on the content hash through the
+    // state store. One staged file ⇒ one micro-batch ⇒ the survivor set
+    // projected onto the hash is DISTINCT(quality-passing content) —
+    // deterministic and oracle-exact. Event time is synthesized from
+    // doc_id (the documents table has no timestamp column).
+    "stream_curation_live" -> ((s, dir) => {
+      val tmp = tempDir("graft_scur")
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$tmp/src/documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = EventStreams.fromParquetDir(s, s"$tmp/src", schema)
+        .withColumn("ts_utc",
+          expr("timestamp_micros(1704067200000000 + doc_id * 1000000)"))
+      val gated = graft.ops.TextAnalysis.qualityScore(src)
+        .filter(col("quality_score") >= 0.45)
+        .withColumn("content_hash", md5(col("text")))
+      val deduped = EventStreams.streamingDedup(gated, Seq("content_hash"))
+        .select(col("content_hash"))
+      val q = EventStreams.toLake(deduped, s"$tmp/sink", s"$tmp/ckpt",
+        partitionCols = Seq.empty)
+      q.awaitTermination()
+      LakeReader.read(s, s"$tmp/sink").orderBy(col("content_hash"))
+    }),
+
     // REAL-ENGINE foreachBatch upsert — the reference's watermark+DELETE+
     // append load pattern as a streaming merge. The tiebreak (event_id) is
     // globally unique, so the per-key survivor is deterministic; one data
@@ -246,6 +274,17 @@ object PipelineQueries {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // streamed curation: distinct content hashes of quality-passing docs
+    "stream_curation_live" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    string_split(lower(trim(text)), ' ') AS toks FROM documents),
+         | q AS (SELECT doc_id, text FROM t WHERE
+         |    0.4 * least(CAST(1 AS DOUBLE), CAST(len(toks) AS DOUBLE) / CAST(100 AS DOUBLE))
+         |    + 0.3 * (CAST(len(list_filter(toks, x -> x IN (${QuerySql.stopListEn}))) AS DOUBLE) / nullif(len(toks), 0))
+         |    + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0)) >= 0.45)
+         |SELECT DISTINCT md5(text) AS content_hash FROM q
+         |ORDER BY content_hash""".stripMargin,
 
     // streamed upsert: last-writer-wins per key, writer order = event_id
     "stream_upsert_live" ->

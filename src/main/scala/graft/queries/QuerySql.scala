@@ -9,4 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 private[queries] object QuerySql {
   val dec: DecimalType = DecimalType(18, 2)
   def d2(c: Column): Column = c.cast(dec)
+  /** English stopword list as a SQL IN-list (shared by oracle fragments). */
+  val stopListEn: String =
+    graft.ops.TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
 }

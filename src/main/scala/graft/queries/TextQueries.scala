@@ -99,6 +99,16 @@ object TextQueries {
         .select(col("n_docs"), col("approx_distinct_docs"),
           col("size_p50_p95_p99").getItem(0).as("p50"))),
 
+    // the exact complement of the sketch profile (one extra shuffle for
+    // the exact distinct; exact interpolated median) — fully oracled,
+    // and the pair documents the sketch-vs-exact trade the scale path
+    // makes deliberately
+    "corpus_profile_exact" -> ((s, dir) =>
+      Tables.documents(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(md5(col("text"))).as("n_distinct_docs"),
+        expr("percentile(n_chars, 0.5D)").as("median_n_chars"))),
+
     // HARD SIGNAL: the portable (md5-hash) MinHash-LSH variant — DuckDB
     // replays shingling, all 16 minhashes, band buckets, the maxBucket
     // skew cap, and the candidate join, so the whole LSH pipeline is
@@ -329,6 +339,13 @@ object TextQueries {
          |  COALESCE(g.max_est_jaccard, 0.0) AS max_est_jaccard
          |FROM documents d LEFT JOIN agg g ON d.doc_id = g.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // both engines: continuous (interpolated) median at index p*(n-1)
+    "corpus_profile_exact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_docs,
+        |  quantile_cont(n_chars, 0.5) AS median_n_chars
+        |FROM documents""".stripMargin,
 
     // Duplicate-family replay: the dedup_jaccard_pairs edge list, then
     // transitive closure via recursive CTE; comp = min id over the
