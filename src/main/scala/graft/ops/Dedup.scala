@@ -271,6 +271,13 @@ object Dedup {
       labels = updated.select(col("id"), col("comp_new").as("comp"))
       i += 1
     }
+    // a silent non-converged return would hand back plausible-looking but
+    // WRONG family labels (chains longer than maxIter keep intermediate
+    // ids) — fail loudly instead
+    require(converged,
+      s"duplicateClusters did not converge in $maxIter rounds — a duplicate " +
+        "chain exceeds the iteration budget; raise maxIter (rounds needed ≈ " +
+        "component diameter) or switch to the large-star/small-star variant")
     labels
   }
 

@@ -82,9 +82,13 @@ object Multimodal {
     * Unlike the PNG/JPEG signatures (unreachable in valid UTF-8 text),
     * "GIF87a" is plain ASCII, so a text payload could collide. Sanity
     * checks before accepting: nonzero dimensions and a logical-screen
-    * packed byte (offset 10) outside printable ASCII — real GIFs have
-    * the global-color-table flag set (≥0x80) or a tiny control value,
-    * while a text payload has a printable character there. */
+    * packed byte (offset 10) outside printable ASCII (0x20..0x7E).
+    * Deliberate precision-over-recall trade: a GIF with no global color
+    * table but color-resolution bits set (packed e.g. 0x70) is rejected
+    * to the stub decoder, because the alternative — a text payload
+    * starting "GIF87a" parsing as an image — would silently corrupt
+    * metadata. GIFs with a GCT (packed ≥ 0x80, the overwhelmingly common
+    * case) always pass. */
   private[ops] def parseGif(b: Array[Byte]): Option[(Long, Long, String)] = {
     if (b.length >= 13 && {
       val h = new String(b.take(6), "US-ASCII"); h == "GIF87a" || h == "GIF89a"
@@ -139,9 +143,13 @@ object Multimodal {
       var i = start
       while (i + 8 <= end) {
         val cc = fourcc(i)
-        val sz = math.max(0L, le32(b, i + 4)).toInt
         val dataStart = i + 8
-        val dataEnd = math.min(dataStart.toLong + sz, end.toLong).toInt
+        // clamp the declared u32 size to the remaining buffer BEFORE
+        // narrowing to Int: a corrupt/adversarial size ≥ 2^31 would
+        // otherwise overflow negative and drive the walk index out of
+        // bounds (one bad row must not kill the task)
+        val sz = math.min(math.max(0L, le32(b, i + 4)), (end - dataStart).toLong).toInt
+        val dataEnd = dataStart + sz
         if (cc == "LIST" && dataStart + 4 <= end) {
           val listType = fourcc(dataStart)
           walk(dataStart + 4, dataEnd, inMovi || listType == "movi")

@@ -85,10 +85,16 @@ object Sampling {
     * and therefore engine-replayable. */
   def quantileBand(df: DataFrame, value: String, lo: Double, hi: Double): DataFrame = {
     require(0.0 <= lo && lo < hi && hi <= 1.0, s"need 0 <= lo < hi <= 1, got [$lo, $hi)")
-    val hist = df.groupBy(col(value)).agg(count(lit(1)).as("__c"))
+    // NULL values have no quantile: exclude them from the histogram AND
+    // the total (Spark's Window.orderBy sorts nulls first, so an
+    // unfiltered null row would count as "below" every real value and
+    // silently shift the whole band); null rows are dropped from the
+    // output (a null key never matches the semi join)
+    val nonNull = df.filter(col(value).isNotNull)
+    val hist = nonNull.groupBy(col(value)).agg(count(lit(1)).as("__c"))
     val w = Window.orderBy(col(value)).rowsBetween(Window.unboundedPreceding, -1)
     val ranked = hist.withColumn("__below", coalesce(sum(col("__c")).over(w), lit(0L)))
-    val total = df.agg(count(lit(1)).as("__n"))
+    val total = nonNull.agg(count(lit(1)).as("__n"))
     val band = ranked.crossJoin(broadcast(total))
       .filter(col("__below") >= lit(lo) * col("__n") &&
         col("__below") < lit(hi) * col("__n"))

@@ -258,14 +258,17 @@ object Similarity {
              codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
     val m = codebooks.length
     val litCB = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-    val enc = pqEncode(candidates, vec, codebooks)
-      .select(col(id).as("neighbor_id"), col("pq_code"))
-    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
     val recon = concat((0 until m).map(s =>
       element_at(element_at(litCB, s + 1),
         element_at(col("pq_code"), s + 1) + 1)): _*)
+    // reconstruct BEFORE the join: per candidate once, not per
+    // (query, candidate) pair — with Q queries the post-join form would
+    // rebuild the dim-length array Q× per candidate for identical results
+    val enc = pqEncode(candidates, vec, codebooks)
+      .select(col(id).as("neighbor_id"), recon.as("recon"))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
     val scored = enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("qv"), recon))
+      .withColumn("cosine", dot(col("qv"), col("recon")))
     topKPerQuery(scored, k)
   }
 

@@ -123,9 +123,6 @@ object SamplingQueries {
     })
   )
 
-  private val stopList =
-    graft.ops.TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
-
   val oracle: Map[String, String] = Map(
 
     // stage-for-stage replay of the curation pipeline; each fragment is
@@ -134,7 +131,7 @@ object SamplingQueries {
       s"""WITH t0 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 97 <> 0),
          | qs AS (SELECT doc_id, text, lang,
          |     0.4 * least(CAST(1 AS DOUBLE), CAST(len(toks) AS DOUBLE) / CAST(100 AS DOUBLE))
-         |     + 0.3 * (CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE) / nullif(len(toks), 0))
+         |     + 0.3 * (CAST(len(list_filter(toks, x -> x IN (${QuerySql.stopListEn}))) AS DOUBLE) / nullif(len(toks), 0))
          |     + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0)) AS q
          |   FROM (SELECT doc_id, text, lang,
          |           string_split(lower(trim(text)), ' ') AS toks FROM t0) z),
@@ -194,11 +191,12 @@ object SamplingQueries {
 
     // keep value v iff count(rows with value < v) / n in [0.05, 0.95)
     "sample_quantile_band" ->
-      """WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+      """WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents
+        |           WHERE n_chars IS NOT NULL GROUP BY 1),
         | r AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
         |       FROM h),
-        | n AS (SELECT count(*) AS n FROM documents)
+        | n AS (SELECT count(n_chars) AS n FROM documents)
         |SELECT d.doc_id, d.n_chars
         |FROM documents d JOIN r ON d.n_chars = r.v CROSS JOIN n
         |WHERE r.below >= 0.05 * n.n AND r.below < 0.95 * n.n

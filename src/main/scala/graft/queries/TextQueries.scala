@@ -179,7 +179,6 @@ object TextQueries {
         .orderBy(col("doc_id"), col("frame_idx")))
   )
 
-  private val stopList = TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
   private def langList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
   // generated SQL fragments for the portable MinHash oracle (16 hash
@@ -210,7 +209,7 @@ object TextQueries {
       s"""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents)
          |SELECT doc_id,
          | CAST(0.4 * least(CAST(1 AS DOUBLE), CAST(len(toks) AS DOUBLE) / CAST(100 AS DOUBLE))
-         |  + 0.3 * (CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE) / nullif(len(toks), 0))
+         |  + 0.3 * (CAST(len(list_filter(toks, x -> x IN (${QuerySql.stopListEn}))) AS DOUBLE) / nullif(len(toks), 0))
          |  + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0)) AS REAL) AS quality_score
          |FROM t ORDER BY doc_id""".stripMargin,
 

@@ -167,6 +167,15 @@ class TextMultimodalSpec extends SparkSpec {
     // truncated file: sizes clamp, no crash, partial frame recovered
     val cut = craftedAvi.take(30)
     Multimodal.parseAviFrames(cut).get.length should be <= 1
+    // adversarial chunk size >= 2^31: the u32 must clamp to the buffer
+    // before narrowing to Int, not overflow negative and crash the walk
+    val evil = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte](0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F) ++
+      "AVI ".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++
+      Array[Byte](0x10, 0x00, 0x00, 0x80.toByte) ++   // size 0x80000010
+      "movi".getBytes("US-ASCII") ++ Array.fill[Byte](16)(0x41)
+    noException should be thrownBy Multimodal.parseAviFrames(evil)
   }
 
   test("sampleFrames splits AVI payloads on container frames, others by slicing") {
