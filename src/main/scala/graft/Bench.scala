@@ -35,8 +35,11 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // second compact line: the r2 driver tail-capture truncated the full
-    // JSON's head — this one always fits whatever window grabs the tail
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
+    // JSON's head — this one always fits whatever window grabs the tail.
+    // n counts only the queries that contributed to the total (failures
+    // record -1 in the per-query map and must not inflate n).
+    val nOk = results.values.count(_ >= 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -14,14 +14,15 @@ object RunQuery {
     val spark = GraftSession.local("run-query")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
-      // build the frame lazily per mode: query construction itself can be
-      // side-effectful (stream_* entries run the whole streaming job in
-      // the builder), so timing mode must not construct an extra untimed
-      // copy before the timed runs
-      if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
-        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      // build each frame exactly once per mode: query construction itself
+      // can be side-effectful (stream_* entries run the whole streaming
+      // job in the builder), so neither timing nor explain may construct
+      // an extra copy
       sys.env.get("SPARK_GRAFT_TIME").map(_.toInt) match {
         case Some(n) =>
+          if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+            System.err.println("[runquery] EXPLAIN ignored in timing mode " +
+              "(would add an untimed extra run)")
           (1 to n).foreach { i =>
             val t0 = System.nanoTime()
             val rows = SparkEntry.queries(name)(spark, sfDir).count()
@@ -29,6 +30,7 @@ object RunQuery {
           }
         case None =>
           val df = SparkEntry.queries(name)(spark, sfDir)
+          if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
           println(s"[runquery] $name rows=${df.count()}")
           df.show(showN, truncate = false)
       }

@@ -48,14 +48,15 @@ object Dedup {
         i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
       .otherwise(array(array_join(toks, " ")))
 
-  /** Engine-portable 32-bit hash: the first 8 hex chars of
-    * md5(tag ++ x) as an unsigned int (the [[Sampling.hashBucket]]
-    * trick) — any engine with md5 replays it bit-for-bit, which is what
-    * puts the MinHash pipeline on the hard correctness signal. ~3× the
-    * cost of xxhash64, so the non-portable default keeps xxhash64 for
-    * the 100 TB hot path. */
-  private def mdHash(tag: String, x: Column): Column =
-    conv(substring(md5(concat(lit(tag), x)), 1, 8), 16, 10).cast("long")
+  /** Engine-portable hash: the first `hexChars` hex chars of
+    * md5(tag ++ x) as an unsigned long (the [[Sampling.hashBucket]]
+    * trick; 8 chars → 32 bits for minhash, 15 → 60 bits for simhash,
+    * the most that fits a signed BIGINT) — any engine with md5 replays
+    * it bit-for-bit, which is what puts the hash pipelines on the hard
+    * correctness signal. ~3× the cost of xxhash64, so the non-portable
+    * defaults keep xxhash64 for the 100 TB hot path. */
+  private def mdHash(tag: String, x: Column, hexChars: Int = 8): Column =
+    conv(substring(md5(concat(lit(tag), x)), 1, hexChars), 16, 10).cast("long")
 
   /** MinHash signature columns m0..m(k-1): for each of k seeded hash
     * functions, the min over the doc's distinct shingles. Computed
@@ -147,7 +148,7 @@ object Dedup {
     val bits = if (portable) 60 else 64
     val masks = array((0 until bits).map(i => lit(1L << i)): _*)
     val hashes = transform(array_distinct(TextAnalysis.tokens(col(text))),
-      t => if (portable) mdHash60("sh:", t) else xxhash64(t))
+      t => if (portable) mdHash("sh:", t, hexChars = 15) else xxhash64(t))
     val votes = aggregate(hashes, array_repeat(lit(0), bits),
       (acc, h) => zip_with(acc, masks,
         (a, m) => a + when(h.bitwiseAND(m) === m, 1).otherwise(-1)))
@@ -159,9 +160,6 @@ object Dedup {
         shiftright(col("simhash"), bits - 16).bitwiseAND(lit(0xFFFFL)))
   }
 
-  /** 60-bit engine-portable hash (15 hex chars of md5 — see [[mdHash]]). */
-  private def mdHash60(tag: String, x: Column): Column =
-    conv(substring(md5(concat(lit(tag), x)), 1, 15), 16, 10).cast("long")
 
   /** SimHash near-duplicate pairs via the standard 4-table chunk scheme:
     * each signature buckets under its four 16-bit chunks; by pigeonhole,

@@ -139,28 +139,36 @@ object Multimodal {
     def isFrame(cc: String) = cc.length == 4 &&
       cc(0).isDigit && cc(1).isDigit &&
       (cc.endsWith("dc") || cc.endsWith("db"))
-    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
-      var i = start
+    // iterative walk with an explicit stack: recursing per nested LIST
+    // would let a crafted deeply-nested payload blow the task's JVM
+    // stack — the same one-bad-row-must-not-kill-the-task requirement
+    // the size clamp below serves
+    val riffEnd = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
+    var stack = List((12, riffEnd, false))
+    while (stack.nonEmpty) {
+      var (i, end, inMovi) = stack.head
+      stack = stack.tail
       while (i + 8 <= end) {
         val cc = fourcc(i)
         val dataStart = i + 8
         // clamp the declared u32 size to the remaining buffer BEFORE
         // narrowing to Int: a corrupt/adversarial size ≥ 2^31 would
         // otherwise overflow negative and drive the walk index out of
-        // bounds (one bad row must not kill the task)
+        // bounds
         val sz = math.min(math.max(0L, le32(b, i + 4)), (end - dataStart).toLong).toInt
         val dataEnd = dataStart + sz
         if (cc == "LIST" && dataStart + 4 <= end) {
-          val listType = fourcc(dataStart)
-          walk(dataStart + 4, dataEnd, inMovi || listType == "movi")
-        } else if (inMovi && isFrame(cc)) {
-          frames += b.slice(dataStart, dataEnd)
+          // descend into the LIST first (LIFO pop order keeps frames in
+          // document order), resuming this level after it
+          stack = (dataStart + 4, dataEnd, inMovi || fourcc(dataStart) == "movi") ::
+            (dataEnd + (sz & 1), end, inMovi) :: stack
+          i = end // break inner loop; resume via the stack
+        } else {
+          if (inMovi && isFrame(cc)) frames += b.slice(dataStart, dataEnd)
+          i = dataEnd + (sz & 1) // chunks pad to even length
         }
-        i = dataEnd + (sz & 1) // chunks pad to even length
       }
     }
-    val riffEnd = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
-    walk(12, riffEnd, inMovi = false)
     Some(frames.result())
   }
 

@@ -94,7 +94,9 @@ object Sampling {
     val hist = nonNull.groupBy(col(value)).agg(count(lit(1)).as("__c"))
     val w = Window.orderBy(col(value)).rowsBetween(Window.unboundedPreceding, -1)
     val ranked = hist.withColumn("__below", coalesce(sum(col("__c")).over(w), lit(0L)))
-    val total = nonNull.agg(count(lit(1)).as("__n"))
+    // the total is derivable from the histogram — aggregating |distinct
+    // values| rows instead of re-scanning the corpus a second time
+    val total = hist.agg(sum(col("__c")).as("__n"))
     val band = ranked.crossJoin(broadcast(total))
       .filter(col("__below") >= lit(lo) * col("__n") &&
         col("__below") < lit(hi) * col("__n"))
@@ -117,10 +119,14 @@ object Sampling {
     }
     val copies = (wq / 10000).cast("int") +
       when(hashBucket(col(id), 10000, tag = "up:") < wq % 10000, 1).otherwise(0)
+    // alias the generator output explicitly: posexplode's default names
+    // (pos/col) could collide with — and then rename/drop — a caller's
+    // own columns
     df.withColumn("__copies", copies)
-      .select(col("*"), posexplode(array_repeat(lit(1), col("__copies"))))
-      .withColumnRenamed("pos", "copy_idx")
+      .select(col("*"),
+        posexplode(array_repeat(lit(1), col("__copies")))
+          .as(Seq("copy_idx", "__upsample_one")))
       .withColumn("copy_idx", col("copy_idx").cast("long"))
-      .drop("col", "__copies")
+      .drop("__upsample_one", "__copies")
   }
 }

@@ -40,6 +40,24 @@ object PipelineQueries {
     p.toString
   }
 
+  /** Stage one read-only parquet table as a file-source stream: symlink
+    * the file into a scratch source dir (the file source wants a
+    * directory; no copy) and open it with the batch-read schema. Returns
+    * the streaming frame and the scratch root (for sink/checkpoint
+    * paths). One staged file ⇒ AvailableNow runs exactly one data
+    * micro-batch — the property every live streaming oracle's
+    * batching-invariance argument rests on. */
+  private def stageStream(s: SparkSession, dir: String, table: String,
+                          prefix: String): (DataFrame, String) = {
+    val tmp = tempDir(prefix)
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(s"$tmp/src/$table.parquet"),
+      java.nio.file.Paths.get(s"$dir/$table.parquet"))
+    val schema = s.read.parquet(s"$dir/$table.parquet").schema
+    (EventStreams.fromParquetDir(s, s"$tmp/src", schema), tmp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "pipeline_stock_e2e" -> ((s, dir) => {
@@ -78,16 +96,8 @@ object PipelineQueries {
     // conservative bound strictly inside the 10-min-lateness horizon, so
     // the emitted set is identical however the engine batches the files.
     "stream_tumbling_live" -> ((s, dir) => {
-      val tmp = tempDir("graft_stream")
-      // the file source wants a directory: stage the (read-only) events
-      // file into one via symlink — no copy
-      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
-      java.nio.file.Files.createSymbolicLink(
-        java.nio.file.Paths.get(s"$tmp/src/events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = EventStreams.fromParquetDir(s, s"$tmp/src", schema)
-        .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      val (raw, tmp) = stageStream(s, dir, "events", "graft_stream")
+      val src = raw.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
       val q = EventStreams.toLake(EventStreams.tumblingAgg(src),
         s"$tmp/sink", s"$tmp/ckpt", partitionCols = Seq.empty)
       q.awaitTermination()
@@ -109,14 +119,8 @@ object PipelineQueries {
     // task-order-dependent, so the query projects onto the key columns,
     // making the output DISTINCT(keys): deterministic and oracle-exact.
     "stream_dedup_live" -> ((s, dir) => {
-      val tmp = tempDir("graft_sdedup")
-      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
-      java.nio.file.Files.createSymbolicLink(
-        java.nio.file.Paths.get(s"$tmp/src/events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = EventStreams.fromParquetDir(s, s"$tmp/src", schema)
-        .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      val (raw, tmp) = stageStream(s, dir, "events", "graft_sdedup")
+      val src = raw.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
       val deduped = EventStreams
         .streamingDedup(src, Seq("user_id", "event_type", "value"))
         .select(col("user_id"), col("event_type"), col("value"))
@@ -136,14 +140,8 @@ object PipelineQueries {
     // state silently), keeping the output batching-invariant.
     "stream_running_totals_live" -> ((s, dir) => {
       import s.implicits._
-      val tmp = tempDir("graft_srt")
-      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
-      java.nio.file.Files.createSymbolicLink(
-        java.nio.file.Paths.get(s"$tmp/src/events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = EventStreams.fromParquetDir(s, s"$tmp/src", schema)
-        .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      val (raw, tmp) = stageStream(s, dir, "events", "graft_srt")
+      val src = raw.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
       val ue = src.select(col("user_id"), col("ts_utc"),
           round(col("value") * 100).cast("double").as("value"))
         .as[EventStreams.UserEvent]
@@ -167,15 +165,9 @@ object PipelineQueries {
     // deterministic and oracle-exact. Event time is synthesized from
     // doc_id (the documents table has no timestamp column).
     "stream_curation_live" -> ((s, dir) => {
-      val tmp = tempDir("graft_scur")
-      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
-      java.nio.file.Files.createSymbolicLink(
-        java.nio.file.Paths.get(s"$tmp/src/documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val src = EventStreams.fromParquetDir(s, s"$tmp/src", schema)
-        .withColumn("ts_utc",
-          expr("timestamp_micros(1704067200000000 + doc_id * 1000000)"))
+      val (raw, tmp) = stageStream(s, dir, "documents", "graft_scur")
+      val src = raw.withColumn("ts_utc",
+        expr("timestamp_micros(1704067200000000 + doc_id * 1000000)"))
       val gated = graft.ops.TextAnalysis.qualityScore(src)
         .filter(col("quality_score") >= 0.45)
         .withColumn("content_hash", md5(col("text")))
@@ -193,13 +185,8 @@ object PipelineQueries {
     // micro-batch (single staged file) makes the final warehouse equal to
     // dedupByKey(all rows) regardless of task order.
     "stream_upsert_live" -> ((s, dir) => {
-      val tmp = tempDir("graft_sup")
-      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/src"))
-      java.nio.file.Files.createSymbolicLink(
-        java.nio.file.Paths.get(s"$tmp/src/events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = EventStreams.fromParquetDir(s, s"$tmp/src", schema)
+      val (raw, tmp) = stageStream(s, dir, "events", "graft_sup")
+      val src = raw
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       val q = EventStreams.mergeIntoWarehouse(src, s"$tmp/wh", s"$tmp/ckpt",
         keys = Seq("user_id", "event_type"), tiebreak = "event_id",
