@@ -95,6 +95,21 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // embedding DQ audit: the pre-index gate a 100 TB vector lake runs
+    // before building ANN structures (zero vectors break cosine; dim
+    // drift breaks every kernel) — one aggregate pass, no shuffle
+    "emb_audit" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val d = Similarity.dot(col("embedding"), col("embedding"))
+      emb.agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("embedding").isNull, 1).otherwise(0)).cast("long").as("n_null"),
+        sum(when(col("embedding").isNotNull && d === 0.0, 1).otherwise(0))
+          .cast("long").as("n_zero_norm"),
+        min(size(col("embedding"))).cast("long").as("dim_min"),
+        max(size(col("embedding"))).cast("long").as("dim_max"))
+    }),
+
     // product-quantization ANN: codebooks = subspace slices of vectors
     // 32..47; corpus scanned as 8-code rows, ADC = dot(q, reconstruction)
     // — fully oracled (codebooks data-derived, dot order left-to-right)
@@ -111,6 +126,30 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ANN quality metric computed BY the engine on itself: recall@5 of
+    // the data-centroid IVF probe against brute-force ground truth, per
+    // query. Both sides are already-verified queries; this entry verifies
+    // the evaluation join. (nprobe=4 of 16 lists ⇒ recall < 1 is the
+    // expected, honest answer on unclustered data.)
+    "sim_recall_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q8 = emb.filter(col("vec_id") < 8)
+      val bf = Similarity.bruteForceTopK(q8, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val cents = Similarity.dataCentroids(emb, "vec_id", "embedding", k = 16)
+      val ivf = Similarity.ivfTopK(q8, emb, "vec_id", "embedding",
+          dim = dim, k = 5, nCentroids = 16, nprobe = 4,
+          centroids = Some(cents))
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = bf.join(ivf, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      bf.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).cast("float").as("recall_at_5"))
+        .orderBy(col("query_id"))
+    }),
+
     // near-dup candidates in data-derived LSH buckets (planes = vectors
     // 16..23) — fully oracled end-to-end
     "emb_near_dup" -> ((s, dir) => {
@@ -125,58 +164,86 @@ object SimilarityQueries {
     })
   )
 
+  private val simCosineTopkSql =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 8),
+      | c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      |       FROM embeddings),
+      | s AS (SELECT query_id, neighbor_id,
+      |         list_cosine_similarity(qv, cv) AS cos
+      |       FROM q JOIN c ON query_id <> neighbor_id),
+      | r AS (SELECT query_id, neighbor_id, cos,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cos DESC, neighbor_id) AS rank
+      |       FROM s)
+      |SELECT query_id, neighbor_id, CAST(cos AS REAL) AS cosine,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  private val simIvfDataTopkSql =
+    """WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+      |              FROM embeddings WHERE vec_id < 16),
+      | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+      | assign AS (SELECT vec_id, centroid_id, dv,
+      |     row_number() OVER (PARTITION BY vec_id ORDER BY
+      |       COALESCE(list_cosine_similarity(dv, cvec), -2) DESC,
+      |       centroid_id DESC) AS rn
+      |   FROM v CROSS JOIN cent),
+      | idx AS (SELECT vec_id AS neighbor_id, centroid_id, dv AS cv
+      |         FROM assign WHERE rn = 1),
+      | q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id < 8),
+      | probes AS (SELECT query_id, qv, centroid_id,
+      |     row_number() OVER (PARTITION BY query_id ORDER BY
+      |       COALESCE(list_cosine_similarity(qv, cvec), -2) DESC,
+      |       centroid_id DESC) AS pr
+      |   FROM q CROSS JOIN cent),
+      | scored AS (SELECT p.query_id, i.neighbor_id,
+      |     list_cosine_similarity(p.qv, i.cv) AS cos
+      |   FROM (SELECT query_id, qv, centroid_id FROM probes WHERE pr <= 4) p
+      |   JOIN idx i USING (centroid_id)
+      |   WHERE p.query_id <> i.neighbor_id),
+      | r AS (SELECT query_id, neighbor_id, cos,
+      |     row_number() OVER (PARTITION BY query_id
+      |       ORDER BY cos DESC, neighbor_id) AS rank
+      |   FROM scored)
+      |SELECT query_id, neighbor_id, CAST(cos AS REAL) AS cosine,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "sim_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-        |           FROM embeddings WHERE vec_id < 8),
-        | c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-        |       FROM embeddings),
-        | s AS (SELECT query_id, neighbor_id,
-        |         list_cosine_similarity(qv, cv) AS cos
-        |       FROM q JOIN c ON query_id <> neighbor_id),
-        | r AS (SELECT query_id, neighbor_id, cos,
-        |         row_number() OVER (PARTITION BY query_id
-        |           ORDER BY cos DESC, neighbor_id) AS rank
-        |       FROM s)
-        |SELECT query_id, neighbor_id, CAST(cos AS REAL) AS cosine,
-        |  CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "sim_cosine_topk" -> simCosineTopkSql,
+
+    // Recall evaluation composed from the two verified queries above and
+    // below (each embedded as a WITH-bearing subquery).
+    "sim_recall_ivf" ->
+      s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($simCosineTopkSql) x),
+         | iv AS (SELECT query_id, neighbor_id FROM ($simIvfDataTopkSql) y),
+         | h AS (SELECT bf.query_id, count(*) AS n
+         |       FROM bf JOIN iv USING (query_id, neighbor_id)
+         |       GROUP BY bf.query_id),
+         | qs AS (SELECT DISTINCT query_id FROM bf)
+         |SELECT qs.query_id,
+         |  CAST(COALESCE(h.n, 0) / 5.0 AS REAL) AS recall_at_5
+         |FROM qs LEFT JOIN h ON qs.query_id = h.query_id
+         |ORDER BY qs.query_id""".stripMargin,
 
     // Mirrors ivfTopK with dataCentroids exactly: the assignment argmax is
     // array_max over (cos, id) structs — highest cosine, ties to the
     // HIGHER centroid id — hence ORDER BY cos DESC, centroid_id DESC;
     // the probe list uses the same ordering; zero vectors coalesce to -2.
-    "sim_ivf_data_topk" ->
-      """WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
-        |              FROM embeddings WHERE vec_id < 16),
-        | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
-        | assign AS (SELECT vec_id, centroid_id, dv,
-        |     row_number() OVER (PARTITION BY vec_id ORDER BY
-        |       COALESCE(list_cosine_similarity(dv, cvec), -2) DESC,
-        |       centroid_id DESC) AS rn
-        |   FROM v CROSS JOIN cent),
-        | idx AS (SELECT vec_id AS neighbor_id, centroid_id, dv AS cv
-        |         FROM assign WHERE rn = 1),
-        | q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id < 8),
-        | probes AS (SELECT query_id, qv, centroid_id,
-        |     row_number() OVER (PARTITION BY query_id ORDER BY
-        |       COALESCE(list_cosine_similarity(qv, cvec), -2) DESC,
-        |       centroid_id DESC) AS pr
-        |   FROM q CROSS JOIN cent),
-        | scored AS (SELECT p.query_id, i.neighbor_id,
-        |     list_cosine_similarity(p.qv, i.cv) AS cos
-        |   FROM (SELECT query_id, qv, centroid_id FROM probes WHERE pr <= 4) p
-        |   JOIN idx i USING (centroid_id)
-        |   WHERE p.query_id <> i.neighbor_id),
-        | r AS (SELECT query_id, neighbor_id, cos,
-        |     row_number() OVER (PARTITION BY query_id
-        |       ORDER BY cos DESC, neighbor_id) AS rank
-        |   FROM scored)
-        |SELECT query_id, neighbor_id, CAST(cos AS REAL) AS cosine,
-        |  CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "sim_ivf_data_topk" -> simIvfDataTopkSql,
+
+    "emb_audit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(sum(CASE WHEN embedding IS NOT NULL
+        |    AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        |  CAST(min(len(embedding)) AS BIGINT) AS dim_min,
+        |  CAST(max(len(embedding)) AS BIGINT) AS dim_max
+        |FROM embeddings""".stripMargin,
 
     // PQ replay: codebooks from vectors 32..47 (8 subspaces × 8 dims),
     // encode by argmax(2·x·c − |c|², ties to higher code), reconstruct by
