@@ -43,6 +43,12 @@ class TextMultimodalSpec extends SparkSpec {
     out(2) shouldBe ((0.0, 0.0))
   }
 
+  test("chunk: empty text yields exactly one empty chunk (no row loss)") {
+    val df = Seq((1L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, size = 4, stride = 2).rows
+    out shouldBe Seq(Seq(1L, 0L, ""))
+  }
+
   test("chunk: strided windows cover every token; short docs yield one chunk") {
     val df = Seq((1L, "a b c d e"), (2L, "x")).toDF("doc_id", "text")
     val overlapped = TextAnalysis.chunk(df, size = 2, stride = 1)
