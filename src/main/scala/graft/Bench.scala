@@ -28,18 +28,21 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(1))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3 decimals (ms resolution): the box's run-to-run noise is ±50%, so
+    // sub-ms digits are pure line-length; the shorter line also fits more
+    // of the per-query map into a bounded tail-capture window.
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     // total counts only successful queries; failures are visible as -1
     // per-query entries and stderr lines, never as a lower total
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // second compact line: the r2 driver tail-capture truncated the full
-    // JSON's head — this one always fits whatever window grabs the tail.
+    // compact line first (always fits a tail-capture window whole), full
+    // line last; distinct metric name so no consumer double-counts.
     // n counts only the queries that contributed to the total (failures
     // record -1 in the per-query map and must not inflate n).
     val nOk = results.values.count(_ >= 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","n":$nOk,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
