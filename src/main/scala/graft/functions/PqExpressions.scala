@@ -37,7 +37,38 @@ case class PqEncodeExpr(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(lt, _), ArrayType(ArrayType(ArrayType(DoubleType, _), _), _))
       if (lt == FloatType || lt == DoubleType) && right.foldable =>
-      TypeCheckResult.TypeCheckSuccess
+      // the codebook is foldable, so its SHAPE is also checkable now:
+      // an empty or ragged literal would otherwise surface as NPE/AIOOBE
+      // from the lazy flattening at execution time
+      val arr = right.eval(null).asInstanceOf[ArrayData]
+      if (arr == null || arr.numElements() == 0)
+        TypeCheckResult.TypeCheckFailure(s"$prettyName codebook must have m > 0 subspaces")
+      else {
+        val m = arr.numElements()
+        val k0 = arr.getArray(0).numElements()
+        val sub0 = if (k0 == 0) 0 else arr.getArray(0).getArray(0).numElements()
+        var bad: String = null
+        var s = 0
+        while (bad == null && s < m) {
+          val ks = arr.getArray(s)
+          if (ks == null || ks.numElements() != k0)
+            bad = s"subspace $s has ${if (ks == null) "null" else ks.numElements().toString} codewords, expected $k0"
+          else {
+            var j = 0
+            while (bad == null && j < k0) {
+              val cw = ks.getArray(j)
+              if (cw == null || cw.numElements() != sub0)
+                bad = s"codeword ($s,$j) has length ${if (cw == null) "null" else cw.numElements().toString}, expected $sub0"
+              j += 1
+            }
+          }
+          s += 1
+        }
+        if (k0 == 0) TypeCheckResult.TypeCheckFailure(s"$prettyName codebook must have k > 0 codewords per subspace")
+        else if (sub0 == 0) TypeCheckResult.TypeCheckFailure(s"$prettyName codewords must be non-empty")
+        else if (bad != null) TypeCheckResult.TypeCheckFailure(s"$prettyName codebook is ragged: $bad")
+        else TypeCheckResult.TypeCheckSuccess
+      }
     case _ => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (array<float|double>, foldable array<array<array<double>>>), " +
         s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")

@@ -248,7 +248,14 @@ object Dedup {
     * is one shuffle-join + one aggregate; `localCheckpoint` cuts the
     * growing lineage so round N's plan doesn't replay rounds 1..N-1. The
     * convergence probe collects a single count — no data ever reaches
-    * the driver. */
+    * the driver.
+    *
+    * `maxIter` budgets LABEL-CHANGING rounds only: the final round that
+    * merely observes no further change is free, so `maxIter = diameter`
+    * suffices (not diameter+1). Caveat for very large runs:
+    * `localCheckpoint` keeps blocks on executors, so a lost executor
+    * makes the iteration unrecoverable — on an unreliable cluster swap
+    * in reliable `checkpoint()` (HDFS-backed) at higher per-round cost. */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
                         idB: String = "id_b", maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
@@ -258,7 +265,10 @@ object Dedup {
       .withColumn("comp", col("id"))
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    // <= maxIter: up to maxIter changing rounds plus one observation
+    // round — a chain of diameter exactly maxIter converges instead of
+    // tripping the budget with already-correct labels
+    while (!converged && i <= maxIter) {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("comp")).as("nbr_comp"))
       val updated = labels.join(nbrMin, Seq("id"), "left")

@@ -81,19 +81,21 @@ object Multimodal {
     *
     * Unlike the PNG/JPEG signatures (unreachable in valid UTF-8 text),
     * "GIF87a" is plain ASCII, so a text payload could collide. Sanity
-    * checks before accepting: nonzero dimensions and a logical-screen
-    * packed byte (offset 10) outside printable ASCII (0x20..0x7E).
-    * Deliberate precision-over-recall trade: a GIF with no global color
-    * table but color-resolution bits set (packed e.g. 0x70) is rejected
-    * to the stub decoder, because the alternative — a text payload
-    * starting "GIF87a" parsing as an image — would silently corrupt
-    * metadata. GIFs with a GCT (packed ≥ 0x80, the overwhelmingly common
-    * case) always pass. */
+    * checks before accepting: nonzero dimensions, then a full
+    * logical-screen-descriptor validation. GIFs with a GCT always pass
+    * (packed ≥ 0x80, outside printable ASCII — the overwhelmingly common
+    * case). A no-GCT GIF (packed < 0x80, possibly printable e.g. 0x70)
+    * is accepted only when the rest of the descriptor is consistent with
+    * the flag being clear: background-color index (offset 11) and pixel
+    * aspect ratio (offset 12) both 0, as writers emit for no-GCT files.
+    * A printable-text payload can't satisfy that (it would need two NUL
+    * bytes), so precision is kept without rejecting real no-GCT GIFs. */
   private[ops] def parseGif(b: Array[Byte]): Option[(Long, Long, String)] = {
     if (b.length >= 13 && {
       val h = new String(b.take(6), "US-ASCII"); h == "GIF87a" || h == "GIF89a"
     } && le16(b, 6) > 0 && le16(b, 8) > 0
-      && (u8(b(10)) < 0x20 || u8(b(10)) >= 0x7f))
+      && ((u8(b(10)) & 0x80) != 0 || u8(b(10)) < 0x20
+        || (b(11) == 0 && b(12) == 0)))
       Some((le16(b, 6), le16(b, 8), "gif"))
     else None
   }

@@ -55,4 +55,19 @@ class VectorExpressionsSpec extends SparkSpec {
       .select(Similarity.dot(col("a"), col("b"))).rows.head.head
     assert(nul == null)
   }
+
+  test("pq_encode rejects empty or ragged codebooks at analysis time") {
+    import org.apache.spark.sql.functions.typedLit
+    val df = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v")
+    def enc(cb: Seq[Seq[Seq[Double]]]) =
+      df.select(GraftFunctions.pqEncode(col("v"), typedLit(cb))).collect()
+    // rectangular codebook works
+    enc(Seq(Seq(Seq(1.0), Seq(2.0)), Seq(Seq(3.0), Seq(4.0))))
+    // empty / ragged surface as analysis errors, not executor NPE/AIOOBE
+    an[Exception] should be thrownBy enc(Seq.empty)
+    an[Exception] should be thrownBy
+      enc(Seq(Seq(Seq(1.0), Seq(2.0)), Seq(Seq(3.0, 9.0), Seq(4.0))))
+    an[Exception] should be thrownBy
+      enc(Seq(Seq(Seq(1.0)), Seq(Seq(3.0), Seq(4.0))))
+  }
 }

@@ -148,4 +148,16 @@ class DedupSpec extends SparkSpec {
     // unrelated doc4 shares no tokens with doc1 → absent
     out.filter(col("doc_b") === 4).count() shouldBe 0
   }
+
+  test("duplicateClusters converges when chain diameter equals maxIter") {
+    // path 1-2-3-4: label 1 reaches node 4 after exactly 3 changing
+    // rounds, so maxIter=3 must succeed (the observation round is free)
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(chain, maxIter = 3).orderBy("id").rows
+      .map(r => (r(0), r(1)))
+    out shouldBe Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
+    // an insufficient budget still fails loudly, never silently mislabels
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.duplicateClusters(chain, maxIter = 1)
+  }
 }

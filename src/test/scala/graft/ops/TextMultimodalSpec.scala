@@ -195,4 +195,19 @@ class TextMultimodalSpec extends SparkSpec {
     out.toSeq shouldBe Seq((1L, 0L, "AAAA"), (1L, 2L, "CC"),
       (2L, 0L, "x" * 16), (2L, 2L, "x" * 8))
   }
+
+  test("parseGif accepts no-GCT GIFs and still rejects GIF-prefixed text") {
+    // no global color table: packed 0x70 (printable 'p'), bg=0, aspect=0
+    val noGct = "GIF87a".getBytes("US-ASCII") ++
+      Array[Byte](0x40, 0x01, 0xC8.toByte, 0x00, 0x70, 0, 0, 0)
+    Multimodal.parseGif(noGct) shouldBe Some((320L, 200L, "gif"))
+    // a printable-text payload starting "GIF87a" must fall to the stub:
+    // bytes 11/12 of real text are never both NUL
+    val txt = "GIF87a glorious interchange format".getBytes("US-ASCII")
+    Multimodal.parseGif(txt) shouldBe None
+    // GCT flag set (the common case) always passes
+    val gct = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x40, 0x01, 0xC8.toByte, 0x00, 0xF7.toByte, 5, 1, 0)
+    Multimodal.parseGif(gct) shouldBe Some((320L, 200L, "gif"))
+  }
 }
