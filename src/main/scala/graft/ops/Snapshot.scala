@@ -45,4 +45,27 @@ object Snapshot {
     * materialization (reference: scripts/app.py:144-148). */
   def topK(df: DataFrame, by: String, k: Int, tiebreak: String): DataFrame =
     df.orderBy(col(by).desc, col(tiebreak)).limit(k)
+
+  /** Top-k rows PER GROUP without a hot reducer: a plain
+    * `row_number() OVER (PARTITION BY keys)` funnels each whole group
+    * through one task, so one giant group (one language, one domain)
+    * stalls the stage. Two-phase instead: a first window over
+    * (keys, salt-of-discriminator) keeps ≤ k rows per salt lane — an
+    * upper bound of the lane's contribution to the true top-k — then the
+    * final per-key window ranks at most salts·k survivors per group,
+    * O(1) regardless of group size. Same shape as the salted ANN top-k
+    * ([[Similarity.topKPerQuery]]), generalized to caller-chosen keys
+    * and ordering. `order` must be a total order (include a tiebreak)
+    * for a deterministic result; `rank` is appended 1..k. */
+  def groupedTopK(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                  k: Int, discriminator: Column, salts: Int = 16): DataFrame = {
+    val w1 = Window.partitionBy(keys.map(col) :+ col("__salt"): _*)
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__salt", Skew.salt(discriminator, salts))
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .drop("__salt", "__r1")
+  }
 }

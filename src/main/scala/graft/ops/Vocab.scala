@@ -58,4 +58,65 @@ object Vocab {
       .filter(col("rank") <= perDoc)
       .select(col(id), col("token"), col("tf"), col("df_t"), col("tfidf"), col("rank"))
   }
+
+  /** Pairwise document cosine similarity over sparse term-weight vectors,
+    * top `k` neighbors per document — text near-dup/clustering's
+    * workhorse, via the INVERTED-INDEX join (term-at-a-time): documents
+    * meet only on shared terms, never all-pairs.
+    *
+    * Scale levers, in order of importance:
+    *  - `maxDf` drops stopword-frequency terms from the term space —
+    *    a term shared by f documents generates f² candidate pairs, so
+    *    unbounded df is quadratic blowup; capped df bounds every
+    *    per-term join fan-out at maxDf². (Weights AND norms use the same
+    *    capped space, so the cosine is exact over that space.)
+    *  - df=1 terms can't co-occur: their postings are pruned from the
+    *    pair join (they still count toward norms — pure optimization,
+    *    same results).
+    *  - the per-doc top-k window runs on ≤ |docs|·k rows after a
+    *    grouped count, not on raw postings.
+    *
+    * Cross-engine determinism: weights use SUBLINEAR (sqrt) idf —
+    * tf · √(N/df) — because /, √ and · are IEEE-exact (identical in any
+    * engine) while ln is library-dependent; pair dots and norms are
+    * summed as DECIMAL(30,12) so reduction order can't change a bit.
+    * Output: (doc_a, doc_b, cosine float, rank). */
+  def tfIdfCosineTopK(df: DataFrame, id: String, text: String, k: Int,
+                      maxDf: Long): DataFrame = {
+    val d12 = (c: org.apache.spark.sql.Column) => c.cast("decimal(30,12)")
+    val toks = tokenRows(df, id, text)
+    val tf = toks.groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df_t"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    // materialize the weighted postings ONCE: they feed four plan
+    // branches (norms ×2 via doc_a/doc_b, self-join ×2) and without a
+    // cut Spark re-runs the whole scan→tf→df chain for each branch
+    val wts = tf.join(dfreq.filter(col("df_t") <= maxDf), "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w", col("tf").cast("double") *
+        sqrt(col("n_docs").cast("double") / col("df_t").cast("double")))
+      .select(col(id), col("token"), col("df_t"), col("w"))
+      .localCheckpoint()
+    val norms = wts.groupBy(col(id))
+      .agg(sqrt(sum(d12(col("w") * col("w"))).cast("double")).as("norm"))
+    val posts = wts.filter(col("df_t") >= 2)
+      .select(col(id).as("pid"), col("token"), col("w"))
+    val dots = posts.as("a")
+      .join(posts.as("b"),
+        col("a.token") === col("b.token") && col("a.pid") < col("b.pid"))
+      .groupBy(col("a.pid").as("doc_a"), col("b.pid").as("doc_b"))
+      .agg(sum(d12(col("a.w") * col("b.w"))).cast("double").as("dot"))
+    val both = dots.unionByName(dots.select(
+      col("doc_b").as("doc_a"), col("doc_a").as("doc_b"), col("dot")))
+    val scored = both
+      .join(norms.select(col(id).as("doc_a"), col("norm").as("norm_a")), "doc_a")
+      .join(norms.select(col(id).as("doc_b"), col("norm").as("norm_b")), "doc_b")
+      .withColumn("cosine",
+        (col("dot") / (col("norm_a") * col("norm_b"))).cast("float"))
+    val win = Window.partitionBy(col("doc_a"))
+      .orderBy(col("cosine").desc, col("doc_b"))
+    scored.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_a"), col("doc_b"), col("cosine"), col("rank"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, Merge, Quality, Reshape, Returns, Skew, Snapshot, Volatility}
+import graft.ops.{AsOfJoin, Merge, Quality, RangeJoin, Reshape, Returns, Skew, Snapshot, Volatility}
 
 /** Core relational operator inventory (SURVEY.md §2.2–§2.9) expressed over
   * the driver's TPC-H-ish lake, each with a DuckDB oracle.
@@ -304,7 +304,28 @@ object RelationalQueries {
         .groupBy(date_trunc("hour", col("ts_utc")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(d2(col("value"))).cast("double").as("sum_value"))
-        .orderBy(col("hour"), col("event_type")))
+        .orderBy(col("hour"), col("event_type"))),
+
+    // ── Binned range join: events falling in each user's first-2h window.
+    // Times in epoch MICROS (ts_utc), not raw nanos: DuckDB truncates
+    // TIMESTAMP_NANOS to micros on read, so micros is the shared grid
+    // both engines see identically. Bin = 30 min → each 2h interval
+    // replicates to ≤5 bins; the join is a hash equi-join on bin id,
+    // never a nested loop (see RangeJoin scaladoc).
+    "range_join_user_windows" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("t_us", unix_micros(col("ts_utc")))
+      val iv = ev.groupBy(col("user_id").as("iv_user"))
+        .agg(min(col("t_us")).as("lo"))
+        .withColumn("hi", col("lo") + lit(2L * 3600L * 1000000L))
+      RangeJoin.pointInInterval(
+          ev.select(col("t_us"), col("value")), "t_us",
+          iv, "lo", "hi", binWidth = 30L * 60L * 1000000L)
+        .groupBy(col("iv_user"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(d2(col("value"))).cast("double").as("sum_value"))
+        .orderBy(col("iv_user"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -541,6 +562,16 @@ object RelationalQueries {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "range_join_user_windows" ->
+      """WITH e AS (SELECT epoch_us(ts) AS t_us, user_id, value FROM events),
+        | iv AS (SELECT user_id AS iv_user, min(t_us) AS lo,
+        |          min(t_us) + 7200000000 AS hi
+        |        FROM e GROUP BY 1)
+        |SELECT iv_user, count(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM e JOIN iv ON e.t_us >= iv.lo AND e.t_us <= iv.hi
+        |GROUP BY iv_user ORDER BY iv_user""".stripMargin
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Packing, Sampling, TextAnalysis, Vocab}
+import graft.ops.{Dedup, Packing, Sampling, Snapshot, TextAnalysis, Vocab}
 
 /** Training-data curation layer over `documents`: deterministic
   * splits/samples/mixtures, vocabulary + TF-IDF, token-budget packing,
@@ -61,6 +61,27 @@ object SamplingQueries {
         .select(col("doc_id"), col("token"), col("tf"), col("df_t"),
           col("tfidf").cast("float").as("tfidf"), col("rank"))
         .orderBy(col("doc_id"), col("rank"))),
+
+    // inverted-index sparse cosine: top-3 most similar docs per doc over
+    // sqrt-idf term weights; terms in >25% of docs excluded (both the
+    // skew cap and the standard stopword cut)
+    "text_tfidf_sim" -> ((s, dir) =>
+      Vocab.tfIdfCosineTopK(Tables.documents(s, dir), id = "doc_id",
+          text = "text", k = 3, maxDf = 125L)
+        .orderBy(col("doc_a"), col("rank"))),
+
+    // per-language heavy hitters via the salted two-phase grouped top-k
+    "vocab_topk_per_lang" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+      Snapshot.groupedTopK(counts, keys = Seq("lang"),
+          order = Seq(col("n").desc, col("token")), k = 10,
+          discriminator = col("token"))
+        .select(col("lang"), col("rank"), col("token"), col("n"))
+        .orderBy(col("lang"), col("rank"))
+    }),
 
     // token budgets from the BPE-ish counter; packing is per-language so
     // the running-sum window parallelizes across strata
@@ -238,6 +259,49 @@ object SamplingQueries {
         |  CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    // mirrors Vocab.tfIdfCosineTopK: sqrt-idf (IEEE-exact /, sqrt, ·) and
+    // DECIMAL(30,12) dot/norm sums make every intermediate bit-identical
+    "text_tfidf_sim" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+        |              FROM documents),
+        | tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |        WHERE length(token) > 0 GROUP BY doc_id, token),
+        | dfreq AS (SELECT token, count(*) AS df_t FROM tf GROUP BY token),
+        | n AS (SELECT count(*) AS n_docs FROM documents),
+        | wts AS (SELECT tf.doc_id, tf.token, dfreq.df_t,
+        |     CAST(tf.tf AS DOUBLE) *
+        |       sqrt(CAST(n.n_docs AS DOUBLE) / CAST(df_t AS DOUBLE)) AS w
+        |   FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        |   WHERE df_t <= 125),
+        | norms AS (SELECT doc_id,
+        |     sqrt(CAST(SUM(CAST(w*w AS DECIMAL(30,12))) AS DOUBLE)) AS norm
+        |   FROM wts GROUP BY doc_id),
+        | dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |     CAST(SUM(CAST(a.w * b.w AS DECIMAL(30,12))) AS DOUBLE) AS dot
+        |   FROM wts a JOIN wts b ON a.token = b.token AND a.doc_id < b.doc_id
+        |   WHERE a.df_t >= 2 GROUP BY 1, 2),
+        | sym AS (SELECT doc_a, doc_b, dot FROM dots
+        |   UNION ALL SELECT doc_b, doc_a, dot FROM dots),
+        | scored AS (SELECT doc_a, doc_b,
+        |     CAST(dot / (na.norm * nb.norm) AS REAL) AS cosine
+        |   FROM sym JOIN norms na ON sym.doc_a = na.doc_id
+        |     JOIN norms nb ON sym.doc_b = nb.doc_id),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY doc_a
+        |     ORDER BY cosine DESC, doc_b) AS rank FROM scored)
+        |SELECT doc_a, doc_b, cosine, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3
+        |ORDER BY doc_a, rank""".stripMargin,
+
+    "vocab_topk_per_lang" ->
+      """WITH t AS (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS token
+        |           FROM documents),
+        | c AS (SELECT lang, token, count(*) AS n FROM t
+        |       WHERE length(token) > 0 GROUP BY lang, token),
+        | r AS (SELECT lang, token, n, row_number() OVER (PARTITION BY lang
+        |     ORDER BY n DESC, token) AS rank FROM c)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, token, n
+        |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
 
     "pack_sequences" ->
       """WITH b AS (SELECT doc_id, lang,

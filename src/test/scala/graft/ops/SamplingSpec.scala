@@ -60,4 +60,65 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.upsample(docs, "doc_id", "lang", Map("en" -> 3.0, "zh" -> 0.5))
     again.count() shouldBe up.count()
   }
+
+  test("tfIdfCosineTopK agrees with a dense brute-force cosine") {
+    val docs = Seq(
+      (1L, "apple banana cherry apple"),
+      (2L, "apple banana cherry"),
+      (3L, "dog cat mouse"),
+      (4L, "dog cat mouse dog dog"),
+      (5L, "apple dog zebra"),
+      (6L, "unique solitary tokens only")).toDF("doc_id", "text")
+    val out = Vocab.tfIdfCosineTopK(docs, "doc_id", "text", k = 2, maxDf = 100L)
+      .rows.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Float], r(3).asInstanceOf[Long]))
+
+    // brute force: w(d,t) = tf * sqrt(N/df) over the same tokenizer
+    val toks = Seq(
+      1L -> Seq("apple", "banana", "cherry", "apple"),
+      2L -> Seq("apple", "banana", "cherry"),
+      3L -> Seq("dog", "cat", "mouse"),
+      4L -> Seq("dog", "cat", "mouse", "dog", "dog"),
+      5L -> Seq("apple", "dog", "zebra"),
+      6L -> Seq("unique", "solitary", "tokens", "only"))
+    val n = toks.size.toDouble
+    val tf = toks.map { case (d, ts) =>
+      d -> ts.groupBy(identity).map { case (t, xs) => t -> xs.size.toDouble } }.toMap
+    val dfreq = tf.values.flatMap(_.keys).groupBy(identity).map { case (t, xs) => t -> xs.size.toDouble }
+    def w(d: Long, t: String) = tf(d).getOrElse(t, 0.0) * math.sqrt(n / dfreq(t))
+    val terms = dfreq.keys.toSeq
+    def cos(a: Long, b: Long): Double = {
+      val dot = terms.map(t => w(a, t) * w(b, t)).sum
+      val na = math.sqrt(terms.map(t => w(a, t) * w(a, t)).sum)
+      val nb = math.sqrt(terms.map(t => w(b, t) * w(b, t)).sum)
+      dot / (na * nb)
+    }
+    // doc1's nearest is doc2 (same term set), then doc5 (shares apple)
+    val d1 = out.filter(_._1 == 1L).sortBy(_._4)
+    d1.map(_._2) shouldBe Seq(2L, 5L)
+    d1.head._3.toDouble shouldBe cos(1L, 2L) +- 1e-6
+    d1(1)._3.toDouble shouldBe cos(1L, 5L) +- 1e-6
+    // doc6 shares no terms with anything → no rows at all
+    out.filter(_._1 == 6L) shouldBe empty
+    // ranks are 1-based consecutive per doc
+    out.groupBy(_._1).values.foreach { rs =>
+      rs.map(_._4).sorted shouldBe (1L to rs.size.toLong)
+    }
+  }
+
+  test("tfIdfCosineTopK maxDf excludes high-df terms from the space") {
+    // "the" appears in all 3 docs; with maxDf=2 it must not contribute
+    val docs = Seq(
+      (1L, "the red fox"),
+      (2L, "the red wolf"),
+      (3L, "the blue bird")).toDF("doc_id", "text")
+    val out = Vocab.tfIdfCosineTopK(docs, "doc_id", "text", k = 2, maxDf = 2L)
+    // docs 1,2 share only "red" now; doc3 shares nothing with anyone
+    out.filter(col("doc_a") === 3L).count() shouldBe 0L
+    val c12 = out.filter(col("doc_a") === 1L && col("doc_b") === 2L)
+      .select("cosine").rows.head.head.asInstanceOf[Float]
+    // w(red)² = 3/2; each norm² = 3/2 (red) + 3 (the df=1 term) = 4.5
+    // → cosine = 1.5 / 4.5 = 1/3
+    c12.toDouble shouldBe (1.0 / 3.0) +- 1e-6
+  }
 }

@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class VolatilitySnapshotSpec extends SparkSpec {
@@ -44,5 +46,25 @@ class VolatilitySnapshotSpec extends SparkSpec {
     val df = Seq((1, 5.0), (2, 9.0), (3, 9.0), (4, 1.0)).toDF("id", "v")
     val out = Snapshot.topK(df, "v", 3, "id").select("id").rows.map(_.head)
     out shouldBe Seq(2, 3, 1)
+  }
+
+  test("groupedTopK equals the plain per-group window, at any salt count") {
+    val rng = new scala.util.Random(3)
+    val df = (1 to 400).map(i =>
+      (s"g${i % 3}", i.toLong, rng.nextInt(50).toLong)).toDF("g", "id", "n")
+    val plain = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("g")).orderBy(col("n").desc, col("id"))
+      df.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("g", "rank", "id", "n").rows.sortBy(_.toString)
+    }
+    for (salts <- Seq(1, 4, 32)) {
+      val two = Snapshot.groupedTopK(df, keys = Seq("g"),
+          order = Seq(col("n").desc, col("id")), k = 5,
+          discriminator = col("id"), salts = salts)
+        .select("g", "rank", "id", "n").rows.sortBy(_.toString)
+      two shouldBe plain
+    }
   }
 }
