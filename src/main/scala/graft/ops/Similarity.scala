@@ -195,6 +195,23 @@ object Similarity {
     out
   }
 
+  /** Dimensionality reduction onto `outDim` corpus-derived directions —
+    * the random-projection (Johnson–Lindenstrauss) shape with
+    * DATA-DERIVED planes (the embeddings with `id` in
+    * [projFrom, projFrom+outDim)), like [[dataCentroids]]: any engine
+    * reading the same rows rebuilds the identical projection, so the
+    * whole reduction sits on the hard correctness signal. A pure
+    * codegen'd map stage — the plane matrix is a plan literal, the dots
+    * run inside whole-stage codegen, nothing shuffles; at 100 TB this
+    * is the standard first move to shrink ANN/cluster passes ~dim/outDim.
+    * Output: (id, proj array<float> of length outDim). */
+  def projectEmbeddings(df: DataFrame, id: String, vec: String, outDim: Int,
+                        projFrom: Long = 0L): DataFrame = {
+    val planes = dataVectors(df, id, vec, from = projFrom, n = outDim)
+    val comps = planes.map(p => dot(col(vec), typedLit(p.toSeq)).cast("float"))
+    df.select(col(id), array(comps: _*).as("proj"))
+  }
+
   /** IVF approximate top-k: search only the `nprobe` centroid lists
     * nearest to each query instead of the whole corpus. At scale the
     * candidate side shrinks by ~k/nprobe while recall stays high for

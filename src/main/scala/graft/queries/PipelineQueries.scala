@@ -58,6 +58,22 @@ object PipelineQueries {
     (EventStreams.fromParquetDir(s, s"$tmp/src", schema), tmp)
   }
 
+
+  /** Start and drain a streaming query under a reduced shuffle-partition
+    * count (state-store partitions are fixed at query start from
+    * spark.sql.shuffle.partitions). Stateful micro-batches pay a
+    * per-partition state commit every trigger, so on a toy-scale stream
+    * 32 partitions are pure fixed overhead; 8 keeps full correctness
+    * (grouping is exact at any partition count) at a quarter of the
+    * commit traffic. A real deployment sizes this to state volume. */
+  private def awaitScoped(s: SparkSession, partitions: Int = 8)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, partitions.toString)
+    try start.awaitTermination() finally s.conf.set(key, prev)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "pipeline_stock_e2e" -> ((s, dir) => {
@@ -98,9 +114,8 @@ object PipelineQueries {
     "stream_tumbling_live" -> ((s, dir) => {
       val (raw, tmp) = stageStream(s, dir, "events", "graft_stream")
       val src = raw.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
-      val q = EventStreams.toLake(EventStreams.tumblingAgg(src),
-        s"$tmp/sink", s"$tmp/ckpt", partitionCols = Seq.empty)
-      q.awaitTermination()
+      awaitScoped(s)(EventStreams.toLake(EventStreams.tumblingAgg(src),
+        s"$tmp/sink", s"$tmp/ckpt", partitionCols = Seq.empty))
       val bound = Tables.events(s, dir)
         .agg((max(col("ts_utc")) - expr("INTERVAL 20 MINUTES")).as("bound"))
       LakeReader.read(s, s"$tmp/sink")
@@ -124,9 +139,8 @@ object PipelineQueries {
       val deduped = EventStreams
         .streamingDedup(src, Seq("user_id", "event_type", "value"))
         .select(col("user_id"), col("event_type"), col("value"))
-      val q = EventStreams.toLake(deduped, s"$tmp/sink", s"$tmp/ckpt",
-        partitionCols = Seq.empty)
-      q.awaitTermination()
+      awaitScoped(s)(EventStreams.toLake(deduped, s"$tmp/sink", s"$tmp/ckpt",
+        partitionCols = Seq.empty))
       LakeReader.read(s, s"$tmp/sink")
         .orderBy(col("user_id"), col("event_type"), col("value"))
     }),
@@ -145,12 +159,11 @@ object PipelineQueries {
       val ue = src.select(col("user_id"), col("ts_utc"),
           round(col("value") * 100).cast("double").as("value"))
         .as[EventStreams.UserEvent]
-      val q = EventStreams.runningUserTotals(ue).toDF()
+      awaitScoped(s)(EventStreams.runningUserTotals(ue).toDF()
         .writeStream.format("memory").queryName("graft_srt_mem")
         .outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+        .start())
       s.table("graft_srt_mem")
         .select(col("user_id"), col("n_events"),
           col("total_value").cast("long").as("total_cents"))
@@ -173,10 +186,35 @@ object PipelineQueries {
         .withColumn("content_hash", md5(col("text")))
       val deduped = EventStreams.streamingDedup(gated, Seq("content_hash"))
         .select(col("content_hash"))
-      val q = EventStreams.toLake(deduped, s"$tmp/sink", s"$tmp/ckpt",
-        partitionCols = Seq.empty)
-      q.awaitTermination()
+      awaitScoped(s)(EventStreams.toLake(deduped, s"$tmp/sink", s"$tmp/ckpt",
+        partitionCols = Seq.empty))
       LakeReader.read(s, s"$tmp/sink").orderBy(col("content_hash"))
+    }),
+
+    // REAL-ENGINE stream-stream interval join: click→purchase attribution
+    // within a 4h event-time horizon, both sides watermarked so join
+    // state expires (see EventStreams.intervalJoin). One staged file +
+    // AvailableNow ⇒ every row is present in the single micro-batch, so
+    // the emitted INNER-join set equals the batch inequality join
+    // exactly — state expiry only affects matches across batches, of
+    // which there are none. Times on the micros grid both engines share.
+    "stream_interval_join_live" -> ((s, dir) => {
+      val (raw, tmp) = stageStream(s, dir, "events", "graft_sij")
+      val src = raw.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("l_user"), col("ts_utc").as("l_ts"),
+          col("event_id").as("click_id"))
+      val buys = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"), col("ts_utc").as("r_ts"),
+          col("event_id").as("purchase_id"), col("value"))
+      val joined = EventStreams.intervalJoin(
+          clicks, "l_user", "l_ts", buys, "r_user", "r_ts",
+          horizon = "4 hours")
+        .select(col("click_id"), col("purchase_id"), col("value"))
+      awaitScoped(s)(EventStreams.toLake(joined, s"$tmp/sink", s"$tmp/ckpt",
+        partitionCols = Seq.empty))
+      LakeReader.read(s, s"$tmp/sink")
+        .orderBy(col("click_id"), col("purchase_id"))
     }),
 
     // REAL-ENGINE foreachBatch upsert — the reference's watermark+DELETE+
@@ -188,10 +226,9 @@ object PipelineQueries {
       val (raw, tmp) = stageStream(s, dir, "events", "graft_sup")
       val src = raw
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      val q = EventStreams.mergeIntoWarehouse(src, s"$tmp/wh", s"$tmp/ckpt",
+      awaitScoped(s)(EventStreams.mergeIntoWarehouse(src, s"$tmp/wh", s"$tmp/ckpt",
         keys = Seq("user_id", "event_type"), tiebreak = "event_id",
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-      q.awaitTermination()
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow())))
       LakeReader.read(s, s"$tmp/wh")
         .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
         .orderBy(col("user_id"), col("event_type"))
@@ -254,6 +291,16 @@ object PipelineQueries {
     "stream_dedup_live" ->
       """SELECT DISTINCT user_id, event_type, value FROM events
         |ORDER BY user_id, event_type, value""".stripMargin,
+
+    // single-batch stream-stream inner join ≡ the batch inequality join
+    // (DuckDB's ts is the same micros grid the Spark side joins on)
+    "stream_interval_join_live" ->
+      """SELECT l.event_id AS click_id, r.event_id AS purchase_id, r.value
+        |FROM events l JOIN events r
+        |  ON l.event_type = 'click' AND r.event_type = 'purchase'
+        | AND l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     // integer-cents running totals: one Update row per user after the
     // single data batch = the full per-user aggregate

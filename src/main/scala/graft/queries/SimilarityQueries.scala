@@ -40,6 +40,17 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // JL projection onto corpus vectors 0..15 as directions; long-form
+    // (vec_id, plane j, component) so the oracle needs no array assembly
+    "emb_project" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.projectEmbeddings(emb, "vec_id", "embedding", outDim = 16)
+        .select(col("vec_id"),
+          posexplode(col("proj")).as(Seq("j", "comp")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("comp"))
+        .orderBy(col("vec_id"), col("j"))
+    }),
+
     // hyperplanes = corpus vectors 16..31 → DuckDB rebuilds the same buckets
     "sim_lsh_buckets" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -214,6 +225,15 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "sim_cosine_topk" -> simCosineTopkSql,
+
+    "emb_project" ->
+      """WITH p AS (SELECT vec_id AS j, CAST(embedding AS DOUBLE[]) AS pv
+        |           FROM embeddings WHERE vec_id < 16),
+        | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
+        |SELECT e.vec_id, CAST(p.j AS BIGINT) AS j,
+        |  CAST(list_dot_product(e.ev, p.pv) AS REAL) AS comp
+        |FROM e CROSS JOIN p
+        |ORDER BY vec_id, j""".stripMargin,
 
     // Recall evaluation composed from the two verified queries above and
     // below (each embedded as a WITH-bearing subquery).

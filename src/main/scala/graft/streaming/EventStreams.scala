@@ -91,6 +91,25 @@ object EventStreams {
     events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream INNER join within an event-time horizon: every right
+    * row pairs with the left rows of the same key whose timestamp is in
+    * [rightTs − horizon, rightTs] — the click→purchase attribution /
+    * impression→conversion shape. Both sides are watermarked (mandatory
+    * for stream-stream joins) and the range condition is what lets the
+    * engine EXPIRE buffered left rows once the right watermark passes
+    * leftTs + horizon — without it, join state grows with the stream's
+    * lifetime, the canonical unbounded-state bug. Column sets must be
+    * disjoint so the join condition is unambiguous. */
+  def intervalJoin(left: DataFrame, leftKey: String, leftTs: String,
+                   right: DataFrame, rightKey: String, rightTs: String,
+                   horizon: String, lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r, col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizon"))
+  }
+
   final case class UserEvent(user_id: Long, ts_utc: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -186,4 +186,35 @@ class EventStreamsSpec extends SparkSpec {
       wh.select("payload").rows.map(_.head) shouldBe Seq("a2", "b", "c")
     } finally q.stop()
   }
+
+  test("intervalJoin: matches within horizon, buffered state expires past it") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Timestamp, Long, String)]
+    val rIn = MemoryStream[(Timestamp, Long, String)]
+    val joined = EventStreams.intervalJoin(
+      lIn.toDF().toDF("l_ts", "l_user", "click_id"), "l_user", "l_ts",
+      rIn.toDF().toDF("r_ts", "r_user", "buy_id"), "r_user", "r_ts",
+      horizon = "30 minutes", lateness = "10 minutes")
+      .select("click_id", "buy_id")
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      lIn.addData((ts("2024-01-01 10:00:00"), 1L, "c1"),
+        (ts("2024-01-01 10:00:00"), 2L, "c2"))
+      rIn.addData((ts("2024-01-01 10:20:00"), 1L, "b1"),   // in horizon
+        (ts("2024-01-01 10:45:00"), 1L, "b2"),             // past horizon
+        (ts("2024-01-01 10:10:00"), 3L, "b3"))             // no such click
+      q.processAllAvailable()
+      spark.table("ivj").rows.map(r => (r(0), r(1))) shouldBe Seq(("c1", "b1"))
+
+      // advance BOTH watermarks far past c1's ts+horizon, then replay a
+      // matching-time purchase: the buffered click is gone → no new row
+      lIn.addData((ts("2024-01-01 12:00:00"), 9L, "cx"))
+      rIn.addData((ts("2024-01-01 12:00:00"), 9L, "bx"))
+      q.processAllAvailable()
+      rIn.addData((ts("2024-01-01 10:15:00"), 1L, "b_late"))
+      q.processAllAvailable()
+      spark.table("ivj").filter(col("buy_id") === "b_late").count() shouldBe 0L
+    } finally q.stop()
+  }
 }
