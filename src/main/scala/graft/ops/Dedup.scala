@@ -95,19 +95,19 @@ object Dedup {
     * `maxBucket` drops degenerate buckets (skew guard: a bucket of B docs
     * yields B² pair rows; at web scale one boilerplate bucket can melt a
     * join without this cap). */
-  def minhashCandidatePairs(df: DataFrame, id: String, text: String,
-                            shingleSize: Int = 3, k: Int = 16, bands: Int = 4,
-                            maxBucket: Int = 1000,
-                            portable: Boolean = false): DataFrame = {
+  /** (id, sig array, band, bucket) rows: ONE projection computes the
+    * signature array AND the band buckets, carried together through the
+    * explode — consumers read signatures straight off the bucket rows
+    * instead of joining back to a recomputed signature frame (the old
+    * shape scanned the corpus 5×). Degenerate buckets larger than
+    * `maxBucket` are dropped (skew guard: a bucket of B docs yields B²
+    * pair rows). */
+  private def bandedSignatures(df: DataFrame, id: String, text: String,
+                               shingleSize: Int, k: Int, bands: Int,
+                               maxBucket: Int, portable: Boolean): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"bands ($bands) must evenly divide the signature size ($k)")
     val rows = k / bands
-    // ONE projection computes the signature array AND the band buckets,
-    // carried together through the explode — the pair join below reads
-    // sig_a/sig_b straight off the bucket rows instead of joining back
-    // to a recomputed signature frame (the old shape scanned the corpus
-    // 5x; this one feeds a self-join whose two branches are identical,
-    // so the shuffle is planned once and reused).
     val sig = minhashSignatures(df, id, text, shingleSize, k, portable)
     def bandBucket(cols: Seq[Column]): Column =
       if (portable) md5(concat_ws(",", cols: _*)) else xxhash64(cols: _*)
@@ -119,9 +119,19 @@ object Dedup {
           struct(lit(b).as("band"), bandBucket(cols).as("bucket"))
         }: _*)).as("bb"))
       .select(col(id), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val sized = banded.withColumn("bsize",
+    banded.withColumn("bsize",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("bsize") <= maxBucket)
+  }
+
+  def minhashCandidatePairs(df: DataFrame, id: String, text: String,
+                            shingleSize: Int = 3, k: Int = 16, bands: Int = 4,
+                            maxBucket: Int = 1000,
+                            portable: Boolean = false): DataFrame = {
+    // self-join over one bandedSignatures projection: both branches are
+    // identical, so the bucket shuffle is planned once and reused
+    val sized = bandedSignatures(df, id, text, shingleSize, k, bands,
+      maxBucket, portable)
     val a = sized.select(col("band"), col("bucket"), col(id).as("id_a"), col("sig").as("sig_a"))
     val b = sized.select(col("band"), col("bucket"), col(id).as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bucket"))
@@ -216,6 +226,74 @@ object Dedup {
         size(array_intersect(col("ta"), col("tb"))).cast("double") /
           nullif(size(array_union(col("ta"), col("tb"))), lit(0)))
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** [[verifyJaccard]] for pairs whose two sides come from DIFFERENT
+    * frames (`id_a` rows of `dfA`, `id_b` rows of `dfB`) — the
+    * cross-corpus case, where ids may collide between frames. */
+  def verifyJaccardBetween(dfA: DataFrame, dfB: DataFrame, pairs: DataFrame,
+                           id: String, text: String,
+                           shingleSize: Int = 1): DataFrame = {
+    def tokSets(df: DataFrame) = {
+      val units =
+        if (shingleSize <= 1) TextAnalysis.tokens(col(text))
+        else shingles(TextAnalysis.tokens(col(text)), shingleSize)
+      df.select(col(id), array_distinct(units).as("toks"))
+    }
+    pairs
+      .join(tokSets(dfA).select(col(id).as("id_a"), col("toks").as("ta")), Seq("id_a"))
+      .join(tokSets(dfB).select(col(id).as("id_b"), col("toks").as("tb")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          nullif(size(array_union(col("ta"), col("tb"))), lit(0)))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Incremental ingestion dedup: drop every NEW document that duplicates
+    * the HISTORICAL corpus — the continual-training shape, where the
+    * historical side is orders of magnitude larger, already deduped, and
+    * must never be re-paired against itself. Two bounded guards:
+    *
+    *  1. exact: content-hash left-anti join (the historical side
+    *     contributes one hashed row per distinct content — no text moves);
+    *  2. near-dup: CROSS-corpus LSH — both sides band with the same hash
+    *     family ([[bandedSignatures]]), meet in a bucket equi-join (per-
+    *     side bucket cap), candidates get exact n-gram Jaccard
+    *     verification, and a new doc with any verified match ≥
+    *     `threshold` is dropped.
+    *
+    * Cost: the new batch is materialized once (small by definition) and
+    * the historical corpus is read in THREE lazy linear passes (content
+    * hashes, band signatures, verification token sets — never
+    * materialized, never self-joined); plus the bounded bucket join, a
+    * |candidates| verify join and one anti-join — never |new|×|hist|.
+    * Returns surviving `newDocs` rows unchanged. */
+  def dedupIncremental(newDocs: DataFrame, historical: DataFrame,
+                       id: String, text: String, threshold: Double = 0.8,
+                       shingleSize: Int = 3, k: Int = 16, bands: Int = 4,
+                       maxBucket: Int = 1000,
+                       portable: Boolean = false): DataFrame = {
+    val histHashes = historical.select(md5(col(text)).as("__h")).distinct()
+    // materialize the exact-survivor new batch once: it feeds banding,
+    // verification and the final anti-join, and the new batch is small
+    // by definition (the historical side stays lazy — it is read in 3
+    // linear passes: hashes, banding, token sets — never materialized)
+    val fresh = newDocs.withColumn("__h", md5(col(text)))
+      .join(histHashes, Seq("__h"), "left_anti").drop("__h")
+      .localCheckpoint()
+    val newBanded = bandedSignatures(fresh, id, text, shingleSize, k, bands,
+      maxBucket, portable)
+      .select(col("band"), col("bucket"), col(id).as("id_a"))
+    val histBanded = bandedSignatures(historical, id, text, shingleSize, k,
+      bands, maxBucket, portable)
+      .select(col("band"), col("bucket"), col(id).as("id_b"))
+    val candidates = newBanded.join(histBanded, Seq("band", "bucket"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val dupIds = verifyJaccardBetween(fresh, historical, candidates,
+        id, text, shingleSize)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as(id)).distinct()
+    fresh.join(dupIds, Seq(id), "left_anti")
   }
 
   /** End-to-end near-duplicate removal: MinHash-LSH candidate generation

@@ -126,6 +126,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental ingestion dedup: docs with doc_id%5==0 play the "new
+    // batch", the rest the historical corpus; a new doc survives only if
+    // it is neither an exact copy nor a verified 3-gram near-dup (≥0.8)
+    // of ANY historical doc. Portable hashes → fully oracled.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val hist = docs.filter(col("doc_id") % 5 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 5 === 0)
+      Dedup.dedupIncremental(fresh, hist, id = "doc_id", text = "text",
+          threshold = 0.8, portable = true)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // HARD SIGNAL: 60-bit portable (md5-hash) SimHash — DuckDB replays
     // the per-token bit votes and the signature fold exactly
     "dedup_simhash" -> ((s, dir) =>
@@ -176,7 +190,24 @@ object TextQueries {
       Multimodal.sampleFrames(
           Multimodal.withBinaryPayload(Tables.documents(s, dir).filter(col("doc_id") < 100)))
         .select(col("doc_id"), col("frame_idx"), length(col("frame_bytes")).cast("long").as("frame_len"))
-        .orderBy(col("doc_id"), col("frame_idx")))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // frame-level exact dedup across videos: hash every sampled frame's
+    // payload, count copies, keep the lexicographically first
+    // (doc, frame) occurrence — the still-frame / boilerplate-intro
+    // detector of a video curation pass. Content hashing is oracle-safe
+    // here because the synthetic corpus is pure ASCII (byte slicing ==
+    // char slicing, asserted across all SFs).
+    "multimodal_frame_dedup" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.withBinaryPayload(Tables.documents(s, dir).filter(col("doc_id") < 100)))
+        .groupBy(md5(col("frame_bytes")).as("frame_hash"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(struct(col("doc_id"), col("frame_idx"))).as("k"))
+        .select(col("frame_hash"), col("n_copies"),
+          col("k.doc_id").as("keeper_doc_id"),
+          col("k.frame_idx").as("keeper_frame_idx"))
+        .orderBy(col("frame_hash")))
   )
 
   private def langList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
@@ -339,6 +370,54 @@ object TextQueries {
          |FROM documents d LEFT JOIN agg g ON d.doc_id = g.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // cross-corpus replay of dedupIncremental: same shingle/minhash/band
+    // fragments as dedup_minhash_lsh, with a side tag so banding and the
+    // bucket cap stay per-frame exactly as the Spark op applies them
+    "dedup_incremental" ->
+      s"""WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         | neu AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         | fresh AS (SELECT * FROM neu
+         |   WHERE md5(text) NOT IN (SELECT DISTINCT md5(text) FROM hist)),
+         | base AS (SELECT 'n' AS side, doc_id, text FROM fresh
+         |   UNION ALL SELECT 'h', doc_id, text FROM hist),
+         | tk AS (SELECT side, doc_id, string_split(lower(trim(text)), ' ') AS t
+         |        FROM base),
+         | pos AS (SELECT side, doc_id, unnest(t) AS tok,
+         |           generate_subscripts(t, 1) AS p, len(t) AS n FROM tk),
+         | sh3 AS (SELECT a.side, a.doc_id, concat(a.tok, ' ', b.tok, ' ', c.tok) AS sh
+         |   FROM pos a
+         |   JOIN pos b ON a.side = b.side AND a.doc_id = b.doc_id AND b.p = a.p + 1
+         |   JOIN pos c ON a.side = c.side AND a.doc_id = c.doc_id AND c.p = a.p + 2
+         |   WHERE a.n >= 3),
+         | shw AS (SELECT side, doc_id, array_to_string(t, ' ') AS sh FROM tk
+         |         WHERE len(t) < 3),
+         | shingle AS (SELECT DISTINCT side, doc_id, sh
+         |   FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM shw) u),
+         | sig AS (SELECT side, doc_id, $mhAggs FROM shingle GROUP BY side, doc_id),
+         | banded AS (SELECT sig.*, bb.band, CASE bb.band $mhBands END AS bucket
+         |   FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bb),
+         | sized AS (SELECT *, count(*) OVER (PARTITION BY side, band, bucket)
+         |             AS bsize FROM banded),
+         | flt AS (SELECT * FROM sized WHERE bsize <= 1000),
+         | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |   FROM flt a JOIN flt b ON a.band = b.band AND a.bucket = b.bucket
+         |   WHERE a.side = 'n' AND b.side = 'h'),
+         | inter AS (SELECT c.id_a, c.id_b, count(*) AS shared
+         |   FROM cand c
+         |   JOIN shingle sa ON sa.side = 'n' AND sa.doc_id = c.id_a
+         |   JOIN shingle sb ON sb.side = 'h' AND sb.doc_id = c.id_b
+         |     AND sb.sh = sa.sh
+         |   GROUP BY 1, 2),
+         | sizes AS (SELECT side, doc_id, count(*) AS n FROM shingle GROUP BY 1, 2),
+         | dup AS (SELECT DISTINCT i.id_a
+         |   FROM inter i
+         |   JOIN sizes na ON na.side = 'n' AND na.doc_id = i.id_a
+         |   JOIN sizes nb ON nb.side = 'h' AND nb.doc_id = i.id_b
+         |   WHERE CAST(i.shared AS DOUBLE) / (na.n + nb.n - i.shared) >= 0.8)
+         |SELECT doc_id FROM fresh
+         |WHERE doc_id NOT IN (SELECT id_a FROM dup)
+         |ORDER BY doc_id""".stripMargin,
+
     // both engines: continuous (interpolated) median at index p*(n-1)
     "corpus_profile_exact" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -455,6 +534,25 @@ object TextQueries {
         | CAST(least(16, n - idx * 16) AS BIGINT) AS frame_len
         |FROM f WHERE idx % 4 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "multimodal_frame_dedup" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+        |           FROM documents WHERE doc_id < 100),
+        | f AS (SELECT doc_id, text, n,
+        |         unnest(range(0, CAST(ceil(n / 16.0) AS BIGINT))) AS idx
+        |       FROM d),
+        | fr AS (SELECT doc_id, idx,
+        |          md5(substring(text, CAST(idx * 16 + 1 AS BIGINT), 16)) AS frame_hash
+        |        FROM f WHERE idx % 4 = 0),
+        | z AS (SELECT frame_hash,
+        |         CAST(count(*) OVER (PARTITION BY frame_hash) AS BIGINT) AS n_copies,
+        |         row_number() OVER (PARTITION BY frame_hash
+        |           ORDER BY doc_id, idx) AS rn,
+        |         doc_id, idx FROM fr)
+        |SELECT frame_hash, n_copies, doc_id AS keeper_doc_id,
+        |  idx AS keeper_frame_idx
+        |FROM z WHERE rn = 1
+        |ORDER BY frame_hash""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,

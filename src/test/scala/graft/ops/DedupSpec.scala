@@ -160,4 +160,23 @@ class DedupSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Dedup.duplicateClusters(chain, maxIter = 1)
   }
+
+  test("dedupIncremental drops exact and near dups of historical, keeps fresh") {
+    val hist = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "completely unrelated historical content about astronomy and star maps")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),   // near dup
+      (3L, "a totally novel document about cooking pasta with garlic and olive oil"),
+      (10L, "another novel doc whose id collides with a historical id on purpose")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupIncremental(fresh, hist, "doc_id", "text",
+        threshold = 0.5, portable = true)
+      .select("doc_id").rows.map(_.head).sortBy(_.toString)
+    out shouldBe Seq(10L, 3L).sortBy(_.toString)
+    // the historical frame is never filtered or returned
+    out should not contain 11L
+  }
 }
