@@ -102,13 +102,24 @@ object Dedup {
     * shape scanned the corpus 5×). Degenerate buckets larger than
     * `maxBucket` are dropped (skew guard: a bucket of B docs yields B²
     * pair rows). */
+  /** Spread a CPU-heavy map stage across all cores when the source has
+    * fewer splits than the cluster's parallelism: one small parquet file
+    * is one task, so a millions-of-hashes signature pass would run
+    * single-threaded however many cores exist. A no-op when the input
+    * is already parallel enough — at real scale file splits outnumber
+    * cores and the extra shuffle would be pure waste. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   private def bandedSignatures(df: DataFrame, id: String, text: String,
                                shingleSize: Int, k: Int, bands: Int,
                                maxBucket: Int, portable: Boolean): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"bands ($bands) must evenly divide the signature size ($k)")
     val rows = k / bands
-    val sig = minhashSignatures(df, id, text, shingleSize, k, portable)
+    val sig = minhashSignatures(spread(df), id, text, shingleSize, k, portable)
     def bandBucket(cols: Seq[Column]): Column =
       if (portable) md5(concat_ws(",", cols: _*)) else xxhash64(cols: _*)
     val banded = sig.select(
@@ -205,28 +216,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Distinct shingle set per doc, computed ONLY for the docs named on
+    * the given side of the candidate list: a left-semi prune runs before
+    * the (expensive) shingling projection, so verification cost is
+    * ∝ |candidate docs|, not |corpus| — at web scale candidates are a
+    * sliver of the corpus and this is the difference between a verify
+    * step and a second full corpus pass. */
+  private def candidateTokSets(df: DataFrame, pairs: DataFrame,
+                               pairCol: String, id: String, text: String,
+                               shingleSize: Int): DataFrame = {
+    val units =
+      if (shingleSize <= 1) TextAnalysis.tokens(col(text))
+      else shingles(TextAnalysis.tokens(col(text)), shingleSize)
+    df.join(pairs.select(col(pairCol).as(id)).distinct(), Seq(id), "left_semi")
+      .select(col(id), array_distinct(units).as("toks"))
+  }
+
   /** Exact Jaccard verification of candidate pairs: joins each (id_a,
     * id_b) with both shingle sets and computes set overlap per pair with
-    * array expressions — cost is |candidates|, not |corpus|².
+    * array expressions — shingling and the join both cost
+    * O(|candidates|), not |corpus|² (see [[candidateTokSets]]).
     *
     * `shingleSize` MUST match the candidate generator's: verifying
     * unigram similarity against 3-shingle MinHash candidates silently
     * loses recall (unigram-similar pairs never become candidates).
     * shingleSize = 1 → plain distinct-token Jaccard. */
   def verifyJaccard(df: DataFrame, pairs: DataFrame, id: String,
-                    text: String, shingleSize: Int = 1): DataFrame = {
-    val units =
-      if (shingleSize <= 1) TextAnalysis.tokens(col(text))
-      else shingles(TextAnalysis.tokens(col(text)), shingleSize)
-    val tokSets = df.select(col(id), array_distinct(units).as("toks"))
-    pairs
-      .join(tokSets.select(col(id).as("id_a"), col("toks").as("ta")), Seq("id_a"))
-      .join(tokSets.select(col(id).as("id_b"), col("toks").as("tb")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("ta"), col("tb"))).cast("double") /
-          nullif(size(array_union(col("ta"), col("tb"))), lit(0)))
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+                    text: String, shingleSize: Int = 1): DataFrame =
+    verifyJaccardBetween(df, df, pairs, id, text, shingleSize)
 
   /** [[verifyJaccard]] for pairs whose two sides come from DIFFERENT
     * frames (`id_a` rows of `dfA`, `id_b` rows of `dfB`) — the
@@ -234,15 +251,17 @@ object Dedup {
   def verifyJaccardBetween(dfA: DataFrame, dfB: DataFrame, pairs: DataFrame,
                            id: String, text: String,
                            shingleSize: Int = 1): DataFrame = {
-    def tokSets(df: DataFrame) = {
-      val units =
-        if (shingleSize <= 1) TextAnalysis.tokens(col(text))
-        else shingles(TextAnalysis.tokens(col(text)), shingleSize)
-      df.select(col(id), array_distinct(units).as("toks"))
-    }
-    pairs
-      .join(tokSets(dfA).select(col(id).as("id_a"), col("toks").as("ta")), Seq("id_a"))
-      .join(tokSets(dfB).select(col(id).as("id_b"), col("toks").as("tb")), Seq("id_b"))
+    // materialize the candidate list once: it feeds three consumers (two
+    // semi-prunes + the pair join), and without a cut each would re-run
+    // the whole candidate-generation pipeline. The list is bounded by
+    // construction (bucket caps / prefix filters), so this is a small,
+    // safe materialization even at corpus scale.
+    val p = pairs.localCheckpoint()
+    val ta = candidateTokSets(dfA, p, "id_a", id, text, shingleSize)
+    val tb = candidateTokSets(dfB, p, "id_b", id, text, shingleSize)
+    p
+      .join(ta.select(col(id).as("id_a"), col("toks").as("ta")), Seq("id_a"))
+      .join(tb.select(col(id).as("id_b"), col("toks").as("tb")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("ta"), col("tb"))).cast("double") /
           nullif(size(array_union(col("ta"), col("tb"))), lit(0)))
