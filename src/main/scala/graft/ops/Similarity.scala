@@ -195,6 +195,36 @@ object Similarity {
     out
   }
 
+  /** Per-dimension z-score standardization of an embedding column — the
+    * feature-scaling pass before distance-based ops (k-means, IVF, PQ)
+    * when dimensions have wildly different scales. One explode + one
+    * `dim`-row aggregate + one broadcast join back; the corpus is read
+    * twice, shuffled never (the stats frame is dim rows).
+    *
+    * Engine-portable exactness: per-dimension Σx and Σx² go through
+    * DECIMAL(30,12) (order-proof), mean/variance/√/division are IEEE
+    * exact-rounded, variance is clamped at 0 before the √ (E[x²]−mean²
+    * can round a hair negative for constant dims), and a zero std
+    * surfaces NULL z (nullif guard), not ±Inf. Output long-form:
+    * (id, j 1-based, z float). */
+  def standardizeEmbeddings(df: DataFrame, id: String, vec: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 12)
+    val comps = df.select(col(id),
+        posexplode(col(vec)).as(Seq("j", "xf")))
+      .select(col(id), (col("j") + 1).cast("long").as("j"),
+        col("xf").cast("double").as("x"))
+    val stats = comps.groupBy(col("j")).agg(
+        (sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("mean"),
+        (sum((col("x") * col("x")).cast(dec)).cast("double") / count(lit(1)))
+          .as("meansq"))
+      .withColumn("std",
+        sqrt(greatest(col("meansq") - col("mean") * col("mean"), lit(0.0))))
+    comps.join(broadcast(stats), Seq("j"))
+      .withColumn("z",
+        ((col("x") - col("mean")) / nullif(col("std"), lit(0.0))).cast("float"))
+      .select(col(id), col("j"), col("z"))
+  }
+
   /** Dimensionality reduction onto `outDim` corpus-derived directions —
     * the random-projection (Johnson–Lindenstrauss) shape with
     * DATA-DERIVED planes (the embeddings with `id` in

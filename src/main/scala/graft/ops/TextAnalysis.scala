@@ -112,6 +112,25 @@ object TextAnalysis {
   def canonical(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
+  // accent-folding map for [[normalize]]: the common Latin-1/Latin-
+  // Extended lowercase accents to their ASCII base letter, as an explicit
+  // 1:1 translate table — engine-portable (any engine's translate replays
+  // it), unlike locale/ICU-dependent Unicode normalization
+  private val accentFrom = "áàâäãåéèêëíìîïóòôöõøúùûüñçýÿšž"
+  private val accentTo = "aaaaaaeeeeiiiioooooouuuuncyysz"
+  // translate silently DELETES unmapped chars if the maps drift apart
+  require(accentFrom.length == accentTo.length,
+    s"accent maps out of sync: ${accentFrom.length} vs ${accentTo.length}")
+
+  /** Cross-source text normalization: lowercase, fold accents
+    * ([[accentFrom]] → [[accentTo]]), strip everything but [a-z0-9 ],
+    * collapse whitespace — the join key / dedup key form every
+    * multi-source curation pipeline needs before content comparison.
+    * Pure codegen'd column expressions, no UDF, no locale dependence. */
+  def normalize(df: DataFrame, text: String = "text",
+                out: String = "text_norm"): DataFrame =
+    df.withColumn(out, canonical(translate(lower(col(text)), accentFrom, accentTo)))
+
   /** BPE-style pre-tokenizer counts: letter runs, digit runs, and single
     * punctuation marks each count as one token — the GPT-2-ish shape a
     * training pipeline budgets with, vs. plain whitespace splitting.

@@ -40,6 +40,13 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // per-dimension z-score scaling; long-form so the oracle replays the
+    // DECIMAL moment sums dimension by dimension
+    "emb_standardize" -> ((s, dir) =>
+      Similarity.standardizeEmbeddings(Tables.embeddings(s, dir),
+          id = "vec_id", vec = "embedding")
+        .orderBy(col("vec_id"), col("j"))),
+
     // JL projection onto corpus vectors 0..15 as directions; long-form
     // (vec_id, plane j, component) so the oracle needs no array assembly
     "emb_project" -> ((s, dir) => {
@@ -225,6 +232,21 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "sim_cosine_topk" -> simCosineTopkSql,
+
+    "emb_standardize" ->
+      """WITH c AS (SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+        |             CAST(unnest(embedding) AS DOUBLE) AS x
+        |           FROM embeddings),
+        | s AS (SELECT j,
+        |     CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS mean,
+        |     CAST(SUM(CAST(x*x AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS meansq
+        |   FROM c GROUP BY j),
+        | st AS (SELECT j, mean,
+        |     sqrt(greatest(meansq - mean*mean, 0.0)) AS std FROM s)
+        |SELECT c.vec_id, CAST(c.j AS BIGINT) AS j,
+        |  CAST((c.x - st.mean) / nullif(st.std, 0.0) AS REAL) AS z
+        |FROM c JOIN st USING (j)
+        |ORDER BY vec_id, j""".stripMargin,
 
     "emb_project" ->
       """WITH p AS (SELECT vec_id AS j, CAST(embedding AS DOUBLE[]) AS pv

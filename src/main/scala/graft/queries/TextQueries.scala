@@ -126,6 +126,13 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // cross-source canonical form: lower + accent fold + punct strip +
+    // whitespace collapse, the join/dedup key for multi-source curation
+    "text_normalize" -> ((s, dir) =>
+      TextAnalysis.normalize(Tables.documents(s, dir))
+        .select(col("doc_id"), col("text_norm"))
+        .orderBy(col("doc_id"))),
+
     // Incremental ingestion dedup: docs with doc_id%5==0 play the "new
     // batch", the rest the historical corpus; a new doc survives only if
     // it is neither an exact copy nor a verified 3-gram near-dup (≥0.8)
@@ -274,6 +281,14 @@ object TextQueries {
         |  CAST(COALESCE(CAST(maxc AS DOUBLE) / nullif(total, 0), 0.0) AS REAL) AS top_2gram_frac
         |FROM base b LEFT JOIN gm ON b.doc_id = gm.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(
+        |   translate(lower(text), 'áàâäãåéèêëíìîïóòôöõøúùûüñçýÿšž',
+        |                          'aaaaaaeeeeiiiioooooouuuuncyysz'),
+        |   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS text_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

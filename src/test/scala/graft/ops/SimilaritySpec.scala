@@ -76,4 +76,20 @@ class SimilaritySpec extends SparkSpec {
     top.head.head shouldBe 10L   // q=(1,.1,.1,1) · (1,0,0,1) = 2.0 — the max
     top.head(1).asInstanceOf[Double] shouldBe 2.0 +- 1e-9
   }
+
+  test("standardizeEmbeddings: hand-checked z-scores; constant dim is null") {
+    val df = Seq(
+      (1L, Seq(1.0f, 5.0f)),
+      (2L, Seq(3.0f, 5.0f)),
+      (3L, Seq(5.0f, 5.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.standardizeEmbeddings(df, "vec_id", "embedding")
+      .orderBy("vec_id", "j").rows
+    // dim 1: mean 3, E[x^2]=35/3, var=8/3, std=sqrt(8/3)
+    val std = math.sqrt(8.0 / 3.0)
+    out.filter(_(1) == 1L).map(_(2).asInstanceOf[Float].toDouble) should
+      contain theSameElementsInOrderAs Seq(-2.0 / std, 0.0, 2.0 / std)
+        .map(v => (v.toFloat: Float).toDouble)
+    // dim 2 is constant → std 0 → z null, not Inf/NaN
+    out.filter(_(1) == 2L).map(_(2)) shouldBe Seq(null, null, null)
+  }
 }

@@ -210,4 +210,15 @@ class TextMultimodalSpec extends SparkSpec {
       Array[Byte](0x40, 0x01, 0xC8.toByte, 0x00, 0xF7.toByte, 5, 1, 0)
     Multimodal.parseGif(gct) shouldBe Some((320L, 200L, "gif"))
   }
+
+  test("normalize folds accents, strips punctuation, collapses whitespace") {
+    val df = Seq(
+      (1L, "  Héllo,   Wörld! Ça va très bien — naïve façade №9  "),
+      (2L, "ŠKODA žluťoučký")).toDF("doc_id", "text")
+    val out = TextAnalysis.normalize(df).select("text_norm").rows.map(_.head)
+    out.head shouldBe "hello world ca va tres bien naive facade 9"
+    // š/ž fold; unmapped accents (ť, ů) are stripped by the [^a-z0-9 ]
+    // pass, never silently deleted mid-word by translate
+    out(1) shouldBe "skoda zluouky"
+  }
 }
