@@ -34,7 +34,11 @@ object RangeJoin {
 
   /** Join rows of `points` to every row of `intervals` whose
     * `[loCol, hiCol]` (both inclusive) contains `pointCol`. Column sets
-    * must be disjoint; `pointCol`/`loCol`/`hiCol` are integral (long). */
+    * must be disjoint; `pointCol`/`loCol`/`hiCol` are integral (long).
+    * An inverted interval (hi < lo) matches nothing, as it should —
+    * Spark's `sequence` steps DOWNWARD for hi_bin < lo_bin, so such a
+    * row still explodes to |bins| rows before the exact re-check drops
+    * them; pre-filter inverted intervals upstream if they are common. */
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
                       binWidth: Long): DataFrame = {

@@ -59,6 +59,9 @@ object Snapshot {
     * for a deterministic result; `rank` is appended 1..k. */
   def groupedTopK(df: DataFrame, keys: Seq[String], order: Seq[Column],
                   k: Int, discriminator: Column, salts: Int = 16): DataFrame = {
+    require(!df.columns.exists(Set("__salt", "__r1", "rank")),
+      "groupedTopK appends __salt/__r1/rank working columns — input " +
+        "already has one of them; rename it first")
     val w1 = Window.partitionBy(keys.map(col) :+ col("__salt"): _*)
       .orderBy(order: _*)
     val w2 = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)

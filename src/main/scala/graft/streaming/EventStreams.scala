@@ -103,6 +103,9 @@ object EventStreams {
   def intervalJoin(left: DataFrame, leftKey: String, leftTs: String,
                    right: DataFrame, rightKey: String, rightTs: String,
                    horizon: String, lateness: String = "10 minutes"): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left and right must have disjoint columns, both have: $overlap")
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
     l.join(r, col(leftKey) === col(rightKey) &&
