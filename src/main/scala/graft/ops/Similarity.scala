@@ -253,6 +253,16 @@ object Similarity {
     val cents = centroids.getOrElse(ivfCentroids(dim, nCentroids, seed))
     val indexed = ivfAssignWith(candidates, vec, cents)
       .select(col(id).as("neighbor_id"), col(vec).as("cv"), col("centroid_id"))
+    ivfProbe(indexed, queries, id, vec, cents, nprobe, k)
+  }
+
+  /** Probe a pre-assigned IVF postings frame (neighbor_id, cv,
+    * centroid_id) — the path a PERSISTED index takes: postings come off
+    * the lake, assignment is NOT recomputed (see [[IvfIndex]]).
+    * [[ivfTopK]] is assignment + this. */
+  def ivfProbe(indexed: DataFrame, queries: DataFrame, id: String,
+               vec: String, cents: Array[Array[Double]], nprobe: Int,
+               k: Int): DataFrame = {
     // per query: the nprobe highest-cosine centroids
     val probeList = sort_array(centroidScores(col(vec), cents), asc = false)
     val probed = queries

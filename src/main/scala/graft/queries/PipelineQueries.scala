@@ -27,18 +27,7 @@ object PipelineQueries {
 
   import QuerySql.d2
 
-  /** Scratch dir for the side-effectful entries, deleted on JVM exit so
-    * repeated bench/verify runs leak nothing. */
-  private def tempDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(p.toFile)
-    }))
-    p.toString
-  }
+  import QuerySql.tempDir
 
   /** Stage one read-only parquet table as a file-source stream: symlink
     * the file into a scratch source dir (the file source wants a

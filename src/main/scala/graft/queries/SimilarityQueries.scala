@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.Similarity
+import graft.ops.{IvfIndex, Similarity}
 
 /** Similarity search over the `embeddings` table (array<float>, dim 64).
   *
@@ -35,6 +35,24 @@ object SimilarityQueries {
       Similarity.bruteForceTopK(
           queries = emb.filter(col("vec_id") < 8),
           candidates = emb, id = "vec_id", vec = "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cosine").cast("float").as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // INDEX LIFECYCLE: build + persist (partitioned postings) → load →
+    // probe. Parquet round-trips the vectors bit-exactly and the
+    // centroids are data-derived, so the persisted path shares
+    // sim_ivf_data_topk's oracle verbatim — same result, but the probe
+    // scans only the nprobe centroid partitions off disk.
+    "sim_ivf_persisted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = QuerySql.tempDir("graft_ivfidx")
+      IvfIndex.save(emb, "vec_id", "embedding", k = 16, tmp)
+      val cents = IvfIndex.loadCentroids(s, tmp)
+      Similarity.ivfProbe(IvfIndex.loadPostings(s, tmp),
+          queries = emb.filter(col("vec_id") < 8), id = "vec_id",
+          vec = "embedding", cents = cents, nprobe = 4, k = 5)
         .select(col("query_id"), col("neighbor_id"),
           col("cosine").cast("float").as("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
@@ -276,6 +294,10 @@ object SimilarityQueries {
     // HIGHER centroid id — hence ORDER BY cos DESC, centroid_id DESC;
     // the probe list uses the same ordering; zero vectors coalesce to -2.
     "sim_ivf_data_topk" -> simIvfDataTopkSql,
+
+    // the persisted index is bit-identical to the in-memory data-derived
+    // one (see the query comment), so the oracle is shared
+    "sim_ivf_persisted" -> simIvfDataTopkSql,
 
     "emb_audit" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors,

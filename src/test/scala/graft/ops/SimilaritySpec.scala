@@ -92,4 +92,23 @@ class SimilaritySpec extends SparkSpec {
     // dim 2 is constant → std 0 → z null, not Inf/NaN
     out.filter(_(1) == 2L).map(_(2)) shouldBe Seq(null, null, null)
   }
+
+  test("IvfIndex: persisted index probes identically to the in-memory path") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val rng = new scala.util.Random(5)
+    val emb = (0L until 60L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val cents = IvfIndex.save(emb, "vec_id", "embedding", k = 4, dir)
+    // centroids round-trip bit-exactly, in id order
+    IvfIndex.loadCentroids(spark, dir).map(_.toSeq) shouldBe cents.map(_.toSeq)
+    val q = emb.filter(col("vec_id") < 3)
+    val persisted = Similarity.ivfProbe(IvfIndex.loadPostings(spark, dir),
+        q, "vec_id", "embedding", cents, nprobe = 2, k = 3)
+      .select("query_id", "neighbor_id", "rank").rows.sortBy(_.toString)
+    val inMemory = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+        dim = 8, k = 3, nCentroids = 4, nprobe = 2, centroids = Some(cents))
+      .select("query_id", "neighbor_id", "rank").rows.sortBy(_.toString)
+    persisted shouldBe inMemory
+    inMemory should not be empty
+  }
 }
