@@ -30,19 +30,24 @@ object Bench {
     }
     // 3 decimals (ms resolution): the box's run-to-run noise is ±50%, so
     // sub-ms digits are pure line-length; the shorter line also fits more
-    // of the per-query map into a bounded tail-capture window.
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    // of the per-query map into a bounded tail-capture window. Rounded
+    // via arithmetic, NOT %-formatting — the f interpolator uses the JVM
+    // default locale, and a comma-decimal locale would emit invalid JSON.
+    def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000
+    val qs = results.map { case (k, v) => s""""$k":${r3(v)}""" }
       .mkString("{", ",", "}")
     // total counts only successful queries; failures are visible as -1
     // per-query entries and stderr lines, never as a lower total
-    val total = results.values.filter(_ >= 0).sum
-    // compact line first (always fits a tail-capture window whole), full
-    // line last; distinct metric name so no consumer double-counts.
-    // n counts only the queries that contributed to the total (failures
-    // record -1 in the per-query map and must not inflate n).
+    val total = r3(results.values.filter(_ >= 0).sum)
+    // full line first; the compact line LAST so a bounded tail capture
+    // (which keeps the END of stdout) always holds one complete JSON
+    // line even when the full per-query line outgrows the window.
+    // Distinct metric name so no consumer double-counts. n counts only
+    // the queries that contributed to the total (failures record -1 in
+    // the per-query map and must not inflate n).
     val nOk = results.values.count(_ >= 0)
-    println(f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec","n":$nOk,"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n":$nOk,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

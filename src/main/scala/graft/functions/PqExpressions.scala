@@ -43,6 +43,10 @@ case class PqEncodeExpr(left: Expression, right: Expression)
       val arr = right.eval(null).asInstanceOf[ArrayData]
       if (arr == null || arr.numElements() == 0)
         TypeCheckResult.TypeCheckFailure(s"$prettyName codebook must have m > 0 subspaces")
+      else if (arr.getArray(0) == null ||
+        (arr.getArray(0).numElements() > 0 && arr.getArray(0).getArray(0) == null))
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName codebook contains a null subspace or codeword")
       else {
         val m = arr.numElements()
         val k0 = arr.getArray(0).numElements()

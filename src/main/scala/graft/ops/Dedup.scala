@@ -90,18 +90,6 @@ object Dedup {
       .select(col(id), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** Candidate near-duplicate pairs from LSH buckets, with the signature
-    * estimate of Jaccard similarity (fraction of agreeing minhashes).
-    * `maxBucket` drops degenerate buckets (skew guard: a bucket of B docs
-    * yields B² pair rows; at web scale one boilerplate bucket can melt a
-    * join without this cap). */
-  /** (id, sig array, band, bucket) rows: ONE projection computes the
-    * signature array AND the band buckets, carried together through the
-    * explode — consumers read signatures straight off the bucket rows
-    * instead of joining back to a recomputed signature frame (the old
-    * shape scanned the corpus 5×). Degenerate buckets larger than
-    * `maxBucket` are dropped (skew guard: a bucket of B docs yields B²
-    * pair rows). */
   /** Spread a CPU-heavy map stage across all cores when the source has
     * fewer splits than the cluster's parallelism: one small parquet file
     * is one task, so a millions-of-hashes signature pass would run
@@ -113,6 +101,13 @@ object Dedup {
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
+  /** (id, sig array, band, bucket) rows: ONE projection computes the
+    * signature array AND the band buckets, carried together through the
+    * explode — consumers read signatures straight off the bucket rows
+    * instead of joining back to a recomputed signature frame (the old
+    * shape scanned the corpus 5×). Buckets larger than `maxBucket` are
+    * dropped (skew guard: a bucket of B docs yields B² pair rows; at web
+    * scale one boilerplate bucket can melt a join without this cap). */
   private def bandedSignatures(df: DataFrame, id: String, text: String,
                                shingleSize: Int, k: Int, bands: Int,
                                maxBucket: Int, portable: Boolean): DataFrame = {
@@ -135,6 +130,10 @@ object Dedup {
       .filter(col("bsize") <= maxBucket)
   }
 
+  /** Candidate near-duplicate pairs from LSH buckets, with the signature
+    * estimate of Jaccard similarity (fraction of agreeing minhashes);
+    * see [[bandedSignatures]] for the banding shape and the `maxBucket`
+    * skew guard. */
   def minhashCandidatePairs(df: DataFrame, id: String, text: String,
                             shingleSize: Int = 3, k: Int = 16, bands: Int = 4,
                             maxBucket: Int = 1000,
@@ -247,7 +246,13 @@ object Dedup {
 
   /** [[verifyJaccard]] for pairs whose two sides come from DIFFERENT
     * frames (`id_a` rows of `dfA`, `id_b` rows of `dfB`) — the
-    * cross-corpus case, where ids may collide between frames. */
+    * cross-corpus case, where ids may collide between frames.
+    *
+    * NOTE: EAGER — the candidate list is localCheckpoint-materialized at
+    * call time (a Spark job runs before the returned frame is acted on),
+    * because it feeds three plan branches that would otherwise each
+    * re-run candidate generation. Checkpointed blocks live on executors;
+    * the [[duplicateClusters]] executor-stability caveat applies. */
   def verifyJaccardBetween(dfA: DataFrame, dfB: DataFrame, pairs: DataFrame,
                            id: String, text: String,
                            shingleSize: Int = 1): DataFrame = {

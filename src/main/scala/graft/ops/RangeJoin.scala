@@ -46,6 +46,9 @@ object RangeJoin {
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty,
       s"points and intervals must have disjoint columns, both have: $overlap")
+    require(!(points.columns ++ intervals.columns).contains("__rj_bin"),
+      "pointInInterval appends a __rj_bin working column — an input " +
+        "already has one; rename it first")
     val p = points.withColumn("__rj_bin", expr(s"`$pointCol` div $binWidth"))
     val iv = intervals.withColumn("__rj_bin",
       explode(sequence(expr(s"`$loCol` div $binWidth"),

@@ -70,4 +70,15 @@ class VectorExpressionsSpec extends SparkSpec {
     an[Exception] should be thrownBy
       enc(Seq(Seq(Seq(1.0)), Seq(Seq(3.0), Seq(4.0))))
   }
+
+  test("pq_encode null subspace/codeword literal fails cleanly at analysis") {
+    import org.apache.spark.sql.functions.typedLit
+    val df = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v")
+    val ex = intercept[Exception] {
+      df.select(GraftFunctions.pqEncode(col("v"),
+        typedLit(Seq(null.asInstanceOf[Seq[Seq[Double]]],
+          Seq(Seq(1.0), Seq(2.0)))))).collect()
+    }
+    ex should not be a[NullPointerException]
+  }
 }
