@@ -195,6 +195,26 @@ object Similarity {
     out
   }
 
+  /** Per-group centroid ("class prototype") of an embedding column:
+    * elementwise mean per label, the building block of prototype
+    * classifiers, per-domain drift monitors and cluster seeding. One
+    * explode + one (label, dim)-keyed aggregate — map-side partial
+    * aggregation does the heavy lifting, output is |labels|·dim rows.
+    * DECIMAL(30,12) sums keep the means reduction-order-proof (the
+    * [[refineCentroidsWith]] exactness argument). Output long-form:
+    * (label, j 1-based, c float, n). */
+  def labelCentroids(df: DataFrame, label: String, vec: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(30, 12)
+    df.select(col(label), posexplode(col(vec)).as(Seq("j", "xf")))
+      .select(col(label), (col("j") + 1).cast("long").as("j"),
+        col("xf").cast("double").as("x"))
+      .groupBy(col(label), col("j"))
+      .agg(
+        (sum(col("x").cast(dec)).cast("double") / count(lit(1)))
+          .cast("float").as("c"),
+        count(lit(1)).as("n"))
+  }
+
   /** Per-dimension z-score standardization of an embedding column — the
     * feature-scaling pass before distance-based ops (k-means, IVF, PQ)
     * when dimensions have wildly different scales. One explode + one

@@ -58,6 +58,12 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // per-label class prototypes via DECIMAL elementwise means
+    "emb_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables.embeddings(s, dir),
+          label = "label", vec = "embedding")
+        .orderBy(col("label"), col("j"))),
+
     // per-dimension z-score scaling; long-form so the oracle replays the
     // DECIMAL moment sums dimension by dimension
     "emb_standardize" -> ((s, dir) =>
@@ -250,6 +256,16 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "sim_cosine_topk" -> simCosineTopkSql,
+
+    "emb_label_centroids" ->
+      """WITH c AS (SELECT label, generate_subscripts(embedding, 1) AS j,
+        |             CAST(unnest(embedding) AS DOUBLE) AS x
+        |           FROM embeddings)
+        |SELECT label, CAST(j AS BIGINT) AS j,
+        |  CAST(CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS REAL) AS c,
+        |  count(*) AS n
+        |FROM c GROUP BY label, j
+        |ORDER BY label, j""".stripMargin,
 
     "emb_standardize" ->
       """WITH c AS (SELECT vec_id, generate_subscripts(embedding, 1) AS j,
