@@ -179,4 +179,13 @@ class DedupSpec extends SparkSpec {
     // the historical frame is never filtered or returned
     out should not contain 11L
   }
+
+  test("dedupIncremental: empty sides behave — empty batch out, empty history passes all") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    Dedup.dedupIncremental(docs.limit(0), docs, "doc_id", "text",
+      portable = true).count() shouldBe 0L
+    Dedup.dedupIncremental(docs, docs.limit(0), "doc_id", "text",
+      portable = true).count() shouldBe 1L
+  }
 }

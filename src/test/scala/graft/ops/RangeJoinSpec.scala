@@ -51,4 +51,23 @@ class RangeJoinSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       RangeJoin.pointInInterval(p, "p", iv, "lo", "hi", 10L)
   }
+
+  test("empty intervals and empty points both yield empty results") {
+    val p = Seq((1L, 5L)).toDF("pid", "p")
+    val iv = Seq((1L, 0L, 9L)).toDF("ivid", "lo", "hi")
+    RangeJoin.pointInInterval(p, "p", iv.limit(0), "lo", "hi", 4L)
+      .count() shouldBe 0L
+    RangeJoin.pointInInterval(p.limit(0), "p", iv, "lo", "hi", 4L)
+      .count() shouldBe 0L
+    // inverted interval matches nothing
+    val bad = Seq((2L, 9L, 0L)).toDF("ivid", "lo", "hi")
+    RangeJoin.pointInInterval(p, "p", bad, "lo", "hi", 4L).count() shouldBe 0L
+  }
+
+  test("reserved working column is rejected") {
+    val p = Seq((1L, 5L)).toDF("__rj_bin", "p")
+    val iv = Seq((1L, 0L, 9L)).toDF("ivid", "lo", "hi")
+    an[IllegalArgumentException] should be thrownBy
+      RangeJoin.pointInInterval(p, "p", iv, "lo", "hi", 4L)
+  }
 }

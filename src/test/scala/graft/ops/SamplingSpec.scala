@@ -121,4 +121,14 @@ class SamplingSpec extends SparkSpec {
     // → cosine = 1.5 / 4.5 = 1/3
     c12.toDouble shouldBe (1.0 / 3.0) +- 1e-6
   }
+
+  test("tfIdfCosineTopK returns all matches when k exceeds neighbor count") {
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple cherry"),
+      (3L, "plum fig")).toDF("doc_id", "text")
+    val out = Vocab.tfIdfCosineTopK(docs, "doc_id", "text", k = 10, maxDf = 10L)
+    out.filter(col("doc_a") === 1L).count() shouldBe 1L   // only doc2 shares a term
+    out.filter(col("doc_a") === 3L).count() shouldBe 0L
+  }
 }

@@ -217,4 +217,12 @@ class EventStreamsSpec extends SparkSpec {
       spark.table("ivj").filter(col("buy_id") === "b_late").count() shouldBe 0L
     } finally q.stop()
   }
+
+  test("intervalJoin rejects overlapping column names up front") {
+    implicit val sqlCtx = spark.sqlContext
+    val a = MemoryStream[(Timestamp, Long)].toDF().toDF("ts", "user")
+    val b = MemoryStream[(Timestamp, Long)].toDF().toDF("ts", "user")
+    an[IllegalArgumentException] should be thrownBy
+      EventStreams.intervalJoin(a, "user", "ts", b, "user", "ts", "1 hour")
+  }
 }
