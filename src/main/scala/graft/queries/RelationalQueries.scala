@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, Merge, Quality, RangeJoin, Reshape, Returns, Skew, Snapshot, Volatility}
+import graft.ops.{AsOfJoin, Funnel, Merge, Quality, RangeJoin, Reshape, Returns, Skew, Snapshot, Volatility}
 
 /** Core relational operator inventory (SURVEY.md §2.2–§2.9) expressed over
   * the driver's TPC-H-ish lake, each with a DuckDB oracle.
@@ -306,6 +306,21 @@ object RelationalQueries {
           sum(d2(col("value"))).cast("double").as("sum_value"))
         .orderBy(col("hour"), col("event_type"))),
 
+    // ── Two-step funnel: signup → purchase within 7 days, per user, on
+    // the micros grid; conversion flag + latency from one exchange.
+    "funnel_signup_purchase" -> ((s, dir) =>
+      Funnel.twoStep(
+          Tables.events(s, dir)
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts_utc")).as("t_us")),
+          key = "user_id", typeCol = "event_type", tsCol = "t_us",
+          stepA = "signup", stepB = "purchase",
+          horizon = 7L * 24 * 3600 * 1000000L)
+        .select(col("user_id"), col("first_a").as("first_signup_us"),
+          col("first_b").as("first_purchase_us"), col("converted"),
+          col("latency").as("latency_us"))
+        .orderBy(col("user_id"))),
+
     // ── Binned range join: events falling in each user's first-2h window.
     // Times in epoch MICROS (ts_utc), not raw nanos: DuckDB truncates
     // TIMESTAMP_NANOS to micros on read, so micros is the shared grid
@@ -563,6 +578,22 @@ object RelationalQueries {
         | count(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "funnel_signup_purchase" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        | a AS (SELECT user_id, min(t) AS first_a FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        | b AS (SELECT e.user_id, min(e.t) AS first_b
+        |       FROM e JOIN a USING (user_id)
+        |       WHERE e.event_type = 'purchase'
+        |         AND e.t >= a.first_a AND e.t <= a.first_a + 604800000000
+        |       GROUP BY 1)
+        |SELECT a.user_id, a.first_a AS first_signup_us,
+        |  b.first_b AS first_purchase_us,
+        |  b.first_b IS NOT NULL AS converted,
+        |  b.first_b - a.first_a AS latency_us
+        |FROM a LEFT JOIN b USING (user_id)
+        |ORDER BY a.user_id""".stripMargin,
 
     "range_join_user_windows" ->
       """WITH e AS (SELECT epoch_us(ts) AS t_us, user_id, value FROM events),
