@@ -239,29 +239,33 @@ object Dedup {
     * `shingleSize` MUST match the candidate generator's: verifying
     * unigram similarity against 3-shingle MinHash candidates silently
     * loses recall (unigram-similar pairs never become candidates).
-    * shingleSize = 1 → plain distinct-token Jaccard. */
+    * shingleSize = 1 → plain distinct-token Jaccard.
+    *
+    * Lazy by default; pass `materialize = true` when the pairs frame is
+    * the output of an expensive generator (see [[verifyJaccardBetween]]). */
   def verifyJaccard(df: DataFrame, pairs: DataFrame, id: String,
-                    text: String, shingleSize: Int = 1): DataFrame =
-    verifyJaccardBetween(df, df, pairs, id, text, shingleSize)
+                    text: String, shingleSize: Int = 1,
+                    materialize: Boolean = false): DataFrame =
+    verifyJaccardBetween(df, df, pairs, id, text, shingleSize, materialize)
 
   /** [[verifyJaccard]] for pairs whose two sides come from DIFFERENT
     * frames (`id_a` rows of `dfA`, `id_b` rows of `dfB`) — the
     * cross-corpus case, where ids may collide between frames.
     *
-    * NOTE: EAGER — the candidate list is localCheckpoint-materialized at
-    * call time (a Spark job runs before the returned frame is acted on),
-    * because it feeds three plan branches that would otherwise each
-    * re-run candidate generation. Checkpointed blocks live on executors;
-    * the [[duplicateClusters]] executor-stability caveat applies. */
+    * The candidate list feeds THREE plan branches (two semi-prunes + the
+    * pair join); Spark re-executes unshared subtrees, so when `pairs` is
+    * the output of an expensive generator (LSH banding, prefix index),
+    * pass `materialize = true` to localCheckpoint it once at call time.
+    * That makes the call EAGER (a Spark job runs before the returned
+    * frame is acted on) and pins blocks on executors — the
+    * [[duplicateClusters]] executor-stability caveat applies. Default is
+    * lazy: plan construction runs no job, `explain` stays side-effect
+    * free, and a cheap/pre-materialized pairs frame is not re-pinned. */
   def verifyJaccardBetween(dfA: DataFrame, dfB: DataFrame, pairs: DataFrame,
                            id: String, text: String,
-                           shingleSize: Int = 1): DataFrame = {
-    // materialize the candidate list once: it feeds three consumers (two
-    // semi-prunes + the pair join), and without a cut each would re-run
-    // the whole candidate-generation pipeline. The list is bounded by
-    // construction (bucket caps / prefix filters), so this is a small,
-    // safe materialization even at corpus scale.
-    val p = pairs.localCheckpoint()
+                           shingleSize: Int = 1,
+                           materialize: Boolean = false): DataFrame = {
+    val p = if (materialize) pairs.localCheckpoint() else pairs
     val ta = candidateTokSets(dfA, p, "id_a", id, text, shingleSize)
     val tb = candidateTokSets(dfB, p, "id_b", id, text, shingleSize)
     p
@@ -314,7 +318,7 @@ object Dedup {
     val candidates = newBanded.join(histBanded, Seq("band", "bucket"))
       .select(col("id_a"), col("id_b")).distinct()
     val dupIds = verifyJaccardBetween(fresh, historical, candidates,
-        id, text, shingleSize)
+        id, text, shingleSize, materialize = true)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as(id)).distinct()
     fresh.join(dupIds, Seq(id), "left_anti")
@@ -330,7 +334,8 @@ object Dedup {
                   shingleSize: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
     val candidates = minhashCandidatePairs(df, id, text, shingleSize, k, bands)
       .select(col("id_a"), col("id_b"))
-    val dups = verifyJaccard(df, candidates, id, text, shingleSize)
+    val dups = verifyJaccard(df, candidates, id, text, shingleSize,
+      materialize = true)
       .filter(col("jaccard") >= threshold)
       .select(col("id_b").as(id)).distinct()
     df.join(dups, Seq(id), "left_anti")
@@ -446,7 +451,7 @@ object Dedup {
     val cand = ranked.as("a").join(ranked.as("b"),
         col("a.tok") === col("b.tok") && col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b")).distinct()
-    verifyJaccard(df, cand, id, text)
+    verifyJaccard(df, cand, id, text, materialize = true)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
   }

@@ -25,6 +25,9 @@ object Funnel {
               tsCol: String, stepA: String, stepB: String,
               horizon: Long): DataFrame = {
     require(horizon >= 0, s"horizon must be non-negative, got $horizon")
+    require(!events.columns.contains("__first_a"),
+      "twoStep appends a __first_a working column — the input already " +
+        "has one; rename it first")
     val w = Window.partitionBy(col(key))
     val withA = events.withColumn("__first_a",
       min(when(col(typeCol) === stepA, col(tsCol))).over(w))

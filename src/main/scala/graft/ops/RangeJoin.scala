@@ -35,10 +35,11 @@ object RangeJoin {
   /** Join rows of `points` to every row of `intervals` whose
     * `[loCol, hiCol]` (both inclusive) contains `pointCol`. Column sets
     * must be disjoint; `pointCol`/`loCol`/`hiCol` are integral (long).
-    * An inverted interval (hi < lo) matches nothing, as it should —
-    * Spark's `sequence` steps DOWNWARD for hi_bin < lo_bin, so such a
-    * row still explodes to |bins| rows before the exact re-check drops
-    * them; pre-filter inverted intervals upstream if they are common. */
+    * An inverted interval (hi < lo) matches nothing: such rows are
+    * dropped BEFORE the bin explode — `sequence` steps DOWNWARD when
+    * hi_bin < lo_bin, so a single corrupt row (lo=Long.MaxValue, hi=0)
+    * would otherwise explode toward Spark's sequence-length limit and
+    * fail the whole job instead of being ignored. */
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
                       binWidth: Long): DataFrame = {
@@ -50,9 +51,11 @@ object RangeJoin {
       "pointInInterval appends a __rj_bin working column — an input " +
         "already has one; rename it first")
     val p = points.withColumn("__rj_bin", expr(s"`$pointCol` div $binWidth"))
-    val iv = intervals.withColumn("__rj_bin",
-      explode(sequence(expr(s"`$loCol` div $binWidth"),
-        expr(s"`$hiCol` div $binWidth"))))
+    val iv = intervals
+      .filter(col(hiCol) >= col(loCol))
+      .withColumn("__rj_bin",
+        explode(sequence(expr(s"`$loCol` div $binWidth"),
+          expr(s"`$hiCol` div $binWidth"))))
     p.join(iv, Seq("__rj_bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__rj_bin")

@@ -85,7 +85,8 @@ object TextQueries {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
       val cand = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.0)
         .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
-      val dups = Dedup.verifyJaccard(docs, cand, "doc_id", "text")
+      val dups = Dedup.verifyJaccard(docs, cand, "doc_id", "text",
+          materialize = true)
         .filter(col("jaccard") >= 0.6)
         .select(col("id_b").as("doc_id")).distinct()
       docs.join(dups, Seq("doc_id"), "left_anti")

@@ -35,4 +35,10 @@ class FunnelSpec extends SparkSpec {
       .orderBy("user").rows.map(r => (r(0), r(3)))
     out shouldBe Seq((1L, true), (2L, true))
   }
+
+  test("twoStep: reserved working column is rejected, not clobbered") {
+    val df = Seq((1L, "A", 10L, 99L)).toDF("user", "typ", "t", "__first_a")
+    an[IllegalArgumentException] should be thrownBy
+      Funnel.twoStep(df, "user", "typ", "t", "A", "B", horizon = 10L)
+  }
 }

@@ -64,6 +64,17 @@ class RangeJoinSpec extends SparkSpec {
     RangeJoin.pointInInterval(p, "p", bad, "lo", "hi", 4L).count() shouldBe 0L
   }
 
+  test("an extreme corrupt inversion is dropped, not exploded") {
+    // one corrupt row with lo=Long.MaxValue, hi=0 would step sequence()
+    // DOWNWARD across ~2^61 bins and kill the job if it reached the
+    // explode; the pre-filter must drop it while valid rows still match
+    val p = Seq((1L, 5L)).toDF("pid", "p")
+    val iv = Seq((1L, 0L, 9L), (2L, Long.MaxValue, 0L)).toDF("ivid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(p, "p", iv, "lo", "hi", 4L)
+      .select("ivid").rows.map(_.head)
+    out shouldBe Seq(1L)
+  }
+
   test("reserved working column is rejected") {
     val p = Seq((1L, 5L)).toDF("__rj_bin", "p")
     val iv = Seq((1L, 0L, 9L)).toDF("ivid", "lo", "hi")
