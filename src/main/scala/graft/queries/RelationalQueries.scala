@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, Funnel, Merge, Quality, RangeJoin, Reshape, Returns, Skew, Snapshot, Volatility}
+import graft.ops.{AsOfJoin, Funnel, Merge, Quality, RangeJoin, Reshape, Returns, Sessionize, Skew, Snapshot, Volatility}
 
 /** Core relational operator inventory (SURVEY.md §2.2–§2.9) expressed over
   * the driver's TPC-H-ish lake, each with a DuckDB oracle.
@@ -340,6 +340,71 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(d2(col("value"))).cast("double").as("sum_value"))
         .orderBy(col("iv_user"))
+    }),
+
+    // ── Batch sessionization: 30-min-gap sessions per user, rolled up.
+    // One exchange+sort feeds gap detection, the session ordinal, and
+    // (key-local) the rollup. event_id breaks timestamp ties so both
+    // engines see identical window frames.
+    "sessionize_events" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts_utc")).as("t_us"),
+          col("event_id"), col("value"))
+      Sessionize.assign(ev, "user_id", "t_us", "event_id",
+          gap = 30L * 60L * 1000000L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          min(col("t_us")).as("session_start_us"),
+          max(col("t_us")).as("session_end_us"),
+          count(lit(1)).as("n_events"),
+          sum(d2(col("value"))).cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // ── Max drawdown per series: running peak (order-free max) then the
+    // worst value/peak ratio. Each ratio divides the SAME two doubles in
+    // both engines (total order via event_id tiebreak), so min() over
+    // them is exact; FLOAT downcast per the determinism convention.
+    "w_drawdown" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value") > 0)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("peak", max(col("value")).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          min(col("value") / col("peak")).cast("float").as("max_drawdown"),
+          count(lit(1)).as("n_points"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── SMA crossover counter: 5-row vs 20-row moving averages per
+    // series; golden/death crosses where the sign of (sma5 - sma20)
+    // flips. Values go to exact integer cents; avg comparison is the
+    // cross-multiplied integer inequality sum5*n20 > sum20*n5 — no
+    // float division anywhere, so the flag (and its lag) is exact in
+    // both engines. Same single exchange+sort serves all four frames
+    // and the lag.
+    "w_sma_crossover" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (d2(col("value")) * 100).cast("long").as("cents"))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wS = ord.rowsBetween(-4, 0)
+      val wL = ord.rowsBetween(-19, 0)
+      val flagged = ev
+        .withColumn("above",
+          sum(col("cents")).over(wS) * count(lit(1)).over(wL) >
+            sum(col("cents")).over(wL) * count(lit(1)).over(wS))
+        .withColumn("prev_above", lag(col("above"), 1).over(ord))
+      flagged.groupBy(col("user_id"))
+        .agg(
+          count(when(col("above") && !col("prev_above"), 1)).as("n_golden_crosses"),
+          count(when(!col("above") && col("prev_above"), 1)).as("n_death_crosses"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -603,6 +668,51 @@ object RelationalQueries {
         |SELECT iv_user, count(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM e JOIN iv ON e.t_us >= iv.lo AND e.t_us <= iv.hi
-        |GROUP BY iv_user ORDER BY iv_user""".stripMargin
+        |GROUP BY iv_user ORDER BY iv_user""".stripMargin,
+
+    "sessionize_events" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, value FROM events),
+        | s AS (SELECT *, CASE WHEN t - lag(t) OVER
+        |         (PARTITION BY user_id ORDER BY t, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk FROM e),
+        | g AS (SELECT user_id, t, value,
+        |        CAST(1 + sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |       FROM s)
+        |SELECT user_id, session_id, min(t) AS session_start_us,
+        | max(t) AS session_end_us, count(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "w_drawdown" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, value
+        |           FROM events WHERE value > 0),
+        | p AS (SELECT user_id, value, max(value) OVER
+        |         (PARTITION BY user_id ORDER BY t, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS peak
+        |       FROM e)
+        |SELECT user_id, CAST(min(value / peak) AS FLOAT) AS max_drawdown,
+        | count(*) AS n_points
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w_sma_crossover" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id,
+        |            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |           FROM events),
+        | a AS (SELECT user_id, t, event_id,
+        |        sum(cents) OVER w5 * count(*) OVER w20 >
+        |          sum(cents) OVER w20 * count(*) OVER w5 AS above
+        |       FROM e
+        |       WINDOW w5 AS (PARTITION BY user_id ORDER BY t, event_id
+        |                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |              w20 AS (PARTITION BY user_id ORDER BY t, event_id
+        |                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        | b AS (SELECT user_id, above, lag(above) OVER
+        |         (PARTITION BY user_id ORDER BY t, event_id) AS prev_above
+        |       FROM a)
+        |SELECT user_id,
+        | count(CASE WHEN above AND NOT prev_above THEN 1 END) AS n_golden_crosses,
+        | count(CASE WHEN NOT above AND prev_above THEN 1 END) AS n_death_crosses
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // user 1: events at 0,100,250 (gap 100 keeps 0→100 together, 100→250
+  // breaks); user 2: single event; gap exactly == threshold continues
+  private val events = Seq(
+    (1L, 0L, 10L), (1L, 100L, 11L), (1L, 250L, 12L),
+    (2L, 500L, 20L),
+    (3L, 0L, 30L), (3L, 100L, 31L) // gap == 100 → same session
+  ).toDF("user", "t", "eid")
+
+  test("assign: gap-strict session boundaries, 1-based per-key ordinals") {
+    val out = Sessionize.assign(events, "user", "t", "eid", gap = 100L)
+      .select("user", "t", "session_id").orderBy("user", "t")
+      .rows.map(r => (r(0), r(1), r(2)))
+    out shouldBe Seq(
+      (1L, 0L, 1L), (1L, 100L, 1L), (1L, 250L, 2L),
+      (2L, 500L, 1L),
+      (3L, 0L, 1L), (3L, 100L, 1L))
+  }
+
+  test("sessions: rollup start/end/count per session") {
+    val out = Sessionize.sessions(events, "user", "t", "eid", gap = 100L)
+      .orderBy("user", "session_id")
+      .rows.map(r => (r(0), r(1), r(2), r(3), r(4)))
+    out shouldBe Seq(
+      (1L, 1L, 0L, 100L, 2L),
+      (1L, 2L, 250L, 250L, 1L),
+      (2L, 1L, 500L, 500L, 1L),
+      (3L, 1L, 0L, 100L, 2L))
+  }
+
+  test("gap = 0 splits on any positive gap, keeps exact ties together") {
+    val df = Seq((1L, 5L, 1L), (1L, 5L, 2L), (1L, 6L, 3L)).toDF("user", "t", "eid")
+    val out = Sessionize.sessions(df, "user", "t", "eid", gap = 0L)
+      .orderBy("session_id").rows.map(r => (r(1), r(4)))
+    out shouldBe Seq((1L, 2L), (2L, 1L))
+  }
+
+  test("reserved working columns are rejected") {
+    val bad = Seq((1L, 0L, 1L)).toDF("user", "t", "session_id")
+    an[IllegalArgumentException] should be thrownBy
+      Sessionize.assign(bad, "user", "t", "t", gap = 10L)
+    an[IllegalArgumentException] should be thrownBy
+      Sessionize.assign(events, "user", "t", "eid", gap = -1L)
+  }
+
+  test("empty input yields empty sessions") {
+    Sessionize.sessions(events.limit(0), "user", "t", "eid", 10L)
+      .count() shouldBe 0L
+  }
+
+  test("one exchange, one sort: both window passes share the plan prefix") {
+    val plan = Sessionize.assign(events, "user", "t", "eid", gap = 100L)
+      .queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    "(?i)\\bsort\\b".r.findAllIn(plan).size should be <= 2 // one Sort node, name may repeat in expr
+  }
+}
