@@ -59,6 +59,53 @@ object Vocab {
       .select(col(id), col("token"), col("tf"), col("df_t"), col("tfidf"), col("rank"))
   }
 
+  /** Per-document unigram language-model score: the mean log-probability
+    * of the document's tokens under the corpus's OWN unigram
+    * distribution, p(t) = count(t) / total-tokens. Low scores mark
+    * gibberish / boilerplate / off-distribution text — the cheap
+    * perplexity proxy training pipelines run before an expensive neural
+    * quality model. Smoothing is unnecessary: the vocabulary is built
+    * from the same corpus being scored, so every token has p > 0.
+    *
+    * Cross-engine determinism: each ln p(t) is one double op on
+    * identical inputs (count/total are exact integers), per-doc sums go
+    * through DECIMAL(30,12) so reduction order can't change a bit, and
+    * the final mean surfaces as FLOAT.
+    *
+    * Scale shape: ONE pass over the corpus token stream, collapsed
+    * map-side into per-(doc, token) term frequencies and materialized
+    * (localCheckpoint — this method is EAGER, like [[tfIdfCosineTopK]]):
+    * the vocabulary counts, the grand total, and the scoring join all
+    * derive from that tf frame, never rescanning the corpus. The vocab
+    * join shuffles tf on token hash (linear, no hot key — a heavy
+    * token's rows spread across docs); the total joins in as a
+    * broadcast single row. Scoring sums tf · ln p per doc — identical
+    * decimal value to summing ln p per occurrence, at a fraction of the
+    * rows. No collects, no windows.
+    */
+  def unigramLogProb(df: DataFrame, id: String = "doc_id",
+                     text: String = "text"): DataFrame = {
+    // ln p ∈ (-40, 0]: 2 integer digits suffice, so (20,12) × (17,0) →
+    // decimal(38,12) stays under Spark's 38-digit cap WITHOUT the silent
+    // scale-reduction a (30,12) × bigint product triggers (which would
+    // round to 6 places and break bit-equality with the oracle)
+    val d12 = (c: org.apache.spark.sql.Column) => c.cast("decimal(20,12)")
+    val tf = tokenRows(df, id, text)
+      .groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val counts = tf.groupBy(col("token")).agg(sum(col("tf")).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    tf.join(counts, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("__lp",
+        log(col("n").cast("double") / col("total").cast("double")))
+      .groupBy(col(id))
+      .agg(
+        sum(col("tf")).as("n_tok"),
+        (sum(d12(col("__lp")) * col("tf").cast("decimal(17,0)")).cast("double") /
+          sum(col("tf"))).cast("float").as("avg_logprob"))
+  }
+
   /** Pairwise document cosine similarity over sparse term-weight vectors,
     * top `k` neighbors per document — text near-dup/clustering's
     * workhorse, via the INVERTED-INDEX join (term-at-a-time): documents

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, Funnel, Merge, Quality, RangeJoin, Reshape, Returns, Sessionize, Skew, Snapshot, Volatility}
+import graft.ops.{Anomaly, AsOfJoin, Cohort, Funnel, Merge, Quality, RangeJoin, Reshape, Returns, Scd, Sessionize, Skew, Snapshot, Volatility}
 
 /** Core relational operator inventory (SURVEY.md §2.2–§2.9) expressed over
   * the driver's TPC-H-ish lake, each with a DuckDB oracle.
@@ -405,7 +405,40 @@ object RelationalQueries {
           count(when(col("above") && !col("prev_above"), 1)).as("n_golden_crosses"),
           count(when(!col("above") && col("prev_above"), 1)).as("n_death_crosses"))
         .orderBy(col("user_id"))
-    })
+    }),
+
+    // ── SCD Type-2: collapse each customer's order-priority observations
+    // into validity intervals. One exchange on o_custkey serves the
+    // change-detection windows, the version rollup, and the closing lead.
+    "scd2_priority" -> ((s, dir) =>
+      Scd.type2(
+          Tables.orders(s, dir).select(col("o_custkey"), col("o_orderdate"),
+            col("o_orderkey"), col("o_orderpriority")),
+          key = "o_custkey", tsCol = "o_orderdate", tieCol = "o_orderkey",
+          attrCol = "o_orderpriority")
+        .orderBy(col("o_custkey"), col("version"))),
+
+    // ── Daily cohort retention triangle over events. Integral periods
+    // (epoch-nanos div day) — exact and engine-portable; the per-user
+    // pass is one groupBy whose state is bounded by #periods, not volume.
+    "cohort_retention" -> ((s, dir) =>
+      Cohort.retention(Tables.events(s, dir).select(col("user_id"), col("ts")),
+          key = "user_id", tsCol = "ts",
+          periodLen = 86400L * 1000000000L)
+        .orderBy(col("cohort_period"), col("period_offset"))),
+
+    // ── Rolling z-score anomalies: each point vs its own trailing-20
+    // baseline (strictly before it), flagged at |z| > 3 after the FLOAT
+    // downcast so a 1-ulp double divergence cannot flip the cut.
+    "anomaly_zscore" -> ((s, dir) =>
+      Anomaly.rollingZ(
+          Tables.events(s, dir).select(col("user_id"), col("ts"),
+            col("event_id"), col("value")),
+          partition = Seq("user_id"), order = Seq("ts", "event_id"),
+          value = "value", window = 20, minSamples = 5, threshold = 3.0)
+        .filter(col("is_anomaly"))
+        .select(col("user_id"), col("event_id"), col("value"), col("z"))
+        .orderBy(col("user_id"), col("event_id")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -713,6 +746,49 @@ object RelationalQueries {
         |SELECT user_id,
         | count(CASE WHEN above AND NOT prev_above THEN 1 END) AS n_golden_crosses,
         | count(CASE WHEN NOT above AND prev_above THEN 1 END) AS n_death_crosses
-        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "scd2_priority" ->
+      """WITH c AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |        CASE WHEN row_number() OVER w = 1
+        |          OR o_orderpriority IS DISTINCT FROM lag(o_orderpriority) OVER w
+        |          THEN 1 ELSE 0 END AS chg
+        |       FROM orders
+        |       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        | v AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)
+        |          AS BIGINT) AS version FROM c),
+        | r AS (SELECT o_custkey, version, min(o_orderpriority) AS o_orderpriority,
+        |         min(o_orderdate) AS valid_from, count(*) AS n_obs
+        |       FROM v GROUP BY 1, 2)
+        |SELECT o_custkey, version, o_orderpriority, valid_from,
+        | lead(valid_from) OVER pv AS valid_to,
+        | lead(valid_from) OVER pv IS NULL AS is_current, n_obs
+        |FROM r WINDOW pv AS (PARTITION BY o_custkey ORDER BY version)
+        |ORDER BY o_custkey, version""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH p AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS p
+        |           FROM events),
+        | up AS (SELECT DISTINCT user_id, p FROM p),
+        | c AS (SELECT user_id, p, min(p) OVER (PARTITION BY user_id) AS cohort
+        |       FROM up)
+        |SELECT cohort AS cohort_period, p - cohort AS period_offset,
+        | count(*) AS n_active
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "anomaly_zscore" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, value FROM events),
+        | s AS (SELECT user_id, event_id, value,
+        |         count(value) OVER w AS nh,
+        |         avg(value) OVER w AS mu,
+        |         stddev_samp(value) OVER w AS sd
+        |       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+        |         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        | z AS (SELECT user_id, event_id, value,
+        |         CAST((value - mu) / nullif(sd, 0) AS REAL) AS z
+        |       FROM s WHERE nh >= 5)
+        |SELECT user_id, event_id, value, z FROM z
+        |WHERE abs(z) > 3.0 ORDER BY user_id, event_id""".stripMargin
   )
 }

@@ -62,6 +62,12 @@ object SamplingQueries {
           col("tfidf").cast("float").as("tfidf"), col("rank"))
         .orderBy(col("doc_id"), col("rank"))),
 
+    // corpus-unigram LM score: mean ln p(token) per doc — the cheap
+    // perplexity proxy run before an expensive neural quality model
+    "text_unigram_lm" -> ((s, dir) =>
+      Vocab.unigramLogProb(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     // inverted-index sparse cosine: top-3 most similar docs per doc over
     // sqrt-idf term weights; terms in >25% of docs excluded (both the
     // skew cap and the standard stopword cut)
@@ -259,6 +265,20 @@ object SamplingQueries {
         |  CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    // mirrors Vocab.unigramLogProb: each ln runs on exact-integer inputs,
+    // per-doc sums go through DECIMAL(30,12), mean surfaces as REAL
+    "text_unigram_lm" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+        |              FROM documents),
+        | tok AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+        | c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+        | tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+        |SELECT doc_id, count(*) AS n_tok,
+        | CAST(CAST(sum(CAST(ln(CAST(c.n AS DOUBLE) / tot.total) AS DECIMAL(30,12))) AS DOUBLE)
+        |   / count(*) AS REAL) AS avg_logprob
+        |FROM tok JOIN c USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // mirrors Vocab.tfIdfCosineTopK: sqrt-idf (IEEE-exact /, sqrt, ·) and
     // DECIMAL(30,12) dot/norm sums make every intermediate bit-identical

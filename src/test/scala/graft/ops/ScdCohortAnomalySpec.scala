@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ScdCohortAnomalySpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── Scd.type2 ──────────────────────────────────────────────────────
+
+  // key 1: A,A,B,A — four obs, three versions (A re-opens a NEW version);
+  // key 2: single obs; key 3: null attr head then a value
+  private val obs = Seq(
+    (1L, 10L, 100L, Some("A")), (1L, 20L, 101L, Some("A")),
+    (1L, 30L, 102L, Some("B")), (1L, 40L, 103L, Some("A")),
+    (2L, 10L, 200L, Some("X")),
+    (3L, 10L, 300L, None), (3L, 20L, 301L, Some("C"))
+  ).toDF("k", "t", "tie", "attr")
+
+  test("type2: versions open on first obs and on every null-safe change") {
+    val out = Scd.type2(obs, "k", "t", "tie", "attr")
+      .orderBy("k", "version")
+      .rows.map(r => (r(0), r(1), r(2), r(3), r(4), r(5), r(6)))
+    out shouldBe Seq(
+      (1L, 1L, "A", 10L, 30L, false, 2L),
+      (1L, 2L, "B", 30L, 40L, false, 1L),
+      (1L, 3L, "A", 40L, null, true, 1L),
+      (2L, 1L, "X", 10L, null, true, 1L),
+      (3L, 1L, null, 10L, 20L, false, 1L),
+      (3L, 2L, "C", 20L, null, true, 1L))
+  }
+
+  test("type2: consecutive nulls fuse into one version") {
+    val df = Seq((1L, 1L, 1L, None: Option[String]),
+      (1L, 2L, 2L, None), (1L, 3L, 3L, Some("v"))).toDF("k", "t", "tie", "attr")
+    val out = Scd.type2(df, "k", "t", "tie", "attr")
+      .orderBy("version").rows.map(r => (r(1), r(2), r(6)))
+    out shouldBe Seq((1L, null, 2L), (2L, "v", 1L))
+  }
+
+  test("type2: reserved working columns rejected") {
+    val bad = obs.withColumn("version", lit(1))
+    an[IllegalArgumentException] should be thrownBy
+      Scd.type2(bad, "k", "t", "tie", "attr")
+  }
+
+  // ── Cohort.retention ───────────────────────────────────────────────
+
+  test("retention: first-period cohorts, distinct keys per offset cell") {
+    // periods of 10 ticks; u1 active p0,p0,p2; u2 active p1; u3 active p0,p1
+    val ev = Seq(
+      (1L, 0L), (1L, 5L), (1L, 25L),
+      (2L, 10L),
+      (3L, 9L), (3L, 19L)
+    ).toDF("u", "t")
+    val out = Cohort.retention(ev, "u", "t", periodLen = 10L)
+      .orderBy("cohort_period", "period_offset")
+      .rows.map(r => (r(0), r(1), r(2)))
+    out shouldBe Seq(
+      (0L, 0L, 2L), // u1, u3 in cohort 0 at offset 0
+      (0L, 1L, 1L), // u3 returns in p1
+      (0L, 2L, 1L), // u1 returns in p2
+      (1L, 0L, 1L)) // u2's cohort is p1
+  }
+
+  test("retention: duplicate activity in a period counts once") {
+    val ev = Seq((1L, 0L), (1L, 1L), (1L, 2L)).toDF("u", "t")
+    val out = Cohort.retention(ev, "u", "t", periodLen = 10L).rows
+    out shouldBe Seq(Seq(0L, 0L, 1L))
+    an[IllegalArgumentException] should be thrownBy
+      Cohort.retention(ev, "u", "t", periodLen = 0L)
+  }
+
+  // ── Anomaly.rollingZ ───────────────────────────────────────────────
+
+  test("rollingZ: spike flagged against trailing baseline, warm-up null") {
+    // 6 steady points then a spike; window=5, minSamples=3 → rows 0-2
+    // unscored, spike z = (100-10)/std(prior) >> 3
+    val ev = (1 to 6).map(i => (1L, i.toLong, 10.0 + (i % 2))) :+ (1L, 7L, 100.0)
+    val out = Anomaly.rollingZ(ev.toDF("u", "t", "v"), Seq("u"), Seq("t"), "v",
+      window = 5, minSamples = 3, threshold = 3.0)
+    val byT = out.orderBy("t").rows.map(r => (r(1), r(3), r(4)))
+    byT.take(3).map(_._2) shouldBe Seq(null, null, null) // warm-up
+    byT.take(6).map(_._3) shouldBe Seq.fill(6)(false)
+    val (_, z, flag) = byT.last
+    flag shouldBe true
+    z.asInstanceOf[Float] should be > 3.0f
+  }
+
+  test("rollingZ: zero-variance baseline scores null, not infinity") {
+    val ev = (1 to 5).map(i => (1L, i.toLong, 7.0)) :+ (1L, 6L, 9.0)
+    val out = Anomaly.rollingZ(ev.toDF("u", "t", "v"), Seq("u"), Seq("t"), "v",
+      window = 5, minSamples = 3, threshold = 3.0)
+    val last = out.orderBy("t").rows.last
+    last(3).asInstanceOf[AnyRef] shouldBe null // z
+    last(4) shouldBe false // is_anomaly
+    an[IllegalArgumentException] should be thrownBy
+      Anomaly.rollingZ(ev.toDF("u", "t", "v"), Seq("u"), Seq("t"), "v",
+        window = 2, minSamples = 3)
+  }
+
+  // ── Vocab.unigramLogProb ───────────────────────────────────────────
+
+  test("unigramLogProb: mean ln p under the corpus's own unigram model") {
+    // corpus: "a a b" + "a c" → counts a=3 b=1 c=1, total=5
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = Vocab.unigramLogProb(docs).orderBy("doc_id")
+      .rows.map(r => (r(0), r(1), r(2)))
+    out.map(t => (t._1, t._2)) shouldBe Seq((1L, 3L), (2L, 2L))
+    val exp1 = (2 * math.log(3.0 / 5) + math.log(1.0 / 5)) / 3
+    val exp2 = (math.log(3.0 / 5) + math.log(1.0 / 5)) / 2
+    out(0)._3.asInstanceOf[Float] shouldBe exp1.toFloat +- 1e-6f
+    out(1)._3.asInstanceOf[Float] shouldBe exp2.toFloat +- 1e-6f
+  }
+
+  test("unigramLogProb: empty/whitespace docs drop out of the scoring") {
+    val docs = Seq((1L, "x"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val out = Vocab.unigramLogProb(docs).orderBy("doc_id").rows
+    out.map(_(0)) shouldBe Seq(1L)
+    out.head(2).asInstanceOf[Float] shouldBe 0.0f // ln p("x")=ln 1
+  }
+}
