@@ -365,11 +365,22 @@ object Dedup {
     * in reliable `checkpoint()` (HDFS-backed) at higher per-round cost. */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
                         idB: String = "id_b", maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // both orientations in ONE pass over `pairs` (explode, not a
+    // self-union): the pair list is usually the output of an expensive
+    // generator, and a two-branch union would execute that generator
+    // twice before the checkpoint cut
+    val edges = pairs
+      .select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // seed with min(id, min neighbor): identical to one propagation round
+    // over identity labels, for the price of the distinct-node scan the
+    // identity seeding needed anyway — one fewer loop round
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("src").as("id"), least(col("src"), col("__mn")).as("comp"))
     var converged = false
     var i = 0
     // <= maxIter: up to maxIter changing rounds plus one observation
