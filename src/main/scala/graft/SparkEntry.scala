@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{PipelineQueries, RelationalQueries, SamplingQueries, SimilarityQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, PipelineQueries, RelationalQueries, SamplingQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +20,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ SimilarityQueries.queries ++
-      SamplingQueries.queries ++ PipelineQueries.queries
+      SamplingQueries.queries ++ PipelineQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ SimilarityQueries.oracle ++
-      SamplingQueries.oracle ++ PipelineQueries.oracle
+      SamplingQueries.oracle ++ PipelineQueries.oracle ++ AnalyticsQueries.oracle
 }

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group quantiles by the NEAREST-RANK definition: the p-th
+  * quantile of n ordered values is the value at rank ⌈p·n⌉ — a value
+  * that EXISTS in the data, no interpolation. Chosen over
+  * interpolating definitions (Spark `percentile`, DuckDB
+  * `quantile_cont`) deliberately: interpolation arithmetic is
+  * engine-library-dependent, while rank selection is pure integer math
+  * on a shared sort order — bit-identical everywhere, and at 100 TB a
+  * real observed value is usually more useful than a synthetic
+  * midpoint (reference: the dashboard's summary stats are all
+  * min/max/last — app.py:171-189 — this generalizes them to any p).
+  *
+  * Plan shape: one hash exchange on the keys, one sort on (keys,
+  * value); `row_number` and the partition count share the frame. The
+  * requested p-list explodes AFTER ranking (m tiny rows per input row,
+  * map-side, filtered immediately) — no second shuffle until the final
+  * one-row-per-(group, p) projection.
+  */
+object Percentiles {
+
+  private val Reserved = Seq("__rn", "__n", "p", "pct_value")
+
+  /** One row per (group, p): (keys..., p, pct_value). `ps` values must
+    * lie in (0, 1]. Null values are excluded from ranking (a null is
+    * not an observation, matching aggregate-function semantics). */
+  def nearestRank(df: DataFrame, keys: Seq[String], value: String,
+                  ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"percentiles must lie in (0, 1], got $ps")
+    val clash = df.columns.toSet.intersect(Reserved.toSet)
+    require(clash.isEmpty,
+      s"nearestRank appends working columns ${Reserved.mkString(", ")} — " +
+        s"the input already has: $clash; rename first")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(value))
+    df.filter(col(value).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(keys.map(col): _*)))
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .filter(col("__rn") === ceil(col("p") * col("__n")))
+      .select(keys.map(col) :+ col("p") :+ col(value).as("pct_value"): _*)
+  }
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Cdc, Percentiles}
+
+/** OLAP / warehouse-analytics extensions: grouping sets, event-path
+  * transitions, exact nearest-rank quantiles, batch CDC apply, and
+  * binned distributions. Same determinism conventions as
+  * [[RelationalQueries]] (DECIMAL sums, FLOAT ratio surfacing, BIGINT
+  * computed integers, total ORDER BY, NULLS FIRST pinned wherever a
+  * rolled-up null can reach a sort key).
+  */
+object AnalyticsQueries {
+
+  import QuerySql.d2
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── ROLLUP grouping sets: per-(flag, status), per-flag subtotals and
+    // the grand total in ONE pass — Spark plans a single Expand +
+    // aggregate, not three scans. grouping_id() disambiguates levels.
+    "agg_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(d2(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // ── CUBE: all four grouping sets of (year, priority) in one pass.
+    "agg_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          col("o_orderpriority"))
+        .cube(col("o_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"),
+          col("o_year").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // ── Event-transition matrix: count of (type → next type) steps per
+    // user timeline — the Markov-chain view of event paths. One exchange
+    // on user_id; the pair count reuses nothing heavier than a lead.
+    "event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n_steps"))
+        .orderBy(col("event_type"), col("next_type"))
+    }),
+
+    // ── Exact nearest-rank quantiles of value per event type: rank
+    // selection, no interpolation — bit-identical in any engine.
+    "agg_percentiles" -> ((s, dir) =>
+      Percentiles.nearestRank(
+          Tables.events(s, dir).select(col("event_type"), col("value")),
+          keys = Seq("event_type"), value = "value",
+          ps = Seq(0.5, 0.9, 0.99))
+        .orderBy(col("event_type"), col("p"))),
+
+    // ── Batch CDC apply: orders act as a balance changelog over the
+    // customer base — last change per key wins, 'F' status deletes,
+    // open/pending statuses upsert o_totalprice as the new balance.
+    "cdc_apply" -> ((s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal").as("bal"))
+      val changes = Tables.orders(s, dir).select(
+        col("o_custkey").as("c_custkey"),
+        col("o_orderdate"), col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+        col("o_totalprice").as("bal"))
+      Cdc.apply(base, changes, key = "c_custkey",
+          seqCol = "o_orderdate", tieCol = "o_orderkey", opCol = "op")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ── Binned value distribution: fixed-width integer bins — exact
+    // counts, zero shuffle beyond the one aggregation exchange.
+    "value_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(floor(col("value") / 10.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(d2(col("value"))).cast("double").as("sum_value"))
+        .orderBy(col("bin")))
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n_rows,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      """WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |                  o_orderpriority FROM orders)
+        |SELECT o_year, o_orderpriority, count(*) AS n_orders,
+        | CAST(GROUPING(o_year, o_orderpriority) AS BIGINT) AS gid
+        |FROM o GROUP BY CUBE (o_year, o_orderpriority)
+        |ORDER BY gid, o_year NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
+        |           FROM events),
+        | s AS (SELECT event_type, lead(event_type) OVER
+        |         (PARTITION BY user_id ORDER BY t, event_id) AS next_type
+        |       FROM e)
+        |SELECT event_type, next_type, count(*) AS n_steps
+        |FROM s WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // nearest-rank: value at row_number ceil(p·n) in value order. The ps
+    // are cast to DOUBLE so the rank arithmetic is the SAME IEEE math as
+    // Spark's — a DECIMAL list literal would compute ceil(0.9·n) exactly
+    // while the double 0.9 sits just above it, flipping boundary ranks
+    "agg_percentiles" ->
+      """WITH r AS (SELECT event_type, value,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |       FROM events WHERE value IS NOT NULL),
+        | x AS (SELECT event_type, value, rn, n,
+        |        unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS p
+        |       FROM r)
+        |SELECT event_type, p, value AS pct_value
+        |FROM x WHERE rn = ceil(p * n)
+        |ORDER BY event_type, p""".stripMargin,
+
+    "cdc_apply" ->
+      """WITH ch AS (SELECT o_custkey AS c_custkey, o_orderdate, o_orderkey,
+        |         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |         o_totalprice AS bal,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |        FROM orders),
+        | latest AS (SELECT c_custkey, op, bal FROM ch WHERE rn = 1)
+        |SELECT c.c_custkey, c.c_acctbal AS bal
+        |FROM customer c LEFT JOIN latest l USING (c_custkey)
+        |WHERE l.c_custkey IS NULL
+        |UNION ALL
+        |SELECT c_custkey, bal FROM latest WHERE op = 'U'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "value_histogram" ->
+      """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PercentilesCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── Percentiles.nearestRank ────────────────────────────────────────
+
+  test("nearestRank: value at ceil(p·n), nulls excluded, p=1 is the max") {
+    val df = Seq(("a", Some(10.0)), ("a", Some(20.0)), ("a", Some(30.0)),
+      ("a", Some(40.0)), ("a", None), ("b", Some(5.0))).toDF("g", "v")
+    val out = Percentiles.nearestRank(df, Seq("g"), "v", Seq(0.5, 1.0))
+      .orderBy("g", "p").rows.map(r => (r(0), r(1), r(2)))
+    // group a: n=4 → p=.5 rank 2 (20.0), p=1 rank 4 (40.0); b: n=1 → 5.0
+    out shouldBe Seq(
+      ("a", 0.5, 20.0), ("a", 1.0, 40.0),
+      ("b", 0.5, 5.0), ("b", 1.0, 5.0))
+  }
+
+  test("nearestRank: out-of-range p and reserved columns rejected") {
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    an[IllegalArgumentException] should be thrownBy
+      Percentiles.nearestRank(df, Seq("g"), "v", Seq(0.0))
+    an[IllegalArgumentException] should be thrownBy
+      Percentiles.nearestRank(df, Seq("g"), "v", Seq(1.1))
+    an[IllegalArgumentException] should be thrownBy
+      Percentiles.nearestRank(df.withColumn("p", lit(1)), Seq("g"), "v", Seq(0.5))
+  }
+
+  // ── Cdc.apply ──────────────────────────────────────────────────────
+
+  private val base = Seq((1L, 100.0), (2L, 200.0), (3L, 300.0)).toDF("k", "bal")
+
+  test("apply: last change wins; U replaces, D removes, inserts appear") {
+    val changes = Seq(
+      (1L, 1L, 1L, "U", 110.0), (1L, 2L, 2L, "U", 120.0), // key 1 → 120
+      (2L, 1L, 3L, "U", 210.0), (2L, 2L, 4L, "D", 0.0),   // key 2 → deleted
+      (4L, 1L, 5L, "U", 400.0)                            // new key inserted
+    ).toDF("k", "seq", "tie", "op", "bal")
+    val out = Cdc.apply(base, changes, "k", "seq", "tie", "op")
+      .orderBy("k").rows.map(r => (r(0), r(1)))
+    out shouldBe Seq((1L, 120.0), (3L, 300.0), (4L, 400.0))
+  }
+
+  test("apply: seq ties break by tie column, descending") {
+    val changes = Seq(
+      (1L, 5L, 1L, "U", 111.0), (1L, 5L, 2L, "U", 222.0) // tie=2 wins
+    ).toDF("k", "seq", "tie", "op", "bal")
+    val out = Cdc.apply(base, changes, "k", "seq", "tie", "op")
+      .filter(col("k") === 1L).rows
+    out shouldBe Seq(Seq(1L, 222.0))
+  }
+
+  test("apply: a malformed op on the WINNING change fails loudly") {
+    val changes = Seq((1L, 1L, 1L, "X", 0.0)).toDF("k", "seq", "tie", "op", "bal")
+    an[Exception] should be thrownBy
+      Cdc.apply(base, changes, "k", "seq", "tie", "op").collect()
+  }
+
+  test("apply: schema mismatches rejected before any job runs") {
+    val noBal = Seq((1L, 1L, 1L, "U")).toDF("k", "seq", "tie", "op")
+    an[IllegalArgumentException] should be thrownBy
+      Cdc.apply(base, noBal, "k", "seq", "tie", "op")
+  }
+}
