@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Cdc, Percentiles}
+import graft.ops.{Cdc, FuzzyJoin, Percentiles}
 
 /** OLAP / warehouse-analytics extensions: grouping sets, event-path
   * transitions, exact nearest-rank quantiles, batch CDC apply, and
@@ -94,7 +94,53 @@ object AnalyticsQueries {
         .groupBy(floor(col("value") / 10.0).cast("long").as("bin"))
         .agg(count(lit(1)).as("n"),
           sum(d2(col("value"))).cast("double").as("sum_value"))
-        .orderBy(col("bin")))
+        .orderBy(col("bin"))),
+
+    // ── Entity-resolution fuzzy pairs: customer names within 1 edit,
+    // blocked on the first 6 digits of the customer number so the
+    // comparisons stay block-local (recall trade documented on the op).
+    "er_fuzzy_pairs" -> ((s, dir) =>
+      FuzzyJoin.blockedLevenshtein(
+          Tables.customer(s, dir).filter(col("c_custkey") <= 300),
+          id = "c_custkey", str = "c_name",
+          block = substring(col("c_name"), 10, 6), maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ── Rank-family windows: quartile, percent_rank, cume_dist per
+    // event type over a TOTAL order (value, event_id) — unique sort
+    // keys make peer groups singletons, so every rank is deterministic.
+    "w_rank_family" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pr", percent_rank().over(w).cast("float"))
+        .withColumn("cd", cume_dist().over(w).cast("float"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    // ── Semi/anti join pair: per-segment counts of customers WITH and
+    // WITHOUT 1995 orders — the EXISTS / NOT EXISTS shapes, each a real
+    // LeftSemi/LeftAnti in the plan (broadcastable key set).
+    "j4_semi_anti" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val o95 = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey").as("c_custkey"))
+      val withO = cust.join(o95, Seq("c_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("with_orders"))
+      val withoutO = cust.join(o95, Seq("c_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("without_orders"))
+      withO.unionByName(withoutO)
+        .select(col("c_mktsegment"), col("kind"), col("n"))
+        .orderBy(col("c_mktsegment"), col("kind"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -161,6 +207,39 @@ object AnalyticsQueries {
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events WHERE value IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "er_fuzzy_pairs" ->
+      """WITH c AS (SELECT c_custkey, c_name, substr(c_name, 10, 6) AS blk
+        |           FROM customer WHERE c_custkey <= 300),
+        | ok AS (SELECT blk FROM c GROUP BY blk HAVING count(*) <= 1000),
+        | s AS (SELECT c.* FROM c JOIN ok USING (blk))
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        | CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM s a JOIN s b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "w_rank_family" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events
+        |           WHERE value IS NOT NULL)
+        |SELECT event_type, event_id, value,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | CAST(percent_rank() OVER w AS REAL) AS pr,
+        | CAST(cume_dist() OVER w AS REAL) AS cd
+        |FROM e WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    "j4_semi_anti" ->
+      """WITH o95 AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE year(o_orderdate) = 1995)
+        |SELECT c_mktsegment, 'with_orders' AS kind, count(*) AS n
+        |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM o95)
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT c_mktsegment, 'without_orders' AS kind, count(*) AS n
+        |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM o95)
+        |GROUP BY 1
+        |ORDER BY c_mktsegment, kind""".stripMargin
   )
 }
