@@ -121,6 +121,65 @@ object AnalyticsQueries {
         .orderBy(col("event_type"), col("event_id"))
     }),
 
+    // ── Q3-style shipping priority: two broadcastable filters riding a
+    // fact-to-fact join, exact DECIMAL revenue, top-10 via TakeOrdered.
+    "j5_shipping_priority" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord.join(broadcast(cust),
+            col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(d2(col("l_extendedprice")) * d2(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ── Daily gap fill with forward fill: build each key's full day
+    // grid (sequence+explode — no driver loop), left-join actuals, and
+    // carry the last non-null value forward. The grid explode is
+    // map-side on a one-row-per-key aggregate, never on raw events.
+    "ts_gap_fill" -> ((s, dir) => {
+      val dv = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("ts div 86400000000000").as("day"), col("value"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(d2(col("value"))).cast("double").as("day_val"))
+      val grid = dv.groupBy(col("user_id"))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(dv, Seq("user_id", "day"), "left")
+        .withColumn("filled", last(col("day_val"), ignoreNulls = true).over(w))
+        .withColumn("is_gap", col("day_val").isNull)
+        .select(col("user_id"), col("day"), col("filled"), col("is_gap"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // ── Grouped collect: per-customer sorted distinct order years as a
+    // joined string (arrays stay engine-internal; the string surface is
+    // hash-comparable everywhere).
+    "agg_year_lists" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") <= 100)
+        .select(col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .groupBy(col("o_custkey"))
+        .agg(array_join(transform(sort_array(collect_set(col("yr"))),
+          y => y.cast("string")), ",").as("years"),
+          countDistinct(col("yr")).as("n_years"))
+        .orderBy(col("o_custkey"))),
+
     // ── Semi/anti join pair: per-segment counts of customers WITH and
     // WITHOUT 1995 orders — the EXISTS / NOT EXISTS shapes, each a real
     // LeftSemi/LeftAnti in the plan (broadcastable key set).
@@ -229,6 +288,44 @@ object AnalyticsQueries {
         | CAST(cume_dist() OVER w AS REAL) AS cd
         |FROM e WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
         |ORDER BY event_type, event_id""".stripMargin,
+
+    "j5_shipping_priority" ->
+      """SELECT l.l_orderkey, o.o_orderdate,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |   CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "ts_gap_fill" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, value
+        |           FROM events),
+        | dv AS (SELECT user_id, day,
+        |          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_val
+        |        FROM e GROUP BY 1, 2),
+        | b AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM dv GROUP BY 1),
+        | grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day FROM b),
+        | j AS (SELECT g.user_id, g.day, dv.day_val
+        |       FROM grid g LEFT JOIN dv USING (user_id, day))
+        |SELECT user_id, day,
+        | last_value(day_val IGNORE NULLS) OVER (PARTITION BY user_id
+        |   ORDER BY day ROWS UNBOUNDED PRECEDING) AS filled,
+        | day_val IS NULL AS is_gap
+        |FROM j ORDER BY user_id, day""".stripMargin,
+
+    "agg_year_lists" ->
+      """WITH y AS (SELECT DISTINCT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr
+        |           FROM orders WHERE o_custkey <= 100)
+        |SELECT o_custkey,
+        | string_agg(CAST(yr AS VARCHAR), ',' ORDER BY yr) AS years,
+        | count(*) AS n_years
+        |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "j4_semi_anti" ->
       """WITH o95 AS (SELECT DISTINCT o_custkey FROM orders
