@@ -223,6 +223,29 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // STREAMING CDC: the orders changelog streams onto the customer
+    // snapshot — final status 'F' deletes the account row, anything else
+    // upserts the order total as the new balance, unseen keys insert.
+    // One staged file ⇒ one micro-batch ⇒ the fold equals the batch
+    // cdc_apply exactly (shared oracle shape).
+    "stream_cdc_live" -> ((s, dir) => {
+      val (raw, tmp) = stageStream(s, dir, "orders", "graft_scdc")
+      val changes = raw.select(
+        col("o_custkey").as("c_custkey"),
+        col("o_orderdate"), col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+        col("o_totalprice").as("bal"))
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal").as("bal"))
+      awaitScoped(s)(EventStreams.cdcIntoWarehouse(changes, base,
+        s"$tmp/wh", s"$tmp/ckpt", key = "c_custkey",
+        seqCol = "o_orderdate", tieCol = "o_orderkey", opCol = "op",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow())))
+      LakeReader.read(s, s"$tmp/wh")
+        .select(col("c_custkey"), col("bal"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "stream_sliding_avg" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(window(col("ts_utc"), "1 hour", "15 minutes"), col("event_type"))
@@ -297,6 +320,23 @@ object PipelineQueries {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // streamed CDC: identical semantics to cdc_apply (one micro-batch
+    // fold of the full ordered changelog onto the customer base)
+    "stream_cdc_live" ->
+      """WITH ch AS (SELECT o_custkey AS c_custkey, o_orderdate, o_orderkey,
+        |         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |         o_totalprice AS bal,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |        FROM orders),
+        | latest AS (SELECT c_custkey, op, bal FROM ch WHERE rn = 1)
+        |SELECT c.c_custkey, c.c_acctbal AS bal
+        |FROM customer c LEFT JOIN latest l USING (c_custkey)
+        |WHERE l.c_custkey IS NULL
+        |UNION ALL
+        |SELECT c_custkey, bal FROM latest WHERE op = 'U'
+        |ORDER BY c_custkey""".stripMargin,
 
     // streamed curation: distinct content hashes of quality-passing docs
     "stream_curation_live" ->

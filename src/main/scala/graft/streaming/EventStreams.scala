@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
-import graft.ops.Merge
+import graft.ops.{Cdc, Merge}
 import graft.sources.LakeWriter
 
 /** Structured Streaming over the events stream.
@@ -179,6 +179,36 @@ object EventStreams {
         // the new one commits (an overwrite-in-place of the path the
         // merge just read would be unrecoverable on a mid-write crash)
         LakeWriter.replaceSnapshot(merged, warehousePath, Seq.empty)
+      }
+    trigger.fold(w)(w.trigger).start()
+  }
+
+  /** Streaming CDC fold: every micro-batch of changelog rows (key, seq,
+    * tiebreak, op ∈ {U, D}, full row image) is applied onto the
+    * warehouse snapshot with [[Cdc.apply]] — last change in the batch
+    * wins, 'D' removes, unknown keys insert. The first batch folds onto
+    * `base`; later batches fold onto the committed snapshot, so the
+    * result after N in-order batches equals one batch apply of the
+    * concatenated ordered changelog (per-key last-wins is associative
+    * when batch boundaries respect `seqCol` order — the file-source /
+    * Kafka-offset guarantee). Snapshot swap is the crash-safe staging
+    * rename, never overwrite-in-place of the path just read. */
+  def cdcIntoWarehouse(changes: DataFrame, base: DataFrame,
+                       warehousePath: String, checkpoint: String,
+                       key: String, seqCol: String, tieCol: String,
+                       opCol: String,
+                       trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val current =
+          if (!graft.sources.LakeReader.exists(spark, warehousePath)) base
+          else spark.read.parquet(warehousePath)
+        LakeWriter.replaceSnapshot(
+          Cdc.apply(current, batch, key, seqCol, tieCol, opCol),
+          warehousePath, Seq.empty)
       }
     trigger.fold(w)(w.trigger).start()
   }
