@@ -223,6 +223,30 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // STREAM-STATIC JOIN: live events enriched with the static customer
+    // dimension (stateless — no watermark, no state store), appended to
+    // a file sink, then rolled up per segment. The enrich step is the
+    // plan shape under test; the rollup happens on the sink read-back.
+    "stream_enrich_live" -> ((s, dir) => {
+      val (raw, tmp) = stageStream(s, dir, "events", "graft_senr")
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val enriched = EventStreams.enrichWithDim(
+        raw.select(col("user_id"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents")),
+        dim, keys = Seq("user_id"))
+      awaitScoped(s)(enriched.writeStream
+        .format("parquet").option("path", s"$tmp/sink")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+      LakeReader.read(s, s"$tmp/sink")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("total_cents"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // STREAMING CDC: the orders changelog streams onto the customer
     // snapshot — final status 'F' deletes the account row, anything else
     // upserts the order total as the new balance, unseen keys insert.
@@ -320,6 +344,13 @@ object PipelineQueries {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // streamed enrich: stateless stream-static join then segment rollup
+    "stream_enrich_live" ->
+      """SELECT c.c_mktsegment, count(*) AS n_events,
+        | CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // streamed CDC: identical semantics to cdc_apply (one micro-batch
     // fold of the full ordered changelog onto the customer base)

@@ -183,6 +183,18 @@ object EventStreams {
     trigger.fold(w)(w.trigger).start()
   }
 
+  /** Stream-static dimension enrichment: join a streaming fact frame
+    * with a BATCH dimension frame. Stateless — no watermark, no state
+    * store; each micro-batch plans a fresh join against the dimension
+    * (so a dim refresh between triggers is picked up automatically,
+    * the Spark answer to the reference's per-run dim reload,
+    * scripts/load.py:21-29). The broadcast hint keeps the stream side
+    * shuffle-free; at 100 TB of stream and a genuinely large dim,
+    * drop the hint and let AQE choose. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   /** Streaming CDC fold: every micro-batch of changelog rows (key, seq,
     * tiebreak, op ∈ {U, D}, full row image) is applied onto the
     * warehouse snapshot with [[Cdc.apply]] — last change in the batch
