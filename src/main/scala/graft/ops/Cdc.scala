@@ -40,13 +40,15 @@ object Cdc {
     val w = Window.partitionBy(col(key))
       .orderBy(col(seqCol).desc, col(tieCol).desc)
     val latest = changes
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
       // assert_true returns null on success, throws otherwise; the isNull
       // predicate keeps every valid row AND forces evaluation (a dropped
-      // column would be pruned and a malformed op would vanish silently)
+      // column would be pruned and a malformed op would vanish silently).
+      // Validation runs BEFORE the per-key winner selection so a corrupt
+      // op shadowed by a later change still fails the run, as promised.
       .where(assert_true(col(opCol).isin("U", "D"),
         lit(s"bad CDC op in $opCol (want U|D)")).isNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
       .drop("__rn")
     val changedKeys = latest.select(col(key))
     val upserts = latest.filter(col(opCol) === "U")

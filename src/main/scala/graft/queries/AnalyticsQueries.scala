@@ -18,6 +18,32 @@ object AnalyticsQueries {
 
   import QuerySql.d2
 
+  /** Orders-as-changelog projection shared by the batch `cdc_apply` and
+    * the streaming `stream_cdc_live` queries — one definition so the two
+    * cannot drift apart (they are claimed to be equivalent). */
+  private[queries] def ordersChangelog(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_custkey").as("c_custkey"),
+      col("o_orderdate"), col("o_orderkey"),
+      when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+      col("o_totalprice").as("bal"))
+
+  /** The matching DuckDB oracle, shared for the same reason. */
+  private[queries] val cdcSnapshotOracle: String =
+    """WITH ch AS (SELECT o_custkey AS c_custkey, o_orderdate, o_orderkey,
+      |         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+      |         o_totalprice AS bal,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |        FROM orders),
+      | latest AS (SELECT c_custkey, op, bal FROM ch WHERE rn = 1)
+      |SELECT c.c_custkey, c.c_acctbal AS bal
+      |FROM customer c LEFT JOIN latest l USING (c_custkey)
+      |WHERE l.c_custkey IS NULL
+      |UNION ALL
+      |SELECT c_custkey, bal FROM latest WHERE op = 'U'
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── ROLLUP grouping sets: per-(flag, status), per-flag subtotals and
@@ -76,12 +102,8 @@ object AnalyticsQueries {
     "cdc_apply" -> ((s, dir) => {
       val base = Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_acctbal").as("bal"))
-      val changes = Tables.orders(s, dir).select(
-        col("o_custkey").as("c_custkey"),
-        col("o_orderdate"), col("o_orderkey"),
-        when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
-        col("o_totalprice").as("bal"))
-      Cdc.apply(base, changes, key = "c_custkey",
+      Cdc.apply(base, ordersChangelog(Tables.orders(s, dir)),
+          key = "c_custkey",
           seqCol = "o_orderdate", tieCol = "o_orderkey", opCol = "op")
         .orderBy(col("c_custkey"))
     }),
@@ -175,9 +197,14 @@ object AnalyticsQueries {
         .select(col("o_custkey"),
           year(col("o_orderdate")).cast("long").as("yr"))
         .groupBy(col("o_custkey"))
-        .agg(array_join(transform(sort_array(collect_set(col("yr"))),
-          y => y.cast("string")), ",").as("years"),
-          countDistinct(col("yr")).as("n_years"))
+        // one collected array serves both outputs — a separate
+        // countDistinct would force the planner's distinct-aggregate
+        // expansion for a value that is just the set's size
+        .agg(sort_array(collect_set(col("yr"))).as("__yrs"))
+        .select(col("o_custkey"),
+          array_join(transform(col("__yrs"), y => y.cast("string")), ",")
+            .as("years"),
+          size(col("__yrs")).cast("long").as("n_years"))
         .orderBy(col("o_custkey"))),
 
     // ── Semi/anti join pair: per-segment counts of customers WITH and
@@ -247,20 +274,7 @@ object AnalyticsQueries {
         |FROM x WHERE rn = ceil(p * n)
         |ORDER BY event_type, p""".stripMargin,
 
-    "cdc_apply" ->
-      """WITH ch AS (SELECT o_custkey AS c_custkey, o_orderdate, o_orderkey,
-        |         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
-        |         o_totalprice AS bal,
-        |         row_number() OVER (PARTITION BY o_custkey
-        |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-        |        FROM orders),
-        | latest AS (SELECT c_custkey, op, bal FROM ch WHERE rn = 1)
-        |SELECT c.c_custkey, c.c_acctbal AS bal
-        |FROM customer c LEFT JOIN latest l USING (c_custkey)
-        |WHERE l.c_custkey IS NULL
-        |UNION ALL
-        |SELECT c_custkey, bal FROM latest WHERE op = 'U'
-        |ORDER BY c_custkey""".stripMargin,
+    "cdc_apply" -> cdcSnapshotOracle,
 
     "value_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS n,

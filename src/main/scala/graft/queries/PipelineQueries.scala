@@ -254,18 +254,15 @@ object PipelineQueries {
     // cdc_apply exactly (shared oracle shape).
     "stream_cdc_live" -> ((s, dir) => {
       val (raw, tmp) = stageStream(s, dir, "orders", "graft_scdc")
-      val changes = raw.select(
-        col("o_custkey").as("c_custkey"),
-        col("o_orderdate"), col("o_orderkey"),
-        when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
-        col("o_totalprice").as("bal"))
       val base = Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_acctbal").as("bal"))
-      awaitScoped(s)(EventStreams.cdcIntoWarehouse(changes, base,
+      awaitScoped(s)(EventStreams.cdcIntoWarehouse(
+        AnalyticsQueries.ordersChangelog(raw), base,
         s"$tmp/wh", s"$tmp/ckpt", key = "c_custkey",
         seqCol = "o_orderdate", tieCol = "o_orderkey", opCol = "op",
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow())))
       LakeReader.read(s, s"$tmp/wh")
+        .filter(col("__op") =!= "D") // tombstones stay in the snapshot
         .select(col("c_custkey"), col("bal"))
         .orderBy(col("c_custkey"))
     }),
@@ -352,22 +349,9 @@ object PipelineQueries {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // streamed CDC: identical semantics to cdc_apply (one micro-batch
-    // fold of the full ordered changelog onto the customer base)
-    "stream_cdc_live" ->
-      """WITH ch AS (SELECT o_custkey AS c_custkey, o_orderdate, o_orderkey,
-        |         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
-        |         o_totalprice AS bal,
-        |         row_number() OVER (PARTITION BY o_custkey
-        |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-        |        FROM orders),
-        | latest AS (SELECT c_custkey, op, bal FROM ch WHERE rn = 1)
-        |SELECT c.c_custkey, c.c_acctbal AS bal
-        |FROM customer c LEFT JOIN latest l USING (c_custkey)
-        |WHERE l.c_custkey IS NULL
-        |UNION ALL
-        |SELECT c_custkey, bal FROM latest WHERE op = 'U'
-        |ORDER BY c_custkey""".stripMargin,
+    // streamed CDC: identical semantics to cdc_apply — the projection
+    // AND the oracle are shared definitions, so they cannot drift
+    "stream_cdc_live" -> AnalyticsQueries.cdcSnapshotOracle,
 
     // streamed curation: distinct content hashes of quality-passing docs
     "stream_curation_live" ->

@@ -79,6 +79,30 @@ object LakeWriter {
     ()
   }
 
+  /** Janitor for [[replaceSnapshot]]'s non-atomic window: call BEFORE
+    * reading a snapshot that is maintained by replaceSnapshot. If a
+    * previous writer died between the two renames, the target is
+    * missing while `<path>.__old__` still holds the pre-batch data —
+    * without recovery a naive exists() probe would mistake that state
+    * for a first run and silently restart from scratch. Rolls BACK
+    * (old → target) rather than forward: the interrupted batch never
+    * committed to the caller's checkpoint, so it will be replayed onto
+    * the restored snapshot; the fully-written-but-uncommitted staging
+    * dir is deleted for the same reason. Leftover `__old__` beside a
+    * live target (death after commit, before cleanup) is swept. */
+  def recoverSnapshot(spark: SparkSession, path: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(path + ".__staging__")
+    val old = new org.apache.hadoop.fs.Path(path + ".__old__")
+    if (!fs.exists(target) && fs.exists(old))
+      require(fs.rename(old, target),
+        s"recoverSnapshot: could not restore $old to $path")
+    fs.delete(staging, true)
+    fs.delete(old, true)
+    ()
+  }
+
   /** Bucketed catalog table: pre-shuffles ONCE at write time so every
     * subsequent equi-join/aggregation on the bucket keys is
     * co-located — no exchange in the join plan. The 100 TB pattern for

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
-import graft.ops.{Cdc, Merge}
+import graft.ops.Merge
 import graft.sources.LakeWriter
 
 /** Structured Streaming over the events stream.
@@ -170,6 +170,10 @@ object EventStreams {
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // heal a predecessor's mid-swap crash BEFORE probing existence —
+        // a missing target with __old__ beside it is a torn swap, not a
+        // first run, and must not silently restart the table from scratch
+        LakeWriter.recoverSnapshot(spark, warehousePath)
         val merged =
           if (!graft.sources.LakeReader.exists(spark, warehousePath))
             Merge.dedupByKey(batch, keys, tiebreak)
@@ -196,31 +200,54 @@ object EventStreams {
     stream.join(broadcast(dim), keys)
 
   /** Streaming CDC fold: every micro-batch of changelog rows (key, seq,
-    * tiebreak, op ∈ {U, D}, full row image) is applied onto the
-    * warehouse snapshot with [[Cdc.apply]] — last change in the batch
-    * wins, 'D' removes, unknown keys insert. The first batch folds onto
-    * `base`; later batches fold onto the committed snapshot, so the
-    * result after N in-order batches equals one batch apply of the
-    * concatenated ordered changelog (per-key last-wins is associative
-    * when batch boundaries respect `seqCol` order — the file-source /
-    * Kafka-offset guarantee). Snapshot swap is the crash-safe staging
-    * rename, never overwrite-in-place of the path just read. */
+    * tiebreak, op ∈ {U, D}, full row image) folds onto the warehouse
+    * snapshot — per-key highest (seq, tiebreak) wins, exactly
+    * [[graft.ops.Cdc.apply]]'s batch semantics extended across batches.
+    *
+    * The snapshot carries `__seq`/`__tie`/`__op` alongside the base
+    * columns: ordering survives the fold, so batches arriving OUT OF
+    * `seqCol` order still converge to the global last-wins answer (a
+    * late batch with older changes loses to what the snapshot already
+    * holds), and a delete persists as a TOMBSTONE row (`__op = 'D'`)
+    * rather than a bare removal — without it, a late-arriving older
+    * upsert would silently resurrect a deleted key. Readers filter
+    * `__op != 'D'`. Base rows seed with null seq (sorted below every
+    * real change). The fold is idempotent, so checkpoint replay after a
+    * crash re-applies a batch harmlessly; [[LakeWriter.recoverSnapshot]]
+    * first heals any torn snapshot swap. */
   def cdcIntoWarehouse(changes: DataFrame, base: DataFrame,
                        warehousePath: String, checkpoint: String,
                        key: String, seqCol: String, tieCol: String,
                        opCol: String,
                        trigger: Option[Trigger] = None): StreamingQuery = {
+    val baseCols = base.columns.toSeq
     val w = changes.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        LakeWriter.recoverSnapshot(spark, warehousePath)
+        val batchImg = batch
+          // validate BEFORE any per-key selection: a corrupt op must fail
+          // the run even when a later change for the same key shadows it
+          .where(assert_true(col(opCol).isin("U", "D"),
+            lit(s"bad CDC op in $opCol (want U|D)")).isNull)
+          .select(baseCols.map(col) :+ col(seqCol).as("__seq") :+
+            col(tieCol).as("__tie") :+ col(opCol).as("__op"): _*)
         val current =
-          if (!graft.sources.LakeReader.exists(spark, warehousePath)) base
+          if (!graft.sources.LakeReader.exists(spark, warehousePath))
+            base.withColumn("__seq", lit(null).cast(batch.schema(seqCol).dataType))
+              .withColumn("__tie", lit(null).cast(batch.schema(tieCol).dataType))
+              .withColumn("__op", lit("U"))
           else spark.read.parquet(warehousePath)
-        LakeWriter.replaceSnapshot(
-          Cdc.apply(current, batch, key, seqCol, tieCol, opCol),
-          warehousePath, Seq.empty)
+        val byKey = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key))
+          .orderBy(col("__seq").desc_nulls_last, col("__tie").desc_nulls_last)
+        val folded = current.unionByName(batchImg)
+          .withColumn("__rn", row_number().over(byKey))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+        LakeWriter.replaceSnapshot(folded, warehousePath, Seq.empty)
       }
     trigger.fold(w)(w.trigger).start()
   }

@@ -54,10 +54,15 @@ class PercentilesCdcSpec extends SparkSpec {
     out shouldBe Seq(Seq(1L, 222.0))
   }
 
-  test("apply: a malformed op on the WINNING change fails loudly") {
-    val changes = Seq((1L, 1L, 1L, "X", 0.0)).toDF("k", "seq", "tie", "op", "bal")
+  test("apply: a malformed op fails loudly even when a later change shadows it") {
+    val winning = Seq((1L, 1L, 1L, "X", 0.0)).toDF("k", "seq", "tie", "op", "bal")
     an[Exception] should be thrownBy
-      Cdc.apply(base, changes, "k", "seq", "tie", "op").collect()
+      Cdc.apply(base, winning, "k", "seq", "tie", "op").collect()
+    // the corrupt op is NOT the per-key winner — validation must still see it
+    val shadowed = Seq((1L, 1L, 1L, "X", 0.0), (1L, 2L, 2L, "U", 120.0))
+      .toDF("k", "seq", "tie", "op", "bal")
+    an[Exception] should be thrownBy
+      Cdc.apply(base, shadowed, "k", "seq", "tie", "op").collect()
   }
 
   test("apply: schema mismatches rejected before any job runs") {

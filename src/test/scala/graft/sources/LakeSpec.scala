@@ -52,4 +52,33 @@ class LakeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql("DROP TABLE bucketed_l"); spark.sql("DROP TABLE bucketed_r")
   }
+
+  test("recoverSnapshot: a torn swap rolls back to the previous snapshot") {
+    val root = Files.createTempDirectory("lake3").toString
+    val path = s"$root/wh"
+    LakeWriter.write(Seq((1L, "old")).toDF("k", "v"), path, Seq.empty)
+    // simulate a writer that died between the two renames: target moved
+    // to __old__, fully-written-but-uncommitted staging left behind
+    Files.move(java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(s"$path.__old__"))
+    LakeWriter.write(Seq((1L, "uncommitted")).toDF("k", "v"),
+      s"$path.__staging__", Seq.empty)
+    LakeWriter.recoverSnapshot(spark, path)
+    LakeReader.read(spark, path).rows shouldBe Seq(Seq(1L, "old"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$path.__old__")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$path.__staging__")))
+  }
+
+  test("recoverSnapshot: leftover __old__ beside a live target is swept") {
+    val root = Files.createTempDirectory("lake4").toString
+    val path = s"$root/wh"
+    LakeWriter.write(Seq((1L, "new")).toDF("k", "v"), path, Seq.empty)
+    LakeWriter.write(Seq((1L, "stale")).toDF("k", "v"), s"$path.__old__", Seq.empty)
+    LakeWriter.recoverSnapshot(spark, path)
+    LakeReader.read(spark, path).rows shouldBe Seq(Seq(1L, "new"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$path.__old__")))
+    // no-op on a healthy or absent snapshot
+    LakeWriter.recoverSnapshot(spark, s"$root/never_written")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/never_written")))
+  }
 }

@@ -225,4 +225,37 @@ class EventStreamsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       EventStreams.intervalJoin(a, "user", "ts", b, "user", "ts", "1 hour")
   }
+
+  test("cdcIntoWarehouse: out-of-order batches converge, deletes tombstone") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String, Double)]
+    val changes = input.toDF().toDF("k", "seq", "tie", "op", "bal")
+    val base = Seq((1L, 100.0), (2L, 200.0), (3L, 300.0)).toDF("k", "bal")
+    val tmp = Files.createTempDirectory("cdcwh").toString
+    val q = EventStreams.cdcIntoWarehouse(changes, base, s"$tmp/wh",
+      s"$tmp/ckpt", "k", "seq", "tie", "op")
+    def snapshot() = spark.read.parquet(s"$tmp/wh")
+      .filter(col("__op") =!= "D")
+      .select("k", "bal").orderBy("k").rows.map(r => (r(0), r(1)))
+    try {
+      // batch 1 arrives first but holds the LATER (seq=10) changes
+      input.addData((1L, 10L, 1L, "U", 500.0), (2L, 10L, 2L, "U", 900.0))
+      q.processAllAvailable()
+      snapshot() shouldBe Seq((1L, 500.0), (2L, 900.0), (3L, 300.0))
+      // batch 2 delivers OLDER (seq=5) changes late: a stale upsert for
+      // key 1 and a stale delete for key 2 — both must lose to the
+      // snapshot's seq=10 state, not clobber it
+      input.addData((1L, 5L, 3L, "U", 111.0), (2L, 5L, 4L, "D", 0.0))
+      q.processAllAvailable()
+      snapshot() shouldBe Seq((1L, 500.0), (2L, 900.0), (3L, 300.0))
+      // a genuinely newer delete wins — and persists as a tombstone row
+      // (not a bare removal), so further stale upserts cannot resurrect
+      input.addData((2L, 20L, 5L, "D", 0.0))
+      q.processAllAvailable()
+      snapshot() shouldBe Seq((1L, 500.0), (3L, 300.0))
+      input.addData((2L, 7L, 6L, "U", 777.0)) // older than the delete
+      q.processAllAvailable()
+      snapshot() shouldBe Seq((1L, 500.0), (3L, 300.0))
+    } finally q.stop()
+  }
 }
