@@ -207,6 +207,52 @@ object AnalyticsQueries {
           size(col("__yrs")).cast("long").as("n_years"))
         .orderBy(col("o_custkey"))),
 
+    // ── RANGE-frame trailing window: the sum of the PRECEDING TWO HOURS
+    // by event TIME, not row count — peers enter by timestamp range, so
+    // ties need no tiebreak and sparse/dense series get the same
+    // semantics. Exact integer cents, no decimal needed.
+    "w_range_trailing" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("t_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+        .rangeBetween(-7200000000L, 0L)
+      ev.withColumn("trail_cents", sum(col("cents")).over(w))
+        .withColumn("trail_n", count(lit(1)).over(w))
+        .select(col("user_id"), col("event_id"), col("trail_cents"), col("trail_n"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ── Robust outlier stats: per-group median and median absolute
+    // deviation, both by exact nearest-rank selection — two linear
+    // window passes, values straight from the data (|x − med| is a
+    // single IEEE subtraction, identical in any engine).
+    "agg_mad" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val med = Percentiles.nearestRank(ev, Seq("event_type"), "value", Seq(0.5))
+        .select(col("event_type"), col("pct_value").as("med"))
+      val dev = ev.join(med, Seq("event_type"))
+        .select(col("event_type"), abs(col("value") - col("med")).as("dev"))
+      Percentiles.nearestRank(dev, Seq("event_type"), "dev", Seq(0.5))
+        .join(med, Seq("event_type"))
+        .select(col("event_type"), col("med"), col("pct_value").as("mad"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── Set operations (SURVEY §2.8 beyond union): customers ordering
+    // in 1994 split into INTERSECT (also in 1995) and EXCEPT (1994
+    // only) — both distinct-set semantics, labeled and unioned.
+    "u2_except_intersect" -> ((s, dir) => {
+      def buyers(yr: Int) = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey")).distinct()
+      val both = buyers(1994).intersect(buyers(1995))
+        .withColumn("kind", lit("both_years"))
+      val only94 = buyers(1994).except(buyers(1995))
+        .withColumn("kind", lit("only_1994"))
+      both.unionByName(only94).orderBy(col("o_custkey"))
+    }),
+
     // ── Semi/anti join pair: per-segment counts of customers WITH and
     // WITHOUT 1995 orders — the EXISTS / NOT EXISTS shapes, each a real
     // LeftSemi/LeftAnti in the plan (broadcastable key set).
@@ -340,6 +386,47 @@ object AnalyticsQueries {
         | string_agg(CAST(yr AS VARCHAR), ',' ORDER BY yr) AS years,
         | count(*) AS n_years
         |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w_range_trailing" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |            CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, event_id,
+        | sum(cents) OVER w AS trail_cents,
+        | count(*) OVER w AS trail_n
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+        |  RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "agg_mad" ->
+      """WITH r AS (SELECT event_type, value,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |       FROM events WHERE value IS NOT NULL),
+        | med AS (SELECT event_type, value AS med FROM r
+        |         WHERE rn = ceil(0.5::DOUBLE * n)),
+        | d AS (SELECT e.event_type, abs(e.value - med.med) AS dev
+        |       FROM events e JOIN med USING (event_type)
+        |       WHERE e.value IS NOT NULL),
+        | dr AS (SELECT event_type, dev,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |        FROM d)
+        |SELECT dr.event_type, med.med, dr.dev AS mad
+        |FROM dr JOIN med USING (event_type)
+        |WHERE dr.rn = ceil(0.5::DOUBLE * dr.n)
+        |ORDER BY event_type""".stripMargin,
+
+    "u2_except_intersect" ->
+      """WITH c94 AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE year(o_orderdate) = 1994),
+        | c95 AS (SELECT DISTINCT o_custkey FROM orders
+        |         WHERE year(o_orderdate) = 1995)
+        |SELECT o_custkey, 'both_years' AS kind
+        |FROM (SELECT o_custkey FROM c94 INTERSECT SELECT o_custkey FROM c95)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1994' AS kind
+        |FROM (SELECT o_custkey FROM c94 EXCEPT SELECT o_custkey FROM c95)
+        |ORDER BY o_custkey""".stripMargin,
 
     "j4_semi_anti" ->
       """WITH o95 AS (SELECT DISTINCT o_custkey FROM orders
