@@ -195,4 +195,83 @@ object Multimodal {
       }
       .toDF(id, "frame_idx", "frame_bytes")
   }
+
+  // ── audio modality (WAV / RIFF) ─────────────────────────────────────
+
+  /** Typed audio metadata from a WAV header walk. */
+  final case class AudioMeta(doc_id: Long, n_bytes: Long, channels: Long,
+                             sample_rate: Long, bits: Long,
+                             duration_ms: Long, format: String)
+
+  private def putLe16(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = (v & 0xFF).toByte; b(i + 1) = ((v >> 8) & 0xFF).toByte
+  }
+  private def putLe32(b: Array[Byte], i: Int, v: Int): Unit = {
+    putLe16(b, i, v & 0xFFFF); putLe16(b, i + 2, (v >>> 16) & 0xFFFF)
+  }
+
+  /** Deterministic 16-bit PCM WAV wrapper around an arbitrary payload —
+    * the audio stand-in for reading real recordings from a lake (the
+    * 44-byte canonical header, then the payload as sample data). The
+    * fmt parameters derive from the id so the parse round-trip is
+    * oracle-checkable. */
+  def synthWav(id: Long, payload: Array[Byte]): Array[Byte] = {
+    val channels = (1 + id % 2).toInt
+    val rate = (8000 + (id % 3) * 4000).toInt
+    val bits = 16
+    val blockAlign = channels * bits / 8
+    val b = new Array[Byte](44 + payload.length)
+    def ascii(i: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(b, i)
+    ascii(0, "RIFF"); putLe32(b, 4, 36 + payload.length); ascii(8, "WAVE")
+    ascii(12, "fmt "); putLe32(b, 16, 16)
+    putLe16(b, 20, 1) // PCM
+    putLe16(b, 22, channels); putLe32(b, 24, rate)
+    putLe32(b, 28, rate * blockAlign); putLe16(b, 32, blockAlign)
+    putLe16(b, 34, bits)
+    ascii(36, "data"); putLe32(b, 40, payload.length)
+    payload.copyToArray(b, 44)
+    b
+  }
+
+  /** WAV header walk: (channels, sample_rate, bits, data_bytes), or None
+    * if the bytes are not RIFF/WAVE. Chunk-order agnostic (fmt and data
+    * located by fourcc), sizes clamped to the buffer — same robustness
+    * stance as [[parseAviFrames]]. */
+  private[ops] def parseWav(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    def fourcc(i: Int) = new String(b.slice(i, i + 4), "US-ASCII")
+    if (b.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Long, Long, Long)] = None
+    var dataLen: Option[Long] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || dataLen.isEmpty)) {
+      val cc = fourcc(i)
+      val size = math.min(le32(b, i + 4), (b.length - i - 8).toLong)
+      if (cc == "fmt " && size >= 16)
+        fmt = Some((le16(b, i + 10), le32(b, i + 12), le16(b, i + 22)))
+      else if (cc == "data") dataLen = Some(size)
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    for ((ch, rate, bits) <- fmt; n <- dataLen) yield (ch, rate, bits, n)
+  }
+
+  /** Partition-parallel audio metadata extraction; non-WAV payloads
+    * surface as format "unknown" with zeroed audio fields rather than
+    * failing the batch. Duration is floor integer milliseconds from the
+    * data size and the fmt byte rate. */
+  def extractAudioMeta(df: DataFrame, id: String = "doc_id",
+                       bin: String = "media"): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id), col(bin)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (i, b) =>
+        parseWav(b) match {
+          case Some((ch, rate, bits, n)) =>
+            val byteRate = rate * ch * bits / 8
+            val ms = if (byteRate > 0) n * 1000L / byteRate else 0L
+            AudioMeta(i, b.length.toLong, ch, rate, bits, ms, "wav")
+          case None =>
+            AudioMeta(i, b.length.toLong, 0L, 0L, 0L, 0L, "unknown")
+        }
+      })
+  }
 }

@@ -193,6 +193,21 @@ object TextQueries {
         .toDF()
         .orderBy(col("doc_id"))),
 
+    // audio modality: synthesize a real 16-bit PCM WAV per doc (fmt
+    // params derived from doc_id), then parse the header back — the
+    // round-trip proves the byte-level plumbing, and the oracle
+    // recomputes every field from (doc_id, byte length) arithmetic
+    "multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (i, t) =>
+          (i, Multimodal.synthWav(i, t.getBytes("UTF-8")))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.extractAudioMeta(wavs).toDF().orderBy(col("doc_id"))
+    }),
+
     // frame sampling: every 4th 16-byte slice (last slice may be short)
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -577,6 +592,20 @@ object TextQueries {
         | CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
         | CASE octet_length(encode(text)) % 3
         |   WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every field of the parsed WAV is pure integer arithmetic over
+    // (doc_id, UTF-8 byte length) — the synthesis parameters round-trip
+    "multimodal_audio" ->
+      """SELECT doc_id,
+        | CAST(44 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        | CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+        | CAST(16 AS BIGINT) AS bits,
+        | CAST(octet_length(encode(text)) * 1000 //
+        |   ((8000 + (doc_id % 3) * 4000) * (1 + doc_id % 2) * 2) AS BIGINT)
+        |   AS duration_ms,
+        | 'wav' AS format
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -221,4 +221,27 @@ class TextMultimodalSpec extends SparkSpec {
     // pass, never silently deleted mid-word by translate
     out(1) shouldBe "skoda zluouky"
   }
+
+  test("WAV synth/parse round-trips the fmt parameters exactly") {
+    val payload = "0123456789abcdef".getBytes("US-ASCII") // 16 bytes
+    // id=1: channels 2, rate 12000; id=0: channels 1, rate 8000
+    Multimodal.parseWav(Multimodal.synthWav(1L, payload)) shouldBe
+      Some((2L, 12000L, 16L, 16L))
+    Multimodal.parseWav(Multimodal.synthWav(0L, Array.empty[Byte])) shouldBe
+      Some((1L, 8000L, 16L, 0L))
+    // odd payload length exercises the word-alignment walk
+    Multimodal.parseWav(Multimodal.synthWav(2L, Array[Byte](1, 2, 3))) shouldBe
+      Some((1L, 16000L, 16L, 3L))
+  }
+
+  test("extractAudioMeta: duration math and unknown-payload fallback") {
+    val wavs = Seq(
+      (1L, Multimodal.synthWav(1L, new Array[Byte](48000))), // 2ch·12kHz·16bit → 1s
+      (2L, "not audio at all".getBytes("UTF-8"))
+    ).toDF("doc_id", "media")
+    val out = Multimodal.extractAudioMeta(wavs).toDF()
+      .orderBy("doc_id").rows.map(r => (r(0), r(2), r(3), r(5), r(6)))
+    out.head shouldBe ((1L, 2L, 12000L, 1000L, "wav"))
+    out(1) shouldBe ((2L, 0L, 0L, 0L, "unknown"))
+  }
 }
