@@ -233,31 +233,45 @@ object Multimodal {
     b
   }
 
-  /** WAV header walk: (channels, sample_rate, bits, data_bytes), or None
-    * if the bytes are not RIFF/WAVE. Chunk-order agnostic (fmt and data
-    * located by fourcc), sizes clamped to the buffer — same robustness
-    * stance as [[parseAviFrames]]. */
-  private[ops] def parseWav(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+  private[ops] final case class WavFmt(tag: Long, channels: Long, rate: Long,
+                                       byteRate: Long, bits: Long, dataLen: Long)
+
+  /** WAV header walk, or None if the bytes are not RIFF/WAVE. Chunk-
+    * order agnostic (fmt and data located by fourcc); both the per-chunk
+    * sizes AND the walk itself are clamped — to the buffer and to the
+    * declared RIFF extent — same robustness stance as
+    * [[parseAviFrames]]: trailing garbage beyond the container can never
+    * be misread as a chunk. The fmt chunk's STORED byte rate is carried
+    * through rather than recomputed, so non-PCM encodings and
+    * adversarial field values cannot push a derived product into
+    * overflow. */
+  private[ops] def parseWav(b: Array[Byte]): Option[WavFmt] = {
     def fourcc(i: Int) = new String(b.slice(i, i + 4), "US-ASCII")
     if (b.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
+    val riffEnd = math.min(b.length.toLong, 8L + le32(b, 4))
     var i = 12
-    var fmt: Option[(Long, Long, Long)] = None
+    var fmt: Option[(Long, Long, Long, Long, Long)] = None
     var dataLen: Option[Long] = None
-    while (i + 8 <= b.length && (fmt.isEmpty || dataLen.isEmpty)) {
+    while (i + 8 <= riffEnd && (fmt.isEmpty || dataLen.isEmpty)) {
       val cc = fourcc(i)
-      val size = math.min(le32(b, i + 4), (b.length - i - 8).toLong)
+      val size = math.min(le32(b, i + 4), riffEnd - i - 8)
       if (cc == "fmt " && size >= 16)
-        fmt = Some((le16(b, i + 10), le32(b, i + 12), le16(b, i + 22)))
+        fmt = Some((le16(b, i + 8), le16(b, i + 10), le32(b, i + 12),
+          le32(b, i + 16), le16(b, i + 22)))
       else if (cc == "data") dataLen = Some(size)
       i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
-    for ((ch, rate, bits) <- fmt; n <- dataLen) yield (ch, rate, bits, n)
+    for ((tag, ch, rate, br, bits) <- fmt; n <- dataLen)
+      yield WavFmt(tag, ch, rate, br, bits, n)
   }
 
-  /** Partition-parallel audio metadata extraction; non-WAV payloads
-    * surface as format "unknown" with zeroed audio fields rather than
-    * failing the batch. Duration is floor integer milliseconds from the
-    * data size and the fmt byte rate. */
+  /** Partition-parallel audio metadata extraction. Only PCM (format tag
+    * 1) with a sane byte rate is reported as "wav" — a non-PCM or
+    * corrupt fmt chunk would make any duration derived from
+    * rate·channels·bits wrong, so such payloads fall to "unknown" with
+    * zeroed fields instead of carrying plausible-looking garbage.
+    * Duration is floor integer milliseconds from the data size and the
+    * fmt chunk's stored byte rate. */
   def extractAudioMeta(df: DataFrame, id: String = "doc_id",
                        bin: String = "media"): Dataset[AudioMeta] = {
     val spark = df.sparkSession
@@ -265,11 +279,10 @@ object Multimodal {
     df.select(col(id), col(bin)).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (i, b) =>
         parseWav(b) match {
-          case Some((ch, rate, bits, n)) =>
-            val byteRate = rate * ch * bits / 8
-            val ms = if (byteRate > 0) n * 1000L / byteRate else 0L
-            AudioMeta(i, b.length.toLong, ch, rate, bits, ms, "wav")
-          case None =>
+          case Some(f) if f.tag == 1L && f.byteRate > 0 =>
+            AudioMeta(i, b.length.toLong, f.channels, f.rate, f.bits,
+              f.dataLen * 1000L / f.byteRate, "wav")
+          case _ =>
             AudioMeta(i, b.length.toLong, 0L, 0L, 0L, 0L, "unknown")
         }
       })

@@ -391,7 +391,7 @@ object AnalyticsQueries {
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
         |            CAST(round(value * 100) AS BIGINT) AS cents FROM events)
         |SELECT user_id, event_id,
-        | sum(cents) OVER w AS trail_cents,
+        | CAST(sum(cents) OVER w AS BIGINT) AS trail_cents,
         | count(*) OVER w AS trail_n
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us
         |  RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)

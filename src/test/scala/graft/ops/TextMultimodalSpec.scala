@@ -226,12 +226,32 @@ class TextMultimodalSpec extends SparkSpec {
     val payload = "0123456789abcdef".getBytes("US-ASCII") // 16 bytes
     // id=1: channels 2, rate 12000; id=0: channels 1, rate 8000
     Multimodal.parseWav(Multimodal.synthWav(1L, payload)) shouldBe
-      Some((2L, 12000L, 16L, 16L))
+      Some(Multimodal.WavFmt(1L, 2L, 12000L, 48000L, 16L, 16L))
     Multimodal.parseWav(Multimodal.synthWav(0L, Array.empty[Byte])) shouldBe
-      Some((1L, 8000L, 16L, 0L))
-    // odd payload length exercises the word-alignment walk
-    Multimodal.parseWav(Multimodal.synthWav(2L, Array[Byte](1, 2, 3))) shouldBe
-      Some((1L, 16000L, 16L, 3L))
+      Some(Multimodal.WavFmt(1L, 1L, 8000L, 16000L, 16L, 0L))
+  }
+
+  test("WAV walk: odd-chunk padding honored, RIFF extent clamps the walk") {
+    // an odd-sized LIST chunk BEFORE fmt: only a correctly padded walk
+    // lands on the fmt fourcc afterward
+    val wav = Multimodal.synthWav(2L, Array[Byte](1, 2, 3))
+    val list = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 9, 9, 9, 0) // 3+pad
+    val withList = wav.take(12) ++ list ++ wav.drop(12)
+    // patch the RIFF size for the inserted 12 bytes
+    withList(4) = ((Multimodal.synthWav(2L, Array[Byte](1, 2, 3)).length - 8 + 12) & 0xFF).toByte
+    Multimodal.parseWav(withList).map(f => (f.channels, f.rate, f.dataLen)) shouldBe
+      Some((1L, 16000L, 3L))
+    // trailing garbage past the declared RIFF extent is never read as a
+    // chunk: a fake 'data' fourcc outside the container stays invisible
+    val truncated = wav.clone()
+    putRiffSize(truncated, 36 - 8) // container covers the header only...
+    val garbage = truncated ++ Array[Byte]('d', 'a', 't', 'a', 8, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8)
+    Multimodal.parseWav(garbage) shouldBe None // fmt found, data outside extent
+  }
+
+  private def putRiffSize(b: Array[Byte], v: Int): Unit = {
+    b(4) = (v & 0xFF).toByte; b(5) = ((v >> 8) & 0xFF).toByte
+    b(6) = ((v >> 16) & 0xFF).toByte; b(7) = ((v >> 24) & 0xFF).toByte
   }
 
   test("extractAudioMeta: duration math and unknown-payload fallback") {
