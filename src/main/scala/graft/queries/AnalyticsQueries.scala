@@ -253,6 +253,37 @@ object AnalyticsQueries {
       both.unionByName(only94).orderBy(col("o_custkey"))
     }),
 
+    // ── Exact Pearson correlation + OLS slope of value (cents) against
+    // event day, per type. Built-in corr() accumulates co-moments in
+    // engine- and partition-order-dependent double arithmetic; here
+    // every Σ is an exact integer/DECIMAL, the co-moment combination
+    // happens in DECIMAL (n·Σxy overflows BIGINT), and only the final
+    // sqrt/divide touches doubles — identical bits in any engine.
+    "agg_exact_corr" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("x"),
+        expr("ts div 86400000000000").as("y"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("n"), col("sx"), col("sy"),
+          col("sxy"), col("sxx"), col("syy"))
+        // cast BEFORE combining: n·Σxy outruns BIGINT, so every product
+        // happens in DECIMAL(38,0) where it is exact
+        .withColumn("cov_n", d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy")))
+        .withColumn("var_x", d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx")))
+        .withColumn("var_y", d38(col("n")) * d38(col("syy")) - d38(col("sy")) * d38(col("sy")))
+        .select(col("event_type"), col("n"),
+          (col("cov_n").cast("double") /
+            nullif(sqrt(col("var_x").cast("double") * col("var_y").cast("double")), lit(0.0)))
+            .cast("float").as("corr"),
+          (col("cov_n").cast("double") /
+            nullif(col("var_x").cast("double"), lit(0.0))).cast("float").as("slope"))
+        .orderBy(col("event_type"))
+    }),
+
     // ── Semi/anti join pair: per-segment counts of customers WITH and
     // WITHOUT 1995 orders — the EXISTS / NOT EXISTS shapes, each a real
     // LeftSemi/LeftAnti in the plan (broadcastable key set).
@@ -427,6 +458,27 @@ object AnalyticsQueries {
         |SELECT o_custkey, 'only_1994' AS kind
         |FROM (SELECT o_custkey FROM c94 EXCEPT SELECT o_custkey FROM c95)
         |ORDER BY o_custkey""".stripMargin,
+
+    // HUGEINT keeps every sum and co-moment combination exact in DuckDB;
+    // the one double division/sqrt then matches Spark's bit-for-bit
+    "agg_exact_corr" ->
+      """WITH e AS (SELECT event_type,
+        |        CAST(round(value * 100) AS BIGINT) AS x,
+        |        epoch_ns(ts) // 86400000000000 AS y FROM events),
+        | s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |       FROM e GROUP BY 1),
+        | c AS (SELECT event_type, n,
+        |        n * sxy - sx * sy AS cov_n,
+        |        n * sxx - sx * sx AS var_x,
+        |        n * syy - sy * sy AS var_y
+        |       FROM s)
+        |SELECT event_type, n,
+        | CAST(CAST(cov_n AS DOUBLE) /
+        |   nullif(sqrt(CAST(var_x AS DOUBLE) * CAST(var_y AS DOUBLE)), 0) AS REAL) AS corr,
+        | CAST(CAST(cov_n AS DOUBLE) /
+        |   nullif(CAST(var_x AS DOUBLE), 0) AS REAL) AS slope
+        |FROM c ORDER BY event_type""".stripMargin,
 
     "j4_semi_anti" ->
       """WITH o95 AS (SELECT DISTINCT o_custkey FROM orders
