@@ -284,6 +284,23 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // ── Exact per-group mode: most frequent source per language, count
+    // + rank with a lexicographic tiebreak (built-in mode() functions
+    // break frequency ties engine-specifically; the explicit rank pins
+    // one answer everywhere). Two exchanges: the count and the
+    // key-partitioned rank share nothing heavier than |groups| rows.
+    "agg_mode" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("source"))
+      counts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("lang"), col("source").as("mode_source"), col("n"))
+        .orderBy(col("lang"))
+    }),
+
     // ── Semi/anti join pair: per-segment counts of customers WITH and
     // WITHOUT 1995 orders — the EXISTS / NOT EXISTS shapes, each a real
     // LeftSemi/LeftAnti in the plan (broadcastable key set).
@@ -479,6 +496,14 @@ object AnalyticsQueries {
         | CAST(CAST(cov_n AS DOUBLE) /
         |   nullif(CAST(var_x AS DOUBLE), 0) AS REAL) AS slope
         |FROM c ORDER BY event_type""".stripMargin,
+
+    "agg_mode" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n FROM documents
+        |           GROUP BY 1, 2),
+        | r AS (SELECT lang, source, n, row_number() OVER
+        |         (PARTITION BY lang ORDER BY n DESC, source) AS rn FROM c)
+        |SELECT lang, source AS mode_source, n
+        |FROM r WHERE rn = 1 ORDER BY lang""".stripMargin,
 
     "j4_semi_anti" ->
       """WITH o95 AS (SELECT DISTINCT o_custkey FROM orders
