@@ -22,7 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.functions." + name, null, name.toLowerCase, usage, "")
+    new ExpressionInfo("graft.functions." + name, "", name.toLowerCase, usage,
+      "", "", "", "", "", "", "scala_udf")
 
   val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("dot_product"),

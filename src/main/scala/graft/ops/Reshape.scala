@@ -24,7 +24,7 @@ object Reshape {
   /** Header normalization: lowercase every column
     * (reference: ingest_backfill_raw.py:42). */
   def lowercaseColumns(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.toLowerCase): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.toLowerCase): _*)
 
   /** Long→wide pivot (inverse of unpivot; dashboard-side reshaping).
     * Without an explicit value list Spark runs a driver-side DISTINCT

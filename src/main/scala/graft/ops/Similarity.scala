@@ -258,7 +258,7 @@ object Similarity {
   def projectEmbeddings(df: DataFrame, id: String, vec: String, outDim: Int,
                         projFrom: Long = 0L): DataFrame = {
     val planes = dataVectors(df, id, vec, from = projFrom, n = outDim)
-    val comps = planes.map(p => dot(col(vec), typedLit(p.toSeq)).cast("float"))
+    val comps = planes.toIndexedSeq.map(p => dot(col(vec), typedLit(p.toSeq)).cast("float"))
     df.select(col(id), array(comps: _*).as("proj"))
   }
 
