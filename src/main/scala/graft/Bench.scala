@@ -26,7 +26,14 @@ object Bench {
           -1.0
         }
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(1))
+      val ok = !times.exists(_ < 0)
+      // (median, min, max): the median is the headline (immune to one
+      // JIT-cold or one box-stalled run); min/max make a noisy box
+      // DISTINGUISHABLE from a real regression when rounds are compared
+      // — a 2× median jump with max≈min is code, with max≫min it's the
+      // machine (the round-5 dedup_incremental lesson)
+      name -> (if (ok) (times.sorted.apply(1), times.min, times.max)
+               else (-1.0, -1.0, -1.0))
     }
     // 3 decimals (ms resolution): the box's run-to-run noise is ±50%, so
     // sub-ms digits are pure line-length; the shorter line also fits more
@@ -34,19 +41,26 @@ object Bench {
     // via arithmetic, NOT %-formatting — the f interpolator uses the JVM
     // default locale, and a comma-decimal locale would emit invalid JSON.
     def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000
-    val qs = results.map { case (k, v) => s""""$k":${r3(v)}""" }
+    val qs = results.map { case (k, (med, _, _)) => s""""$k":${r3(med)}""" }
       .mkString("{", ",", "}")
+    // per-query [min,max] across the 3 runs, in a SEPARATE map so the
+    // long-standing "queries" values stay plain numbers for existing
+    // consumers
+    val spread = results.map { case (k, (_, mn, mx)) =>
+      s""""$k":[${r3(mn)},${r3(mx)}]"""
+    }.mkString("{", ",", "}")
     // total counts only successful queries; failures are visible as -1
     // per-query entries and stderr lines, never as a lower total
-    val total = r3(results.values.filter(_ >= 0).sum)
+    val medians = results.values.map(_._1)
+    val total = r3(medians.filter(_ >= 0).sum)
     // full line first; the compact line LAST so a bounded tail capture
     // (which keeps the END of stdout) always holds one complete JSON
     // line even when the full per-query line outgrows the window.
     // Distinct metric name so no consumer double-counts. n counts only
     // the queries that contributed to the total (failures record -1 in
     // the per-query map and must not inflate n).
-    val nOk = results.values.count(_ >= 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val nOk = medians.count(_ >= 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n":$nOk,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -34,9 +34,19 @@ object Cohort {
                 periodLen: Long): DataFrame = {
     require(periodLen > 0, s"periodLen must be positive, got $periodLen")
     // integer `div`, NOT `/`: long / long is a DOUBLE divide in Spark, and
-    // doubles cannot hold epoch-nanos (≈1.7e18 > 2^53) without rounding
+    // doubles cannot hold epoch-nanos (≈1.7e18 > 2^53) without rounding.
+    // FLOOR division, not Spark's truncate-toward-zero `div` alone: for
+    // pre-1970 timestamps (negative ticks) truncation rounds UP, which
+    // both shifts the period boundary and diverges from engines whose
+    // integer division floors (DuckDB `//`) — subtracting 1 whenever the
+    // truncated remainder is negative makes the bucket exact and portable
+    // for any sign (periodLen is required positive above, so the
+    // remainder's sign is the dividend's).
     val perKey = events
-      .select(col(key), expr(s"CAST($tsCol AS BIGINT) div $periodLen").as("__p"))
+      .select(col(key), expr(
+        s"CAST($tsCol AS BIGINT) div $periodLen - " +
+          s"(CASE WHEN CAST($tsCol AS BIGINT) % $periodLen < 0 THEN 1 ELSE 0 END)")
+        .as("__p"))
       .groupBy(col(key))
       .agg(min(col("__p")).as("cohort_period"),
         collect_set(col("__p")).as("__ps"))

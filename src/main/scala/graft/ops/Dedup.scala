@@ -22,6 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Lineage cut for the eager/iterative paths. Default: localCheckpoint
+    * — fast, but blocks live on executors, so an executor loss mid-job
+    * invalidates them (acceptable in local mode and on stable clusters).
+    * `reliable = true`: a real `checkpoint()` to the session's checkpoint
+    * dir — survives executor loss at the cost of a write to reliable
+    * storage, the right mode for long dedup jobs on preemptible fleets.
+    * Fails loudly when no checkpoint dir is set rather than letting
+    * Spark throw mid-job. */
+  private def cut(df: DataFrame, reliable: Boolean): DataFrame =
+    if (!reliable) df.localCheckpoint()
+    else {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable checkpointing needs a checkpoint dir: call " +
+          "spark.sparkContext.setCheckpointDir(<cluster-visible path>) first")
+      df.checkpoint()
+    }
+
   /** Exact content dedup: group by md5(content), keep the smallest id as
     * the canonical survivor. */
   def exactByContent(df: DataFrame, id: String, content: String): DataFrame =
@@ -96,10 +113,7 @@ object Dedup {
     * single-threaded however many cores exist. A no-op when the input
     * is already parallel enough — at real scale file splits outnumber
     * cores and the extra shuffle would be pure waste. */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
-  }
+  private def spread(df: DataFrame): DataFrame = Skew.spread(df)
 
   /** (id, sig array, band, bucket) rows: ONE projection computes the
     * signature array AND the band buckets, carried together through the
@@ -245,8 +259,10 @@ object Dedup {
     * the output of an expensive generator (see [[verifyJaccardBetween]]). */
   def verifyJaccard(df: DataFrame, pairs: DataFrame, id: String,
                     text: String, shingleSize: Int = 1,
-                    materialize: Boolean = false): DataFrame =
-    verifyJaccardBetween(df, df, pairs, id, text, shingleSize, materialize)
+                    materialize: Boolean = false,
+                    reliable: Boolean = false): DataFrame =
+    verifyJaccardBetween(df, df, pairs, id, text, shingleSize, materialize,
+      reliable)
 
   /** [[verifyJaccard]] for pairs whose two sides come from DIFFERENT
     * frames (`id_a` rows of `dfA`, `id_b` rows of `dfB`) — the
@@ -258,14 +274,17 @@ object Dedup {
     * pass `materialize = true` to localCheckpoint it once at call time.
     * That makes the call EAGER (a Spark job runs before the returned
     * frame is acted on) and pins blocks on executors — the
-    * [[duplicateClusters]] executor-stability caveat applies. Default is
-    * lazy: plan construction runs no job, `explain` stays side-effect
-    * free, and a cheap/pre-materialized pairs frame is not re-pinned. */
+    * [[duplicateClusters]] executor-stability caveat applies, and
+    * `reliable = true` lifts it via a real `checkpoint()` (see [[cut]]).
+    * Default is lazy: plan construction runs no job, `explain` stays
+    * side-effect free, and a cheap/pre-materialized pairs frame is not
+    * re-pinned. */
   def verifyJaccardBetween(dfA: DataFrame, dfB: DataFrame, pairs: DataFrame,
                            id: String, text: String,
                            shingleSize: Int = 1,
-                           materialize: Boolean = false): DataFrame = {
-    val p = if (materialize) pairs.localCheckpoint() else pairs
+                           materialize: Boolean = false,
+                           reliable: Boolean = false): DataFrame = {
+    val p = if (materialize) cut(pairs, reliable) else pairs
     val ta = candidateTokSets(dfA, p, "id_a", id, text, shingleSize)
     val tb = candidateTokSets(dfB, p, "id_b", id, text, shingleSize)
     p
@@ -300,15 +319,15 @@ object Dedup {
                        id: String, text: String, threshold: Double = 0.8,
                        shingleSize: Int = 3, k: Int = 16, bands: Int = 4,
                        maxBucket: Int = 1000,
-                       portable: Boolean = false): DataFrame = {
+                       portable: Boolean = false,
+                       reliable: Boolean = false): DataFrame = {
     val histHashes = historical.select(md5(col(text)).as("__h")).distinct()
     // materialize the exact-survivor new batch once: it feeds banding,
     // verification and the final anti-join, and the new batch is small
     // by definition (the historical side stays lazy — it is read in 3
     // linear passes: hashes, banding, token sets — never materialized)
-    val fresh = newDocs.withColumn("__h", md5(col(text)))
-      .join(histHashes, Seq("__h"), "left_anti").drop("__h")
-      .localCheckpoint()
+    val fresh = cut(newDocs.withColumn("__h", md5(col(text)))
+      .join(histHashes, Seq("__h"), "left_anti").drop("__h"), reliable)
     val newBanded = bandedSignatures(fresh, id, text, shingleSize, k, bands,
       maxBucket, portable)
       .select(col("band"), col("bucket"), col(id).as("id_a"))
@@ -318,7 +337,7 @@ object Dedup {
     val candidates = newBanded.join(histBanded, Seq("band", "bucket"))
       .select(col("id_a"), col("id_b")).distinct()
     val dupIds = verifyJaccardBetween(fresh, historical, candidates,
-        id, text, shingleSize, materialize = true)
+        id, text, shingleSize, materialize = true, reliable = reliable)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as(id)).distinct()
     fresh.join(dupIds, Seq(id), "left_anti")
@@ -331,11 +350,12 @@ object Dedup {
     * |candidates| verify join + one anti-join — never O(n²). */
   def dedupCorpus(df: DataFrame, id: String, text: String,
                   threshold: Double = 0.8,
-                  shingleSize: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+                  shingleSize: Int = 3, k: Int = 16, bands: Int = 4,
+                  reliable: Boolean = false): DataFrame = {
     val candidates = minhashCandidatePairs(df, id, text, shingleSize, k, bands)
       .select(col("id_a"), col("id_b"))
     val dups = verifyJaccard(df, candidates, id, text, shingleSize,
-      materialize = true)
+      materialize = true, reliable = reliable)
       .filter(col("jaccard") >= threshold)
       .select(col("id_b").as(id)).distinct()
     df.join(dups, Seq(id), "left_anti")
@@ -361,20 +381,22 @@ object Dedup {
     * merely observes no further change is free, so `maxIter = diameter`
     * suffices (not diameter+1). Caveat for very large runs:
     * `localCheckpoint` keeps blocks on executors, so a lost executor
-    * makes the iteration unrecoverable — on an unreliable cluster swap
-    * in reliable `checkpoint()` (HDFS-backed) at higher per-round cost. */
+    * makes the iteration unrecoverable — on an unreliable/preemptible
+    * cluster pass `reliable = true` for HDFS-backed `checkpoint()` at
+    * higher per-round cost (see [[cut]]; needs a checkpoint dir). */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
-                        idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+                        idB: String = "id_b", maxIter: Int = 20,
+                        reliable: Boolean = false): DataFrame = {
     // both orientations in ONE pass over `pairs` (explode, not a
     // self-union): the pair list is usually the output of an expensive
     // generator, and a two-branch union would execute that generator
     // twice before the checkpoint cut
-    val edges = pairs
+    val edges = cut(pairs
       .select(explode(array(
         struct(col(idA).as("src"), col(idB).as("dst")),
         struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().localCheckpoint()
+      .distinct(), reliable)
     // seed with min(id, min neighbor): identical to one propagation round
     // over identity labels, for the price of the distinct-node scan the
     // identity seeding needed anyway — one fewer loop round
@@ -389,10 +411,10 @@ object Dedup {
     while (!converged && i <= maxIter) {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("comp")).as("nbr_comp"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      val updated = cut(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp_new"))
-        .localCheckpoint()
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp_new")),
+        reliable)
       converged = updated.filter(col("comp_new") < col("comp")).isEmpty
       labels = updated.select(col("id"), col("comp_new").as("comp"))
       i += 1

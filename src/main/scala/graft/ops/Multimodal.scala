@@ -220,9 +220,14 @@ object Multimodal {
     val rate = (8000 + (id % 3) * 4000).toInt
     val bits = 16
     val blockAlign = channels * bits / 8
-    val b = new Array[Byte](44 + payload.length)
+    // RIFF chunks are word-aligned: an odd-length data chunk carries one
+    // zero pad byte NOT counted in the chunk's declared size but counted
+    // in the RIFF extent — strict external readers reject files missing
+    // it (our own parseWav merely tolerates them)
+    val pad = payload.length & 1
+    val b = new Array[Byte](44 + payload.length + pad)
     def ascii(i: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(b, i)
-    ascii(0, "RIFF"); putLe32(b, 4, 36 + payload.length); ascii(8, "WAVE")
+    ascii(0, "RIFF"); putLe32(b, 4, 36 + payload.length + pad); ascii(8, "WAVE")
     ascii(12, "fmt "); putLe32(b, 16, 16)
     putLe16(b, 20, 1) // PCM
     putLe16(b, 22, channels); putLe32(b, 24, rate)

@@ -32,6 +32,24 @@ object Skew {
   def salt(discriminator: Column, salts: Int): Column =
     pmod(xxhash64(discriminator), lit(salts.toLong)).cast("int")
 
+  /** Round-robin rebalance to the cluster's parallelism when the
+    * frame's underlying scan has fewer FILE SPLITS than cores — one
+    * small parquet file is one task, so a CPU-heavy map or
+    * broadcast-join probe stage downstream would run single-threaded
+    * however many cores exist (the er_fuzzy_pairs lesson: a BHJ whose
+    * probe side is a one-file scan evaluated 15M join-condition
+    * levenshteins in ONE task). The file count proxies split count
+    * WITHOUT touching `.rdd` (which would instantiate a physical plan
+    * outside AQE); the explicit partition number is respected by AQE
+    * (only sizeless `repartition()` is coalescible). A no-op whenever
+    * splits ≥ cores — the 100 TB case by construction, where the extra
+    * shuffle would be pure waste. Non-file inputs (in-memory frames)
+    * report zero files and take the shuffle — harmless at their size. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length >= target) df else df.repartition(target)
+  }
+
   /** Two-phase (salted) aggregation.
     *
     * @param partialAggs aggregates for phase 1, keyed (keys..., salt)

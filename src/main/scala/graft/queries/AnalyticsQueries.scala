@@ -120,13 +120,27 @@ object AnalyticsQueries {
 
     // ── Entity-resolution fuzzy pairs: customer names within 1 edit,
     // blocked on the first 6 digits of the customer number so the
-    // comparisons stay block-local (recall trade documented on the op).
+    // comparisons stay block-local. FULL customer input — the operator's
+    // maxBlock cap does the bounding (no demo filter), and
+    // er_dropped_blocks below MEASURES what the cap excludes instead of
+    // assuming it (nothing at the default 1000 on any test sf).
     "er_fuzzy_pairs" -> ((s, dir) =>
       FuzzyJoin.blockedLevenshtein(
-          Tables.customer(s, dir).filter(col("c_custkey") <= 300),
+          Tables.customer(s, dir),
           id = "c_custkey", str = "c_name",
           block = substring(col("c_name"), 10, 6), maxDist = 1)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // ── The no-silent-caps observer for er_fuzzy_pairs: blocks a
+    // maxBlock cap would exclude, with their sizes. Run at maxBlock=500
+    // (where the testdata's ~1000-member blocks actually trip it) so
+    // the observer itself is exercised on real content; the main
+    // query's 1000-cap drop set is empty at every test sf.
+    "er_dropped_blocks" -> ((s, dir) =>
+      FuzzyJoin.droppedBlocks(
+          Tables.customer(s, dir), id = "c_custkey", str = "c_name",
+          block = substring(col("c_name"), 10, 6), maxBlock = 500)
+        .orderBy(col("block"))),
 
     // ── Rank-family windows: quartile, percent_rank, cume_dist per
     // event type over a TOTAL order (value, event_id) — unique sort
@@ -264,10 +278,17 @@ object AnalyticsQueries {
       val ev = Tables.events(s, dir).select(col("event_type"),
         round(col("value") * 100).cast("long").as("x"),
         expr("ts div 86400000000000").as("y"))
+      // DECIMAL(38,0) INSIDE the products/sums, not just at combination
+      // time: a BIGINT Σx² wraps (or throws under ANSI) once rows×x²
+      // outruns int64 — e.g. x²≈3.6e8 per row at ~2.5e10 rows — while
+      // the DuckDB oracle's HUGEINT stays exact; decimal sums keep both
+      // engines exact at any cardinality
       ev.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+        .agg(count(lit(1)).as("n"), sum(d38(col("x"))).as("sx"),
+          sum(d38(col("y"))).as("sy"),
+          sum(d38(col("x")) * d38(col("y"))).as("sxy"),
+          sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+          sum(d38(col("y")) * d38(col("y"))).as("syy"))
         .select(col("event_type"), col("n"), col("sx"), col("sy"),
           col("sxy"), col("sxx"), col("syy"))
         // cast BEFORE combining: n·Σxy outruns BIGINT, so every product
@@ -378,7 +399,7 @@ object AnalyticsQueries {
 
     "er_fuzzy_pairs" ->
       """WITH c AS (SELECT c_custkey, c_name, substr(c_name, 10, 6) AS blk
-        |           FROM customer WHERE c_custkey <= 300),
+        |           FROM customer),
         | ok AS (SELECT blk FROM c GROUP BY blk HAVING count(*) <= 1000),
         | s AS (SELECT c.* FROM c JOIN ok USING (blk))
         |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
@@ -386,6 +407,13 @@ object AnalyticsQueries {
         |FROM s a JOIN s b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "er_dropped_blocks" ->
+      """SELECT substr(c_name, 10, 6) AS block,
+        | CAST(count(*) AS BIGINT) AS n_members
+        |FROM customer WHERE substr(c_name, 10, 6) IS NOT NULL
+        |GROUP BY 1 HAVING count(*) > 500
+        |ORDER BY block""".stripMargin,
 
     "w_rank_family" ->
       """WITH e AS (SELECT event_type, event_id, value FROM events

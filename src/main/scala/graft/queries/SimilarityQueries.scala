@@ -20,13 +20,32 @@ import graft.ops.{IvfIndex, Similarity}
   * engine that can read the same rows, so DuckDB rebuilds the identical
   * index in SQL. Both sides accumulate dot products left-to-right in
   * double, giving bit-identical signatures/assignments away from exact
-  * decision-boundary ties. Only `sim_ivf_topk` (java.util.Random seeded
-  * centroids by construction) stays rows-only, with ScalaTest covering
-  * semantics (SimilaritySpec).
+  * decision-boundary ties. (The seeded-random-centroid ivfTopK default
+  * stays a library capability covered by SimilaritySpec; it carries no
+  * query entry — a permanently unverifiable twin of the data-derived
+  * entries would be inventory noise.)
   */
 object SimilarityQueries {
 
   val dim = 64
+
+  /** Persisted-index dir, built ONCE per (JVM, sfDir): the bench runs
+    * every query 3× and medians, so with the build cached the
+    * sim_ivf_persisted median measures the PROBE (load + pruned scan +
+    * top-k) while sim_ivf_build measures the build+persist+load leg on
+    * its own — the round-5 single number mixed index-write I/O into the
+    * probe latency and hid probe regressions. Correctness is unaffected:
+    * the index is a pure function of the sfDir's embeddings, which never
+    * change within a process. */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfIndexDir(s: SparkSession, dir: String): String =
+    ivfIndexCache.computeIfAbsent(dir, _ => {
+      val tmp = QuerySql.tempDir("graft_ivfidx")
+      IvfIndex.save(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 16, tmp)
+      tmp
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -40,15 +59,15 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // INDEX LIFECYCLE: build + persist (partitioned postings) → load →
-    // probe. Parquet round-trips the vectors bit-exactly and the
-    // centroids are data-derived, so the persisted path shares
+    // INDEX LIFECYCLE probe leg: load → probe against the once-per-JVM
+    // persisted index (see ivfIndexDir — the build leg is measured by
+    // sim_ivf_build). Parquet round-trips the vectors bit-exactly and
+    // the centroids are data-derived, so the persisted path shares
     // sim_ivf_data_topk's oracle verbatim — same result, but the probe
     // scans only the nprobe centroid partitions off disk.
     "sim_ivf_persisted" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val tmp = QuerySql.tempDir("graft_ivfidx")
-      IvfIndex.save(emb, "vec_id", "embedding", k = 16, tmp)
+      val tmp = ivfIndexDir(s, dir)
       val cents = IvfIndex.loadCentroids(s, tmp)
       Similarity.ivfProbe(IvfIndex.loadPostings(s, tmp),
           queries = emb.filter(col("vec_id") < 8), id = "vec_id",
@@ -56,6 +75,23 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"),
           col("cosine").cast("float").as("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // INDEX LIFECYCLE build leg: a FRESH build + partitioned persist +
+    // centroid load-back per invocation (no cache — this entry IS the
+    // build timing), surfacing the loaded centroids long-form. Centroids
+    // are the first 16 corpus vectors, so the save→load round-trip is on
+    // the hard signal: any write/read corruption flips the hash.
+    "sim_ivf_build" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = QuerySql.tempDir("graft_ivfbuild")
+      IvfIndex.save(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 16, tmp)
+      IvfIndex.loadCentroids(s, tmp)
+        .zipWithIndex.flatMap { case (c, i) =>
+          c.zipWithIndex.map { case (x, j) => (i.toLong, j.toLong, x) }
+        }.toSeq.toDF("centroid_id", "j", "comp")
+        .orderBy(col("centroid_id"), col("j"))
     }),
 
     // per-label class prototypes via DECIMAL elementwise means
@@ -89,18 +125,6 @@ object SimilarityQueries {
       Similarity.lshSignatureWith(emb, "embedding", planes)
         .select(col("vec_id"), col("lsh_bucket"))
         .orderBy(col("vec_id"))
-    }),
-
-    // rows-only: IVF probes a subset of centroid lists (approximate by design)
-    "sim_ivf_topk" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(
-          queries = emb.filter(col("vec_id") < 8),
-          candidates = emb, id = "vec_id", vec = "embedding",
-          dim = dim, k = 5, nCentroids = 16, nprobe = 4)
-        .select(col("query_id"), col("neighbor_id"),
-          col("cosine").cast("float").as("cosine"), col("rank"))
-        .orderBy(col("query_id"), col("rank"))
     }),
 
     // one Lloyd pass over the data-centroid seed before probing — the
@@ -314,6 +338,15 @@ object SimilarityQueries {
     // the persisted index is bit-identical to the in-memory data-derived
     // one (see the query comment), so the oracle is shared
     "sim_ivf_persisted" -> simIvfDataTopkSql,
+
+    // the persisted centroids are the first 16 corpus vectors widened to
+    // double — parquet round-trips them bit-exactly
+    "sim_ivf_build" ->
+      """SELECT vec_id AS centroid_id,
+        | CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+        | CAST(unnest(embedding) AS DOUBLE) AS comp
+        |FROM embeddings WHERE vec_id < 16
+        |ORDER BY centroid_id, j""".stripMargin,
 
     "emb_audit" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors,

@@ -596,9 +596,13 @@ object TextQueries {
 
     // every field of the parsed WAV is pure integer arithmetic over
     // (doc_id, UTF-8 byte length) — the synthesis parameters round-trip
+    // n_bytes counts the RIFF word-alignment pad byte synthWav appends
+    // after an odd-length data chunk (duration does not: the chunk's
+    // DECLARED size stays the unpadded payload length)
     "multimodal_audio" ->
       """SELECT doc_id,
-        | CAST(44 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(44 + octet_length(encode(text))
+        |   + octet_length(encode(text)) % 2 AS BIGINT) AS n_bytes,
         | CAST(1 + doc_id % 2 AS BIGINT) AS channels,
         | CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
         | CAST(16 AS BIGINT) AS bits,

@@ -221,6 +221,22 @@ object EventStreams {
                        opCol: String,
                        trigger: Option[Trigger] = None): StreamingQuery = {
     val baseCols = base.columns.toSeq
+    // [[graft.ops.Cdc.apply]]'s schema guards, checked at stream
+    // CONSTRUCTION time: mid-stream these surface as an opaque
+    // AnalysisException inside foreachBatch (or, for the reserved
+    // working columns, silently corrupt the fold when a pre-existing
+    // __seq/__tie/__op shadows the one this sink writes)
+    require(baseCols.contains(key), s"base lacks key column $key")
+    val missingCols = baseCols.filterNot(changes.columns.contains)
+    require(missingCols.isEmpty,
+      s"changes lack base columns ${missingCols.mkString(", ")} — a CDC row " +
+        "must carry the full image of the row it upserts")
+    val reserved = Seq("__seq", "__tie", "__op", "__rn")
+    val clash = reserved.filter(c =>
+      baseCols.contains(c) || changes.columns.contains(c))
+    require(clash.isEmpty,
+      s"cdcIntoWarehouse uses working columns ${clash.mkString(", ")} — " +
+        "rename them in base/changes first")
     val w = changes.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Update())

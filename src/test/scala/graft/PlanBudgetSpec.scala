@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The plan audit as a FAILING test: every batch query's physical-plan
+  * structure is checked against a recorded budget
+  * (src/test/resources/plan_budgets.tsv), so a change that introduces a
+  * cartesian product, an extra shuffle, a new sort-merge join, or an
+  * unexplained broadcast-nested-loop join fails `sbt test` instead of
+  * waiting for a human to eyeball the next PLAN_AUDIT printout.
+  *
+  * Invariants:
+  *  - CartesianProduct count is 0 for EVERY query, budget file or not;
+  *  - per-query exchanges / SMJ / BNLJ must not EXCEED the recorded
+  *    budget (doing better is fine — regenerate to ratchet down);
+  *  - every auditable query must HAVE a budget row (a new query cannot
+  *    ship without recording its plan shape).
+  *
+  * Regenerate after an intentional plan change with:
+  *   PLAN_BUDGET_REGEN=1 sbt "testOnly graft.PlanBudgetSpec"
+  * and review the diff like any other code change.
+  *
+  * `stream_*` entries are excluded: constructing them runs a real
+  * Structured Streaming job whose returned frame is just a batch read
+  * of the sink — the interesting plan lives inside the streaming
+  * engine, and the boot cost (~1-2 s each) belongs in the bench, not in
+  * every test run. Plans are audited on the test session (AQE off), so
+  * the counts are the deterministic pre-adaptive shapes.
+  */
+class PlanBudgetSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val budgetPath = Paths.get("src/test/resources/plan_budgets.tsv")
+
+  // (exchanges incl. every shuffle flavor, sort-merge joins,
+  // broadcast-nested-loop joins, cartesian products)
+  private def metrics(plan: String): Seq[Int] = {
+    def n(p: String) = p.r.findAllIn(plan).length
+    Seq(
+      n("Exchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)"),
+      n("SortMergeJoin"), n("BroadcastNestedLoopJoin"), n("CartesianProduct"))
+  }
+
+  private def auditable: Seq[(String, org.apache.spark.sql.DataFrame)] =
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.startsWith("stream_"))
+      .map { case (name, fn) => name -> fn(spark, sfDir) }
+
+  test("every batch query plan stays within its recorded structural budget") {
+    val current = auditable.map { case (name, df) =>
+      name -> metrics(df.queryExecution.executedPlan.toString)
+    }
+    if (sys.env.contains("PLAN_BUDGET_REGEN")) {
+      val lines = "# query\texchanges\tsmj\tbnlj\tcart" +:
+        current.map { case (n, m) => s"$n\t${m.mkString("\t")}" }
+      Files.createDirectories(budgetPath.getParent)
+      Files.write(budgetPath, lines.asJava, StandardCharsets.UTF_8)
+      info(s"regenerated $budgetPath with ${current.size} rows")
+    } else {
+      val budget: Map[String, Seq[Int]] =
+        Files.readAllLines(budgetPath, StandardCharsets.UTF_8).asScala
+          .filterNot(l => l.startsWith("#") || l.isEmpty)
+          .map { l =>
+            val f = l.split('\t'); f(0) -> f.drop(1).map(_.toInt).toSeq
+          }.toMap
+      val labels = Seq("exchanges", "smj", "bnlj", "cart")
+      val violations = current.flatMap { case (name, m) =>
+        val cart =
+          if (m(3) > 0) Seq(s"$name: ${m(3)} CartesianProduct (must be 0)")
+          else Seq.empty
+        budget.get(name) match {
+          case None =>
+            cart :+ s"$name: no budget row — run PLAN_BUDGET_REGEN=1 " +
+              "sbt 'testOnly graft.PlanBudgetSpec' and commit the diff"
+          case Some(b) =>
+            cart ++ m.zip(b).zip(labels).collect {
+              case ((cur, bud), lab) if cur > bud =>
+                s"$name: $lab $cur > budget $bud"
+            }
+        }
+      }
+      assert(violations.isEmpty,
+        s"\nplan-budget regressions:\n  ${violations.mkString("\n  ")}\n" +
+          "If the new shape is intentional, regenerate the budget file " +
+          "and justify the diff in the commit message.")
+    }
+  }
+}

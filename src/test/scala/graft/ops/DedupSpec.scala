@@ -188,4 +188,43 @@ class DedupSpec extends SparkSpec {
     Dedup.dedupIncremental(docs, docs.limit(0), "doc_id", "text",
       portable = true).count() shouldBe 1L
   }
+
+  test("reliable = true checkpoints to the dir and matches the local-mode answer") {
+    // same inputs through both lineage-cut modes must agree exactly —
+    // reliable checkpointing is a fault-tolerance knob, never a
+    // semantics knob
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val hist = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "a totally novel document about cooking pasta with garlic and olive oil"))
+      .toDF("doc_id", "text")
+    // without a checkpoint dir the reliable mode fails loudly up front
+    spark.sparkContext.getCheckpointDir shouldBe empty
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.duplicateClusters(chain, reliable = true)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    try {
+      spark.sparkContext.setCheckpointDir(ckpt.toString)
+      Dedup.duplicateClusters(chain, reliable = true).orderBy("id").rows
+        .map(r => (r(0), r(1))) shouldBe
+        Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
+      Dedup.dedupIncremental(fresh, hist, "doc_id", "text",
+          threshold = 0.5, portable = true, reliable = true)
+        .select("doc_id").rows.map(_.head) shouldBe Seq(3L)
+      // the reliable cut actually wrote RDD checkpoint data to the dir
+      val wrote = java.nio.file.Files.walk(ckpt).count() > 1
+      assert(wrote, s"no checkpoint data written under $ckpt")
+    } finally {
+      // null clears the JVM-wide checkpoint dir so other specs see the
+      // pristine session (setCheckpointDir(null) → checkpointDir = None)
+      spark.sparkContext.setCheckpointDir(null)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(ckpt.toFile)
+    }
+  }
 }

@@ -229,6 +229,15 @@ class TextMultimodalSpec extends SparkSpec {
       Some(Multimodal.WavFmt(1L, 2L, 12000L, 48000L, 16L, 16L))
     Multimodal.parseWav(Multimodal.synthWav(0L, Array.empty[Byte])) shouldBe
       Some(Multimodal.WavFmt(1L, 1L, 8000L, 16000L, 16L, 0L))
+    // odd payload: a zero pad byte closes the data chunk (RIFF word
+    // alignment) — inside the RIFF extent, outside the declared size
+    val odd = Multimodal.synthWav(0L, Array[Byte](7))
+    odd.length shouldBe 46 // 44 header + 1 payload + 1 pad
+    odd.last shouldBe 0.toByte
+    val riffSize = (odd(4) & 0xFF) | ((odd(5) & 0xFF) << 8) |
+      ((odd(6) & 0xFF) << 16) | ((odd(7) & 0xFF) << 24)
+    8 + riffSize shouldBe odd.length // extent includes the pad
+    Multimodal.parseWav(odd).map(_.dataLen) shouldBe Some(1L)
   }
 
   test("WAV walk: odd-chunk padding honored, RIFF extent clamps the walk") {
