@@ -270,13 +270,82 @@ object Multimodal {
       yield WavFmt(tag, ch, rate, br, bits, n)
   }
 
-  /** Partition-parallel audio metadata extraction. Only PCM (format tag
-    * 1) with a sane byte rate is reported as "wav" — a non-PCM or
-    * corrupt fmt chunk would make any duration derived from
-    * rate·channels·bits wrong, so such payloads fall to "unknown" with
-    * zeroed fields instead of carrying plausible-looking garbage.
-    * Duration is floor integer milliseconds from the data size and the
-    * fmt chunk's stored byte rate. */
+  /** Deterministic FLAC wrapper: the 4-byte "fLaC" magic, one STREAMINFO
+    * metadata block (type 0, is-last, 34 bytes — the only mandatory
+    * block), then the payload as opaque frame bytes. The stream
+    * parameters derive from the id (channels 1+id%2, rate
+    * 8000+(id%5)·4000 — all inside STREAMINFO's 20-bit rate field) and
+    * total-samples is the payload length, so the parse round-trip is
+    * pure (id, byte-length) arithmetic for the oracle — same stance as
+    * [[synthWav]]. */
+  def synthFlac(id: Long, payload: Array[Byte]): Array[Byte] = {
+    val channels = 1L + id % 2
+    val rate = 8000L + (id % 5) * 4000L
+    val bits = 16L
+    val samples = payload.length.toLong // 36-bit field; test payloads fit
+    val b = new Array[Byte](4 + 4 + 34 + payload.length)
+    "fLaC".getBytes("US-ASCII").copyToArray(b, 0)
+    b(4) = 0x80.toByte // is-last=1, block type 0 = STREAMINFO
+    b(5) = 0; b(6) = 0; b(7) = 34 // 24-bit BE block length
+    // STREAMINFO: min/max block size (16 bits each) = 4096; min/max
+    // frame size (24 bits each) = 0 (unknown)
+    putBe16(b, 8, 4096); putBe16(b, 10, 4096)
+    // bytes 18..25: rate(20) | channels-1(3) | bps-1(5) | samples(36),
+    // packed big-endian into 64 bits
+    val packed = (rate << 44) | ((channels - 1) << 41) |
+      ((bits - 1) << 36) | samples
+    (0 until 8).foreach(i => b(18 + i) = ((packed >>> (56 - 8 * i)) & 0xFF).toByte)
+    // bytes 26..41: the 16-byte unencoded-audio md5 (zeros = unknown)
+    payload.copyToArray(b, 42)
+    b
+  }
+
+  private def putBe16(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = ((v >>> 8) & 0xFF).toByte; b(i + 1) = (v & 0xFF).toByte
+  }
+
+  private[ops] final case class FlacInfo(channels: Long, rate: Long,
+                                         bits: Long, samples: Long)
+
+  /** FLAC STREAMINFO walk, or None if the bytes are not a FLAC stream.
+    * Walks the metadata-block chain (1-bit is-last, 7-bit type, 24-bit
+    * BE length) to the STREAMINFO block rather than assuming it first;
+    * every advance is clamped to the buffer, and a declared block that
+    * overruns it aborts the walk — the [[parseWav]] robustness stance.
+    * Rejects a zero sample rate (forbidden by the spec) so downstream
+    * duration math can never divide by zero. */
+  private[ops] def parseFlac(b: Array[Byte]): Option[FlacInfo] = {
+    if (b.length < 8 || new String(b.slice(0, 4), "US-ASCII") != "fLaC")
+      return None
+    var i = 4
+    while (i + 4 <= b.length) {
+      val isLast = (u8(b(i)) & 0x80) != 0
+      val btype = u8(b(i)) & 0x7F
+      val len = ((u8(b(i + 1)) << 16) | (u8(b(i + 2)) << 8) | u8(b(i + 3))).toLong
+      val body = i + 4
+      if (body + len > b.length) return None // declared block overruns
+      if (btype == 0 && len >= 34) {
+        var packed = 0L
+        (0 until 8).foreach(j => packed = (packed << 8) | u8(b(body + 10 + j)))
+        val rate = packed >>> 44
+        val channels = ((packed >>> 41) & 0x7L) + 1
+        val bits = ((packed >>> 36) & 0x1FL) + 1
+        val samples = packed & 0xFFFFFFFFFL
+        return if (rate == 0) None else Some(FlacInfo(channels, rate, bits, samples))
+      }
+      if (isLast) return None // chain ended without STREAMINFO
+      i = body + len.toInt
+    }
+    None
+  }
+
+  /** Partition-parallel audio metadata extraction over WAV and FLAC
+    * containers. Only PCM WAV (format tag 1) with a sane byte rate is
+    * reported as "wav" — a non-PCM or corrupt fmt chunk would make any
+    * duration derived from rate·channels·bits wrong, so such payloads
+    * fall to "unknown" with zeroed fields instead of carrying
+    * plausible-looking garbage; FLAC duration is floor milliseconds
+    * from STREAMINFO's total-samples over its sample rate. */
   def extractAudioMeta(df: DataFrame, id: String = "doc_id",
                        bin: String = "media"): Dataset[AudioMeta] = {
     val spark = df.sparkSession
@@ -287,8 +356,13 @@ object Multimodal {
           case Some(f) if f.tag == 1L && f.byteRate > 0 =>
             AudioMeta(i, b.length.toLong, f.channels, f.rate, f.bits,
               f.dataLen * 1000L / f.byteRate, "wav")
-          case _ =>
-            AudioMeta(i, b.length.toLong, 0L, 0L, 0L, 0L, "unknown")
+          case _ => parseFlac(b) match {
+            case Some(f) =>
+              AudioMeta(i, b.length.toLong, f.channels, f.rate, f.bits,
+                f.samples * 1000L / f.rate, "flac")
+            case None =>
+              AudioMeta(i, b.length.toLong, 0L, 0L, 0L, 0L, "unknown")
+          }
         }
       })
   }

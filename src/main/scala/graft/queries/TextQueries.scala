@@ -208,6 +208,20 @@ object TextQueries {
       Multimodal.extractAudioMeta(wavs).toDF().orderBy(col("doc_id"))
     }),
 
+    // second audio container: FLAC with a real STREAMINFO metadata-block
+    // walk — same round-trip stance as multimodal_audio, every parsed
+    // field replayable from (doc_id, byte length) arithmetic
+    "multimodal_flac" -> ((s, dir) => {
+      import s.implicits._
+      val flacs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (i, t) =>
+          (i, Multimodal.synthFlac(i, t.getBytes("UTF-8")))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.extractAudioMeta(flacs).toDF().orderBy(col("doc_id"))
+    }),
+
     // frame sampling: every 4th 16-byte slice (last slice may be short)
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -610,6 +624,19 @@ object TextQueries {
         |   ((8000 + (doc_id % 3) * 4000) * (1 + doc_id % 2) * 2) AS BIGINT)
         |   AS duration_ms,
         | 'wav' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // FLAC: 42-byte fixed prefix (magic + block header + STREAMINFO),
+    // total-samples = payload length, duration = samples*1000 // rate
+    "multimodal_flac" ->
+      """SELECT doc_id,
+        | CAST(42 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        | CAST(8000 + (doc_id % 5) * 4000 AS BIGINT) AS sample_rate,
+        | CAST(16 AS BIGINT) AS bits,
+        | CAST(octet_length(encode(text)) * 1000 //
+        |   (8000 + (doc_id % 5) * 4000) AS BIGINT) AS duration_ms,
+        | 'flac' AS format
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

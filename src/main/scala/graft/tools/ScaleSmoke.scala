@@ -1,0 +1,111 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, SparkEntry}
+
+/** sf1 SCALE SMOKE: times the heavy query family at ~10× the bench
+  * scale to catch super-linear plans that sf0.1 cannot expose.
+  *
+  * The driver ships no sf1 lake, so this tool synthesizes one ONCE
+  * under /tmp by replicating the read-only sf0.1 tables 10× with
+  * key-space offsets (never touching /root/testdata):
+  *  - ids (doc_id, vec_id, event_id, user_id, o_orderkey, o_custkey)
+  *    shift by replica·stride so the key population really grows 10× —
+  *    scaling rows under a FIXED key set would mismeasure every
+  *    per-key window/groupBy (10× rows per key instead of 10× keys);
+  *  - document text gets a per-replica suffix token so the near-dup
+  *    structure replicates instead of every replica becoming an exact
+  *    dup of replica 0 (which would blow candidate buckets 100× and
+  *    measure a pathology, not scaling);
+  *  - embeddings/timestamps are carried as-is (vector values don't
+  *    affect plan shape; the event time-range staying fixed while
+  *    users grow 10× is the realistic growth axis for sessionize /
+  *    gap-fill grids).
+  *
+  * This synthetic lake feeds ONLY this timing smoke — correctness
+  * stays exclusively on the driver's testdata + DuckDB oracle.
+  *
+  * Usage: runMain graft.tools.ScaleSmoke [srcDir] [outJson]
+  * Prints one JSON line per query: median-of-3 seconds at sf1 next to
+  * the same measurement at sf0.1, and the resulting scale factor.
+  */
+object ScaleSmoke {
+
+  val heavy: Seq[String] = Seq(
+    "dedup_exact_text", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_jaccard_pairs", "dedup_survivors",
+    "dedup_incremental", "dedup_clusters", "decontaminate_docs",
+    "sim_cosine_topk", "sim_ivf_data_topk", "sim_ivf_refined_topk",
+    "sim_ivf_build", "sim_ivf_persisted", "sim_pq_topk",
+    "sim_lsh_buckets", "emb_standardize", "emb_near_dup",
+    "scd2_priority", "sessionize_events", "ts_gap_fill",
+    "er_fuzzy_pairs")
+
+  def replicate(df: DataFrame, copies: Int, idCols: Seq[String],
+                stride: Long, textCol: Option[String] = None): DataFrame = {
+    val rep = df.withColumn("__r",
+      explode(sequence(lit(0L), lit(copies - 1L))))
+    val shifted = idCols.foldLeft(rep) { (d, c) =>
+      d.withColumn(c, col(c) + col("__r") * stride)
+    }
+    textCol.fold(shifted) { t =>
+      shifted.withColumn(t,
+        when(col("__r") === 0, col(t))
+          .otherwise(concat(col(t), lit(" rep"), col("__r"))))
+    }.drop("__r")
+  }
+
+  def synthesize(spark: SparkSession, src: String, dst: String,
+                 copies: Int): Unit = {
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    // strides: past the max key of the source table at sf0.1
+    write(replicate(read("documents"), copies, Seq("doc_id"), 100000L,
+      textCol = Some("text")), "documents")
+    write(replicate(read("embeddings"), copies, Seq("vec_id"), 1000000L),
+      "embeddings")
+    write(replicate(read("events"), copies, Seq("event_id", "user_id"),
+      10000000L), "events")
+    write(replicate(read("orders"), copies, Seq("o_orderkey", "o_custkey"),
+      10000000L), "orders")
+    // names re-derive from the shifted key (c_name is "Customer#%09d"):
+    // carrying replica-0 names verbatim would put 10 copies in every
+    // er_fuzzy block, blowing them past maxBlock and dropping them all
+    write(replicate(read("customer"), copies, Seq("c_custkey"), 1000000L)
+      .withColumn("c_name", format_string("Customer#%09d", col("c_custkey"))),
+      "customer")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val copies = 10
+    val spark = GraftSession.local("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    if (!new java.io.File(s"$dst/documents.parquet").exists()) {
+      println(s"[smoke] synthesizing $dst from $src x$copies")
+      synthesize(spark, src, dst, copies)
+    }
+    def median3(fn: () => Long): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(1)
+    }
+    def r2(v: Double) = math.round(v * 100).toDouble / 100
+    val rows = heavy.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t01 = median3(() => fn(spark, src).count())
+      val t1 = median3(() => fn(spark, dst).count())
+      val ratio = if (t01 > 0) t1 / t01 else -1
+      println(f"[smoke] $name%-24s sf0.1 ${t01}%6.2fs  sf1 ${t1}%6.2fs  x${ratio}%5.2f")
+      s""""$name":{"sf01":${r2(t01)},"sf1":${r2(t1)},"ratio":${r2(ratio)}}"""
+    }
+    println(rows.mkString("""{"metric":"sf1_smoke","copies":10,"queries":{""",
+      ",", "}}"))
+    spark.stop()
+  }
+}

@@ -273,4 +273,38 @@ class TextMultimodalSpec extends SparkSpec {
     out.head shouldBe ((1L, 2L, 12000L, 1000L, "wav"))
     out(1) shouldBe ((2L, 0L, 0L, 0L, "unknown"))
   }
+
+  test("FLAC synth/parse round-trips STREAMINFO exactly") {
+    // id=1: channels 2, rate 12000; samples = payload length
+    Multimodal.parseFlac(Multimodal.synthFlac(1L, new Array[Byte](24000))) shouldBe
+      Some(Multimodal.FlacInfo(2L, 12000L, 16L, 24000L))
+    Multimodal.parseFlac(Multimodal.synthFlac(0L, Array.empty[Byte])) shouldBe
+      Some(Multimodal.FlacInfo(1L, 8000L, 16L, 0L))
+    // non-FLAC payloads and truncated streams reject cleanly
+    Multimodal.parseFlac("fLaC".getBytes("US-ASCII")) shouldBe None
+    Multimodal.parseFlac("not a flac stream".getBytes("UTF-8")) shouldBe None
+    // a declared block length overrunning the buffer aborts the walk
+    val torn = Multimodal.synthFlac(1L, new Array[Byte](10)).take(20)
+    Multimodal.parseFlac(torn) shouldBe None
+  }
+
+  test("FLAC STREAMINFO found behind a leading padding block") {
+    // real encoders often emit PADDING/VORBIS_COMMENT blocks around
+    // STREAMINFO; the walk must follow the chain, not assume offset 8
+    val flac = Multimodal.synthFlac(3L, Array[Byte](1, 2, 3, 4))
+    val pad = Array[Byte](0x01, 0, 0, 2, 0, 0) // type 1 PADDING, len 2
+    val streaminfo = flac.slice(4, 4 + 4 + 34)
+    val moved = "fLaC".getBytes("US-ASCII") ++ pad ++ streaminfo ++ flac.drop(42)
+    Multimodal.parseFlac(moved) shouldBe
+      Some(Multimodal.FlacInfo(2L, 20000L, 16L, 4L))
+    // extractAudioMeta surfaces flac rows next to wav and unknown
+    val mixed = Seq(
+      (1L, Multimodal.synthFlac(1L, new Array[Byte](12000))),
+      (2L, Multimodal.synthWav(0L, new Array[Byte](16000)))
+    ).toDF("doc_id", "media")
+    val out = Multimodal.extractAudioMeta(mixed).toDF()
+      .orderBy("doc_id").rows.map(r => (r(0), r(3), r(5), r(6)))
+    out.head shouldBe ((1L, 12000L, 1000L, "flac"))
+    out(1) shouldBe ((2L, 8000L, 1000L, "wav"))
+  }
 }
