@@ -429,6 +429,79 @@ object Dedup {
     labels
   }
 
+  /** [[duplicateClusters]] via alternating LARGE-STAR / SMALL-STAR
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the web-scale variant the min-label propagation scaladoc
+    * points at: label propagation needs rounds ≈ component DIAMETER
+    * (a 10M-doc duplicate chain is 10M rounds), while star contraction
+    * converges in O(log n) rounds regardless of shape, because each
+    * round rewires whole neighborhoods onto their minimum rather than
+    * moving labels one hop.
+    *
+    * One round = two per-node neighborhood passes over the CURRENT edge
+    * list (groupBy-min + self-join each — bounded, shuffle-parallel,
+    * never adjacency²):
+    *  - large-star: every neighbor v > u re-points to
+    *    m = min(N(u) ∪ u);
+    *  - small-star: every neighbor v < u, and u itself, re-point to m.
+    * At the fixed point the graph is a forest of depth-1 stars centered
+    * on component minima; labels read directly off the star edges. Same
+    * output as [[duplicateClusters]], provably (both compute
+    * min-id-per-component); the fixed-point check compares consecutive
+    * small-star outputs. `reliable` as in [[cut]]. */
+  def duplicateClustersStar(pairs: DataFrame, idA: String = "id_a",
+                            idB: String = "id_b", maxIter: Int = 25,
+                            reliable: Boolean = false): DataFrame = {
+    // both orientations of the current edge list = the per-node
+    // neighborhood view (one explode pass, as in duplicateClusters)
+    def nbrs(e: DataFrame): DataFrame = e
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    // m(u) = min over N(u) ∪ {u}
+    def mins(n: DataFrame): DataFrame = n.groupBy(col("src").as("u"))
+      .agg(least(min(col("dst")), first(col("src"))).as("m"))
+    var edges = cut(pairs
+      .select(col(idA).as("src"), col(idB).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct(), reliable)
+    var converged = false
+    var i = 0
+    while (!converged && i <= maxIter) {
+      val nL = nbrs(edges)
+      val mL = mins(nL)
+      val large = nL.join(mL, nL("src") === mL("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val nS = nbrs(large)
+      val mS = mins(nS)
+      val small = nS.join(mS, nS("src") === mS("u"))
+        .filter(col("dst") < col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(mS.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val next = cut(small, reliable)
+      // fixed point: consecutive small-star outputs are the same edge
+      // set (two bounded anti-join probes, no data to the driver)
+      converged = next.join(edges, Seq("src", "dst"), "left_anti").isEmpty &&
+        edges.join(next, Seq("src", "dst"), "left_anti").isEmpty
+      edges = next
+      i += 1
+    }
+    require(converged,
+      s"duplicateClustersStar did not converge in $maxIter rounds — " +
+        "raise maxIter (rounds needed ≈ log₂ of the largest component)")
+    // stars: non-roots appear as src pointing at their root; roots
+    // appear only as dst — they label themselves
+    val members = edges.select(col("src").as("id"), col("dst").as("comp"))
+    val roots = edges.select(col("dst").as("id")).distinct()
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    members.unionByName(roots)
+  }
+
   /** Benchmark decontamination flags: mark every training doc that shares
     * at least one word n-gram with the benchmark/eval set — the standard
     * guard against test-set leakage into training data (contamination ≔

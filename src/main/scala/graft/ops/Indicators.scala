@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Technical-analysis window indicators — the tier directly adjacent to
+  * the reference dashboard's returns / rolling-vol analytics
+  * (app.py:50-75): exponential moving average, Bollinger bands, RSI.
+  * Each is built ENGINE-PORTABLE, the repo's hard-signal stance:
+  *
+  *  - [[ewma]]: finite-window exponential weights materialized as EXACT
+  *    decimal literals (decay^i has exactly i decimal digits for a
+  *    1-digit decay like 0.5) — both engines sum identical decimals and
+  *    only the final normalize touches doubles;
+  *  - [[bollinger]]: the midline is an exact integer-cent sum divided
+  *    once in double; the band uses stddev_samp over a ROWS frame,
+  *    FLOAT-downcast so a 1-ulp accumulation divergence cannot survive;
+  *  - [[rsi]]: Cutler's SMA variant, 100·ΣG/(ΣG+ΣL) over integer cent
+  *    deltas — pure integer sums, one double divide at the end (the
+  *    classic Wilder smoothing is a recursive α=1/14 EMA whose weights
+  *    are NOT finite decimals, hence not exactly portable; Cutler's is
+  *    the standard exact alternative).
+  *
+  * All three are single window passes over one (key)-partitioned
+  * exchange — at 100 TB each scales as one shuffle by key with
+  * per-row O(window) arithmetic, no joins, no state beyond the frame.
+  */
+object Indicators {
+
+  private val cents = DecimalType(18, 0)
+
+  /** Integer cents from a double price/value column — the repo's proven
+    * cross-engine rounding shape (see agg_exact_corr). */
+  def toCents(value: Column): Column = round(value * 100).cast("long")
+
+  /** Finite-window EWMA of `value` (a double) per key, emitted as
+    * `ewma_cents` (float): Σ decay^i·x_{t-i} / Σ decay^i over the most
+    * recent `n` rows, weights skipping null values. `decay` must be a
+    * short decimal (e.g. 0.5, 0.8) so every power is exact; windows are
+    * ROWS-based over a TOTAL (tie-broken) order. */
+  def ewma(df: DataFrame, key: String, order: Seq[String], value: String,
+           n: Int = 8, decay: BigDecimal = BigDecimal("0.5")): DataFrame = {
+    require(n >= 1 && n <= 12,
+      s"n must be in [1,12], got $n — larger windows push the exact " +
+        "decimal sums past DECIMAL(38) precision")
+    require(decay > 0 && decay < 1, s"decay must be in (0,1), got $decay")
+    val w = Window.partitionBy(col(key)).orderBy(order.map(col): _*)
+    val x = toCents(col(value)).cast(cents)
+    // exact decimal weights decay^0 .. decay^(n-1); java BigDecimal pow
+    // is exact for decimal bases
+    val weights = (0 until n).map(i => decay.underlying.pow(i))
+    val terms = (0 until n).map { i =>
+      val xi = if (i == 0) x else lag(x, i).over(w)
+      (xi, lit(weights(i)))
+    }
+    val zero = lit(java.math.BigDecimal.ZERO)
+    val num = terms.map { case (xi, wi) =>
+      when(xi.isNotNull, xi * wi).otherwise(zero)
+    }.reduce(_ + _)
+    val den = terms.map { case (xi, wi) =>
+      when(xi.isNotNull, wi).otherwise(zero)
+    }.reduce(_ + _)
+    df.withColumn("ewma_cents",
+      (num.cast("double") / nullif(den.cast("double"), lit(0.0))).cast("float"))
+  }
+
+  /** Bollinger bands over the trailing `n` rows: exact-cents SMA
+    * midline, ± `k`·stddev_samp band (float-downcast). Emits
+    * `bb_mid`, `bb_upper`, `bb_lower` (all float, null until the frame
+    * holds ≥ 2 samples for the band / ≥ 1 for the midline). */
+  def bollinger(df: DataFrame, key: String, order: Seq[String],
+                value: String, n: Int = 20, k: Double = 2.0): DataFrame = {
+    require(n >= 2, s"n must be at least 2, got $n")
+    val w = Window.partitionBy(col(key)).orderBy(order.map(col): _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val c = toCents(col(value))
+    val mid = sum(c.cast(cents)).over(w).cast("double") /
+      count(c).over(w).cast("double")
+    val sd = stddev_samp(c.cast("double")).over(w)
+    df.withColumn("bb_mid", (mid / 100.0).cast("float"))
+      .withColumn("bb_upper", ((mid + lit(k) * sd) / 100.0).cast("float"))
+      .withColumn("bb_lower", ((mid - lit(k) * sd) / 100.0).cast("float"))
+  }
+
+  /** Cutler's RSI over the trailing `n` deltas:
+    * 100·ΣG/(ΣG+ΣL), where G/L are positive/negative integer cent moves
+    * against the previous row. Emits `rsi` (float), null while no move
+    * exists in the frame (flat or head-of-series). */
+  def rsi(df: DataFrame, key: String, order: Seq[String], value: String,
+          n: Int = 14): DataFrame = {
+    require(n >= 1, s"n must be at least 1, got $n")
+    val w = Window.partitionBy(col(key)).orderBy(order.map(col): _*)
+    val frame = Window.partitionBy(col(key)).orderBy(order.map(col): _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val delta = toCents(col(value)) - lag(toCents(col(value)), 1).over(w)
+    val sumG = sum(when(delta > 0, delta).otherwise(lit(0L))).over(frame)
+    val sumL = sum(when(delta < 0, -delta).otherwise(lit(0L))).over(frame)
+    df.withColumn("rsi",
+      (lit(100.0) * sumG.cast("double") /
+        nullif((sumG + sumL).cast("double"), lit(0.0))).cast("float"))
+  }
+}

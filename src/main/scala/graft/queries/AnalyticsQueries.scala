@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Cdc, FuzzyJoin, Percentiles}
+import graft.ops.{Cdc, FuzzyJoin, Indicators, Percentiles}
 
 /** OLAP / warehouse-analytics extensions: grouping sets, event-path
   * transitions, exact nearest-rank quantiles, batch CDC apply, and
@@ -141,6 +141,34 @@ object AnalyticsQueries {
           Tables.customer(s, dir), id = "c_custkey", str = "c_name",
           block = substring(col("c_name"), 10, 6), maxBlock = 500)
         .orderBy(col("block"))),
+
+    // ── Indicator tier (see ops/Indicators): EWMA with exact decimal
+    // weights, Bollinger bands, Cutler's RSI — per event type over the
+    // total (ts, event_id) order, null values excluded up front.
+    "w_ewma" -> ((s, dir) =>
+      Indicators.ewma(
+          Tables.events(s, dir).filter(col("value").isNotNull),
+          key = "event_type", order = Seq("ts", "event_id"),
+          value = "value", n = 8)
+        .select(col("event_type"), col("event_id"), col("ewma_cents"))
+        .orderBy(col("event_type"), col("event_id"))),
+
+    "w_bollinger" -> ((s, dir) =>
+      Indicators.bollinger(
+          Tables.events(s, dir).filter(col("value").isNotNull),
+          key = "event_type", order = Seq("ts", "event_id"),
+          value = "value", n = 20, k = 2.0)
+        .select(col("event_type"), col("event_id"),
+          col("bb_mid"), col("bb_upper"), col("bb_lower"))
+        .orderBy(col("event_type"), col("event_id"))),
+
+    "w_rsi" -> ((s, dir) =>
+      Indicators.rsi(
+          Tables.events(s, dir).filter(col("value").isNotNull),
+          key = "event_type", order = Seq("ts", "event_id"),
+          value = "value", n = 14)
+        .select(col("event_type"), col("event_id"), col("rsi"))
+        .orderBy(col("event_type"), col("event_id"))),
 
     // ── Rank-family windows: quartile, percent_rank, cume_dist per
     // event type over a TOTAL order (value, event_id) — unique sort
@@ -414,6 +442,65 @@ object AnalyticsQueries {
         |FROM customer WHERE substr(c_name, 10, 6) IS NOT NULL
         |GROUP BY 1 HAVING count(*) > 500
         |ORDER BY block""".stripMargin,
+
+    // EWMA replay: identical exact decimal weight literals (0.5^i),
+    // null-skipping numerator/denominator, one double divide, REAL cast
+    "w_ewma" -> {
+      val lags = (1 until 8).map(i => s"lag(c, $i) OVER w AS c$i").mkString(", ")
+      def wt(i: Int) = BigDecimal("0.5").pow(i).underlying.toPlainString
+      val num = (0 until 8).map(i =>
+        s"CASE WHEN c${if (i == 0) "" else i} IS NOT NULL THEN " +
+          s"c${if (i == 0) "" else i} * ${wt(i)} ELSE 0 END").mkString(" + ")
+      val den = (0 until 8).map(i =>
+        s"CASE WHEN c${if (i == 0) "" else i} IS NOT NULL THEN ${wt(i)} " +
+          "ELSE 0 END").mkString(" + ")
+      s"""WITH e AS (SELECT event_type, event_id, ts,
+         |             CAST(round(value * 100) AS BIGINT) AS c
+         |           FROM events WHERE value IS NOT NULL),
+         | l AS (SELECT event_type, event_id, c, $lags
+         |   FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+         |SELECT event_type, event_id,
+         |  CAST(CAST($num AS DOUBLE) /
+         |    nullif(CAST($den AS DOUBLE), 0.0) AS REAL) AS ewma_cents
+         |FROM l ORDER BY event_type, event_id""".stripMargin
+    },
+
+    // Bollinger replay: exact-cents SMA midline, stddev_samp band over
+    // the same ROWS frame, operation order mirrored exactly
+    "w_bollinger" ->
+      """WITH e AS (SELECT event_type, event_id, ts,
+        |             CAST(round(value * 100) AS BIGINT) AS c
+        |           FROM events WHERE value IS NOT NULL),
+        | s AS (SELECT event_type, event_id,
+        |     CAST(SUM(CAST(c AS DECIMAL(18,0))) OVER f AS DOUBLE) /
+        |       CAST(COUNT(c) OVER f AS DOUBLE) AS mid,
+        |     stddev_samp(CAST(c AS DOUBLE)) OVER f AS sd
+        |   FROM e WINDOW f AS (PARTITION BY event_type ORDER BY ts, event_id
+        |     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, event_id,
+        |  CAST(mid / 100.0 AS REAL) AS bb_mid,
+        |  CAST((mid + 2.0 * sd) / 100.0 AS REAL) AS bb_upper,
+        |  CAST((mid - 2.0 * sd) / 100.0 AS REAL) AS bb_lower
+        |FROM s ORDER BY event_type, event_id""".stripMargin,
+
+    // RSI replay: integer cent deltas, integer gain/loss sums, one
+    // double divide — 100·SumG/(SumG+SumL), null while the frame is flat
+    "w_rsi" ->
+      """WITH e AS (SELECT event_type, event_id, ts,
+        |             CAST(round(value * 100) AS BIGINT) AS c
+        |           FROM events WHERE value IS NOT NULL),
+        | l AS (SELECT event_type, event_id, ts,
+        |     c - lag(c, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS d
+        |   FROM e),
+        | s AS (SELECT event_type, event_id,
+        |     SUM(CASE WHEN d > 0 THEN d ELSE 0 END) OVER f AS g,
+        |     SUM(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER f AS lo
+        |   FROM l WINDOW f AS (PARTITION BY event_type ORDER BY ts, event_id
+        |     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, event_id,
+        |  CAST(100.0 * CAST(g AS DOUBLE) /
+        |    nullif(CAST(g + lo AS DOUBLE), 0.0) AS REAL) AS rsi
+        |FROM s ORDER BY event_type, event_id""".stripMargin,
 
     "w_rank_family" ->
       """WITH e AS (SELECT event_type, event_id, value FROM events

@@ -177,6 +177,19 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // same families via alternating large-star/small-star contraction —
+    // O(log n) rounds vs label propagation's O(diameter); output is
+    // provably identical (min id per component), so the entry shares
+    // dedup_clusters' recursive-CTE oracle verbatim
+    "dedup_clusters_star" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairsPrefix(
+          Tables.documents(s, dir).filter(col("doc_id") < 300),
+          id = "doc_id", text = "text", threshold = 0.5)
+      Dedup.duplicateClustersStar(pairs, idA = "doc_a", idB = "doc_b")
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // benchmark decontamination: docs with doc_id % 97 == 0 act as the
     // held-out eval set; every training doc sharing a 3-gram is flagged
     "decontaminate_docs" -> ((s, dir) => {
@@ -261,7 +274,32 @@ object TextQueries {
   private val mhMatches = (0 until 16)
     .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
 
+  // shared by dedup_clusters and dedup_clusters_star: both operators
+  // compute min-id-per-component over the same pair list, so one
+  // transitive-closure oracle verifies them against each other too
+  private val dedupClustersSql =
+    """WITH RECURSIVE d AS (SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+      |           FROM documents WHERE doc_id < 300),
+      | t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+      | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |       FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      | s AS (SELECT doc_id, len(toks) AS n FROM d),
+      | pr AS (SELECT doc_a, doc_b
+      |   FROM p JOIN s sa ON p.doc_a = sa.doc_id JOIN s sb ON p.doc_b = sb.doc_id
+      |   WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
+      | e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+      |       UNION SELECT doc_b, doc_a FROM pr),
+      | reach(a, b) AS (
+      |   SELECT src, dst FROM e
+      |   UNION
+      |   SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
+      |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+      |FROM reach GROUP BY a
+      |ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "dedup_clusters_star" -> dedupClustersSql,
     "dedup_exact_text" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper_doc_id
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
@@ -473,26 +511,7 @@ object TextQueries {
     // Duplicate-family replay: the dedup_jaccard_pairs edge list, then
     // transitive closure via recursive CTE; comp = min id over the
     // reachable set (matching the min-label-propagation fixpoint).
-    "dedup_clusters" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS toks
-        |           FROM documents WHERE doc_id < 300),
-        | t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-        | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        |       FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2),
-        | s AS (SELECT doc_id, len(toks) AS n FROM d),
-        | pr AS (SELECT doc_a, doc_b
-        |   FROM p JOIN s sa ON p.doc_a = sa.doc_id JOIN s sb ON p.doc_b = sb.doc_id
-        |   WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
-        | e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
-        |       UNION SELECT doc_b, doc_a FROM pr),
-        | reach(a, b) AS (
-        |   SELECT src, dst FROM e
-        |   UNION
-        |   SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
-        |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY a
-        |ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> dedupClustersSql,
 
     // Decontamination replay: shared 3-gram shingles (short docs collapse
     // to a whole-doc shingle) between the %97 benchmark slice and the rest.

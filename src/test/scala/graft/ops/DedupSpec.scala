@@ -149,6 +149,30 @@ class DedupSpec extends SparkSpec {
     out.filter(col("doc_b") === 4).count() shouldBe 0
   }
 
+  test("duplicateClustersStar matches label propagation on chains, stars, randoms") {
+    // chain + isolated pair (the duplicateClusters fixtures)
+    val pairs = Seq((2L, 1L), (2L, 3L), (9L, 7L), (3L, 2L)).toDF("id_a", "id_b")
+    Dedup.duplicateClustersStar(pairs).orderBy("id").rows
+      .map(r => (r(0), r(1))) shouldBe
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+    // long chain: diameter 7 but star contraction needs only O(log n)
+    // rounds — a budget far under the diameter must suffice
+    val chain = (1L to 8L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    Dedup.duplicateClustersStar(chain, maxIter = 5).orderBy("id").rows
+      .map(r => (r(1))).distinct shouldBe Seq(1L)
+    // randomized agreement with the propagation implementation: same
+    // edges → identical (id, comp) labeling, for graphs with cycles,
+    // self-dup edges and multiple components
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("id_a", "id_b")
+    val star = Dedup.duplicateClustersStar(df).orderBy("id").rows
+    val prop = Dedup.duplicateClusters(df).orderBy("id").rows
+    star shouldBe prop
+  }
+
   test("duplicateClusters converges when chain diameter equals maxIter") {
     // path 1-2-3-4: label 1 reaches node 4 after exactly 3 changing
     // rounds, so maxIter=3 must succeed (the observation round is free)

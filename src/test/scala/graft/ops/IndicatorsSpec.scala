@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class IndicatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one key, strictly increasing order column, prices in dollars
+  private def series(vals: Double*) =
+    vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("key", "ord", "price")
+
+  test("ewma: head-of-series renormalizes over present weights") {
+    val out = Indicators.ewma(series(1.0, 2.0), key = "key",
+        order = Seq("ord"), value = "price", n = 2)
+      .orderBy("ord").rows.map(_(3).asInstanceOf[Float])
+    // row0: only w0 present -> 100 cents exactly
+    out(0) shouldBe 100.0f
+    // row1: (200·1 + 100·0.5) / 1.5 = 166.66667 cents
+    out(1) shouldBe (250.0 / 1.5).toFloat
+  }
+
+  test("ewma: weights are exact decimals, window slides off old rows") {
+    val out = Indicators.ewma(series(1.0, 1.0, 1.0, 9.0), key = "key",
+        order = Seq("ord"), value = "price", n = 2)
+      .orderBy("ord").rows.map(_(3).asInstanceOf[Float])
+    // constant prefix stays exactly at the price
+    out(1) shouldBe 100.0f
+    out(2) shouldBe 100.0f
+    // row3: (900 + 100·0.5)/1.5
+    out(3) shouldBe (950.0 / 1.5).toFloat
+    an[IllegalArgumentException] should be thrownBy
+      Indicators.ewma(series(1.0), "key", Seq("ord"), "price", n = 13)
+  }
+
+  test("bollinger: flat series collapses the band onto the midline") {
+    val out = Indicators.bollinger(series(5.0, 5.0, 5.0), key = "key",
+        order = Seq("ord"), value = "price", n = 3)
+      .orderBy("ord").rows
+    // first row: band null (single sample), midline present
+    out(0)(3) shouldBe 5.0f
+    assert(out(0)(4) == null)
+    // flat frame: sd = 0 -> both bands equal the midline
+    out(2)(3) shouldBe 5.0f
+    out(2)(4) shouldBe 5.0f
+    out(2)(5) shouldBe 5.0f
+  }
+
+  test("bollinger: hand-computed two-point band") {
+    // cents 100, 300: mean 200, stddev_samp = sqrt(((100-200)^2+(300-200)^2)/1)
+    // = sqrt(20000) ≈ 141.42136 -> upper = (200 + 2·141.42136)/100
+    val out = Indicators.bollinger(series(1.0, 3.0), key = "key",
+        order = Seq("ord"), value = "price", n = 2)
+      .orderBy("ord").rows
+    out(1)(3) shouldBe 2.0f
+    out(1)(4).asInstanceOf[Float] shouldBe
+      ((200.0 + 2.0 * math.sqrt(20000.0)) / 100.0).toFloat
+  }
+
+  test("rsi: all-up is 100, all-down is 0, mixed is the gain share") {
+    val up = Indicators.rsi(series(1.0, 2.0, 3.0), "key", Seq("ord"),
+      "price", n = 14).orderBy("ord").rows
+    assert(up(0)(3) == null) // no move in frame yet
+    up(2)(3) shouldBe 100.0f
+    val down = Indicators.rsi(series(3.0, 2.0, 1.0), "key", Seq("ord"),
+      "price", n = 14).orderBy("ord").rows
+    down(2)(3) shouldBe 0.0f
+    // +100, -50 cents -> 100·100/150
+    val mixed = Indicators.rsi(series(1.0, 2.0, 1.5), "key", Seq("ord"),
+      "price", n = 14).orderBy("ord").rows
+    mixed(2)(3).asInstanceOf[Float] shouldBe (100.0 * 100.0 / 150.0).toFloat
+  }
+
+  test("rsi: the frame forgets moves older than n deltas") {
+    // deltas: +100, -100, -100; with n=2 the last frame holds [-100,-100]
+    val out = Indicators.rsi(series(1.0, 2.0, 1.0, 0.5), "key", Seq("ord"),
+      "price", n = 2).orderBy("ord").rows
+    out(3)(3) shouldBe 0.0f
+  }
+}
