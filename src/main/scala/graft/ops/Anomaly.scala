@@ -53,4 +53,56 @@ object Anomaly {
       .withColumn("is_anomaly",
         coalesce(abs(col("z")) > threshold, lit(false)))
   }
+
+  /** One-sided CUSUM drift detection (Page's test) in EXACT integer
+    * cents: alarm when the cumulative upward (or downward) deviation
+    * from a target mean exceeds a decision threshold — the classic
+    * sequential change-point detector for pipeline telemetry (a data
+    * source whose mean quietly drifts poisons training data long before
+    * any single point trips a z-score gate).
+    *
+    * The textbook recursion S_t = max(0, S_{t−1} + (x_t − μ0 − k)) is
+    * not window-expressible, but has the closed form
+    * S_t = R_t − min_{j ≤ t}(R_j) over the running sum
+    * R_t = Σ(x − μ0 − k) with R_0 = 0 — one running sum plus one
+    * running min, both over the same unbounded-preceding frame: a
+    * single window pass, exact in integer arithmetic, no recursion.
+    * The mirrored statistic uses −(x − μ0 + k) for downward drift.
+    *
+    * `targetCents`, `slackCents` (k) and `decisionCents` (h) are integer
+    * cents. Emits `cusum_up`, `cusum_down` (bigint cents) and
+    * `drift` ∈ {'up','down',null}. Null values pass through with null
+    * statistics (they contribute nothing to the running sums). */
+  def cusum(df: DataFrame, partition: Seq[String], order: Seq[String],
+            value: String, targetCents: Long, slackCents: Long = 0L,
+            decisionCents: Long = 1L): DataFrame = {
+    require(slackCents >= 0, s"slackCents must be >= 0, got $slackCents")
+    require(decisionCents > 0, s"decisionCents must be > 0, got $decisionCents")
+    val reserved = Seq("cusum_up", "cusum_down", "drift", "__ru", "__rd")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"cusum appends columns ${reserved.mkString(", ")} — " +
+        s"the input already has: $clash; rename first")
+    val w = Window.partitionBy(partition.map(col): _*)
+      .orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cents = Indicators.toCents(col(value))
+    val up = cents - lit(targetCents) - lit(slackCents)
+    val down = -(cents - lit(targetCents) + lit(slackCents))
+    // two window passes over ONE partitioning (running sums, then their
+    // running mins — Spark disallows nesting them in one expression);
+    // the least(…, 0) injects R_0 = 0 into the min, the closed form's
+    // empty-prefix term. Null values contribute nothing to the sums and
+    // surface null statistics.
+    df.withColumn("__ru", sum(up).over(w))
+      .withColumn("__rd", sum(down).over(w))
+      .withColumn("cusum_up", when(cents.isNotNull,
+        col("__ru") - least(min(col("__ru")).over(w), lit(0L))))
+      .withColumn("cusum_down", when(cents.isNotNull,
+        col("__rd") - least(min(col("__rd")).over(w), lit(0L))))
+      .drop("__ru", "__rd")
+      .withColumn("drift",
+        when(col("cusum_up") > decisionCents, "up")
+          .when(col("cusum_down") > decisionCents, "down"))
+  }
 }

@@ -39,6 +39,25 @@ object IvfIndex {
     cents
   }
 
+  /** Append a new vector batch to a persisted index WITHOUT rebuilding:
+    * the batch is assigned against the EXISTING centroids (k×dim to the
+    * driver, never data) and its postings append into the partitioned
+    * layout — the continual-ingest shape, where per-batch work is
+    * O(|batch|·k) and the historical postings are never rewritten.
+    * Centroid drift under sustained ingest is the documented trade:
+    * handle it with periodic [[save]] rebuilds, not per-batch. The
+    * caller must not append ids already present — postings are an
+    * append-only log, and a duplicate id would surface twice in probes
+    * (exactly as in any production ANN ingest without a tombstone
+    * layer). */
+  def append(df: DataFrame, id: String, vec: String, path: String): Unit = {
+    val cents = loadCentroids(df.sparkSession, path)
+    Similarity.ivfAssignWith(df, vec, cents)
+      .select(col(id).as("neighbor_id"), col(vec).as("cv"), col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/postings.parquet")
+  }
+
   /** The k×dim centroid matrix, ordered by centroid_id (an index-load
     * action: k rows to the driver, not data). */
   def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] =

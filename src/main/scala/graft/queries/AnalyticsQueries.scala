@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Cdc, FuzzyJoin, Indicators, Percentiles}
+import graft.ops.{Anomaly, Cdc, FuzzyJoin, Indicators, Percentiles}
 
 /** OLAP / warehouse-analytics extensions: grouping sets, event-path
   * transitions, exact nearest-rank quantiles, batch CDC apply, and
@@ -168,6 +168,19 @@ object AnalyticsQueries {
           key = "event_type", order = Seq("ts", "event_id"),
           value = "value", n = 14)
         .select(col("event_type"), col("event_id"), col("rsi"))
+        .orderBy(col("event_type"), col("event_id"))),
+
+    // ── CUSUM drift detection (Page's test) per event type: cumulative
+    // deviation from a $50 target with $1 slack, $1000 decision — exact
+    // integer cents end-to-end via the closed form R_t − min(0, min R).
+    "cusum_drift" -> ((s, dir) =>
+      Anomaly.cusum(
+          Tables.events(s, dir).filter(col("value").isNotNull),
+          partition = Seq("event_type"), order = Seq("ts", "event_id"),
+          value = "value", targetCents = 5000L, slackCents = 100L,
+          decisionCents = 100000L)
+        .select(col("event_type"), col("event_id"),
+          col("cusum_up"), col("cusum_down"), col("drift"))
         .orderBy(col("event_type"), col("event_id"))),
 
     // ── Rank-family windows: quartile, percent_rank, cume_dist per
@@ -500,6 +513,27 @@ object AnalyticsQueries {
         |SELECT event_type, event_id,
         |  CAST(100.0 * CAST(g AS DOUBLE) /
         |    nullif(CAST(g + lo AS DOUBLE), 0.0) AS REAL) AS rsi
+        |FROM s ORDER BY event_type, event_id""".stripMargin,
+
+    // CUSUM replay: the same closed form over HUGEINT-exact running
+    // sums/mins, surfaced as BIGINT
+    "cusum_drift" ->
+      """WITH e AS (SELECT event_type, event_id, ts,
+        |             CAST(round(value * 100) AS BIGINT) AS c
+        |           FROM events WHERE value IS NOT NULL),
+        | r AS (SELECT event_type, event_id, ts,
+        |     SUM(c - 5100) OVER f AS ru,
+        |     SUM(-(c - 4900)) OVER f AS rd
+        |   FROM e WINDOW f AS (PARTITION BY event_type ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        | s AS (SELECT event_type, event_id,
+        |     CAST(ru - least(MIN(ru) OVER f, 0) AS BIGINT) AS cusum_up,
+        |     CAST(rd - least(MIN(rd) OVER f, 0) AS BIGINT) AS cusum_down
+        |   FROM r WINDOW f AS (PARTITION BY event_type ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, event_id, cusum_up, cusum_down,
+        |  CASE WHEN cusum_up > 100000 THEN 'up'
+        |       WHEN cusum_down > 100000 THEN 'down' END AS drift
         |FROM s ORDER BY event_type, event_id""".stripMargin,
 
     "w_rank_family" ->

@@ -94,6 +94,27 @@ object SimilarityQueries {
         .orderBy(col("centroid_id"), col("j"))
     }),
 
+    // INDEX LIFECYCLE incremental leg: build on the base corpus, APPEND
+    // a late batch against the existing centroids (no rebuild), probe.
+    // Keeping vec_id < 16 in the base makes the data-derived centroids
+    // identical to the full-corpus build, so the appended index must
+    // probe exactly like sim_ivf_data_topk — the shared oracle verifies
+    // the whole append path on the hard signal.
+    "sim_ivf_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val late = col("vec_id") % 5 === 4 && col("vec_id") >= 16
+      val tmp = QuerySql.tempDir("graft_ivfappend")
+      IvfIndex.save(emb.filter(!late), "vec_id", "embedding", k = 16, tmp)
+      IvfIndex.append(emb.filter(late), "vec_id", "embedding", tmp)
+      val cents = IvfIndex.loadCentroids(s, tmp)
+      Similarity.ivfProbe(IvfIndex.loadPostings(s, tmp),
+          queries = emb.filter(col("vec_id") < 8), id = "vec_id",
+          vec = "embedding", cents = cents, nprobe = 4, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cosine").cast("float").as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // per-label class prototypes via DECIMAL elementwise means
     "emb_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir),
@@ -338,6 +359,10 @@ object SimilarityQueries {
     // the persisted index is bit-identical to the in-memory data-derived
     // one (see the query comment), so the oracle is shared
     "sim_ivf_persisted" -> simIvfDataTopkSql,
+
+    // append path: base-build + late-batch append must equal the
+    // full-corpus index (same centroids by construction)
+    "sim_ivf_append" -> simIvfDataTopkSql,
 
     // the persisted centroids are the first 16 corpus vectors widened to
     // double — parquet round-trips them bit-exactly

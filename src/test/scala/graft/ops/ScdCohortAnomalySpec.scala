@@ -100,6 +100,39 @@ class ScdCohortAnomalySpec extends SparkSpec {
         window = 2, minSamples = 3)
   }
 
+  test("cusum: closed form equals the textbook recursion, resets after dips") {
+    // dollars 1,2,1,3,5 with target $2, no slack → up-devs (cents):
+    // -100,0,-100,100,300. Recursion S+: 0,0,0,100,400.
+    // down-devs: 100,0,100,-100,-300 → S-: 100,100,200,100,0.
+    val ev = Seq(1.0, 2.0, 1.0, 3.0, 5.0).zipWithIndex
+      .map { case (v, i) => (1L, i.toLong, v) }.toDF("u", "t", "v")
+    val out = Anomaly.cusum(ev, Seq("u"), Seq("t"), "v",
+        targetCents = 200L, slackCents = 0L, decisionCents = 300L)
+      .orderBy("t").rows.map(r => (r(3), r(4), r(5)))
+    out.map(_._1) shouldBe Seq(0L, 0L, 0L, 100L, 400L)
+    out.map(_._2) shouldBe Seq(100L, 100L, 200L, 100L, 0L)
+    // only the final point crosses the $3 decision, upward
+    out.map(_._3) shouldBe Seq(null, null, null, null, "up")
+    an[IllegalArgumentException] should be thrownBy
+      Anomaly.cusum(ev, Seq("u"), Seq("t"), "v", 200L, slackCents = -1L)
+  }
+
+  test("cusum: slack absorbs small wander, null values pass through") {
+    // constant $2 with $0.50 slack: both statistics stay at 0
+    val flat = (0 until 4).map(i => (1L, i.toLong, 2.0)).toDF("u", "t", "v")
+    Anomaly.cusum(flat, Seq("u"), Seq("t"), "v", 200L, slackCents = 50L)
+      .orderBy("t").rows.map(r => (r(3), r(4))) shouldBe
+      Seq.fill(4)((0L, 0L))
+    val withNull = Seq((1L, 0L, Some(1.0)), (1L, 1L, None), (1L, 2L, Some(3.0)))
+      .toDF("u", "t", "v")
+    val rows = Anomaly.cusum(withNull, Seq("u"), Seq("t"), "v", 200L)
+      .orderBy("t").rows
+    assert(rows(1)(3) == null) // null value → null statistic
+    // the null row contributes nothing: devs -100, +100 → R = 0,
+    // S+ = 0 - min(0, -100) = 100 (recursion: 0 → skip → max(0,0+100))
+    rows(2)(3) shouldBe 100L
+  }
+
   // ── Vocab.unigramLogProb ───────────────────────────────────────────
 
   test("unigramLogProb: mean ln p under the corpus's own unigram model") {

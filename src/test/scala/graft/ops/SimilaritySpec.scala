@@ -111,4 +111,25 @@ class SimilaritySpec extends SparkSpec {
     persisted shouldBe inMemory
     inMemory should not be empty
   }
+
+  test("IvfIndex.append: base build + late batch probes like a full build") {
+    val rng = new scala.util.Random(11)
+    val all = (0L until 80L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    // keep ids < 4 (the data-derived centroid seeds) in the base so both
+    // index builds share centroids; append the rest of the late ids
+    val late = col("vec_id") % 3 === 2 && col("vec_id") >= 4
+    val dirA = java.nio.file.Files.createTempDirectory("ivfapp_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("ivfapp_b").toString
+    IvfIndex.save(all.filter(!late), "vec_id", "embedding", k = 4, dirA)
+    IvfIndex.append(all.filter(late), "vec_id", "embedding", dirA)
+    IvfIndex.save(all, "vec_id", "embedding", k = 4, dirB)
+    val q = all.filter(col("vec_id") < 3)
+    def probe(dir: String) = Similarity.ivfProbe(
+        IvfIndex.loadPostings(spark, dir), q, "vec_id", "embedding",
+        IvfIndex.loadCentroids(spark, dir), nprobe = 2, k = 3)
+      .select("query_id", "neighbor_id", "rank").rows.sortBy(_.toString)
+    probe(dirA) shouldBe probe(dirB)
+    probe(dirA) should not be empty
+  }
 }
