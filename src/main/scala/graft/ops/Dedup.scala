@@ -124,11 +124,17 @@ object Dedup {
     * scale one boilerplate bucket can melt a join without this cap). */
   private def bandedSignatures(df: DataFrame, id: String, text: String,
                                shingleSize: Int, k: Int, bands: Int,
-                               maxBucket: Int, portable: Boolean): DataFrame = {
+                               maxBucket: Int, portable: Boolean,
+                               spreadInput: Boolean = true): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"bands ($bands) must evenly divide the signature size ($k)")
     val rows = k / bands
-    val sig = minhashSignatures(spread(df), id, text, shingleSize, k, portable)
+    // spreadInput = false for frames already materialized through a
+    // shuffle (a checkpointed batch): Skew.spread sees no input FILES
+    // on such frames and would pay a pointless extra round-robin
+    // exchange for a frame whose partitioning is already parallel
+    val src = if (spreadInput) spread(df) else df
+    val sig = minhashSignatures(src, id, text, shingleSize, k, portable)
     def bandBucket(cols: Seq[Column]): Column =
       if (portable) md5(concat_ws(",", cols: _*)) else xxhash64(cols: _*)
     val banded = sig.select(
@@ -329,7 +335,7 @@ object Dedup {
     val fresh = cut(newDocs.withColumn("__h", md5(col(text)))
       .join(histHashes, Seq("__h"), "left_anti").drop("__h"), reliable)
     val newBanded = bandedSignatures(fresh, id, text, shingleSize, k, bands,
-      maxBucket, portable)
+      maxBucket, portable, spreadInput = false) // checkpointed: already parallel
       .select(col("band"), col("bucket"), col(id).as("id_a"))
     val histBanded = bandedSignatures(historical, id, text, shingleSize, k,
       bands, maxBucket, portable)
@@ -462,6 +468,11 @@ object Dedup {
     // m(u) = min over N(u) ∪ {u}
     def mins(n: DataFrame): DataFrame = n.groupBy(col("src").as("u"))
       .agg(least(min(col("dst")), first(col("src"))).as("m"))
+    // every endpoint, INCLUDING nodes whose only edges are self-pairs:
+    // the contraction works on proper edges, but a self-paired singleton
+    // must still surface as its own component (duplicateClusters does)
+    val allNodes = pairs
+      .select(explode(array(col(idA), col(idB))).as("id")).distinct()
     var edges = cut(pairs
       .select(col(idA).as("src"), col(idB).as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -493,13 +504,14 @@ object Dedup {
     require(converged,
       s"duplicateClustersStar did not converge in $maxIter rounds — " +
         "raise maxIter (rounds needed ≈ log₂ of the largest component)")
-    // stars: non-roots appear as src pointing at their root; roots
-    // appear only as dst — they label themselves
+    // stars: non-roots appear as src pointing at their root; roots and
+    // self-pair singletons appear in no proper edge — they label
+    // themselves (allNodes anti-join covers both)
     val members = edges.select(col("src").as("id"), col("dst").as("comp"))
-    val roots = edges.select(col("dst").as("id")).distinct()
+    val selfLabeled = allNodes
       .join(members.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("comp"))
-    members.unionByName(roots)
+    members.unionByName(selfLabeled)
   }
 
   /** Benchmark decontamination flags: mark every training doc that shares

@@ -81,8 +81,8 @@ object FuzzyJoin {
     * recall is a measured quantity, not an assumption. Same single
     * aggregation exchange the pair join's window count needs; empty
     * output proves the cap never fired on this input. */
-  def droppedBlocks(df: DataFrame, id: String, str: String,
-                    block: Column, maxBlock: Int = 1000): DataFrame =
+  def droppedBlocks(df: DataFrame, block: Column,
+                    maxBlock: Int = 1000): DataFrame =
     df.select(block.as("block"))
       .filter(col("block").isNotNull)
       .groupBy(col("block"))

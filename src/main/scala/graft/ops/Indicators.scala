@@ -46,6 +46,16 @@ object Indicators {
       s"n must be in [1,12], got $n — larger windows push the exact " +
         "decimal sums past DECIMAL(38) precision")
     require(decay > 0 && decay < 1, s"decay must be in (0,1), got $decay")
+    // the exactness contract holds only while every weight fits beside
+    // the 18-digit cent operand in DECIMAL(38): weight scale grows as
+    // scale(decay)·i, and past 14 fractional digits Spark silently
+    // ROUNDS the products (allowPrecisionLoss default) — a quiet
+    // contract break, so reject it loudly instead
+    val wScale = decay.underlying.stripTrailingZeros.scale * (n - 1)
+    require(wScale <= 14,
+      s"decay=$decay over n=$n needs weight scale $wScale > 14 — the " +
+        "decimal products would round silently; use a shorter decay " +
+        "(e.g. 0.5, 0.8) or a smaller window")
     val w = Window.partitionBy(col(key)).orderBy(order.map(col): _*)
     val x = toCents(col(value)).cast(cents)
     // exact decimal weights decay^0 .. decay^(n-1); java BigDecimal pow

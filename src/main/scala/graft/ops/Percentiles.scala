@@ -45,4 +45,35 @@ object Percentiles {
       .filter(col("__rn") === ceil(col("p") * col("__n")))
       .select(keys.map(col) :+ col("p") :+ col(value).as("pct_value"): _*)
   }
+
+  /** Winsorization: clip `value` into its own group's exact
+    * [pLo, pHi] nearest-rank quantile bounds — the standard heavy-tail
+    * guard before statistics or training on raw telemetry (one sensor
+    * stuck at 1e12 otherwise owns every mean). Appends `winsorized`.
+    *
+    * Both bounds are OBSERVED values ([[nearestRank]]) and clipping is
+    * pure comparison, so every output value is a value from the data —
+    * engine-exact by construction, no float discipline needed. Groups
+    * with no non-null observation pass values through unclipped.
+    *
+    * Plan shape: the bounds frame is |groups|·2 rows — broadcast back
+    * onto the input, so the data-side cost is the one (keys, value)
+    * sort the ranking needs. */
+  def winsorize(df: DataFrame, keys: Seq[String], value: String,
+                pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo > 0 && pLo < pHi && pHi <= 1,
+      s"need 0 < pLo < pHi <= 1, got pLo=$pLo pHi=$pHi")
+    require(!df.columns.contains("winsorized"),
+      "winsorize appends column winsorized — rename the existing one first")
+    val bounds = nearestRank(df, keys, value, Seq(pLo, pHi))
+      .groupBy(keys.map(col): _*)
+      .agg(min(when(col("p") === pLo, col("pct_value"))).as("__lo"),
+        min(when(col("p") === pHi, col("pct_value"))).as("__hi"))
+    df.join(broadcast(bounds), keys, "left")
+      .withColumn("winsorized",
+        when(col(value).isNull, lit(null))
+          .when(col("__lo").isNull, col(value))
+          .otherwise(greatest(least(col(value), col("__hi")), col("__lo"))))
+      .drop("__lo", "__hi")
+  }
 }

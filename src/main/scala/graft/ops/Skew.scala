@@ -43,8 +43,14 @@ object Skew {
     * outside AQE); the explicit partition number is respected by AQE
     * (only sizeless `repartition()` is coalescible). A no-op whenever
     * splits ≥ cores — the 100 TB case by construction, where the extra
-    * shuffle would be pure waste. Non-file inputs (in-memory frames)
-    * report zero files and take the shuffle — harmless at their size. */
+    * shuffle would be pure waste. Non-file inputs report zero files and
+    * take the shuffle — harmless for small in-memory frames, but a
+    * LARGE file-less frame that is already parallel (a checkpointed
+    * batch, a post-shuffle intermediate) pays a pointless exchange:
+    * such callers should skip spread themselves (see
+    * Dedup.bandedSignatures' spreadInput flag) rather than rely on a
+    * heuristic that cannot see their partitioning without
+    * instantiating the physical plan. */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.inputFiles.length >= target) df else df.repartition(target)

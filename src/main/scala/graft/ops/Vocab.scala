@@ -166,4 +166,53 @@ object Vocab {
       .filter(col("rank") <= k)
       .select(col("doc_a"), col("doc_b"), col("cosine"), col("rank"))
   }
+
+  /** Per-document mean ln P(wᵢ | wᵢ₋₁) under the corpus's own ADD-ONE
+    * smoothed bigram model — the next perplexity proxy up from
+    * [[unigramLogProb]]: fluency scoring that unigram frequencies can't
+    * see (scrambled word salad scores like prose under a unigram model;
+    * a bigram model punishes improbable transitions). Smoothing is
+    * required here, unlike the unigram case: a document CAN contain a
+    * bigram the rest of the corpus never repeats, and P(b|a) =
+    * (C(a,b)+1) / (C(a)+V) keeps such transitions finite (V = unigram
+    * vocabulary size).
+    *
+    * Same determinism recipe as [[unigramLogProb]]: each ln is one
+    * double op on exact integer inputs, per-doc sums quantize through
+    * DECIMAL(20,12), the mean surfaces FLOAT. Same scale shape too: the
+    * bigram occurrence stream is materialized once (EAGER — a
+    * localCheckpoint runs at call time) and feeds the corpus counts,
+    * context counts, and scoring join; V rides in as one broadcast row.
+    * Documents with fewer than two tokens carry no bigrams and drop
+    * out, exactly as empty docs drop from the unigram scorer. */
+  def bigramLogProb(df: DataFrame, id: String = "doc_id",
+                    text: String = "text"): DataFrame = {
+    val d12 = (c: org.apache.spark.sql.Column) => c.cast("decimal(20,12)")
+    // pair ADJACENT real tokens: empties from repeated separators are
+    // dropped BEFORE pairing, so "a  b" still yields the bigram (a, b)
+    val clean = filter(TextAnalysis.tokens(col(text)), t => length(t) > 0)
+    val pairs = when(size(clean) >= 2,
+        zip_with(
+          slice(clean, lit(1), size(clean) - 1),
+          slice(clean, lit(2), size(clean) - 1),
+          (a, b) => struct(a.as("ctx"), concat(a, lit(" "), b).as("bg"))))
+      .otherwise(array().cast("array<struct<ctx:string,bg:string>>"))
+    val occ = df.select(col(id), explode(pairs).as("p"))
+      .select(col(id), col("p.ctx").as("ctx"), col("p.bg").as("bg"))
+      .localCheckpoint()
+    val nab = occ.groupBy(col("bg")).agg(count(lit(1)).as("nab"))
+    val na = occ.groupBy(col("ctx")).agg(count(lit(1)).as("na"))
+    val v = df.select(explode(TextAnalysis.tokens(col(text))).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("token")).distinct()
+      .agg(count(lit(1)).as("v"))
+    occ.join(nab, "bg").join(na, "ctx").crossJoin(broadcast(v))
+      .withColumn("__lp",
+        log((col("nab") + 1).cast("double") /
+          (col("na") + col("v")).cast("double")))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(d12(col("__lp"))).cast("double") / count(lit(1)))
+          .cast("float").as("avg_logprob"))
+  }
 }

@@ -138,7 +138,7 @@ object AnalyticsQueries {
     // query's 1000-cap drop set is empty at every test sf.
     "er_dropped_blocks" -> ((s, dir) =>
       FuzzyJoin.droppedBlocks(
-          Tables.customer(s, dir), id = "c_custkey", str = "c_name",
+          Tables.customer(s, dir),
           block = substring(col("c_name"), 10, 6), maxBlock = 500)
         .orderBy(col("block"))),
 
@@ -168,6 +168,19 @@ object AnalyticsQueries {
           key = "event_type", order = Seq("ts", "event_id"),
           value = "value", n = 14)
         .select(col("event_type"), col("event_id"), col("rsi"))
+        .orderBy(col("event_type"), col("event_id"))),
+
+    // ── Winsorization: clip value into its group's exact nearest-rank
+    // [p01, p99] — every output is an observed value (no arithmetic),
+    // so the doubles compare bit-exactly with no float downcast.
+    "sample_winsorize" -> ((s, dir) =>
+      Percentiles.winsorize(
+          Tables.events(s, dir)
+            .filter(col("value").isNotNull)
+            .select(col("event_type"), col("event_id"), col("value")),
+          keys = Seq("event_type"), value = "value",
+          pLo = 0.01, pHi = 0.99)
+        .select(col("event_type"), col("event_id"), col("winsorized"))
         .orderBy(col("event_type"), col("event_id"))),
 
     // ── CUSUM drift detection (Page's test) per event type: cumulative
@@ -514,6 +527,24 @@ object AnalyticsQueries {
         |  CAST(100.0 * CAST(g AS DOUBLE) /
         |    nullif(CAST(g + lo AS DOUBLE), 0.0) AS REAL) AS rsi
         |FROM s ORDER BY event_type, event_id""".stripMargin,
+
+    // winsorize replay: same nearest-rank bound selection (::DOUBLE
+    // literals — DuckDB decimal 0.01·n and double 0.01·n can ceil apart)
+    "sample_winsorize" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events
+        |           WHERE value IS NOT NULL),
+        | r AS (SELECT event_type, value,
+        |     row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |     count(*) OVER (PARTITION BY event_type) AS n
+        |   FROM e),
+        | b AS (SELECT event_type,
+        |     MIN(CASE WHEN rn = ceil(0.01::DOUBLE * n) THEN value END) AS lo,
+        |     MIN(CASE WHEN rn = ceil(0.99::DOUBLE * n) THEN value END) AS hi
+        |   FROM r GROUP BY event_type)
+        |SELECT e.event_type, e.event_id,
+        |  greatest(least(e.value, b.hi), b.lo) AS winsorized
+        |FROM e JOIN b USING (event_type)
+        |ORDER BY e.event_type, e.event_id""".stripMargin,
 
     // CUSUM replay: the same closed form over HUGEINT-exact running
     // sums/mins, surfaced as BIGINT

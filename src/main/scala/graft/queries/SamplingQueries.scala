@@ -68,6 +68,12 @@ object SamplingQueries {
       Vocab.unigramLogProb(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // add-1 smoothed bigram fluency scoring — transitions, not just
+    // frequencies; V rides in as one broadcast row
+    "text_bigram_lm" -> ((s, dir) =>
+      Vocab.bigramLogProb(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     // inverted-index sparse cosine: top-3 most similar docs per doc over
     // sqrt-idf term weights; terms in >25% of docs excluded (both the
     // skew cap and the standard stopword cut)
@@ -279,6 +285,33 @@ object SamplingQueries {
         |   / count(*) AS REAL) AS avg_logprob
         |FROM tok JOIN c USING (token) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // bigram replay: list_filter BEFORE pairing (as the Spark side),
+    // add-1 ratio in double, DECIMAL(30,12) per-doc sum, REAL mean
+    "text_bigram_lm" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split(lower(trim(text)), ' '),
+        |                         t -> length(t) > 0) AS toks
+        |           FROM documents),
+        | t AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+        |               unnest(toks) AS tok FROM d),
+        | stepped AS (SELECT doc_id, tok AS ctx,
+        |     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |   FROM t),
+        | occ AS (SELECT doc_id, ctx, ctx || ' ' || nxt AS bg
+        |         FROM stepped WHERE nxt IS NOT NULL),
+        | nab AS (SELECT bg, count(*) AS nab FROM occ GROUP BY 1),
+        | na AS (SELECT ctx, count(*) AS na FROM occ GROUP BY 1),
+        | v AS (SELECT count(DISTINCT u.token) AS v
+        |       FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+        |             FROM documents) u
+        |       WHERE length(u.token) > 0)
+        |SELECT occ.doc_id, count(*) AS n_bigrams,
+        | CAST(CAST(sum(CAST(ln(CAST(nab.nab + 1 AS DOUBLE) /
+        |       CAST(na.na + v.v AS DOUBLE)) AS DECIMAL(30,12))) AS DOUBLE)
+        |   / count(*) AS REAL) AS avg_logprob
+        |FROM occ JOIN nab USING (bg) JOIN na USING (ctx) CROSS JOIN v
+        |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin,
 
     // mirrors Vocab.tfIdfCosineTopK: sqrt-idf (IEEE-exact /, sqrt, ·) and
     // DECIMAL(30,12) dot/norm sums make every intermediate bit-identical

@@ -45,6 +45,16 @@ object ScaleSmoke {
 
   def replicate(df: DataFrame, copies: Int, idCols: Seq[String],
                 stride: Long, textCol: Option[String] = None): DataFrame = {
+    // fail loudly when a replica's shifted key space would collide with
+    // the next replica's (an srcDir larger than the strides assume
+    // would otherwise synthesize phantom duplicate keys and measure a
+    // pathology, not scaling) — one tiny agg job per table, build-time
+    val maxes = idCols.map(c => max(col(c)))
+    val mx = df.agg(
+      if (maxes.size == 1) maxes.head else greatest(maxes: _*)).head.getLong(0)
+    require(mx < stride,
+      s"replicate: max(${idCols.mkString(",")}) = $mx >= stride $stride — " +
+        "raise the stride for this source scale")
     val rep = df.withColumn("__r",
       explode(sequence(lit(0L), lit(copies - 1L))))
     val shifted = idCols.foldLeft(rep) { (d, c) =>
@@ -85,9 +95,14 @@ object ScaleSmoke {
     val copies = 10
     val spark = GraftSession.local("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
-    if (!new java.io.File(s"$dst/documents.parquet").exists()) {
+    // completion marker, not a table probe: a run killed mid-synthesize
+    // must re-synthesize, not resume against a half-built lake
+    val marker = new java.io.File(s"$dst/_SMOKE_COMPLETE")
+    if (!marker.exists()) {
       println(s"[smoke] synthesizing $dst from $src x$copies")
       synthesize(spark, src, dst, copies)
+      marker.createNewFile()
+      ()
     }
     def median3(fn: () => Long): Double = {
       val ts = (1 to 3).map { _ =>

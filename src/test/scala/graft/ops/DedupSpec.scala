@@ -163,14 +163,19 @@ class DedupSpec extends SparkSpec {
       .map(r => (r(1))).distinct shouldBe Seq(1L)
     // randomized agreement with the propagation implementation: same
     // edges → identical (id, comp) labeling, for graphs with cycles,
-    // self-dup edges and multiple components
+    // SELF-PAIRS (kept in — both must label such singletons) and
+    // multiple components
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
-      .filter { case (a, b) => a != b }
     val df = edges.toDF("id_a", "id_b")
     val star = Dedup.duplicateClustersStar(df).orderBy("id").rows
     val prop = Dedup.duplicateClusters(df).orderBy("id").rows
     star shouldBe prop
+    // a node whose ONLY edge is a self-pair is its own component in
+    // both implementations, never silently dropped
+    val selfOnly = Seq((5L, 5L), (1L, 2L)).toDF("id_a", "id_b")
+    Dedup.duplicateClustersStar(selfOnly).orderBy("id").rows
+      .map(r => (r(0), r(1))) shouldBe Seq((1L, 1L), (2L, 1L), (5L, 5L))
   }
 
   test("duplicateClusters converges when chain diameter equals maxIter") {

@@ -41,9 +41,9 @@ class FuzzyJoinSpec extends SparkSpec {
     // 10-member 'all' block trips maxBlock=5; the 4-member name blocks
     // of `people` never do
     val flood = (1L to 10L).map(i => (i, s"name$i")).toDF("pid", "name")
-    FuzzyJoin.droppedBlocks(flood, "pid", "name", lit("all"), maxBlock = 5)
+    FuzzyJoin.droppedBlocks(flood, lit("all"), maxBlock = 5)
       .rows.map(r => (r(0), r(1))) shouldBe Seq(("all", 10L))
-    FuzzyJoin.droppedBlocks(people, "pid", "name",
+    FuzzyJoin.droppedBlocks(people,
       substring(col("name"), 1, 1), maxBlock = 5).rows shouldBe Seq()
   }
 }

@@ -34,6 +34,21 @@ class PercentilesCdcSpec extends SparkSpec {
 
   private val base = Seq((1L, 100.0), (2L, 200.0), (3L, 300.0)).toDF("k", "bal")
 
+  test("winsorize: clips to observed bounds, passes nulls and unbounded groups") {
+    // group a: 1..10 → p(0.2)=rank 2 → 2.0, p(0.8)=rank 8 → 8.0
+    val a = (1 to 10).map(i => ("a", Some(i.toDouble)))
+    val df = (a :+ (("a", None)) :+ (("b", None))).toDF("g", "v")
+    val out = Percentiles.winsorize(df, Seq("g"), "v", pLo = 0.2, pHi = 0.8)
+      .orderBy("g", "v").rows.map(r => (r(0), r(1), r(2)))
+    // a-nulls stay null; extremes clip onto values that EXIST in the data
+    out.filter(_._1 == "a").map(_._3) shouldBe
+      Seq(null, 2.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 8.0, 8.0)
+    // group b has no observations → no bounds → pass-through null
+    out.filter(_._1 == "b").map(_._3) shouldBe Seq(null)
+    an[IllegalArgumentException] should be thrownBy
+      Percentiles.winsorize(df, Seq("g"), "v", pLo = 0.5, pHi = 0.5)
+  }
+
   test("apply: last change wins; U replaces, D removes, inserts appear") {
     val changes = Seq(
       (1L, 1L, 1L, "U", 110.0), (1L, 2L, 2L, "U", 120.0), // key 1 → 120

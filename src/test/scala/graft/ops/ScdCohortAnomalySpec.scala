@@ -133,6 +133,25 @@ class ScdCohortAnomalySpec extends SparkSpec {
     rows(2)(3) shouldBe 100L
   }
 
+  test("bigramLogProb: add-1 transition probabilities, short docs drop") {
+    // corpus bigrams: "a b"=1, "b a"=1, "b b"=1; contexts a=1, b=2;
+    // V=3 — the bigram-less doc "solo" still contributes its token to
+    // the unigram VOCABULARY, so the smoothing denominator sees it:
+    // P(b|a)=(1+1)/(1+3)=1/2, P(a|b)=(1+1)/(2+3)=2/5, P(b|b)=2/5
+    val docs = Seq((1L, "a b a"), (2L, "b b"), (3L, "solo"), (4L, "  "))
+      .toDF("doc_id", "text")
+    val out = Vocab.bigramLogProb(docs).orderBy("doc_id").rows
+      .map(r => (r(0), r(1), r(2)))
+    def q(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    out.map(t => (t._1, t._2)) shouldBe Seq((1L, 2L), (2L, 1L))
+    out(0)._3.asInstanceOf[Float] shouldBe
+      ((q(math.log(0.5)) + q(math.log(0.4))).toDouble / 2).toFloat
+    out(1)._3.asInstanceOf[Float] shouldBe q(math.log(0.4)).toDouble.toFloat
+    // "solo" has one token, "  " none — neither carries a bigram row
+    out.map(_._1) should not contain 3L
+  }
+
   // ── Vocab.unigramLogProb ───────────────────────────────────────────
 
   test("unigramLogProb: mean ln p under the corpus's own unigram model") {
