@@ -159,6 +159,33 @@ object PipelineQueries {
         .orderBy(col("user_id"))
     }),
 
+    // REAL-ENGINE order-aware keyed state: per-user CUSUM drift through
+    // flatMapGroupsWithState (EventStreams.streamingCusum) — rows sort
+    // by the raw nanos tick within the batch, so one staged file +
+    // AvailableNow reproduces the batch closed form's (ts, event_id)
+    // fold exactly; the oracle replays it per user and keeps the final
+    // row. Same target/slack as the batch cusum_drift query.
+    "stream_cusum_live" -> ((s, dir) => {
+      import s.implicits._
+      val (raw, tmp) = stageStream(s, dir, "events", "graft_scusum")
+      val ce = raw.filter(col("value").isNotNull)
+        .select(col("user_id"),
+          expr("timestamp_micros(ts div 1000)").as("ts_utc"),
+          col("ts").as("ts_nanos"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[EventStreams.CusumEvent]
+      awaitScoped(s)(EventStreams.streamingCusum(ce,
+          targetCents = 5000L, slackCents = 100L).toDF()
+        .writeStream.format("memory").queryName("graft_scusum_mem")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+      s.table("graft_scusum_mem")
+        .select(col("user_id"), col("n_events"),
+          col("cusum_up"), col("cusum_down"))
+        .orderBy(col("user_id"))
+    }),
+
     // STREAMING CURATION: the LLM-data path run as a stream — stateless
     // quality gate (pure column expressions work unchanged on streaming
     // frames), then stateful exact dedup on the content hash through the
@@ -341,6 +368,28 @@ object PipelineQueries {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // streamed CUSUM: the batch closed form per USER, final row per key
+    // (one data batch → the statistic after the whole history)
+    "stream_cusum_live" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |             CAST(round(value * 100) AS BIGINT) AS c
+        |           FROM events WHERE value IS NOT NULL),
+        | r AS (SELECT user_id, event_id, ts,
+        |     SUM(c - 5100) OVER w AS ru,
+        |     SUM(-(c - 4900)) OVER w AS rd,
+        |     count(*) OVER w AS n
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        | s AS (SELECT user_id, n,
+        |     CAST(ru - least(MIN(ru) OVER w2, 0) AS BIGINT) AS cusum_up,
+        |     CAST(rd - least(MIN(rd) OVER w2, 0) AS BIGINT) AS cusum_down,
+        |     row_number() OVER (PARTITION BY user_id
+        |       ORDER BY ts DESC, event_id DESC) AS rn
+        |   FROM r WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events, cusum_up, cusum_down
+        |FROM s WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // streamed enrich: stateless stream-static join then segment rollup
     "stream_enrich_live" ->

@@ -158,6 +158,66 @@ object EventStreams {
       }
   }
 
+  final case class CusumEvent(user_id: Long, ts_utc: java.sql.Timestamp,
+                              ts_nanos: Long, event_id: Long, cents: Long)
+  final case class CusumRow(user_id: Long, n_events: Long,
+                            cusum_up: Long, cusum_down: Long)
+
+  /** ORDER-AWARE keyed state: per-user one-sided CUSUM (Page's test)
+    * streamed through flatMapGroupsWithState — the online form of
+    * [[graft.ops.Anomaly.cusum]], and the one stateful operator in this
+    * file whose semantics depend on event ORDER, not just membership
+    * (totals/dedup commute; a drift statistic does not). Each
+    * micro-batch sorts its per-key rows by the RAW event-time tick with
+    * an id tie-break — the exact total order the batch operator uses —
+    * and folds them onto state carried across batches: the running
+    * deviation sums and their running minima (seeded at 0 = the closed
+    * form's empty-prefix term), from which S = R − min(R_prefix) reads
+    * off directly. Emits the post-batch statistic per key.
+    *
+    * The per-(key, batch) sort buffers that key's batch rows in memory —
+    * bounded by batch size per key, the standard price of order-aware
+    * state. Watermark-driven event-time timeout expires idle keys
+    * exactly as [[runningUserTotals]]. */
+  def streamingCusum(events: Dataset[CusumEvent], targetCents: Long,
+                     slackCents: Long = 0L,
+                     lateness: String = "10 minutes",
+                     idleGapMs: Long = 3600000L): Dataset[CusumRow] = {
+    // state tuple: (n, running up-sum, its min, running down-sum, its
+    // min) — mins seeded at 0, the closed form's empty-prefix term
+    implicit val stateEnc: Encoder[(Long, Long, Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc: Encoder[CusumRow] = Encoders.product[CusumRow]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.withWatermark("ts_utc", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long), CusumRow](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, it, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (n, ru, minU, rd, minD) =
+              state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L))
+            var maxTs = 0L
+            it.toSeq.sortBy(e => (e.ts_nanos, e.event_id)).foreach { e =>
+              n += 1
+              ru += e.cents - targetCents - slackCents
+              rd -= e.cents - targetCents + slackCents
+              minU = math.min(minU, ru)
+              minD = math.min(minD, rd)
+              maxTs = math.max(maxTs, e.ts_utc.getTime)
+            }
+            state.update((n, ru, minU, rd, minD))
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs()) + idleGapMs)
+            Iterator(CusumRow(uid, n, ru - minU, rd - minD))
+          }
+      }
+  }
+
   /** Stream → serving upsert: merge each micro-batch into a keyed
     * warehouse (streaming replacement for the reference's
     * watermark+DELETE+append load, load_stock_metrics.py:40-89). */

@@ -170,6 +170,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCusum: within-batch order restored, state folds across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{CusumEvent, CusumRow}
+    val input = MemoryStream[CusumEvent]
+    val q = EventStreams.streamingCusum(input.toDS(), targetCents = 100L)
+      .writeStream.format("memory").queryName("scusum")
+      .outputMode("update").start()
+    try {
+      // batch 1 deliberately OUT OF ORDER: the fold must sort by
+      // (ts_nanos, event_id) first — devs 50→-50 then 300→+200 give
+      // S+ = 200; the unsorted order would give 150
+      input.addData(
+        CusumEvent(1L, ts("2024-01-01 10:00:30"), 2000L, 2L, 300L),
+        CusumEvent(1L, ts("2024-01-01 10:00:00"), 1000L, 1L, 50L))
+      q.processAllAvailable()
+      spark.table("scusum").orderBy(col("n_events").desc).rows.head shouldBe
+        Seq(1L, 2L, 200L, 0L)
+      // batch 2: a dev-0 event — the statistic must CARRY (state, not
+      // restart): S+ stays 200 with n = 3
+      input.addData(CusumEvent(1L, ts("2024-01-01 10:01:00"), 3000L, 3L, 100L))
+      q.processAllAvailable()
+      spark.table("scusum").orderBy(col("n_events").desc).rows.head shouldBe
+        Seq(1L, 3L, 200L, 0L)
+    } finally q.stop()
+  }
+
   test("mergeIntoWarehouse: streamed upsert collapses duplicate keys") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("evmerge").toString
