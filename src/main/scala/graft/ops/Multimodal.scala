@@ -339,6 +339,51 @@ object Multimodal {
     None
   }
 
+  // MPEG-1 Layer III tables (header indices → kbps / Hz)
+  private val Mp3Bitrates =
+    Array(32L, 40L, 48L, 56L, 64L, 80L, 96L, 112L, 128L, 160L, 192L, 224L, 256L, 320L)
+  private val Mp3Rates = Array(44100L, 48000L, 32000L)
+
+  /** Deterministic MPEG-1 Layer III stream: one valid 4-byte frame
+    * header (sync + version/layer bits, TABLE-DRIVEN bitrate and
+    * sample-rate indices derived from the id, channel mode id%4), then
+    * the payload as opaque frame data — the third audio container, and
+    * the first whose parse is index-table lookup rather than field
+    * arithmetic. */
+  def synthMp3(id: Long, payload: Array[Byte]): Array[Byte] = {
+    val b = new Array[Byte](4 + payload.length)
+    b(0) = 0xFF.toByte
+    b(1) = 0xFB.toByte // sync + MPEG-1 + Layer III + no CRC
+    val bitrateIdx = (1 + id % 14).toInt // 1..14 — 0 is "free", 15 invalid
+    val rateIdx = (id % 3).toInt // 0..2 — 3 is reserved
+    b(2) = ((bitrateIdx << 4) | (rateIdx << 2)).toByte
+    b(3) = ((id % 4) << 6).toByte // channel mode; mode 3 = mono
+    payload.copyToArray(b, 4)
+    b
+  }
+
+  private[ops] final case class Mp3Info(kbps: Long, rate: Long, channels: Long)
+
+  /** MPEG-1 Layer III frame-header parse, or None when the bytes carry
+    * no valid header: 11-bit sync, MPEG-1 version (11), Layer III (01),
+    * and table-valid bitrate/sample-rate indices ("free" 0 and the two
+    * reserved values reject — a duration computed from a free-format
+    * bitrate would be a guess, and this module never reports guessed
+    * metadata). */
+  private[ops] def parseMp3(b: Array[Byte]): Option[Mp3Info] = {
+    if (b.length < 4 || u8(b(0)) != 0xFF || (u8(b(1)) & 0xE0) != 0xE0)
+      return None
+    val version = (u8(b(1)) >> 3) & 0x3
+    val layer = (u8(b(1)) >> 1) & 0x3
+    if (version != 3 || layer != 1) return None // MPEG-1, Layer III only
+    val bitrateIdx = (u8(b(2)) >> 4) & 0xF
+    val rateIdx = (u8(b(2)) >> 2) & 0x3
+    if (bitrateIdx == 0 || bitrateIdx == 15 || rateIdx == 3) return None
+    val mode = (u8(b(3)) >> 6) & 0x3
+    Some(Mp3Info(Mp3Bitrates(bitrateIdx - 1), Mp3Rates(rateIdx),
+      if (mode == 3) 1L else 2L))
+  }
+
   /** Partition-parallel audio metadata extraction over WAV and FLAC
     * containers. Only PCM WAV (format tag 1) with a sane byte rate is
     * reported as "wav" — a non-PCM or corrupt fmt chunk would make any
@@ -360,8 +405,17 @@ object Multimodal {
             case Some(f) =>
               AudioMeta(i, b.length.toLong, f.channels, f.rate, f.bits,
                 f.samples * 1000L / f.rate, "flac")
-            case None =>
-              AudioMeta(i, b.length.toLong, 0L, 0L, 0L, 0L, "unknown")
+            // mp3 last: its 11-bit sync is the weakest magic of the
+            // three (0xFF is invalid UTF-8 though, so text payloads
+            // can never collide). bits = 0 — not a PCM notion;
+            // duration is the CBR estimate total_bits / bitrate
+            case None => parseMp3(b) match {
+              case Some(m) =>
+                AudioMeta(i, b.length.toLong, m.channels, m.rate, 0L,
+                  b.length.toLong * 8L / m.kbps, "mp3")
+              case None =>
+                AudioMeta(i, b.length.toLong, 0L, 0L, 0L, 0L, "unknown")
+            }
           }
         }
       })

@@ -235,6 +235,19 @@ object TextQueries {
       Multimodal.extractAudioMeta(flacs).toDF().orderBy(col("doc_id"))
     }),
 
+    // third audio container: MPEG-1 Layer III — TABLE-DRIVEN header
+    // fields (bitrate/sample-rate index lookups), CBR duration estimate
+    "multimodal_mp3" -> ((s, dir) => {
+      import s.implicits._
+      val mp3s = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (i, t) =>
+          (i, Multimodal.synthMp3(i, t.getBytes("UTF-8")))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.extractAudioMeta(mp3s).toDF().orderBy(col("doc_id"))
+    }),
+
     // frame sampling: every 4th 16-byte slice (last slice may be short)
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -656,6 +669,21 @@ object TextQueries {
         | CAST(octet_length(encode(text)) * 1000 //
         |   (8000 + (doc_id % 5) * 4000) AS BIGINT) AS duration_ms,
         | 'flac' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // MP3: the header's table lookups replayed as list-literal indexing;
+    // duration = total bits // bitrate (CBR estimate, integer div)
+    "multimodal_mp3" ->
+      """SELECT doc_id,
+        | CAST(4 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS BIGINT) AS channels,
+        | CAST(([44100, 48000, 32000])[CAST(doc_id % 3 + 1 AS INTEGER)]
+        |   AS BIGINT) AS sample_rate,
+        | CAST(0 AS BIGINT) AS bits,
+        | CAST((4 + octet_length(encode(text))) * 8 //
+        |   ([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320])
+        |     [CAST(doc_id % 14 + 1 AS INTEGER)] AS BIGINT) AS duration_ms,
+        | 'mp3' AS format
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

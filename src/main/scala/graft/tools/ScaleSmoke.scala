@@ -41,7 +41,8 @@ object ScaleSmoke {
     "sim_ivf_build", "sim_ivf_persisted", "sim_pq_topk",
     "sim_lsh_buckets", "emb_standardize", "emb_near_dup",
     "scd2_priority", "sessionize_events", "ts_gap_fill",
-    "er_fuzzy_pairs")
+    "er_fuzzy_pairs", "dedup_clusters_star", "text_bigram_lm",
+    "cusum_drift", "sample_winsorize", "w_ewma", "sim_ivf_append")
 
   def replicate(df: DataFrame, copies: Int, idCols: Seq[String],
                 stride: Long, textCol: Option[String] = None): DataFrame = {

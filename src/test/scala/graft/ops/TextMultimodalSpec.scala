@@ -288,6 +288,28 @@ class TextMultimodalSpec extends SparkSpec {
     Multimodal.parseFlac(torn) shouldBe None
   }
 
+  test("MP3 header: table lookups round-trip, invalid indices reject") {
+    // id=5: bitrate idx 1+5%14=6 → 80 kbps, rate idx 5%3=2 → 32000,
+    // mode 5%4=1 (joint stereo) → 2 channels
+    Multimodal.parseMp3(Multimodal.synthMp3(5L, new Array[Byte](100))) shouldBe
+      Some(Multimodal.Mp3Info(80L, 32000L, 2L))
+    // id=3: mode 3 → mono
+    Multimodal.parseMp3(Multimodal.synthMp3(3L, Array.empty[Byte])) shouldBe
+      Some(Multimodal.Mp3Info(56L, 44100L, 1L))
+    Multimodal.parseMp3("text never syncs".getBytes("UTF-8")) shouldBe None
+    // free-format bitrate (idx 0) and reserved sample rate (idx 3) reject
+    val free = Multimodal.synthMp3(1L, Array.empty[Byte])
+    free(2) = 0x00.toByte // bitrate idx 0, rate idx 0
+    Multimodal.parseMp3(free) shouldBe None
+    val badRate = Multimodal.synthMp3(1L, Array.empty[Byte])
+    badRate(2) = (badRate(2) | 0x0C).toByte // rate idx 3 (reserved)
+    Multimodal.parseMp3(badRate) shouldBe None
+    // MPEG-2 version bits reject (this parser is MPEG-1-only by design)
+    val v2 = Multimodal.synthMp3(1L, Array.empty[Byte])
+    v2(1) = 0xF3.toByte // version bits 10 = MPEG-2
+    Multimodal.parseMp3(v2) shouldBe None
+  }
+
   test("FLAC STREAMINFO found behind a leading padding block") {
     // real encoders often emit PADDING/VORBIS_COMMENT blocks around
     // STREAMINFO; the walk must follow the chain, not assume offset 8
