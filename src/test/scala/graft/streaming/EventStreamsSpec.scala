@@ -284,4 +284,29 @@ class EventStreamsSpec extends SparkSpec {
       snapshot() shouldBe Seq((1L, 500.0), (3L, 300.0))
     } finally q.stop()
   }
+
+  test("cdcIntoWarehouse: schema guards fire at construction, before start()") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("cdcguard").toString
+    val base = Seq((1L, 100.0)).toDF("k", "bal")
+    // changes missing the base's bal column → loud require, no stream
+    val noBal = MemoryStream[(Long, Long, Long, String)].toDF()
+      .toDF("k", "seq", "tie", "op")
+    an[IllegalArgumentException] should be thrownBy
+      EventStreams.cdcIntoWarehouse(noBal, base, s"$tmp/wh1", s"$tmp/c1",
+        "k", "seq", "tie", "op")
+    // a pre-existing reserved working column would corrupt the fold
+    val clash = MemoryStream[(Long, Long, Long, String, Double, Long)].toDF()
+      .toDF("k", "seq", "tie", "op", "bal", "__seq")
+    an[IllegalArgumentException] should be thrownBy
+      EventStreams.cdcIntoWarehouse(clash, base, s"$tmp/wh2", s"$tmp/c2",
+        "k", "seq", "tie", "op")
+    // base lacking the key fails the same way
+    an[IllegalArgumentException] should be thrownBy
+      EventStreams.cdcIntoWarehouse(
+        MemoryStream[(Long, Long, Long, String, Double)].toDF()
+          .toDF("k", "seq", "tie", "op", "bal"),
+        base.withColumnRenamed("k", "other"), s"$tmp/wh3", s"$tmp/c3",
+        "k", "seq", "tie", "op")
+  }
 }
