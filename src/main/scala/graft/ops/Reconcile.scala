@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Snapshot reconciliation: classify every key across two versions of a
+  * keyed table as `added` / `removed` / `changed` — the audit primitive
+  * behind every warehouse migration, CDC-pipeline validation, and
+  * "what did last night's load actually do" question. The reference's
+  * load step trusts its idempotent delete-then-append blindly
+  * (load_stock_metrics.py:56-61); this makes the effect observable.
+  *
+  * Semantics: one row per key whose presence or compared values differ
+  * between versions (unchanged keys produce NOTHING — on a 100 TB
+  * table the diff is the interesting sliver, not the echo). `changed`
+  * uses null-safe comparison, so a value moving to/from NULL is a
+  * change, not a match.
+  *
+  * Plan shape: one full outer join on the keys — a single hash
+  * exchange per side, no windows, no driver materialization; the
+  * compared columns ride the join. At scale this is the minimal
+  * possible cost for a full reconciliation (every row of both sides
+  * must be looked at once).
+  */
+object Reconcile {
+
+  /** (keys..., change, <col>_before, <col>_after per compare column).
+    * `change` ∈ {'added','removed','changed'}. */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(compareCols.nonEmpty,
+      "snapshotDiff needs at least one compare column — a keys-only diff " +
+        "cannot distinguish changed from unchanged")
+    val reserved = Seq("change", "__present_b", "__present_a") ++
+      compareCols.flatMap(c => Seq(s"${c}_before", s"${c}_after"))
+    val clash = (before.columns ++ after.columns).toSet
+      .intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"snapshotDiff appends ${reserved.mkString(", ")} — inputs already " +
+        s"have: $clash; rename first")
+    val b = before.select((keys.map(col) :+ lit(true).as("__present_b")) ++
+      compareCols.map(c => col(c).as(s"${c}_before")): _*)
+    val a = after.select((keys.map(col) :+ lit(true).as("__present_a")) ++
+      compareCols.map(c => col(c).as(s"${c}_after")): _*)
+    val joined = b.join(a, keys, "full_outer")
+    val valueDiffers: Column = compareCols
+      .map(c => !(col(s"${c}_before") <=> col(s"${c}_after")))
+      .reduce(_ || _)
+    joined
+      .withColumn("change",
+        when(col("__present_b").isNull, "added")
+          .when(col("__present_a").isNull, "removed")
+          .when(valueDiffers, "changed"))
+      .filter(col("change").isNotNull)
+      .drop("__present_b", "__present_a")
+  }
+}

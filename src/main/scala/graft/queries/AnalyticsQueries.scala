@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Anomaly, Cdc, FuzzyJoin, Indicators, Percentiles}
+import graft.ops.{Anomaly, Cdc, FuzzyJoin, Indicators, Percentiles, Reconcile}
 
 /** OLAP / warehouse-analytics extensions: grouping sets, event-path
   * transitions, exact nearest-rank quantiles, batch CDC apply, and
@@ -169,6 +169,23 @@ object AnalyticsQueries {
           value = "value", n = 14)
         .select(col("event_type"), col("event_id"), col("rsi"))
         .orderBy(col("event_type"), col("event_id"))),
+
+    // ── Snapshot reconciliation: what did the CDC load DO — every key
+    // classified added/removed/changed between the pre-load base
+    // (customers excluding the %100 cohort) and the post-apply
+    // snapshot; unchanged keys emit nothing. Exact values ride through
+    // untouched, so the diff compares bit-exactly.
+    "snapshot_diff" -> ((s, dir) => {
+      val before = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 100 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal").as("bal"))
+      val after = Cdc.apply(before, ordersChangelog(Tables.orders(s, dir)),
+        key = "c_custkey",
+        seqCol = "o_orderdate", tieCol = "o_orderkey", opCol = "op")
+      Reconcile.snapshotDiff(before, after,
+          keys = Seq("c_custkey"), compareCols = Seq("bal"))
+        .orderBy(col("c_custkey"))
+    }),
 
     // ── Winsorization: clip value into its group's exact nearest-rank
     // [p01, p99] — every output is an observed value (no arithmetic),
@@ -527,6 +544,38 @@ object AnalyticsQueries {
         |  CAST(100.0 * CAST(g AS DOUBLE) /
         |    nullif(CAST(g + lo AS DOUBLE), 0.0) AS REAL) AS rsi
         |FROM s ORDER BY event_type, event_id""".stripMargin,
+
+    // snapshot-diff replay: the CDC fold onto the filtered base, then a
+    // FULL OUTER reconciliation — IS DISTINCT FROM mirrors the
+    // null-safe <=> change test
+    "snapshot_diff" ->
+      """WITH before AS (SELECT c_custkey, c_acctbal AS bal FROM customer
+        |                WHERE c_custkey % 100 <> 0),
+        | ch AS (SELECT o_custkey AS c_custkey, o_orderdate, o_orderkey,
+        |     CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |     o_totalprice AS bal,
+        |     row_number() OVER (PARTITION BY o_custkey
+        |       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |   FROM orders),
+        | latest AS (SELECT c_custkey, op, bal FROM ch WHERE rn = 1),
+        | aft AS (
+        |   SELECT b.c_custkey, b.bal FROM before b
+        |   LEFT JOIN latest l USING (c_custkey) WHERE l.c_custkey IS NULL
+        |   UNION ALL SELECT c_custkey, bal FROM latest WHERE op = 'U'),
+        | j AS (SELECT coalesce(b.c_custkey, a.c_custkey) AS c_custkey,
+        |     b.bal AS bal_before, a.bal AS bal_after,
+        |     b.c_custkey IS NOT NULL AS in_b,
+        |     a.c_custkey IS NOT NULL AS in_a
+        |   FROM before b FULL OUTER JOIN aft a ON b.c_custkey = a.c_custkey)
+        |SELECT c_custkey, bal_before, bal_after,
+        |  CASE WHEN NOT in_b THEN 'added'
+        |       WHEN NOT in_a THEN 'removed'
+        |       WHEN bal_before IS DISTINCT FROM bal_after THEN 'changed'
+        |  END AS change
+        |FROM j
+        |WHERE (NOT in_b) OR (NOT in_a)
+        |   OR (bal_before IS DISTINCT FROM bal_after)
+        |ORDER BY c_custkey""".stripMargin,
 
     // winsorize replay: same nearest-rank bound selection (::DOUBLE
     // literals — DuckDB decimal 0.01·n and double 0.01·n can ceil apart)

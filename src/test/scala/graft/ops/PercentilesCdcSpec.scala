@@ -49,6 +49,27 @@ class PercentilesCdcSpec extends SparkSpec {
       Percentiles.winsorize(df, Seq("g"), "v", pLo = 0.5, pHi = 0.5)
   }
 
+  test("snapshotDiff: added/removed/changed classified, unchanged silent") {
+    val before = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, Double.NaN))
+      .toDF("k", "v").withColumn("v",
+        when(col("k") === 4L, lit(null).cast("double")).otherwise(col("v")))
+    val after = Seq((1L, 10.0), (2L, 99.0), (4L, 40.0), (5L, 50.0))
+      .toDF("k", "v")
+    val out = Reconcile.snapshotDiff(before, after, Seq("k"), Seq("v"))
+      .orderBy("k").rows.map(r => (r(0), r(3), r(1), r(2)))
+    out shouldBe Seq(
+      (2L, "changed", 20.0, 99.0),
+      (3L, "removed", 30.0, null),
+      (4L, "changed", null, 40.0), // null → value IS a change (null-safe)
+      (5L, "added", null, 50.0))
+    // key 1 (unchanged) emits nothing; reserved-column clash rejected
+    an[IllegalArgumentException] should be thrownBy
+      Reconcile.snapshotDiff(before.withColumnRenamed("v", "change"),
+        after, Seq("k"), Seq("v"))
+    an[IllegalArgumentException] should be thrownBy
+      Reconcile.snapshotDiff(before, after, Seq("k"), Seq.empty)
+  }
+
   test("apply: last change wins; U replaces, D removes, inserts appear") {
     val changes = Seq(
       (1L, 1L, 1L, "U", 110.0), (1L, 2L, 2L, "U", 120.0), // key 1 → 120
