@@ -68,4 +68,33 @@ object Quality {
       cols.map(c => count(when(col(c).isNull, 1)).as(s"null_$c"))
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Per-column table profile, long form — the ANALYZE-TABLE shape every
+    * warehouse keeps (and the first thing to run on an unknown 100 TB
+    * drop before writing any query against it): one output row per
+    * profiled column with exact `n_rows` / `n_null` / `n_distinct`.
+    *
+    * ONE pass over the data: the per-column distinct counts plan as a
+    * single multi-distinct aggregate (Catalyst's Expand rewrite — the
+    * input is replicated once per distinct-column internally, never
+    * rescanned), and the long form unpivots the single result row at
+    * zero data cost. Distinct counts are EXACT — that is what makes the
+    * profile oracle-checkable; at petabyte cardinalities swap in
+    * [[Dedup.corpusProfile]]'s approx_count_distinct sketches, which
+    * trade the oracle for constant memory. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"profile: no such columns ${missing.mkString(", ")}")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      count(when(col(c).isNull, 1)).as(s"__null_$c"),
+      count_distinct(col(c)).as(s"__nd_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.flatMap(c => Seq(
+      lit(c), struct(col("__n").as("n_rows"), col(s"__null_$c").as("n_null"),
+        col(s"__nd_$c").as("n_distinct"))))
+    one.select(explode(map(entries: _*)).as(Seq("col_name", "s")))
+      .select(col("col_name"), col("s.n_rows"), col("s.n_null"),
+        col("s.n_distinct"))
+  }
 }

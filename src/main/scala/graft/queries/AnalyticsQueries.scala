@@ -170,6 +170,14 @@ object AnalyticsQueries {
         .select(col("event_type"), col("event_id"), col("rsi"))
         .orderBy(col("event_type"), col("event_id"))),
 
+    // ── Table profile: exact per-column n/null/distinct over orders —
+    // one multi-distinct aggregate pass, unpivoted to long form.
+    "table_profile" -> ((s, dir) =>
+      graft.ops.Quality.profile(Tables.orders(s, dir),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+        .orderBy(col("col_name"))),
+
     // ── Snapshot reconciliation: what did the CDC load DO — every key
     // classified added/removed/changed between the pre-load base
     // (customers excluding the %100 cohort) and the post-apply
@@ -544,6 +552,17 @@ object AnalyticsQueries {
         |  CAST(100.0 * CAST(g AS DOUBLE) /
         |    nullif(CAST(g + lo AS DOUBLE), 0.0) AS REAL) AS rsi
         |FROM s ORDER BY event_type, event_id""".stripMargin,
+
+    "table_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_null,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     // snapshot-diff replay: the CDC fold onto the filtered base, then a
     // FULL OUTER reconciliation — IS DISTINCT FROM mirrors the

@@ -34,6 +34,21 @@ class MergeQualitySpec extends SparkSpec {
     twice.orderBy("k", "t").rows shouldBe once.orderBy("k", "t").rows
   }
 
+  test("profile: exact per-column counts in long form") {
+    val df = Seq(
+      (1L, Some("a"), Some(1.0)), (2L, Some("a"), None),
+      (3L, None, Some(2.0))
+    ).toDF("id", "s", "v")
+    val out = Quality.profile(df, Seq("s", "v")).orderBy("col_name").rows
+      .map(r => (r(0), r(1), r(2), r(3)))
+    // count(DISTINCT) excludes nulls in both engines
+    out shouldBe Seq(("s", 3L, 1L, 1L), ("v", 3L, 1L, 2L))
+    an[IllegalArgumentException] should be thrownBy
+      Quality.profile(df, Seq("nope"))
+    an[IllegalArgumentException] should be thrownBy
+      Quality.profile(df, Seq.empty)
+  }
+
   test("quality gate: structural violations reported before scan") {
     val df = Seq((1, "x")).toDF("a", "b")
     val expected = StructType(Seq(
