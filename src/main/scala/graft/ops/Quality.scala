@@ -84,6 +84,8 @@ object Quality {
     * trade the oracle for constant memory. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct.size == cols.size,
+      s"profile: duplicate columns ${cols.diff(cols.distinct).mkString(", ")}")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile: no such columns ${missing.mkString(", ")}")
     val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(

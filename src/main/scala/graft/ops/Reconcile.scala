@@ -32,17 +32,33 @@ object Reconcile {
     require(compareCols.nonEmpty,
       "snapshotDiff needs at least one compare column — a keys-only diff " +
         "cannot distinguish changed from unchanged")
-    val reserved = Seq("change", "__present_b", "__present_a") ++
+    val reserved = Seq("change", "__present_b", "__present_a", "__kc") ++
       compareCols.flatMap(c => Seq(s"${c}_before", s"${c}_after"))
     val clash = (before.columns ++ after.columns).toSet
       .intersect(reserved.toSet)
     require(clash.isEmpty,
       s"snapshotDiff appends ${reserved.mkString(", ")} — inputs already " +
         s"have: $clash; rename first")
-    val b = before.select((keys.map(col) :+ lit(true).as("__present_b")) ++
-      compareCols.map(c => col(c).as(s"${c}_before")): _*)
-    val a = after.select((keys.map(col) :+ lit(true).as("__present_a")) ++
-      compareCols.map(c => col(c).as(s"${c}_after")): _*)
+    // duplicate keys are not a snapshot — the full outer join would
+    // multiply them into contradictory classifications (one row
+    // "changed", its twin suppressed). Fail LOUDLY at run time via the
+    // assert_true-in-a-kept-predicate trick (a dropped column would be
+    // pruned); the window shares the exchange the join needs anyway.
+    def keyed(df: DataFrame, side: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+      df.withColumn("__kc", count(lit(1)).over(w))
+        .where(assert_true(col("__kc") === 1,
+          lit(s"snapshotDiff: duplicate keys in the $side snapshot — " +
+            "not a keyed table; dedup first")).isNull)
+        .drop("__kc")
+    }
+    val b = keyed(before, "before")
+      .select((keys.map(col) :+ lit(true).as("__present_b")) ++
+        compareCols.map(c => col(c).as(s"${c}_before")): _*)
+    val a = keyed(after, "after")
+      .select((keys.map(col) :+ lit(true).as("__present_a")) ++
+        compareCols.map(c => col(c).as(s"${c}_after")): _*)
     val joined = b.join(a, keys, "full_outer")
     val valueDiffers: Column = compareCols
       .map(c => !(col(s"${c}_before") <=> col(s"${c}_after")))

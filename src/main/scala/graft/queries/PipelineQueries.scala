@@ -182,7 +182,7 @@ object PipelineQueries {
         .start())
       s.table("graft_scusum_mem")
         .select(col("user_id"), col("n_events"),
-          col("cusum_up"), col("cusum_down"))
+          col("cusum_up"), col("cusum_down"), col("n_late"))
         .orderBy(col("user_id"))
     }),
 
@@ -388,7 +388,8 @@ object PipelineQueries {
         |       ORDER BY ts DESC, event_id DESC) AS rn
         |   FROM r WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT user_id, CAST(n AS BIGINT) AS n_events, cusum_up, cusum_down
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events, cusum_up, cusum_down,
+        |  CAST(0 AS BIGINT) AS n_late
         |FROM s WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // streamed enrich: stateless stream-static join then segment rollup

@@ -161,7 +161,14 @@ object EventStreams {
   final case class CusumEvent(user_id: Long, ts_utc: java.sql.Timestamp,
                               ts_nanos: Long, event_id: Long, cents: Long)
   final case class CusumRow(user_id: Long, n_events: Long,
-                            cusum_up: Long, cusum_down: Long)
+                            cusum_up: Long, cusum_down: Long, n_late: Long)
+  /** streamingCusum's carried fold: counts, both running sums with
+    * their minima, the last folded (tick, id) position, and the
+    * dropped-late tally. Public: the state encoder's generated code
+    * must construct it. */
+  final case class CusumFold(n: Long, ru: Long, minU: Long,
+                             rd: Long, minD: Long,
+                             lastNanos: Long, lastId: Long, nLate: Long)
 
   /** ORDER-AWARE keyed state: per-user one-sided CUSUM (Page's test)
     * streamed through flatMapGroupsWithState — the online form of
@@ -177,43 +184,51 @@ object EventStreams {
     *
     * The per-(key, batch) sort buffers that key's batch rows in memory —
     * bounded by batch size per key, the standard price of order-aware
-    * state. Watermark-driven event-time timeout expires idle keys
-    * exactly as [[runningUserTotals]]. */
+    * state. A row arriving in a LATER batch with a tick at or before
+    * the last folded position cannot be folded correctly (the
+    * statistic is order-sensitive and already advanced past it) — it
+    * is DROPPED and counted in `n_late`, never folded misordered: a
+    * visibly-smaller fold beats a silently-wrong statistic, and the
+    * tally tells the operator to widen the batch boundary (or replay)
+    * when it grows. Watermark-driven event-time timeout expires idle
+    * keys exactly as [[runningUserTotals]]. */
   def streamingCusum(events: Dataset[CusumEvent], targetCents: Long,
                      slackCents: Long = 0L,
                      lateness: String = "10 minutes",
                      idleGapMs: Long = 3600000L): Dataset[CusumRow] = {
-    // state tuple: (n, running up-sum, its min, running down-sum, its
-    // min) — mins seeded at 0, the closed form's empty-prefix term
-    implicit val stateEnc: Encoder[(Long, Long, Long, Long, Long)] =
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
-        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val stateEnc: Encoder[CusumFold] = Encoders.product[CusumFold]
     implicit val outEnc: Encoder[CusumRow] = Encoders.product[CusumRow]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
     events.withWatermark("ts_utc", lateness)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Long, Long, Long, Long), CusumRow](
+      .flatMapGroupsWithState[CusumFold, CusumRow](
         OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, it, state) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            var (n, ru, minU, rd, minD) =
-              state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L))
+            // mins seeded at 0 = the closed form's empty-prefix term;
+            // last position seeded below any real tick
+            var st = state.getOption.getOrElse(
+              CusumFold(0L, 0L, 0L, 0L, 0L, Long.MinValue, Long.MinValue, 0L))
             var maxTs = 0L
             it.toSeq.sortBy(e => (e.ts_nanos, e.event_id)).foreach { e =>
-              n += 1
-              ru += e.cents - targetCents - slackCents
-              rd -= e.cents - targetCents + slackCents
-              minU = math.min(minU, ru)
-              minD = math.min(minD, rd)
+              val inOrder = e.ts_nanos > st.lastNanos ||
+                (e.ts_nanos == st.lastNanos && e.event_id > st.lastId)
+              st = if (!inOrder) st.copy(nLate = st.nLate + 1) else {
+                val ru = st.ru + (e.cents - targetCents - slackCents)
+                val rd = st.rd - (e.cents - targetCents + slackCents)
+                CusumFold(st.n + 1, ru, math.min(st.minU, ru),
+                  rd, math.min(st.minD, rd), e.ts_nanos, e.event_id, st.nLate)
+              }
               maxTs = math.max(maxTs, e.ts_utc.getTime)
             }
-            state.update((n, ru, minU, rd, minD))
+            state.update(st)
             state.setTimeoutTimestamp(
               math.max(maxTs, state.getCurrentWatermarkMs()) + idleGapMs)
-            Iterator(CusumRow(uid, n, ru - minU, rd - minD))
+            Iterator(CusumRow(uid, st.n, st.ru - st.minU, st.rd - st.minD,
+              st.nLate))
           }
       }
   }

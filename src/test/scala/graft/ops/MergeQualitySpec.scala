@@ -47,6 +47,8 @@ class MergeQualitySpec extends SparkSpec {
       Quality.profile(df, Seq("nope"))
     an[IllegalArgumentException] should be thrownBy
       Quality.profile(df, Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      Quality.profile(df, Seq("v", "v"))
   }
 
   test("quality gate: structural violations reported before scan") {

@@ -68,6 +68,11 @@ class PercentilesCdcSpec extends SparkSpec {
         after, Seq("k"), Seq("v"))
     an[IllegalArgumentException] should be thrownBy
       Reconcile.snapshotDiff(before, after, Seq("k"), Seq.empty)
+    // a duplicated key is not a snapshot: loud runtime failure, never
+    // contradictory changed-and-unchanged twin rows
+    val dup = Seq((7L, 10.0), (7L, 20.0)).toDF("k", "v")
+    an[Exception] should be thrownBy
+      Reconcile.snapshotDiff(dup, after, Seq("k"), Seq("v")).collect()
   }
 
   test("apply: last change wins; U replaces, D removes, inserts appear") {

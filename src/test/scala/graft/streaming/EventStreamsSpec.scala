@@ -186,13 +186,20 @@ class EventStreamsSpec extends SparkSpec {
         CusumEvent(1L, ts("2024-01-01 10:00:00"), 1000L, 1L, 50L))
       q.processAllAvailable()
       spark.table("scusum").orderBy(col("n_events").desc).rows.head shouldBe
-        Seq(1L, 2L, 200L, 0L)
+        Seq(1L, 2L, 200L, 0L, 0L)
       // batch 2: a dev-0 event — the statistic must CARRY (state, not
       // restart): S+ stays 200 with n = 3
       input.addData(CusumEvent(1L, ts("2024-01-01 10:01:00"), 3000L, 3L, 100L))
       q.processAllAvailable()
       spark.table("scusum").orderBy(col("n_events").desc).rows.head shouldBe
-        Seq(1L, 3L, 200L, 0L)
+        Seq(1L, 3L, 200L, 0L, 0L)
+      // batch 3: a CROSS-BATCH late event (tick before the last folded
+      // position) — folding it would misorder the statistic, so it is
+      // dropped and COUNTED, everything else unchanged
+      input.addData(CusumEvent(1L, ts("2024-01-01 10:00:15"), 1500L, 9L, 999L))
+      q.processAllAvailable()
+      spark.table("scusum").orderBy(col("n_late").desc).rows.head shouldBe
+        Seq(1L, 3L, 200L, 0L, 1L)
     } finally q.stop()
   }
 
