@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval coalescing: merge overlapping (and optionally adjacent)
+  * intervals per key into their connected unions — the coverage
+  * primitive behind validity-range cleanup ([[Scd]] output hygiene),
+  * on-call/uptime coverage, and contract-period rollups. The classic
+  * SQL islands problem, solved with the running-max-of-ends trick:
+  *
+  *  1. order each key's intervals by (start, end);
+  *  2. an interval starts a NEW island iff its start exceeds the
+  *     running max of all PREVIOUS ends (strictly — touching intervals
+  *     merge; pass `adjacentGap > 0` to also bridge gaps up to that
+  *     size, e.g. 1 for integer-adjacent ranges);
+  *  3. the island id is the running count of new-island flags, and one
+  *     groupBy((key, island)) emits each union's (start, end, n).
+  *
+  * Everything is comparison and max/count over a single
+  * key-partitioned window ordering plus one aggregation on (key,
+  * island) — two exchanges total, no joins, no self-scan; exact for
+  * any integral/timestamp bound type cast to long. */
+object Intervals {
+
+  /** (keys..., start, end, n_merged) — one row per coalesced island.
+    * `startCol`/`endCol` must be castable to long; intervals are
+    * treated as CLOSED ([start, end]); rows with null bounds are
+    * rejected loudly (a null-bounded interval has no meaningful
+    * union). */
+  def coalesce(df: DataFrame, keys: Seq[String], startCol: String,
+               endCol: String, adjacentGap: Long = 0L): DataFrame = {
+    require(keys.nonEmpty, "coalesce needs at least one key column")
+    require(adjacentGap >= 0, s"adjacentGap must be >= 0, got $adjacentGap")
+    val reserved = Seq("__s", "__e", "__prev_max_e", "__new", "__island")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"coalesce uses working columns ${reserved.mkString(", ")} — " +
+        s"the input already has: $clash; rename first")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__s"), col("__e"))
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("__s", col(startCol).cast("long"))
+      .withColumn("__e", col(endCol).cast("long"))
+      .where(assert_true(col("__s").isNotNull && col("__e").isNotNull,
+        lit(s"coalesce: null bound in $startCol/$endCol")).isNull)
+      .where(assert_true(col("__s") <= col("__e"),
+        lit(s"coalesce: inverted interval ($startCol > $endCol)")).isNull)
+      .withColumn("__prev_max_e", max(col("__e")).over(prior))
+      .withColumn("__new",
+        when(col("__prev_max_e").isNull, 1L)
+          .when(col("__s") > col("__prev_max_e") + adjacentGap, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(run))
+      .groupBy((keys.map(col) :+ col("__island")): _*)
+      .agg(min(col("__s")).as("start"), max(col("__e")).as("end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__island")
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Anomaly, Cdc, FuzzyJoin, Indicators, Percentiles, Reconcile}
+import graft.ops.{Anomaly, Cdc, FuzzyJoin, Indicators, Intervals, Percentiles, Reconcile}
 
 /** OLAP / warehouse-analytics extensions: grouping sets, event-path
   * transitions, exact nearest-rank quantiles, batch CDC apply, and
@@ -169,6 +169,21 @@ object AnalyticsQueries {
           value = "value", n = 14)
         .select(col("event_type"), col("event_id"), col("rsi"))
         .orderBy(col("event_type"), col("event_id"))),
+
+    // ── Interval coalescing: each order opens a 30-day active window;
+    // overlapping windows per customer merge into coverage islands
+    // (running-max-of-ends, one key-partitioned window + one agg).
+    "interval_coalesce" -> ((s, dir) => {
+      // NTZ→timestamp is identity under the UTC session, then →long is
+      // epoch seconds — DuckDB's epoch() on the same naive value
+      val sec = col("o_orderdate").cast("timestamp").cast("long")
+      val iv = Tables.orders(s, dir).select(col("o_custkey"),
+        sec.as("active_from"),
+        (sec + 30L * 86400L).as("active_to"))
+      Intervals.coalesce(iv, keys = Seq("o_custkey"),
+          startCol = "active_from", endCol = "active_to")
+        .orderBy(col("o_custkey"), col("start"))
+    }),
 
     // ── Table profile: exact per-column n/null/distinct over orders —
     // one multi-distinct aggregate pass, unpivoted to long form.
@@ -552,6 +567,30 @@ object AnalyticsQueries {
         |  CAST(100.0 * CAST(g AS DOUBLE) /
         |    nullif(CAST(g + lo AS DOUBLE), 0.0) AS REAL) AS rsi
         |FROM s ORDER BY event_type, event_id""".stripMargin,
+
+    // islands replay: same running-max / flag / running-sum chain;
+    // epoch() mirrors Spark's timestamp→long (both epoch seconds)
+    "interval_coalesce" ->
+      """WITH iv AS (SELECT o_custkey,
+        |     CAST(epoch(o_orderdate) AS BIGINT) AS s,
+        |     CAST(epoch(o_orderdate) AS BIGINT) + 30 * 86400 AS e
+        |   FROM orders),
+        | m AS (SELECT o_custkey, s, e,
+        |     MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |   FROM iv),
+        | f AS (SELECT o_custkey, s, e,
+        |     CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS nw
+        |   FROM m),
+        | i AS (SELECT o_custkey, s, e,
+        |     SUM(nw) OVER (PARTITION BY o_custkey ORDER BY s, e
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |   FROM f)
+        |SELECT o_custkey, CAST(MIN(s) AS BIGINT) AS start,
+        |  CAST(MAX(e) AS BIGINT) AS "end",
+        |  CAST(count(*) AS BIGINT) AS n_merged
+        |FROM i GROUP BY o_custkey, island
+        |ORDER BY o_custkey, start""".stripMargin,
 
     "table_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

@@ -75,6 +75,29 @@ class PercentilesCdcSpec extends SparkSpec {
       Reconcile.snapshotDiff(dup, after, Seq("k"), Seq("v")).collect()
   }
 
+  test("coalesce: overlaps and touches merge, gaps split, adjacentGap bridges") {
+    val iv = Seq(
+      ("a", 1L, 5L), ("a", 3L, 8L),   // overlap → one island [1,8]
+      ("a", 8L, 10L),                 // touching (closed): still merges
+      ("a", 12L, 14L),                // gap of 1 past 10 → new island
+      ("b", 2L, 2L)                   // other key, point interval
+    ).toDF("k", "s", "e")
+    val out = Intervals.coalesce(iv, Seq("k"), "s", "e")
+      .orderBy("k", "start").rows.map(r => (r(0), r(1), r(2), r(3)))
+    out shouldBe Seq(("a", 1L, 10L, 3L), ("a", 12L, 14L, 1L), ("b", 2L, 2L, 1L))
+    // adjacentGap = 2 bridges the 12-vs-10 gap into one island
+    Intervals.coalesce(iv.filter(col("k") === "a"), Seq("k"), "s", "e",
+        adjacentGap = 2L)
+      .orderBy("start").rows.map(r => (r(1), r(2), r(3))) shouldBe
+      Seq((1L, 14L, 4L))
+    // inverted interval fails loudly at run time, never a silent island
+    an[Exception] should be thrownBy
+      Intervals.coalesce(Seq(("a", 5L, 1L)).toDF("k", "s", "e"),
+        Seq("k"), "s", "e").collect()
+    an[IllegalArgumentException] should be thrownBy
+      Intervals.coalesce(iv, Seq.empty, "s", "e")
+  }
+
   test("apply: last change wins; U replaces, D removes, inserts appear") {
     val changes = Seq(
       (1L, 1L, 1L, "U", 110.0), (1L, 2L, 2L, "U", 120.0), // key 1 → 120
