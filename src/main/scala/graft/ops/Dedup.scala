@@ -129,10 +129,12 @@ object Dedup {
     require(bands > 0 && k % bands == 0,
       s"bands ($bands) must evenly divide the signature size ($k)")
     val rows = k / bands
-    // spreadInput = false for frames already materialized through a
-    // shuffle (a checkpointed batch): Skew.spread sees no input FILES
-    // on such frames and would pay a pointless extra round-robin
-    // exchange for a frame whose partitioning is already parallel
+    // spreadInput = false states the caller's intent for frames already
+    // materialized through a shuffle (a checkpointed batch). Since
+    // round 7 Skew.spread also skips file-LESS frames on its own
+    // (assume-parallel default), so this flag is belt-and-braces there
+    // — but it still matters for file-BACKED frames that are
+    // post-shuffle wide, which the file-count heuristic undercounts
     val src = if (spreadInput) spread(df) else df
     val sig = minhashSignatures(src, id, text, shingleSize, k, portable)
     def bandBucket(cols: Seq[Column]): Column =

@@ -56,6 +56,18 @@ object Indicators {
       s"decay=$decay over n=$n needs weight scale $wScale > 14 — the " +
         "decimal products would round silently; use a shorter decay " +
         "(e.g. 0.5, 0.8) or a smaller window")
+    // the multiply bound alone is not enough: the n-term ADD chain also
+    // grows precision (~1 integer digit per term on a (20,wScale)-ish
+    // product), and once the running sum's precision would exceed 38
+    // Spark trims SCALE instead (allowPrecisionLoss) — silently rounding
+    // the smallest weight terms. Bound the additive growth too:
+    // 20 int digits (18-digit cents × sub-1 weight + headroom) plus one
+    // per extra term plus the full weight scale must fit in 38.
+    require(20 + (n - 1) + wScale <= 38,
+      s"decay=$decay over n=$n grows the decimal SUM past precision 38 " +
+        s"(20 + ${n - 1} + $wScale = ${20 + (n - 1) + wScale}) — Spark " +
+        "would trim scale and round the smallest weight terms silently; " +
+        "use a smaller window or shorter decay")
     val w = Window.partitionBy(col(key)).orderBy(order.map(col): _*)
     val x = toCents(col(value)).cast(cents)
     // exact decimal weights decay^0 .. decay^(n-1); java BigDecimal pow

@@ -43,17 +43,29 @@ object Skew {
     * outside AQE); the explicit partition number is respected by AQE
     * (only sizeless `repartition()` is coalescible). A no-op whenever
     * splits ≥ cores — the 100 TB case by construction, where the extra
-    * shuffle would be pure waste. Non-file inputs report zero files and
-    * take the shuffle — harmless for small in-memory frames, but a
-    * LARGE file-less frame that is already parallel (a checkpointed
-    * batch, a post-shuffle intermediate) pays a pointless exchange:
-    * such callers should skip spread themselves (see
-    * Dedup.bandedSignatures' spreadInput flag) rather than rely on a
-    * heuristic that cannot see their partitioning without
-    * instantiating the physical plan. */
-  def spread(df: DataFrame): DataFrame = {
+    * shuffle would be pure waste.
+    *
+    * FILE-LESS frames (in-memory, checkpointed, cached) report zero
+    * `inputFiles`, and their true partitioning cannot be inspected
+    * without instantiating the physical plan. Two honest choices
+    * remain, selected by `knownParallelism`:
+    *  - `None` (default): ASSUME parallel and skip the exchange — a
+    *    large checkpointed batch or post-shuffle intermediate is
+    *    already spread across the cluster, and a silent mandatory
+    *    repartition there is pure waste (the round-6 foot-gun callers
+    *    had to dodge by hand);
+    *  - `Some(p)`: the caller states the frame's actual parallelism —
+    *    a local Seq-sourced frame is `Some(1)`, a frame built on k
+    *    files upstream of a checkpoint is `Some(k)` — and the same
+    *    splits-vs-cores rule applies to it.
+    * An explicit hint always wins, even on a file-backed frame: the
+    * caller may know the post-shuffle layout the file count can't see. */
+  def spread(df: DataFrame, knownParallelism: Option[Int] = None): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length >= target) df else df.repartition(target)
+    val files = df.inputFiles.length
+    val splits = knownParallelism.getOrElse(
+      if (files > 0) files else target) // file-less, no hint: assume parallel
+    if (splits >= target) df else df.repartition(target)
   }
 
   /** Two-phase (salted) aggregation.

@@ -180,7 +180,18 @@ object PipelineQueries {
         .outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start())
+      // Update mode emits one row per (user, micro-batch). One staged
+      // file under AvailableNow drains as a single batch TODAY, but a
+      // trigger/maxFilesPerTrigger change would append earlier partial
+      // states per user — keep only the FINAL state row (max n_events,
+      // n_late as tiebreak for an all-late batch) so the oracle compare
+      // doesn't depend on batching config.
+      val wFinal = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("n_events").desc, col("n_late").desc)
       s.table("graft_scusum_mem")
+        .withColumn("__rn", row_number().over(wFinal))
+        .filter(col("__rn") === 1)
         .select(col("user_id"), col("n_events"),
           col("cusum_up"), col("cusum_down"), col("n_late"))
         .orderBy(col("user_id"))

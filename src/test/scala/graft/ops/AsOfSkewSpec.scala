@@ -85,6 +85,30 @@ class AsOfSkewSpec extends SparkSpec {
     }
   }
 
+  test("spread: file-less frames skip the exchange unless a hint forces it") {
+    val target = spark.sparkContext.defaultParallelism
+    val inMem = (1 to 100).map(i => (i, s"v$i")).toDF("k", "v")
+    // no files, no hint → assume parallel, plan unchanged (no extra exchange)
+    Skew.spread(inMem).queryExecution.analyzed shouldBe
+      inMem.queryExecution.analyzed
+    // explicit Some(1): the caller states it's narrow → repartition to cores
+    Skew.spread(inMem, knownParallelism = Some(1))
+      .rdd.getNumPartitions shouldBe target
+    // a hint at/above cores is a stated no-op even when files say otherwise
+    Skew.spread(inMem, knownParallelism = Some(target))
+      .queryExecution.analyzed shouldBe inMem.queryExecution.analyzed
+  }
+
+  test("spread: a narrow file-backed scan is rebalanced to cores") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spread").toString
+    (1 to 50).map(i => (i, i * 2)).toDF("a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    scan.inputFiles.length shouldBe 1
+    Skew.spread(scan).rdd.getNumPartitions shouldBe
+      spark.sparkContext.defaultParallelism
+  }
+
   test("bpeTokenCount and rollingHashFingerprint basics") {
     val df = Seq((1L, "Hello, world42!"), (2L, "hello world42"), (3L, "")).toDF("doc_id", "text")
     // "Hello, world42!" → Hello , world 42 !  (5); "hello world42" → hello world 42 (3)
