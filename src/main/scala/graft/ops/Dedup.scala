@@ -576,6 +576,117 @@ object Dedup {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
   }
 
+  /** Positioned word n-grams: one (id, pos, gram) row per n-token
+    * window, pos 1-BASED (matches SQL `generate_subscripts`, so the
+    * whole span pipeline is oracle-replayable). Docs shorter than `n`
+    * tokens emit nothing — a sub-n-gram doc cannot contain an n-gram
+    * span. Pure per-row HOF projection + explode: no shuffle, linear
+    * in corpus size. */
+  private def positionedGrams(df: DataFrame, id: String, text: String,
+                              n: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(text))
+    df.select(col(id), toks.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col(id), explode(
+        transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+          i => struct(i.cast("long").as("pos"),
+            array_join(slice(col("__t"), i, lit(n)), " ").as("gram")))).as("g"))
+      .select(col(id), col("g.pos").as("pos"), col("g.gram").as("gram"))
+  }
+
+  /** SUBSTRING-level exact dedup, step 1: mine cross-document repeated
+    * n-gram SPANS — the boilerplate/license/template text that
+    * document-granular dedup (exact hash, MinHash, SimHash) cannot
+    * touch, because the documents CONTAINING the repeats differ.
+    *
+    * Pipeline (all exact, fully SQL-replayable):
+    *  1. positioned n-grams per doc ([[positionedGrams]] — map-only);
+    *  2. an n-gram is FREQUENT when it occurs in ≥ `minDocs` DISTINCT
+    *     documents (one count-distinct shuffle keyed by gram — the
+    *     inverted-index pass; a boilerplate gram's postings are bounded
+    *     by the equi-join, never paired);
+    *  3. each frequent-gram occurrence covers token interval
+    *     [pos, pos+n-1]; overlapping/touching intervals merge into
+    *     maximal spans via [[Intervals.coalesce]] (two key-partitioned
+    *     exchanges, no self-join);
+    *  4. spans shorter than `minSpanTokens` are dropped — a lone
+    *     frequent n-gram is a common PHRASE, not boilerplate; only
+    *     runs of overlapping frequent grams mark true repeated spans.
+    *
+    * Returns (id, span_start, span_end, span_tokens, n_grams), token
+    * positions 1-based inclusive. At 100 TB: one map pass + one
+    * aggregation on gram + one equi-join back + one keyed window —
+    * every stage shuffle-parallel on unskewed keys (the gram-frequency
+    * aggregation is the only wide gram-keyed stage, and count-distinct
+    * partial-aggregates map-side; no all-pairs anything). */
+  def frequentSpans(df: DataFrame, id: String, text: String,
+                    n: Int = 8, minDocs: Int = 3,
+                    minSpanTokens: Int = 12): DataFrame = {
+    require(n >= 2, s"n must be at least 2, got $n — unigram 'spans' " +
+      "would excise every common word")
+    require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs — " +
+      "a gram in one document repeats nothing")
+    require(minSpanTokens >= n,
+      s"minSpanTokens ($minSpanTokens) must be >= n ($n) — shorter " +
+        "spans cannot exist (every span contains a whole n-gram)")
+    val grams = positionedGrams(spread(df), id, text, n)
+    // the inverted-index pass: grams that recur across documents. The
+    // frequent set is data-dependent and unbounded, so it meets the
+    // occurrence list in a shuffle equi-join (AQE broadcasts it when it
+    // measures small) — never a driver collect
+    val freq = grams.groupBy(col("gram"))
+      .agg(count_distinct(col(id)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("gram"))
+    val hits = grams.join(freq, Seq("gram"))
+      .select(col(id), col("pos").as("span_start"),
+        (col("pos") + (n - 1)).as("span_end"))
+    Intervals.coalesce(hits, Seq(id), "span_start", "span_end")
+      .select(col(id), col("start").as("span_start"),
+        col("end").as("span_end"),
+        (col("end") - col("start") + 1).as("span_tokens"),
+        col("n_merged").as("n_grams"))
+      .filter(col("span_tokens") >= minSpanTokens)
+  }
+
+  /** SUBSTRING-level exact dedup, step 2: excise the mined spans from
+    * each document — tokens whose 1-based position falls inside any of
+    * the doc's spans are removed, the survivors rejoin with single
+    * spaces. Emits every input doc (docs without spans pass through
+    * unchanged) as (id, n_tokens, n_removed, text_clean).
+    *
+    * Per-doc span lists are bounded by document length, so the
+    * collect_list + per-row HOF filter is O(doc_len · n_spans) local
+    * work — one groupBy(id) exchange for the span lists, one equi-join
+    * back to the docs, no shuffle of the text beyond that join. */
+  def exciseSpans(docs: DataFrame, spans: DataFrame, id: String,
+                  text: String): DataFrame = {
+    val spanArr = spans.groupBy(col(id))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    docs.join(spanArr, Seq(id), "left")
+      .withColumn("__t", TextAnalysis.tokens(col(text)))
+      .withColumn("__sp", coalesce(col("__spans"),
+        array().cast("array<struct<s:long,e:long>>")))
+      .withColumn("__kept", filter(col("__t"), (t, i) =>
+        !exists(col("__sp"),
+          sp => (i + 1) >= sp("s") && (i + 1) <= sp("e"))))
+      .select(col(id),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (size(col("__t")) - size(col("__kept"))).cast("long").as("n_removed"),
+        array_join(col("__kept"), " ").as("text_clean"))
+  }
+
+  /** End-to-end substring dedup: [[frequentSpans]] → [[exciseSpans]].
+    * The span frame feeds a single consumer here, so it stays lazy;
+    * callers reusing the spans (audit + excision) should materialize
+    * via [[frequentSpans]] themselves. */
+  def dedupSubstrings(df: DataFrame, id: String, text: String,
+                      n: Int = 8, minDocs: Int = 3,
+                      minSpanTokens: Int = 12): DataFrame =
+    exciseSpans(df, frequentSpans(df, id, text, n, minDocs, minSpanTokens),
+      id, text)
+
   /** Exact unigram-Jaccard similarity for all pairs sharing ≥1 token,
     * via inverted-index join. Use after LSH candidate generation at
     * scale; here also exposed standalone (bounded inputs). */

@@ -94,6 +94,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SUBSTRING-level dedup, the span-mining half: 5-gram spans shared
+    // by >= 2 docs, merged into maximal islands, kept at >= 8 tokens —
+    // the boilerplate/license detector document-granular dedup misses
+    "dedup_substring_spans" -> ((s, dir) =>
+      Dedup.frequentSpans(Tables.documents(s, dir), id = "doc_id",
+          text = "text", n = 5, minDocs = 2, minSpanTokens = 8)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // SUBSTRING-level dedup, the excision half: remove every mined span
+    // from its documents, pass untouched docs through unchanged
+    "dedup_substring" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.exciseSpans(docs,
+          Dedup.frequentSpans(docs, id = "doc_id", text = "text",
+            n = 5, minDocs = 2, minSpanTokens = 8),
+          id = "doc_id", text = "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // rows-only (HLL/t-digest sketches are engine-specific by design)
     "dedup_corpus_profile" -> ((s, dir) =>
       Dedup.corpusProfile(Tables.documents(s, dir), "text", "n_chars")
@@ -311,8 +330,58 @@ object TextQueries {
       |FROM reach GROUP BY a
       |ORDER BY doc_id""".stripMargin
 
+  // shared by dedup_substring_spans and dedup_substring: the full span
+  // pipeline — positioned 5-grams (lead-chain; the trailing-window
+  // filter sits OUTSIDE the window subquery so lead() sees every
+  // position), cross-doc frequency >= 2, running-max-of-ends islands
+  // (the Intervals.coalesce replay), spans >= 8 tokens
+  private val substringSpansCte =
+    """tk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+      | pos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p,
+      |           len(t) AS len FROM tk),
+      | g AS (SELECT * FROM (
+      |     SELECT doc_id, p, len,
+      |       concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+      |         lead(tok, 3) OVER w, lead(tok, 4) OVER w) AS gram
+      |     FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p))
+      |   WHERE p + 4 <= len),
+      | f AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      | h AS (SELECT doc_id, p AS s, p + 4 AS e FROM g JOIN f USING (gram)),
+      | isl AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id
+      |           ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS pme FROM h),
+      | fl AS (SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS nw
+      |        FROM isl),
+      | gr AS (SELECT *, sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+      |          ROWS UNBOUNDED PRECEDING) AS island FROM fl),
+      | sp AS (SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+      |          count(*) AS n_grams FROM gr GROUP BY doc_id, island),
+      | spf AS (SELECT * FROM sp WHERE span_end - span_start + 1 >= 8)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_clusters_star" -> dedupClustersSql,
+
+    "dedup_substring_spans" ->
+      s"""WITH $substringSpansCte
+         |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+         |  CAST(span_end AS BIGINT) AS span_end,
+         |  CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens,
+         |  CAST(n_grams AS BIGINT) AS n_grams
+         |FROM spf ORDER BY doc_id, span_start""".stripMargin,
+
+    "dedup_substring" ->
+      s"""WITH $substringSpansCte,
+         | kept AS (SELECT pos.doc_id, pos.p, pos.tok FROM pos
+         |   WHERE NOT EXISTS (SELECT 1 FROM spf
+         |     WHERE spf.doc_id = pos.doc_id
+         |       AND pos.p BETWEEN spf.span_start AND spf.span_end)),
+         | ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean,
+         |          count(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT tk.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(t) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(ka.text_clean, '') AS text_clean
+         |FROM tk LEFT JOIN ka USING (doc_id)
+         |ORDER BY tk.doc_id""".stripMargin,
     "dedup_exact_text" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper_doc_id
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,

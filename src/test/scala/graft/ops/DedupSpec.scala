@@ -256,4 +256,69 @@ class DedupSpec extends SparkSpec {
       rm(ckpt.toFile)
     }
   }
+
+  // 10-token boilerplate block planted in several docs at different
+  // offsets — the cross-document SPAN case document-granular dedup
+  // misses (the containing docs are nothing alike)
+  private val boiler =
+    "this document is provided under the creative commons license terms"
+  private val spanDocs = Seq(
+    (1L, s"alpha beta $boiler gamma delta"),
+    (2L, s"$boiler epsilon zeta eta theta iota kappa"),
+    (3L, "totally unrelated text with plenty of distinct tokens inside here"),
+    (4L, "tiny doc"),
+    (5L, s"$boiler one two three four five $boiler")
+  ).toDF("doc_id", "text")
+
+  test("frequentSpans: shared boilerplate runs surface as maximal per-doc spans") {
+    val spans = Dedup.frequentSpans(spanDocs, "doc_id", "text",
+        n = 5, minDocs = 2, minSpanTokens = 10)
+      .orderBy("doc_id", "span_start")
+      .select("doc_id", "span_start", "span_end", "span_tokens", "n_grams").rows
+    // doc1: boiler at tokens 3..12; doc2/5: at 1..10; doc5 again at 16..25
+    // (grams straddling the boilerplate boundary are unique to their doc
+    // and never become frequent, so spans stop exactly at the block)
+    spans shouldBe Seq(
+      Seq(1L, 3L, 12L, 10L, 6L),
+      Seq(2L, 1L, 10L, 10L, 6L),
+      Seq(5L, 1L, 10L, 10L, 6L),
+      Seq(5L, 16L, 25L, 10L, 6L))
+  }
+
+  test("exciseSpans: span tokens removed, clean docs pass through verbatim") {
+    val spans = Dedup.frequentSpans(spanDocs, "doc_id", "text",
+      n = 5, minDocs = 2, minSpanTokens = 10)
+    val out = Dedup.exciseSpans(spanDocs, spans, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_removed", "text_clean").rows
+    out shouldBe Seq(
+      Seq(1L, 14L, 10L, "alpha beta gamma delta"),
+      Seq(2L, 16L, 10L, "epsilon zeta eta theta iota kappa"),
+      Seq(3L, 10L, 0L, "totally unrelated text with plenty of distinct tokens inside here"),
+      Seq(4L, 2L, 0L, "tiny doc"),
+      Seq(5L, 25L, 20L, "one two three four five"))
+  }
+
+  test("dedupSubstrings: end-to-end composition equals the two-step form") {
+    val direct = Dedup.dedupSubstrings(spanDocs, "doc_id", "text",
+      n = 5, minDocs = 2, minSpanTokens = 10).orderBy("doc_id").rows
+    val twoStep = Dedup.exciseSpans(spanDocs,
+        Dedup.frequentSpans(spanDocs, "doc_id", "text", 5, 2, 10),
+        "doc_id", "text").orderBy("doc_id").rows
+    direct shouldBe twoStep
+  }
+
+  test("frequentSpans: minSpanTokens suppresses lone common phrases") {
+    // the repeated run is only 5 tokens — below a 12-token floor it is a
+    // common phrase, not boilerplate, and no span may surface
+    val phrase = Seq(
+      (1L, "please see the terms below for more alpha beta gamma"),
+      (2L, "delta epsilon please see the terms below zeta eta theta")
+    ).toDF("doc_id", "text")
+    Dedup.frequentSpans(phrase, "doc_id", "text",
+      n = 5, minDocs = 2, minSpanTokens = 12).count() shouldBe 0L
+    // at a floor equal to the run length it does surface
+    Dedup.frequentSpans(phrase, "doc_id", "text",
+      n = 5, minDocs = 2, minSpanTokens = 5).count() shouldBe 2L
+  }
 }
