@@ -321,7 +321,54 @@ object PipelineQueries {
           sum(d2(col("value"))).cast("double").as("session_value"))
         .select(col("session_window.start").as("session_start"), col("user_id"),
           col("n_events"), col("session_value"))
-        .orderBy(col("user_id"), col("session_start")))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // LIVE-ENGINE sliding windows: the overlapping-window agg through
+    // the real streaming engine (append mode emits only watermark-
+    // finalized windows; the DECIMAL value cast keeps the sum exact
+    // whatever the per-task fold order). Both sides restrict to windows
+    // ending >= 20 min before the stream's max event time — strictly
+    // inside the 10-min lateness horizon, so the emitted set is
+    // batching-invariant (the stream_tumbling_live argument verbatim).
+    "stream_sliding_live" -> ((s, dir) => {
+      val (raw, tmp) = stageStream(s, dir, "events", "graft_sslide")
+      val src = raw.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      awaitScoped(s)(EventStreams.toLake(
+        EventStreams.slidingAvg(src, value = d2(col("value"))),
+        s"$tmp/sink", s"$tmp/ckpt", partitionCols = Seq.empty))
+      val bound = Tables.events(s, dir)
+        .agg((max(col("ts_utc")) - expr("INTERVAL 20 MINUTES")).as("bound"))
+      LakeReader.read(s, s"$tmp/sink")
+        .crossJoin(broadcast(bound))
+        .filter(col("window_end") <= col("bound"))
+        .select(col("window_start"), col("event_type"),
+          col("avg_value").cast("float").as("avg_value"), col("n_events"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // LIVE-ENGINE session windows: merging session state + watermark
+    // eviction on the real engine — the one streaming behavior the
+    // batch session_window frame cannot exercise. A session's end is
+    // last-event + 30 min gap; append mode emits it once the watermark
+    // (max event time − 10 min lateness) passes that end, so both
+    // sides restrict to sessions ending >= 40 min before max event
+    // time (gap + lateness, conservatively) for a batching-invariant
+    // emitted set.
+    "stream_session_live" -> ((s, dir) => {
+      val (raw, tmp) = stageStream(s, dir, "events", "graft_ssess")
+      val src = raw.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      awaitScoped(s)(EventStreams.toLake(
+        EventStreams.sessionize(src, value = d2(col("value"))),
+        s"$tmp/sink", s"$tmp/ckpt", partitionCols = Seq.empty))
+      val bound = Tables.events(s, dir)
+        .agg((max(col("ts_utc")) - expr("INTERVAL 40 MINUTES")).as("bound"))
+      LakeReader.read(s, s"$tmp/sink")
+        .crossJoin(broadcast(bound))
+        .filter(col("session_end") <= col("bound"))
+        .select(col("session_start"), col("user_id"), col("n_events"),
+          col("session_value").cast("double").as("session_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -463,6 +510,46 @@ object PipelineQueries {
         |        ROWS UNBOUNDED PRECEDING) AS sid FROM o)
         |SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // live sliding windows: the batch sliding CTE restricted to windows
+    // fully finalized by the watermark (end <= max ts - 20 min)
+    "stream_sliding_live" ->
+      """WITH b AS (SELECT max(ts) - INTERVAL '20 minutes' AS bound FROM events),
+        | w AS (
+        |  SELECT TIMESTAMP '1970-01-01'
+        |           + (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k * 900)
+        |             * INTERVAL '1 second' AS window_start,
+        |         event_type, value
+        |  FROM events CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(k))
+        |SELECT window_start, event_type,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS REAL) AS avg_value,
+        |  COUNT(*) AS n_events
+        |FROM w, b
+        |WHERE window_start + INTERVAL '1 hour' <= b.bound
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // live session windows: the gaps-and-islands CTE restricted to
+    // sessions whose end (last event + 30 min gap) is finalized
+    // (<= max ts - 40 min)
+    "stream_session_live" ->
+      """WITH b AS (SELECT max(ts) - INTERVAL '40 minutes' AS bound FROM events),
+        | o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+        |g AS (SELECT min(ts) AS session_start,
+        |        max(ts) + INTERVAL '30 minutes' AS session_end,
+        |        user_id, count(*) AS n_events,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |      FROM s GROUP BY user_id, sid)
+        |SELECT session_start, user_id, n_events, session_value
+        |FROM g, b WHERE session_end <= b.bound
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

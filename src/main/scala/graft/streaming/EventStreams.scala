@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
@@ -44,23 +44,32 @@ object EventStreams {
         col("event_type"), col("n_events"), col("sum_value"))
 
   /** Sliding-window average (overlapping windows: `windowLen` long,
-    * advancing every `slide`). */
+    * advancing every `slide`). `value` is the summed column — pass a
+    * DECIMAL cast for an order-independent exact sum (the avg divides
+    * once in double at the end); emits `window_end` so append-mode
+    * consumers can reason about finalization. */
   def slidingAvg(events: DataFrame, tsCol: String = "ts_utc",
                  windowLen: String = "1 hour", slide: String = "15 minutes",
-                 lateness: String = "10 minutes"): DataFrame =
+                 lateness: String = "10 minutes",
+                 value: Column = col("value")): DataFrame =
     events.withWatermark(tsCol, lateness)
       .groupBy(window(col(tsCol), windowLen, slide), col("event_type"))
-      .agg(avg(col("value")).as("avg_value"))
-      .select(col("window.start").as("window_start"), col("event_type"), col("avg_value"))
+      .agg((sum(value).cast("double") / count(lit(1))).as("avg_value"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("avg_value"), col("n_events"))
 
   /** Session windows per user: a session extends while events arrive
-    * within `gap` of each other. */
+    * within `gap` of each other. `value` as in [[slidingAvg]] (pass a
+    * DECIMAL cast for an exact sum). */
   def sessionize(events: DataFrame, tsCol: String = "ts_utc",
                  gap: String = "30 minutes",
-                 lateness: String = "10 minutes"): DataFrame =
+                 lateness: String = "10 minutes",
+                 value: Column = col("value")): DataFrame =
     events.withWatermark(tsCol, lateness)
       .groupBy(session_window(col(tsCol), gap), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .agg(count(lit(1)).as("n_events"), sum(value).as("session_value"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
