@@ -479,6 +479,7 @@ object Dedup {
       .select(col(idA).as("src"), col(idB).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct(), reliable)
+    var edgeCount = edges.count()
     var converged = false
     var i = 0
     while (!converged && i <= maxIter) {
@@ -497,10 +498,17 @@ object Dedup {
         .distinct()
       val next = cut(small, reliable)
       // fixed point: consecutive small-star outputs are the same edge
-      // set (two bounded anti-join probes, no data to the driver)
-      converged = next.join(edges, Seq("src", "dst"), "left_anti").isEmpty &&
-        edges.join(next, Seq("src", "dst"), "left_anti").isEmpty
+      // set. Both sets are .distinct() outputs, so equal cardinality
+      // plus ONE-way containment is set equality — and when the cheap
+      // count (a no-shuffle scan of the just-checkpointed blocks)
+      // already differs, the anti-join probe is skipped entirely. A
+      // non-converged round therefore pays one count instead of the
+      // two shuffle anti-joins the previous form ran every round.
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
+        next.join(edges, Seq("src", "dst"), "left_anti").isEmpty
       edges = next
+      edgeCount = nextCount
       i += 1
     }
     require(converged,
