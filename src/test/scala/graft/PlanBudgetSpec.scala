@@ -33,6 +33,8 @@ class PlanBudgetSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
   private val budgetPath = Paths.get("src/test/resources/plan_budgets.tsv")
+  private val aqeBudgetPath =
+    Paths.get("src/test/resources/plan_budgets_aqe.tsv")
 
   // (exchanges incl. every shuffle flavor, sort-merge joins,
   // broadcast-nested-loop joins, cartesian products)
@@ -43,24 +45,25 @@ class PlanBudgetSpec extends SparkSpec {
       n("SortMergeJoin"), n("BroadcastNestedLoopJoin"), n("CartesianProduct"))
   }
 
-  private def auditable: Seq[(String, org.apache.spark.sql.DataFrame)] =
+  private def auditable(s: org.apache.spark.sql.SparkSession)
+      : Seq[(String, org.apache.spark.sql.DataFrame)] =
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("stream_"))
-      .map { case (name, fn) => name -> fn(spark, sfDir) }
+      .map { case (name, fn) => name -> fn(s, sfDir) }
 
-  test("every batch query plan stays within its recorded structural budget") {
-    val current = auditable.map { case (name, df) =>
-      name -> metrics(df.queryExecution.executedPlan.toString)
-    }
+  /** Regenerate-or-ratchet a (name -> metrics) set against a budget
+    * file: shared by the pre-adaptive and the executed-AQE audits. */
+  private def checkBudget(path: java.nio.file.Path,
+                          current: Seq[(String, Seq[Int])]): Unit = {
     if (sys.env.contains("PLAN_BUDGET_REGEN")) {
       val lines = "# query\texchanges\tsmj\tbnlj\tcart" +:
         current.map { case (n, m) => s"$n\t${m.mkString("\t")}" }
-      Files.createDirectories(budgetPath.getParent)
-      Files.write(budgetPath, lines.asJava, StandardCharsets.UTF_8)
-      info(s"regenerated $budgetPath with ${current.size} rows")
+      Files.createDirectories(path.getParent)
+      Files.write(path, lines.asJava, StandardCharsets.UTF_8)
+      info(s"regenerated $path with ${current.size} rows")
     } else {
       val budget: Map[String, Seq[Int]] =
-        Files.readAllLines(budgetPath, StandardCharsets.UTF_8).asScala
+        Files.readAllLines(path, StandardCharsets.UTF_8).asScala
           .filterNot(l => l.startsWith("#") || l.isEmpty)
           .map { l =>
             val f = l.split('\t'); f(0) -> f.drop(1).map(_.toInt).toSeq
@@ -82,9 +85,46 @@ class PlanBudgetSpec extends SparkSpec {
         }
       }
       assert(violations.isEmpty,
-        s"\nplan-budget regressions:\n  ${violations.mkString("\n  ")}\n" +
+        s"\nplan-budget regressions ($path):\n  " +
+          s"${violations.mkString("\n  ")}\n" +
           "If the new shape is intentional, regenerate the budget file " +
           "and justify the diff in the commit message.")
     }
+  }
+
+  test("every batch query plan stays within its recorded structural budget") {
+    val current = auditable(spark).map { case (name, df) =>
+      name -> metrics(df.queryExecution.executedPlan.toString)
+    }
+    checkBudget(budgetPath, current)
+  }
+
+  // The audit above reads UNEXECUTED plans — under AQE that is the
+  // initial (pre-adaptive) shape, deterministic but not what production
+  // runs. This one EXECUTES every query so AdaptiveSparkPlanExec
+  // re-plans for real (broadcast demotions/promotions, coalesced
+  // shuffles, skew splits) and audits the FINAL plan section only —
+  // the budget divergence the pre-adaptive audit cannot see (e.g. a
+  // broadcast silently demoting to SMJ at runtime).
+  test("AQE-executed (production posture) plans stay within their own budget") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    var sawFinal = false
+    val current = auditable(s2).map { case (name, df) =>
+      // drive THIS df's own physical plan (df.count() would wrap the
+      // logical plan in a fresh QueryExecution and leave this one —
+      // the one we stringify — unexecuted, i.e. never final)
+      val exec = df.queryExecution.executedPlan
+      exec.execute().count()
+      val plan = exec.toString
+      sawFinal ||= plan.contains("isFinalPlan=true")
+      // executed adaptive strings carry BOTH sections; audit the final
+      name -> metrics(plan.split("== Initial Plan ==").head)
+    }
+    // guard against vacuity: if no plan ever reached isFinalPlan=true
+    // the slicing/metrics would be auditing initial shapes twice
+    assert(sawFinal, "no executed query produced a final adaptive plan — " +
+      "is AQE actually enabled on the audit session?")
+    checkBudget(aqeBudgetPath, current)
   }
 }
