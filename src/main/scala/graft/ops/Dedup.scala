@@ -203,6 +203,37 @@ object Dedup {
   }
 
 
+  /** (id, simhash, chunk, bucket) — each signature bucketed under its
+    * four 16-bit (15-bit portable) chunks; shared by the pair join and
+    * the cap observer so both see the identical bucketing. */
+  private def simhashChunkBuckets(df: DataFrame, id: String, text: String,
+                                  portable: Boolean): DataFrame = {
+    val sig = simhash(df, id, text, portable)
+    // 4 chunks of 16 (64-bit) or 15 (60-bit portable) bits — pigeonhole
+    // recall at hamming ≤ 3 holds for any 4-way disjoint chunking
+    val (cb, cm) = if (portable) (15, 0x7FFFL) else (16, 0xFFFFL)
+    val chunks = array((0 until 4).map { i =>
+      struct(lit(i).as("chunk"),
+        shiftright(col("simhash"), i * cb).bitwiseAND(lit(cm)).as("bucket"))
+    }: _*)
+    sig.select(col(id), col("simhash"), explode(chunks).as("cb"))
+      .select(col(id), col("simhash"), col("cb.chunk").as("chunk"),
+        col("cb.bucket").as("bucket"))
+  }
+
+  /** The chunk buckets [[simhashNearDup]]'s `maxBucket` cap EXCLUDES,
+    * as (chunk, bucket, n_members) — the no-silent-caps companion
+    * (the [[FuzzyJoin.droppedBlocks]] pattern): a capped run should
+    * surface this frame so dropped recall is measured, never assumed.
+    * Empty output proves the cap never fired on this input. */
+  def simhashDroppedBuckets(df: DataFrame, id: String, text: String,
+                            maxBucket: Int = 10000,
+                            portable: Boolean = false): DataFrame =
+    simhashChunkBuckets(df, id, text, portable)
+      .groupBy(col("chunk"), col("bucket"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucket)
+
   /** SimHash near-duplicate pairs via the standard 4-table chunk scheme:
     * each signature buckets under its four 16-bit chunks; by pigeonhole,
     * any pair within Hamming distance ≤ 3 agrees exactly on at least one
@@ -213,16 +244,7 @@ object Dedup {
   def simhashNearDup(df: DataFrame, id: String, text: String,
                      maxBits: Int = 3, maxBucket: Int = 10000,
                      portable: Boolean = false): DataFrame = {
-    val sig = simhash(df, id, text, portable)
-    // 4 chunks of 16 (64-bit) or 15 (60-bit portable) bits — pigeonhole
-    // recall at hamming ≤ 3 holds for any 4-way disjoint chunking
-    val (cb, cm) = if (portable) (15, 0x7FFFL) else (16, 0xFFFFL)
-    val chunks = array((0 until 4).map { i =>
-      struct(lit(i).as("chunk"),
-        shiftright(col("simhash"), i * cb).bitwiseAND(lit(cm)).as("bucket"))
-    }: _*)
-    val bucketed = sig.select(col(id), col("simhash"), explode(chunks).as("cb"))
-      .select(col(id), col("simhash"), col("cb.chunk").as("chunk"), col("cb.bucket").as("bucket"))
+    val bucketed = simhashChunkBuckets(df, id, text, portable)
     val sized = bucketed.withColumn("bsize",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("chunk"), col("bucket"))))

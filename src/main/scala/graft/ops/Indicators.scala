@@ -106,6 +106,56 @@ object Indicators {
       .withColumn("bb_lower", ((mid - lit(k) * sd) / 100.0).cast("float"))
   }
 
+  /** Wilder-smoothing RSI — the industry-default variant: gains/losses
+    * smoothed by Wilder's recursive average (n-SMA seed, then
+    * avg = (avg·(n−1) + x)/n), RSI = 100·avgG/(avgG+avgL). Emits
+    * `rsi_wilder` (float), null until `n` deltas exist and when both
+    * averages are zero (flat prefix). The recursion runs in
+    * [[graft.agg.RecursiveAgg.WilderAvgAgg]] over a running frame
+    * (frame-order reduce — the [[graft.agg.ProductAgg]] contract), an
+    * IEEE-double chain a SQL recursive CTE replays bit-for-bit; see
+    * [[rsi]] for the finite-window Cutler form and the exactness
+    * trade-offs between the two. Single window pass, one key exchange. */
+  def rsiWilder(df: DataFrame, key: String, order: Seq[String],
+                value: String, n: Int = 14): DataFrame = {
+    require(n >= 1, s"n must be at least 1, got $n")
+    val w = Window.partitionBy(col(key)).orderBy(order.map(col): _*)
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val delta = (toCents(col(value)) - lag(toCents(col(value)), 1).over(w))
+      .cast("double")
+    // head-of-series deltas are NULL, not zero: a null input advances
+    // neither the aggregator's seed count nor its recursion, matching
+    // the convention that the first price contributes no move
+    val gain = when(delta.isNull, lit(null).cast("double"))
+      .when(delta > 0, delta).otherwise(lit(0.0))
+    val loss = when(delta.isNull, lit(null).cast("double"))
+      .when(delta < 0, -delta).otherwise(lit(0.0))
+    df
+      .withColumn("__ag", graft.agg.RecursiveAgg.wilderAvg(n)(gain).over(frame))
+      .withColumn("__al", graft.agg.RecursiveAgg.wilderAvg(n)(loss).over(frame))
+      .withColumn("rsi_wilder",
+        when(col("__ag") + col("__al") === 0.0, lit(null))
+          .otherwise(lit(100.0) * col("__ag") / (col("__ag") + col("__al")))
+          .cast("float"))
+      .drop("__ag", "__al")
+  }
+
+  /** Recursive (infinite-history) EMA of integer cents per key:
+    * ema_1 = c_1, ema_t = α·c_t + (1−α)·ema_{t−1} — the classic
+    * smoothing whose weights are NOT finite decimals (contrast
+    * [[ewma]]'s exact finite window). Emits `ema_rec_cents` (float).
+    * Same IEEE-double replay argument as [[rsiWilder]]; pick an α with
+    * an exact binary representation (0.125, 0.25) so `1−α` is exact in
+    * every engine. */
+  def emaRecursive(df: DataFrame, key: String, order: Seq[String],
+                   value: String, alpha: Double = 0.125): DataFrame = {
+    val frame = Window.partitionBy(col(key)).orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("ema_rec_cents",
+      graft.agg.RecursiveAgg.emaRecursive(alpha)(
+        toCents(col(value)).cast("double")).over(frame).cast("float"))
+  }
+
   /** Cutler's RSI over the trailing `n` deltas:
     * 100·ΣG/(ΣG+ΣL), where G/L are positive/negative integer cent moves
     * against the previous row. Emits `rsi` (float), null while no move

@@ -170,6 +170,28 @@ object AnalyticsQueries {
         .select(col("event_type"), col("event_id"), col("rsi"))
         .orderBy(col("event_type"), col("event_id"))),
 
+    // Wilder-smoothing RSI (the recursive industry-default form) per
+    // user — the recursion is an IEEE-double chain DuckDB replays
+    // bit-for-bit with a recursive CTE, so even the "not finitely
+    // decimal" variant sits on the hash-equality signal
+    "w_rsi_wilder" -> ((s, dir) =>
+      Indicators.rsiWilder(
+          Tables.events(s, dir).filter(col("value").isNotNull),
+          key = "user_id", order = Seq("ts", "event_id"),
+          value = "value", n = 14)
+        .select(col("user_id"), col("event_id"), col("rsi_wilder"))
+        .orderBy(col("user_id"), col("event_id"))),
+
+    // recursive infinite-history EMA, α = 1/8 (exact in binary, so 1−α
+    // is too) — same recursive-CTE replay argument
+    "w_ema_recursive" -> ((s, dir) =>
+      Indicators.emaRecursive(
+          Tables.events(s, dir).filter(col("value").isNotNull),
+          key = "user_id", order = Seq("ts", "event_id"),
+          value = "value", alpha = 0.125)
+        .select(col("user_id"), col("event_id"), col("ema_rec_cents"))
+        .orderBy(col("user_id"), col("event_id"))),
+
     // ── Interval coalescing: each order opens a 30-day active window;
     // overlapping windows per customer merge into coverage islands
     // (running-max-of-ends, one key-partitioned window + one agg).
@@ -567,6 +589,69 @@ object AnalyticsQueries {
         |  CAST(100.0 * CAST(g AS DOUBLE) /
         |    nullif(CAST(g + lo AS DOUBLE), 0.0) AS REAL) AS rsi
         |FROM s ORDER BY event_type, event_id""".stripMargin,
+
+    // Wilder RSI replay: the per-user recursion run as a recursive CTE
+    // — seed = mean of the first 14 gains/losses (integer-valued
+    // doubles: the running sum is exact in any order), then the exact
+    // IEEE fold (avg·13 + x)/14 step by step. Numeric literals are CAST
+    // to DOUBLE (bare 14.0 is DECIMAL in DuckDB and would change the
+    // arithmetic); the fold order is explicit, so doubles match
+    // bit-for-bit and the REAL downcast is just belt-and-braces.
+    "w_rsi_wilder" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        | d AS (SELECT e.user_id, e.event_id, e.rn,
+        |     CAST(e.c - p.c AS DOUBLE) AS dd
+        |   FROM e LEFT JOIN e p ON p.user_id = e.user_id AND p.rn = e.rn - 1),
+        | cs AS (SELECT user_id, event_id, rn,
+        |     CASE WHEN dd IS NULL THEN NULL WHEN dd > 0 THEN dd
+        |          ELSE CAST(0 AS DOUBLE) END AS gain,
+        |     CASE WHEN dd IS NULL THEN NULL WHEN dd < 0 THEN -dd
+        |          ELSE CAST(0 AS DOUBLE) END AS loss,
+        |     SUM(CASE WHEN dd > 0 THEN dd ELSE 0 END)
+        |       OVER w AS sg,
+        |     SUM(CASE WHEN dd < 0 THEN -dd ELSE 0 END)
+        |       OVER w AS sl
+        |   FROM d WINDOW w AS (PARTITION BY user_id ORDER BY rn
+        |     ROWS UNBOUNDED PRECEDING)),
+        | rec(user_id, rn, ag, al) AS (
+        |   SELECT user_id, rn, CAST(sg AS DOUBLE) / CAST(14 AS DOUBLE),
+        |          CAST(sl AS DOUBLE) / CAST(14 AS DOUBLE)
+        |   FROM cs WHERE rn = 15
+        |   UNION ALL
+        |   SELECT c2.user_id, c2.rn,
+        |     (r.ag * CAST(13 AS DOUBLE) + c2.gain) / CAST(14 AS DOUBLE),
+        |     (r.al * CAST(13 AS DOUBLE) + c2.loss) / CAST(14 AS DOUBLE)
+        |   FROM rec r JOIN cs c2
+        |     ON c2.user_id = r.user_id AND c2.rn = r.rn + 1)
+        |SELECT e.user_id, e.event_id,
+        |  CAST(CASE WHEN r.ag + r.al = 0 THEN NULL
+        |            ELSE CAST(100 AS DOUBLE) * r.ag / (r.ag + r.al) END
+        |       AS REAL) AS rsi_wilder
+        |FROM e LEFT JOIN rec r ON r.user_id = e.user_id AND r.rn = e.rn
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
+
+    // recursive EMA replay: seed on the first value, then
+    // 0.125·x + 0.875·ema per step (both weights exact in binary)
+    "w_ema_recursive" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        | rec(user_id, rn, ema) AS (
+        |   SELECT user_id, rn, CAST(c AS DOUBLE) FROM e WHERE rn = 1
+        |   UNION ALL
+        |   SELECT e2.user_id, e2.rn,
+        |     CAST(0.125 AS DOUBLE) * e2.c + CAST(0.875 AS DOUBLE) * r.ema
+        |   FROM rec r JOIN e e2
+        |     ON e2.user_id = r.user_id AND e2.rn = r.rn + 1)
+        |SELECT e.user_id, e.event_id, CAST(r.ema AS REAL) AS ema_rec_cents
+        |FROM e JOIN rec r ON r.user_id = e.user_id AND r.rn = e.rn
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
 
     // islands replay: same running-max / flag / running-sum chain;
     // epoch() mirrors Spark's timestamp→long (both epoch seconds)

@@ -93,7 +93,12 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
-    val copies = 10
+    // copies > 10 gives the SECOND scale decade (e.g. 30 ≈ sf3): two
+    // measured points on the growth curve distinguish "sublinear in its
+    // work" from "looked sublinear once"; an optional comma list limits
+    // the run to the queries under investigation
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val only = args.lift(3).map(_.split(',').toSet)
     val spark = GraftSession.local("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     // completion marker, not a table probe: a run killed mid-synthesize
@@ -112,16 +117,30 @@ object ScaleSmoke {
       ts.sorted.apply(1)
     }
     def r2(v: Double) = math.round(v * 100).toDouble / 100
-    val rows = heavy.map { name =>
+    val sel = only.fold(heavy)(o => heavy.filter(o))
+    val rows = sel.map { name =>
       val fn = SparkEntry.queries(name)
       val t01 = median3(() => fn(spark, src).count())
       val t1 = median3(() => fn(spark, dst).count())
       val ratio = if (t01 > 0) t1 / t01 else -1
-      println(f"[smoke] $name%-24s sf0.1 ${t01}%6.2fs  sf1 ${t1}%6.2fs  x${ratio}%5.2f")
-      s""""$name":{"sf01":${r2(t01)},"sf1":${r2(t1)},"ratio":${r2(ratio)}}"""
+      println(f"[smoke] $name%-24s base ${t01}%6.2fs  x$copies ${t1}%6.2fs  ratio x${ratio}%5.2f")
+      s""""$name":{"sf01":${r2(t01)},"scaled":${r2(t1)},"ratio":${r2(ratio)}}"""
     }
-    println(rows.mkString("""{"metric":"sf1_smoke","copies":10,"queries":{""",
-      ",", "}}"))
+    // no-silent-caps: when the simhash pair query is under test, report
+    // what its maxBucket cap dropped at the synthetic scale — the cap is
+    // the claimed bound on production density, so its engagement (or
+    // proven non-engagement: zero rows) must be a measured number
+    if (sel.contains("dedup_simhash_pairs")) {
+      val docs = spark.read.parquet(s"$dst/documents.parquet")
+      val dropped = graft.ops.Dedup.simhashDroppedBuckets(
+          docs, "doc_id", "text", maxBucket = 10000, portable = true)
+        .agg(count(lit(1)), coalesce(sum(col("n_members")), lit(0L)))
+        .head()
+      println(s"""{"metric":"simhash_dropped_buckets","copies":$copies,""" +
+        s""""n_buckets":${dropped.getLong(0)},"n_rows":${dropped.getLong(1)}}""")
+    }
+    println(rows.mkString(
+      s"""{"metric":"scale_smoke","copies":$copies,"queries":{""", ",", "}}"))
     spark.stop()
   }
 }

@@ -308,6 +308,22 @@ class DedupSpec extends SparkSpec {
     direct shouldBe twoStep
   }
 
+  test("simhashDroppedBuckets: the cap's exclusions are a measured frame") {
+    // 5 identical docs share one signature → one 5-member bucket per chunk
+    val many = (1L to 5L).map(i => (i, "same text repeated here"))
+      .toDF("doc_id", "text")
+    val dropped = Dedup.simhashDroppedBuckets(many, "doc_id", "text",
+      maxBucket = 2)
+    dropped.count() shouldBe 4
+    dropped.select("n_members").rows.map(_.head).toSet shouldBe Set(5L)
+    // the pair join under the same cap finds nothing — exactly what the
+    // observer says it dropped
+    Dedup.simhashNearDup(many, "doc_id", "text", maxBucket = 2)
+      .count() shouldBe 0
+    // un-skewed corpus: empty observer proves the cap never fired
+    Dedup.simhashDroppedBuckets(docs, "doc_id", "text").count() shouldBe 0
+  }
+
   test("frequentSpans: minSpanTokens suppresses lone common phrases") {
     // the repeated run is only 5 tokens — below a 12-token floor it is a
     // common phrase, not boilerplate, and no span may surface

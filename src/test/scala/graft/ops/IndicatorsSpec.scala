@@ -77,4 +77,59 @@ class IndicatorsSpec extends SparkSpec {
       "price", n = 2).orderBy("ord").rows
     out(3)(3) shouldBe 0.0f
   }
+
+  test("rsiWilder matches a naive Wilder fold on seeded random series") {
+    val n = 5
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(40 + seed)
+      val rows = (0 until 3).flatMap { k =>
+        (0 until 60).map(i =>
+          (s"k$k", i.toLong, (rnd.nextInt(100000) + 1) / 100.0))
+      }
+      // naive per-key fold in plain Scala doubles
+      val expected = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val cents = rs.sortBy(_._2).map(r => math.round(r._3 * 100).toDouble)
+        val deltas = cents.zip(cents.drop(1)).map { case (a, b) => b - a }
+        val gains = deltas.map(d => math.max(d, 0.0))
+        val losses = deltas.map(d => math.max(-d, 0.0))
+        def wilder(xs: Seq[Double]): Seq[Option[Double]] =
+          xs.zipWithIndex.scanLeft(Option.empty[Double] -> 0.0) {
+            case ((avg, sum), (x, i)) =>
+              if (i < n - 1) (None, sum + x)
+              else if (i == n - 1) (Some((sum + x) / n), sum + x)
+              else (Some((avg.get * (n - 1) + x) / n), sum)
+          }.drop(1).map(_._1)
+        val (ag, al) = (wilder(gains), wilder(losses))
+        val rsis = Option.empty[Float] +: ag.zip(al).map {
+          case (Some(g), Some(l)) if g + l != 0 =>
+            Some((100.0 * g / (g + l)).toFloat)
+          case _ => Option.empty[Float]
+        }
+        rs.sortBy(_._2).map(_._2).zip(rsis).map { case (ord, r) =>
+          (k, ord) -> r.map(_.asInstanceOf[Any]).orNull
+        }
+      }
+      val got = Indicators.rsiWilder(rows.toDF("key", "ord", "price"),
+          "key", Seq("ord"), "price", n = n)
+        .select("key", "ord", "rsi_wilder").rows
+        .map(r => (r(0), r(1)) -> r(2)).toMap
+      withClue(s"seed=$seed: ") { got shouldBe expected.toMap }
+    }
+  }
+
+  test("emaRecursive matches the naive recursion; flat series stays put") {
+    val rnd = new scala.util.Random(7)
+    val vals = (0 until 40).map(_ => (rnd.nextInt(100000) + 1) / 100.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("key", "ord", "price")
+    val cents = vals.map(v => math.round(v * 100).toDouble)
+    val expected = cents.tail.scanLeft(cents.head) {
+      (e, x) => 0.125 * x + 0.875 * e
+    }.map(_.toFloat)
+    Indicators.emaRecursive(df, "key", Seq("ord"), "price", alpha = 0.125)
+      .orderBy("ord").select("ema_rec_cents").rows.map(_.head) shouldBe expected
+    // constant series: the recursion is a fixed point
+    Indicators.emaRecursive(series(2.0, 2.0, 2.0), "key", Seq("ord"), "price")
+      .select("ema_rec_cents").rows.map(_.head).toSet shouldBe Set(200.0f)
+  }
 }
