@@ -72,12 +72,22 @@ object Bench {
     //     medians re-chunked into short self-describing lines, then the
     //     compact total LAST — so the end of stdout always carries every
     //     median plus one complete summary line.
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
-        (fullLine + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_local.json write failed: ${e.getMessage}")
-    }
+    // Path is env-overridable and resolved to an ABSOLUTE path; the
+    // outcome (path + ok/error) is reported as a stdout JSON line near
+    // the END of output so a bounded tail capture always shows WHERE the
+    // file landed — a bench launched from a different cwd must not leave
+    // a committed artifact silently stale.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json"))
+      .toAbsolutePath
+    val writeStatus =
+      try {
+        java.nio.file.Files.write(outPath, (fullLine + "\n").getBytes("UTF-8"))
+        s"""{"metric":"bench_file","path":"$outPath","ok":true}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $outPath write failed: ${e.getMessage}")
+        s"""{"metric":"bench_file","path":"$outPath","ok":false}"""
+      }
     println(fullLine)
     val chunks = results.toSeq.grouped(20).toSeq
     chunks.zipWithIndex.foreach { case (chunk, i) =>
@@ -86,6 +96,7 @@ object Bench {
       }.mkString("{", ",", "}")
       println(s"""{"metric":"med_min_max","part":${i + 1},"of":${chunks.size},"queries":$part}""")
     }
+    println(writeStatus)
     println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n":$nOk,"sf":"$sfDir"}""")
     spark.stop()
   }

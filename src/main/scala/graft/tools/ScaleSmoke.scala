@@ -27,9 +27,15 @@ import graft.{GraftSession, SparkEntry}
   * This synthetic lake feeds ONLY this timing smoke — correctness
   * stays exclusively on the driver's testdata + DuckDB oracle.
   *
-  * Usage: runMain graft.tools.ScaleSmoke [srcDir] [outJson]
-  * Prints one JSON line per query: median-of-3 seconds at sf1 next to
-  * the same measurement at sf0.1, and the resulting scale factor.
+  * Usage: runMain graft.tools.ScaleSmoke [srcDir] [dstDir] [copies] [onlyCsv]
+  *  - srcDir:  source lake (default /root/testdata/sf0.1)
+  *  - dstDir:  where the synthetic lake lives (default /tmp/graft_sf1)
+  *  - copies:  replication factor (default 10; 30 ≈ sf3 — the second
+  *             scale decade)
+  *  - onlyCsv: comma list restricting the run to those queries
+  * Prints one JSON line per query: median-of-3 seconds at the
+  * synthetic scale next to the same measurement at sf0.1, and the
+  * resulting scale factor.
   */
 object ScaleSmoke {
 
@@ -102,12 +108,24 @@ object ScaleSmoke {
     val spark = GraftSession.local("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     // completion marker, not a table probe: a run killed mid-synthesize
-    // must re-synthesize, not resume against a half-built lake
+    // must re-synthesize, not resume against a half-built lake. The
+    // marker RECORDS the copies it was built with — a dst synthesized at
+    // one scale must not be silently reused for a run labeled another
+    // (the timings would be ×old-scale data under a ×new-scale label).
     val marker = new java.io.File(s"$dst/_SMOKE_COMPLETE")
-    if (!marker.exists()) {
+    val markerCopies =
+      if (marker.exists())
+        scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+          marker.toPath), "UTF-8").trim.toInt).toOption
+      else None
+    if (!markerCopies.contains(copies)) {
+      markerCopies.foreach(c => println(
+        s"[smoke] $dst was built with copies=$c, need $copies — re-synthesizing"))
+      if (marker.exists()) marker.delete()
       println(s"[smoke] synthesizing $dst from $src x$copies")
       synthesize(spark, src, dst, copies)
-      marker.createNewFile()
+      java.nio.file.Files.write(marker.toPath,
+        s"$copies\n".getBytes("UTF-8"))
       ()
     }
     def median3(fn: () => Long): Double = {
@@ -117,7 +135,15 @@ object ScaleSmoke {
       ts.sorted.apply(1)
     }
     def r2(v: Double) = math.round(v * 100).toDouble / 100
-    val sel = only.fold(heavy)(o => heavy.filter(o))
+    // `only` selects from the FULL query inventory (not just `heavy`),
+    // and unknown names fail loudly — a scale-evidence run that silently
+    // measured nothing must be impossible
+    val sel = only.fold(heavy) { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"ScaleSmoke: unknown queries ${unknown.toSeq.sorted.mkString(",")}")
+      o.toSeq.sorted
+    }
     val rows = sel.map { name =>
       val fn = SparkEntry.queries(name)
       val t01 = median3(() => fn(spark, src).count())

@@ -109,6 +109,25 @@ class AsOfSkewSpec extends SparkSpec {
       spark.sparkContext.defaultParallelism
   }
 
+  test("spread: an explicit hint beats the file count on a file-backed scan") {
+    val target = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files.createTempDirectory("graft_spread_h").toString
+    (1 to 50).map(i => (i, i * 2)).toDF("a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val one = spark.read.parquet(dir)
+    one.inputFiles.length shouldBe 1
+    // hint says parallel → no exchange, even though files==1 says narrow
+    Skew.spread(one, knownParallelism = Some(target))
+      .queryExecution.analyzed shouldBe one.queryExecution.analyzed
+    // and the inverse: many files, hint says narrow → forced rebalance
+    (1 to 50).map(i => (i, i * 2)).toDF("a", "b")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val many = spark.read.parquet(dir)
+    assert(many.inputFiles.length > 1)
+    Skew.spread(many, knownParallelism = Some(1))
+      .rdd.getNumPartitions shouldBe target
+  }
+
   test("bpeTokenCount and rollingHashFingerprint basics") {
     val df = Seq((1L, "Hello, world42!"), (2L, "hello world42"), (3L, "")).toDF("doc_id", "text")
     // "Hello, world42!" → Hello , world 42 !  (5); "hello world42" → hello world 42 (3)
