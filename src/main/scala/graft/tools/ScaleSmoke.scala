@@ -48,7 +48,8 @@ object ScaleSmoke {
     "sim_lsh_buckets", "emb_standardize", "emb_near_dup",
     "scd2_priority", "sessionize_events", "ts_gap_fill",
     "er_fuzzy_pairs", "dedup_clusters_star", "text_bigram_lm",
-    "cusum_drift", "sample_winsorize", "w_ewma", "sim_ivf_append")
+    "cusum_drift", "sample_winsorize", "w_ewma", "sim_ivf_append",
+    "dedup_substring")
 
   def replicate(df: DataFrame, copies: Int, idCols: Seq[String],
                 stride: Long, textCol: Option[String] = None): DataFrame = {
