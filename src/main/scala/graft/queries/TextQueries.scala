@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, QualityModel, Sampling, TextAnalysis}
 
 /** LLM-training-data text pipeline over the `documents` table:
   * dedup (exact / MinHash-LSH / SimHash / Jaccard), token statistics,
@@ -289,7 +289,25 @@ object TextQueries {
         .select(col("frame_hash"), col("n_copies"),
           col("k.doc_id").as("keeper_doc_id"),
           col("k.frame_idx").as("keeper_frame_idx"))
-        .orderBy(col("frame_hash")))
+        .orderBy(col("frame_hash"))),
+
+    // model-based quality gate: fit naive-Bayes log-odds weights on the
+    // deterministic train half (labels = the heuristic quality score at
+    // the 0.5 cut), score the held-out half by broadcast join — the
+    // fastText-style classifier-filter loop entirely in-engine
+    "text_quality_nb" -> ((s, dir) => {
+      val labeled = Sampling.hashSplit(
+          TextAnalysis.qualityScore(Tables.documents(s, dir)),
+          id = "doc_id", trainPct = 50, valPct = 0)
+        .withColumn("__pos",
+          coalesce(col("quality_score").cast("float") >= lit(0.5f), lit(false)))
+      val weights = QualityModel.logOddsWeights(
+        labeled.filter(col("split") === "train"), labelCol = "__pos", minDf = 3)
+      QualityModel.score(labeled.filter(col("split") =!= "train"), weights)
+        .select(col("doc_id"), col("n_tok"),
+          col("nb_llr").cast("double").as("nb_llr"), col("pred"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   private def langList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
@@ -753,6 +771,45 @@ object TextQueries {
         |   ([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320])
         |     [CAST(doc_id % 14 + 1 AS INTEGER)] AS BIGINT) AS duration_ms,
         | 'mp3' AS format
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // full replay of the naive-Bayes gate: heuristic label at the REAL
+    // 0.5 cut, md5 hash split, df-capped vocab, each ln quantized to
+    // DECIMAL(20,12) before the exact pos−neg subtraction and per-
+    // occurrence document sum (the unigram-LM exactness recipe)
+    "text_quality_nb" ->
+      s"""WITH base AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS rawtoks FROM documents),
+         | lab AS (SELECT doc_id, rawtoks,
+         |     CAST(0.4 * least(CAST(1 AS DOUBLE), CAST(len(rawtoks) AS DOUBLE) / CAST(100 AS DOUBLE))
+         |       + 0.3 * (CAST(len(list_filter(rawtoks, x -> x IN (${QuerySql.stopListEn}))) AS DOUBLE) / nullif(len(rawtoks), 0))
+         |       + 0.3 * (CAST(len(list_distinct(rawtoks)) AS DOUBLE) / nullif(len(rawtoks), 0)) AS REAL) AS q
+         |   FROM base),
+         | sp AS (SELECT doc_id, rawtoks,
+         |     coalesce(q >= CAST(0.5 AS REAL), false) AS pos,
+         |     (CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 50) AS is_train
+         |   FROM lab),
+         | tt AS (SELECT doc_id, pos, token
+         |   FROM (SELECT doc_id, pos, unnest(rawtoks) AS token FROM sp WHERE is_train)
+         |   WHERE length(token) > 0),
+         | dt AS (SELECT doc_id, pos, token, count(*) AS tf FROM tt GROUP BY 1, 2, 3),
+         | vocab AS (SELECT token, count(*) AS n_docs,
+         |     sum(CASE WHEN pos THEN tf ELSE 0 END) AS tfp,
+         |     sum(CASE WHEN NOT pos THEN tf ELSE 0 END) AS tfn
+         |   FROM dt GROUP BY 1 HAVING count(*) >= 3),
+         | scal AS (SELECT count(*) AS v, sum(tfp) AS npos, sum(tfn) AS nneg FROM vocab),
+         | w AS (SELECT token,
+         |     CAST(ln(CAST(tfp + 1 AS DOUBLE) / CAST(npos + v AS DOUBLE)) AS DECIMAL(20,12))
+         |   - CAST(ln(CAST(tfn + 1 AS DOUBLE) / CAST(nneg + v AS DOUBLE)) AS DECIMAL(20,12)) AS wq
+         |   FROM vocab CROSS JOIN scal),
+         | st AS (SELECT doc_id, token
+         |   FROM (SELECT doc_id, unnest(rawtoks) AS token FROM sp WHERE NOT is_train)
+         |   WHERE length(token) > 0),
+         | sc AS (SELECT st.doc_id, count(*) AS n_tok, sum(w.wq) AS s
+         |   FROM st LEFT JOIN w USING (token) GROUP BY 1)
+         |SELECT sp.doc_id, CAST(coalesce(sc.n_tok, 0) AS BIGINT) AS n_tok,
+         |  CAST(coalesce(sc.s, 0) AS DOUBLE) AS nb_llr,
+         |  CAST(CASE WHEN coalesce(sc.s, 0) > 0 THEN 1 ELSE 0 END AS INT) AS pred
+         |FROM sp LEFT JOIN sc USING (doc_id) WHERE NOT sp.is_train
+         |ORDER BY sp.doc_id""".stripMargin
   )
 }
