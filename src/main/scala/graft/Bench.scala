@@ -80,13 +80,18 @@ object Bench {
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json"))
       .toAbsolutePath
+    // the env-supplied path goes inside a JSON string — escape it, or a
+    // quote/backslash in the path corrupts the very line meant to make a
+    // mis-landed artifact visible
+    val pathJson = outPath.toString
+      .replace("\\", "\\\\").replace("\"", "\\\"")
     val writeStatus =
       try {
         java.nio.file.Files.write(outPath, (fullLine + "\n").getBytes("UTF-8"))
-        s"""{"metric":"bench_file","path":"$outPath","ok":true}"""
+        s"""{"metric":"bench_file","path":"$pathJson","ok":true}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $outPath write failed: ${e.getMessage}")
-        s"""{"metric":"bench_file","path":"$outPath","ok":false}"""
+        s"""{"metric":"bench_file","path":"$pathJson","ok":false}"""
       }
     println(fullLine)
     val chunks = results.toSeq.grouped(20).toSeq

@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
   */
 object QualityModel {
 
-  private val d12 = (c: Column) => c.cast("decimal(20,12)")
+  import TextAnalysis.d12
 
   /** Per-token add-one-smoothed log-odds weights from labeled documents:
     *
@@ -47,10 +47,22 @@ object QualityModel {
     * computed over the SAME capped space, keeping each class factor a
     * proper smoothed distribution).
     *
-    * `labelCol` must be a boolean column (true = positive/keep class).
-    * Returns (token, n_docs, tf_pos, tf_neg, w) with `w` an exact
+    * `labelCol` must be a NON-NULL boolean column (true = positive/keep
+    * class) — a null label would silently form a third class (counted in
+    * df and V, in neither total), so it fails the job loudly instead;
+    * callers with nullable labels decide the mapping themselves
+    * (`coalesce(label, false)`), as the shipped query does. Returns
+    * (token, n_docs, tf_pos, tf_neg, w) with `w` an exact
     * DECIMAL(21,12); the result is bounded by vocabulary size and meant
     * to be broadcast by [[score]].
+    *
+    * NOTE the fitting aggregations run EAGERLY at call time
+    * (localCheckpoint, like [[Vocab.unigramLogProb]]): the weight table
+    * feeds both the scalar pass and the scoring join, and without the
+    * cut the explode→agg chain would execute twice. Consequence for
+    * plan auditing: a downstream plan (e.g. `text_quality_nb`'s budget
+    * row) shows the scoring stage only — the fit stage's two exchanges
+    * live in jobs already run at construction.
     */
   def logOddsWeights(docs: DataFrame, labelCol: String,
                      id: String = "doc_id", text: String = "text",
@@ -58,6 +70,11 @@ object QualityModel {
     // per-(doc, token) tf first: one row per containing doc makes df a
     // plain count(*) in the token-level pass (no count-distinct)
     val docTf = docs
+      // assert_true returns null on success, throws otherwise; the
+      // isNull predicate keeps every valid row AND forces evaluation
+      // (the Cdc.apply guard pattern)
+      .where(assert_true(col(labelCol).isNotNull,
+        lit(s"logOddsWeights: null label in $labelCol — coalesce it first")).isNull)
       .select(col(id), col(labelCol).as("__pos"),
         explode(TextAnalysis.tokens(col(text))).as("token"))
       .filter(length(col("token")) > 0)

@@ -15,6 +15,15 @@ object TextAnalysis {
   /** Whitespace tokens, lowercased. */
   def tokens(text: Column): Column = split(lower(trim(text)), " ")
 
+  /** THE cross-engine ln-quantization width: every ln in the corpus-LM /
+    * log-odds family is computed on exact-integer ratios (deterministic
+    * IEEE double) and immediately cast to DECIMAL(20,12) — 2 integer
+    * digits cover |ln p| < 100, and (20,12) × (17,0) products stay under
+    * Spark's 38-digit cap WITHOUT silent scale reduction. One shared
+    * definition: the DuckDB oracles hardcode DECIMAL(20,12), so a width
+    * change must happen here and in every oracle together. */
+  private[ops] def d12(c: Column): Column = c.cast("decimal(20,12)")
+
   /** Small multilingual stopword tables for the heuristics below. */
   val stopwordsEn: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "it", "as", "for")
   val stopwordsFr: Seq[String] = Seq("le", "la", "et", "les", "des", "un", "une", "du", "que", "est")

@@ -89,7 +89,7 @@ object Vocab {
     // decimal(38,12) stays under Spark's 38-digit cap WITHOUT the silent
     // scale-reduction a (30,12) × bigint product triggers (which would
     // round to 6 places and break bit-equality with the oracle)
-    val d12 = (c: org.apache.spark.sql.Column) => c.cast("decimal(20,12)")
+    import TextAnalysis.d12
     val tf = tokenRows(df, id, text)
       .groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
       .localCheckpoint()
@@ -187,7 +187,7 @@ object Vocab {
     * out, exactly as empty docs drop from the unigram scorer. */
   def bigramLogProb(df: DataFrame, id: String = "doc_id",
                     text: String = "text"): DataFrame = {
-    val d12 = (c: org.apache.spark.sql.Column) => c.cast("decimal(20,12)")
+    import TextAnalysis.d12
     // pair ADJACENT real tokens: empties from repeated separators are
     // dropped BEFORE pairing, so "a  b" still yields the bigram (a, b)
     val clean = filter(TextAnalysis.tokens(col(text)), t => length(t) > 0)

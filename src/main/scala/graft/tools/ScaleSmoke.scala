@@ -59,7 +59,7 @@ object ScaleSmoke {
     // pathology, not scaling) — one tiny agg job per table, build-time
     val maxes = idCols.map(c => max(col(c)))
     val mx = df.agg(
-      if (maxes.size == 1) maxes.head else greatest(maxes: _*)).head.getLong(0)
+      if (maxes.size == 1) maxes.head else greatest(maxes: _*)).head().getLong(0)
     require(mx < stride,
       s"replicate: max(${idCols.mkString(",")}) = $mx >= stride $stride — " +
         "raise the stride for this source scale")
@@ -145,13 +145,27 @@ object ScaleSmoke {
         s"ScaleSmoke: unknown queries ${unknown.toSeq.sorted.mkString(",")}")
       o.toSeq.sorted
     }
-    val rows = sel.map { name =>
+    // NOTE a selected query can still fail mid-run — e.g. one over a
+    // table synthesize() doesn't replicate (lineitem). Pre-flighting is
+    // not free (several queries run eager fit/build jobs at plan
+    // CONSTRUCTION), so instead the partial results survive: see the
+    // catch below, which emits every already-measured query before
+    // rethrowing.
+    val done = scala.collection.mutable.ArrayBuffer.empty[String]
+    def smokeLine =
+      done.mkString(
+        s"""{"metric":"scale_smoke","copies":$copies,"queries":{""", ",", "}}")
+    try sel.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t01 = median3(() => fn(spark, src).count())
       val t1 = median3(() => fn(spark, dst).count())
       val ratio = if (t01 > 0) t1 / t01 else -1
       println(f"[smoke] $name%-24s base ${t01}%6.2fs  x$copies ${t1}%6.2fs  ratio x${ratio}%5.2f")
-      s""""$name":{"sf01":${r2(t01)},"scaled":${r2(t1)},"ratio":${r2(ratio)}}"""
+      done += s""""$name":{"sf01":${r2(t01)},"scaled":${r2(t1)},"ratio":${r2(ratio)}}"""
+    } catch { case e: Throwable =>
+      // the measurements already paid for must not vanish with the crash
+      println(smokeLine)
+      throw e
     }
     // no-silent-caps: when the simhash pair query is under test, report
     // what its maxBucket cap dropped at the synthetic scale — the cap is
@@ -166,8 +180,7 @@ object ScaleSmoke {
       println(s"""{"metric":"simhash_dropped_buckets","copies":$copies,""" +
         s""""n_buckets":${dropped.getLong(0)},"n_rows":${dropped.getLong(1)}}""")
     }
-    println(rows.mkString(
-      s"""{"metric":"scale_smoke","copies":$copies,"queries":{""", ",", "}}"))
+    println(smokeLine)
     spark.stop()
   }
 }
