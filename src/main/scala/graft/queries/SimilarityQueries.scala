@@ -237,6 +237,28 @@ object SimilarityQueries {
         .orderBy(col("query_id"))
     }),
 
+    // the symmetric audit for the PQ path: recall@5 of ADC top-k against
+    // brute-force ground truth, same query set and k — quantization loss
+    // becomes a measured number instead of an assumption
+    "sim_recall_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q8 = emb.filter(col("vec_id") < 8)
+      val bf = Similarity.bruteForceTopK(q8, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", dim,
+        m = 8, k = 16, from = 32)
+      val pq = Similarity.pqTopK(queries = q8, candidates = emb,
+          id = "vec_id", vec = "embedding", codebooks = cb, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = bf.join(pq, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      bf.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).cast("float").as("recall_at_5"))
+        .orderBy(col("query_id"))
+    }),
+
     // near-dup candidates in data-derived LSH buckets (planes = vectors
     // 16..23) — fully oracled end-to-end
     "emb_near_dup" -> ((s, dir) => {
@@ -250,6 +272,42 @@ object SimilarityQueries {
         .orderBy(col("lsh_bucket"), col("rank"), col("id_a"), col("id_b"))
     })
   )
+
+  // PQ replay: codebooks from vectors 32..47 (8 subspaces x 8 dims),
+  // encode by argmax(2*x*c - |c|^2, ties to higher code), reconstruct by
+  // flattening the codewords in subspace order, ADC = one left-to-right
+  // dot over the full 64 dims - bit-identical to the Spark loop. Shared
+  // by sim_pq_topk and the sim_recall_pq composition.
+  private val simPqTopkSql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+      | seed AS (SELECT vec_id - 32 AS code, dv FROM v
+      |          WHERE vec_id >= 32 AND vec_id < 48),
+      | cbn AS (SELECT s, code, list_slice(dv, s*8 + 1, s*8 + 8) AS cw,
+      |     list_dot_product(list_slice(dv, s*8 + 1, s*8 + 8),
+      |                      list_slice(dv, s*8 + 1, s*8 + 8)) AS c2
+      |   FROM seed CROSS JOIN range(0, 8) t(s)),
+      | encs AS (SELECT v.vec_id, c.s, c.code,
+      |     row_number() OVER (PARTITION BY v.vec_id, c.s ORDER BY
+      |       2 * list_dot_product(list_slice(v.dv, c.s*8 + 1, c.s*8 + 8), c.cw)
+      |         - c.c2 DESC,
+      |       c.code DESC) AS rn
+      |   FROM v CROSS JOIN cbn c),
+      | rec AS (SELECT e.vec_id, flatten(list(c.cw ORDER BY e.s)) AS rv
+      |   FROM (SELECT * FROM encs WHERE rn = 1) e
+      |   JOIN cbn c ON c.s = e.s AND c.code = e.code
+      |   GROUP BY e.vec_id),
+      | q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id < 8),
+      | scored AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+      |     list_dot_product(q.qv, r.rv) AS adc
+      |   FROM q CROSS JOIN rec r WHERE q.query_id <> r.vec_id),
+      | rk AS (SELECT query_id, neighbor_id, adc,
+      |     row_number() OVER (PARTITION BY query_id
+      |       ORDER BY adc DESC, neighbor_id) AS rank
+      |   FROM scored)
+      |SELECT query_id, neighbor_id, CAST(adc AS REAL) AS adc_score,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM rk WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
   private val simCosineTopkSql =
     """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -350,6 +408,18 @@ object SimilarityQueries {
          |FROM qs LEFT JOIN h ON qs.query_id = h.query_id
          |ORDER BY qs.query_id""".stripMargin,
 
+    "sim_recall_pq" ->
+      s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($simCosineTopkSql) x),
+         | pq AS (SELECT query_id, neighbor_id FROM ($simPqTopkSql) y),
+         | h AS (SELECT bf.query_id, count(*) AS n
+         |       FROM bf JOIN pq USING (query_id, neighbor_id)
+         |       GROUP BY bf.query_id),
+         | qs AS (SELECT DISTINCT query_id FROM bf)
+         |SELECT qs.query_id,
+         |  CAST(COALESCE(h.n, 0) / 5.0 AS REAL) AS recall_at_5
+         |FROM qs LEFT JOIN h ON qs.query_id = h.query_id
+         |ORDER BY qs.query_id""".stripMargin,
+
     // Mirrors ivfTopK with dataCentroids exactly: the assignment argmax is
     // array_max over (cos, id) structs — highest cosine, ties to the
     // HIGHER centroid id — hence ORDER BY cos DESC, centroid_id DESC;
@@ -387,36 +457,7 @@ object SimilarityQueries {
     // encode by argmax(2·x·c − |c|², ties to higher code), reconstruct by
     // flattening the codewords in subspace order, ADC = one left-to-right
     // dot over the full 64 dims — bit-identical to the Spark loop.
-    "sim_pq_topk" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
-        | seed AS (SELECT vec_id - 32 AS code, dv FROM v
-        |          WHERE vec_id >= 32 AND vec_id < 48),
-        | cbn AS (SELECT s, code, list_slice(dv, s*8 + 1, s*8 + 8) AS cw,
-        |     list_dot_product(list_slice(dv, s*8 + 1, s*8 + 8),
-        |                      list_slice(dv, s*8 + 1, s*8 + 8)) AS c2
-        |   FROM seed CROSS JOIN range(0, 8) t(s)),
-        | encs AS (SELECT v.vec_id, c.s, c.code,
-        |     row_number() OVER (PARTITION BY v.vec_id, c.s ORDER BY
-        |       2 * list_dot_product(list_slice(v.dv, c.s*8 + 1, c.s*8 + 8), c.cw)
-        |         - c.c2 DESC,
-        |       c.code DESC) AS rn
-        |   FROM v CROSS JOIN cbn c),
-        | rec AS (SELECT e.vec_id, flatten(list(c.cw ORDER BY e.s)) AS rv
-        |   FROM (SELECT * FROM encs WHERE rn = 1) e
-        |   JOIN cbn c ON c.s = e.s AND c.code = e.code
-        |   GROUP BY e.vec_id),
-        | q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id < 8),
-        | scored AS (SELECT q.query_id, r.vec_id AS neighbor_id,
-        |     list_dot_product(q.qv, r.rv) AS adc
-        |   FROM q CROSS JOIN rec r WHERE q.query_id <> r.vec_id),
-        | rk AS (SELECT query_id, neighbor_id, adc,
-        |     row_number() OVER (PARTITION BY query_id
-        |       ORDER BY adc DESC, neighbor_id) AS rank
-        |   FROM scored)
-        |SELECT query_id, neighbor_id, CAST(adc AS REAL) AS adc_score,
-        |  CAST(rank AS BIGINT) AS rank
-        |FROM rk WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "sim_pq_topk" -> simPqTopkSql,
 
     // Planes are corpus vectors 16..31; bit i = (v · plane_i) > 0. Both
     // engines accumulate the dot left-to-right in double, so the sign —
