@@ -1,7 +1,12 @@
 package graft
 object Bench {
   def main(args: Array[String]): Unit = {
+    // every env-supplied string that lands inside a JSON literal gets
+    // escaped — a quote/backslash in a path must not corrupt the artifact
+    def jsonStr(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfJson = jsonStr(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = GraftSession.builder("graft-bench",
@@ -61,7 +66,7 @@ object Bench {
     // the per-query map and must not inflate n).
     val nOk = medians.count(_ >= 0)
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfJson"}"""
     // The driver's artifact is a bounded TAIL capture of stdout: anything
     // printed early can be truncated (round 6 lost the per-query medians
     // that way — the full line led, so its head was the first thing cut).
@@ -83,8 +88,7 @@ object Bench {
     // the env-supplied path goes inside a JSON string — escape it, or a
     // quote/backslash in the path corrupts the very line meant to make a
     // mis-landed artifact visible
-    val pathJson = outPath.toString
-      .replace("\\", "\\\\").replace("\"", "\\\"")
+    val pathJson = jsonStr(outPath.toString)
     val writeStatus =
       try {
         java.nio.file.Files.write(outPath, (fullLine + "\n").getBytes("UTF-8"))
@@ -102,7 +106,7 @@ object Bench {
       println(s"""{"metric":"med_min_max","part":${i + 1},"of":${chunks.size},"queries":$part}""")
     }
     println(writeStatus)
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n":$nOk,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n":$nOk,"sf":"$sfJson"}""")
     spark.stop()
   }
 }

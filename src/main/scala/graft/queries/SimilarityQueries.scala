@@ -228,13 +228,7 @@ object SimilarityQueries {
           dim = dim, k = 5, nCentroids = 16, nprobe = 4,
           centroids = Some(cents))
         .select(col("query_id"), col("neighbor_id"))
-      val hits = bf.join(ivf, Seq("query_id", "neighbor_id"))
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-      bf.select(col("query_id")).distinct()
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).cast("float").as("recall_at_5"))
-        .orderBy(col("query_id"))
+      recallAt5(bf, ivf)
     }),
 
     // the symmetric audit for the PQ path: recall@5 of ADC top-k against
@@ -250,13 +244,7 @@ object SimilarityQueries {
       val pq = Similarity.pqTopK(queries = q8, candidates = emb,
           id = "vec_id", vec = "embedding", codebooks = cb, k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val hits = bf.join(pq, Seq("query_id", "neighbor_id"))
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-      bf.select(col("query_id")).distinct()
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).cast("float").as("recall_at_5"))
-        .orderBy(col("query_id"))
+      recallAt5(bf, pq)
     }),
 
     // near-dup candidates in data-derived LSH buckets (planes = vectors
@@ -272,6 +260,34 @@ object SimilarityQueries {
         .orderBy(col("lsh_bucket"), col("rank"), col("id_a"), col("id_b"))
     })
   )
+
+  /** Shared recall@5 evaluation join: fraction of brute-force ground
+    * truth (query_id, neighbor_id) pairs an approximate leg recovered,
+    * per query — ONE definition so every recall audit (IVF, PQ) scores
+    * identically, mirrored by [[recallOracleSql]]. */
+  private def recallAt5(bf: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = bf.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    bf.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).cast("float").as("recall_at_5"))
+      .orderBy(col("query_id"))
+  }
+
+  /** SQL twin of [[recallAt5]]: composes the exact and approximate
+    * replays (each an already-verified oracle) as CTEs. */
+  private def recallOracleSql(approxSql: String): String =
+    s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($simCosineTopkSql) x),
+       | ap AS (SELECT query_id, neighbor_id FROM ($approxSql) y),
+       | h AS (SELECT bf.query_id, count(*) AS n
+       |       FROM bf JOIN ap USING (query_id, neighbor_id)
+       |       GROUP BY bf.query_id),
+       | qs AS (SELECT DISTINCT query_id FROM bf)
+       |SELECT qs.query_id,
+       |  CAST(COALESCE(h.n, 0) / 5.0 AS REAL) AS recall_at_5
+       |FROM qs LEFT JOIN h ON qs.query_id = h.query_id
+       |ORDER BY qs.query_id""".stripMargin
 
   // PQ replay: codebooks from vectors 32..47 (8 subspaces x 8 dims),
   // encode by argmax(2*x*c - |c|^2, ties to higher code), reconstruct by
@@ -396,29 +412,9 @@ object SimilarityQueries {
 
     // Recall evaluation composed from the two verified queries above and
     // below (each embedded as a WITH-bearing subquery).
-    "sim_recall_ivf" ->
-      s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($simCosineTopkSql) x),
-         | iv AS (SELECT query_id, neighbor_id FROM ($simIvfDataTopkSql) y),
-         | h AS (SELECT bf.query_id, count(*) AS n
-         |       FROM bf JOIN iv USING (query_id, neighbor_id)
-         |       GROUP BY bf.query_id),
-         | qs AS (SELECT DISTINCT query_id FROM bf)
-         |SELECT qs.query_id,
-         |  CAST(COALESCE(h.n, 0) / 5.0 AS REAL) AS recall_at_5
-         |FROM qs LEFT JOIN h ON qs.query_id = h.query_id
-         |ORDER BY qs.query_id""".stripMargin,
+    "sim_recall_ivf" -> recallOracleSql(simIvfDataTopkSql),
 
-    "sim_recall_pq" ->
-      s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($simCosineTopkSql) x),
-         | pq AS (SELECT query_id, neighbor_id FROM ($simPqTopkSql) y),
-         | h AS (SELECT bf.query_id, count(*) AS n
-         |       FROM bf JOIN pq USING (query_id, neighbor_id)
-         |       GROUP BY bf.query_id),
-         | qs AS (SELECT DISTINCT query_id FROM bf)
-         |SELECT qs.query_id,
-         |  CAST(COALESCE(h.n, 0) / 5.0 AS REAL) AS recall_at_5
-         |FROM qs LEFT JOIN h ON qs.query_id = h.query_id
-         |ORDER BY qs.query_id""".stripMargin,
+    "sim_recall_pq" -> recallOracleSql(simPqTopkSql),
 
     // Mirrors ivfTopK with dataCentroids exactly: the assignment argmax is
     // array_max over (cos, id) structs — highest cosine, ties to the

@@ -152,9 +152,10 @@ object ScaleSmoke {
     // catch below, which emits every already-measured query before
     // rethrowing.
     val done = scala.collection.mutable.ArrayBuffer.empty[String]
-    def smokeLine =
+    def smokeLine(partial: Boolean) =
       done.mkString(
-        s"""{"metric":"scale_smoke","copies":$copies,"queries":{""", ",", "}}")
+        s"""{"metric":"scale_smoke","copies":$copies,"partial":$partial,"queries":{""",
+        ",", "}}")
     try sel.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t01 = median3(() => fn(spark, src).count())
@@ -163,8 +164,9 @@ object ScaleSmoke {
       println(f"[smoke] $name%-24s base ${t01}%6.2fs  x$copies ${t1}%6.2fs  ratio x${ratio}%5.2f")
       done += s""""$name":{"sf01":${r2(t01)},"scaled":${r2(t1)},"ratio":${r2(ratio)}}"""
     } catch { case e: Throwable =>
-      // the measurements already paid for must not vanish with the crash
-      println(smokeLine)
+      // the measurements already paid for must not vanish with the
+      // crash — but a partial line must never read as complete evidence
+      println(smokeLine(partial = true))
       throw e
     }
     // no-silent-caps: when the simhash pair query is under test, report
@@ -180,7 +182,7 @@ object ScaleSmoke {
       println(s"""{"metric":"simhash_dropped_buckets","copies":$copies,""" +
         s""""n_buckets":${dropped.getLong(0)},"n_rows":${dropped.getLong(1)}}""")
     }
-    println(smokeLine)
+    println(smokeLine(partial = false))
     spark.stop()
   }
 }

@@ -71,6 +71,21 @@ class QualityModelSpec extends SparkSpec {
     got(3) shouldBe ((13L, 0L, BigDecimal(0), 0))
   }
 
+  test("logOddsWeights fails loudly on a null label") {
+    val withNull = Seq(
+      (1L, "good clean prose", Some(true)),
+      (2L, "spam spam spam", Some(false)),
+      (3L, "mystery unlabeled words", None)
+    ).toDF("doc_id", "text", "lbl")
+    val e = intercept[Exception] {
+      QualityModel.logOddsWeights(withNull, labelCol = "lbl", minDf = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("null label") ||
+      Option(e.getCause).exists(_.getMessage.contains("null label")),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   test("end-to-end with heuristic labels: natural text outscores spam") {
     // labels from the same heuristic the query uses; train docs repeat
     // tokens so minDf=2 keeps them
