@@ -71,6 +71,27 @@ class QualityModelSpec extends SparkSpec {
     got(3) shouldBe ((13L, 0L, BigDecimal(0), 0))
   }
 
+  test("weights and scores are invariant to input partitioning") {
+    // the scaladoc claims bit-reproducibility across partitionings — the
+    // decimal quantize-then-sum recipe makes reduction order irrelevant;
+    // prove it by re-running the whole fit+score on a repartitioned input
+    val wA = QualityModel.logOddsWeights(labeled, labelCol = "lbl", minDf = 2)
+    val wB = QualityModel.logOddsWeights(labeled.repartition(7),
+      labelCol = "lbl", minDf = 2)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("token", "w").collect()
+        .map(r => r.getString(0) -> BigDecimal(r.getDecimal(1))).toMap
+    key(wA) shouldBe key(wB)
+    val docs = Seq((10L, "good clean words"), (11L, "spam buy now spam"))
+      .toDF("doc_id", "text")
+    val sA = QualityModel.score(docs, wA).select("doc_id", "nb_llr").collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    val sB = QualityModel.score(docs.repartition(5), wB)
+      .select("doc_id", "nb_llr").collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    sA shouldBe sB
+  }
+
   test("logOddsWeights fails loudly on a null label") {
     val withNull = Seq(
       (1L, "good clean prose", Some(true)),
