@@ -659,7 +659,12 @@ object Dedup {
     require(minSpanTokens >= n,
       s"minSpanTokens ($minSpanTokens) must be >= n ($n) — shorter " +
         "spans cannot exist (every span contains a whole n-gram)")
-    val grams = positionedGrams(spread(df), id, text, n)
+    // materialize the positioned grams ONCE (localCheckpoint, the
+    // unigramLogProb pattern): they feed BOTH the frequency aggregation
+    // and the hits join, and without the cut the corpus-wide
+    // scan+tokenize+explode — the heaviest map stage here — executes
+    // twice per call
+    val grams = positionedGrams(spread(df), id, text, n).localCheckpoint()
     // the inverted-index pass: grams that recur across documents. The
     // frequent set is data-dependent and unbounded, so it meets the
     // occurrence list in a shuffle equi-join (AQE broadcasts it when it

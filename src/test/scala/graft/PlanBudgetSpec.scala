@@ -26,8 +26,12 @@ import scala.jdk.CollectionConverters._
   * Structured Streaming job whose returned frame is just a batch read
   * of the sink — the interesting plan lives inside the streaming
   * engine, and the boot cost (~1-2 s each) belongs in the bench, not in
-  * every test run. Plans are audited on the test session (AQE off), so
-  * the counts are the deterministic pre-adaptive shapes.
+  * every test run. Spark 4 defaults AQE ON and the test session leaves
+  * it on, so the two budget files differ by UNEXECUTED vs EXECUTED, not
+  * by the adaptive flag: plan_budgets.tsv counts the initial
+  * (pre-reoptimization) adaptive plan as built, plan_budgets_aqe.tsv
+  * counts the FINAL plan after execution lets AQE re-plan (broadcast
+  * promotions, coalesced exchanges) — the production-posture shapes.
   */
 class PlanBudgetSpec extends SparkSpec {
 
