@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** Batch change-data-capture apply: fold a changelog of keyed
   * upsert/delete operations onto a base snapshot, producing the next
   * snapshot — the generalization of the reference's idempotent
-  * delete-then-append load (scripts/load.py:47-58) from "replace the
+  * delete-then-append load (scripts/load_stock_metrics.py:56-61) from "replace the
   * partition" to row-level ops with ordering.
   *
   * Semantics: for each key, only the LAST change (by `seqCol`,

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * loop without leaving the engine.
   *
   * Reference anchor: the quality gating this generalizes is the
-  * reference's null/validity gate (scripts/transform_enrich.py:21-37);
+  * reference's schema/null DQ gate (scripts/transform.py:81-111);
   * the model-based form is the LLM-pipeline extension (SURVEY §2.13).
   *
   * Scale shape (the 100 TB argument):

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * shape for "what was this customer's segment ON that date" queries,
   * and the batch complement of the upsert path in `ops/Merge`
   * (reference: the delete-then-append idempotent load,
-  * scripts/load.py:47-58, keeps only the LATEST value; SCD-2 keeps the
+  * scripts/load_stock_metrics.py:56-61, keeps only the LATEST value; SCD-2 keeps the
   * full lineage).
   *
   * Plan shape: ONE hash exchange on the key feeds everything. The three

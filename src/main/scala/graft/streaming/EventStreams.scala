@@ -276,7 +276,7 @@ object EventStreams {
     * store; each micro-batch plans a fresh join against the dimension
     * (so a dim refresh between triggers is picked up automatically,
     * the Spark answer to the reference's per-run dim reload,
-    * scripts/load.py:21-29). The broadcast hint keeps the stream side
+    * scripts/load_sp500.py:43-51). The broadcast hint keeps the stream side
     * shuffle-free; at 100 TB of stream and a genuinely large dim,
     * drop the hint and let AQE choose. */
   def enrichWithDim(stream: DataFrame, dim: DataFrame,
