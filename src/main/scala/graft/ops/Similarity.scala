@@ -324,6 +324,18 @@ object Similarity {
     df.withColumn(out, graft.functions.GraftFunctions.pqEncode(col(vec),
       typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)))
 
+  /** Codeword reconstruction of a PQ code column: concatenates the
+    * code's codewords in subspace order, rebuilding a dim-length
+    * array<double> — so a downstream dot runs left-to-right over the
+    * full dim, the order an oracle can replay exactly. Codebooks are
+    * plan literals; pure codegen'd map expression. */
+  private[ops] def pqReconstruct(code: Column,
+                                 codebooks: Array[Array[Array[Double]]]): Column = {
+    val litCB = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    concat(codebooks.indices.map(s =>
+      element_at(element_at(litCB, s + 1), element_at(code, s + 1) + 1)): _*)
+  }
+
   /** PQ approximate top-k via asymmetric distance computation: score =
     * q · reconstruct(code), where reconstruct concatenates the code's
     * codewords (so the dot runs left-to-right over the full dim — the
@@ -333,18 +345,60 @@ object Similarity {
     * PQ indexes, minus the training loop (codebooks are data-derived). */
   def pqTopK(queries: DataFrame, candidates: DataFrame, id: String, vec: String,
              codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
-    val m = codebooks.length
-    val litCB = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-    val recon = concat((0 until m).map(s =>
-      element_at(element_at(litCB, s + 1),
-        element_at(col("pq_code"), s + 1) + 1)): _*)
     // reconstruct BEFORE the join: per candidate once, not per
     // (query, candidate) pair — with Q queries the post-join form would
     // rebuild the dim-length array Q× per candidate for identical results
     val enc = pqEncode(candidates, vec, codebooks)
-      .select(col(id).as("neighbor_id"), recon.as("recon"))
+      .select(col(id).as("neighbor_id"),
+        pqReconstruct(col("pq_code"), codebooks).as("recon"))
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
     val scored = enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("recon")))
+    topKPerQuery(scored, k)
+  }
+
+  /** Composed IVF-PQ top-k — the standard production ANN layout: PQ
+    * codes stored INSIDE the IVF postings, probed with asymmetric
+    * distance computation over only the `nprobe` lists nearest each
+    * query. One map pass builds the index (centroid argmax + subspace
+    * encode over the same scan); a probe then touches ~nprobe/k of the
+    * corpus AND reads it as m-byte codes instead of dim floats —
+    * multiplying IVF's candidate pruning by PQ's ~32× memory
+    * compression, the combination every billion-scale ANN service ships
+    * (recall dials: nprobe, codebook size). Semantics = [[ivfAssignWith]]
+    * ∘ [[pqEncode]] ∘ ADC scoring, all data-derived and oracle-replayable
+    * when `cents`/`codebooks` come from [[dataCentroids]]/[[pqCodebooks]]. */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, id: String,
+                vec: String, cents: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]],
+                nprobe: Int, k: Int): DataFrame = {
+    val postings = pqEncode(ivfAssignWith(candidates, vec, cents), vec, codebooks)
+      .select(col(id).as("neighbor_id"), col("pq_code"), col("centroid_id"))
+    ivfPqProbe(postings, queries, id, vec, cents, codebooks, nprobe, k)
+  }
+
+  /** Probe a PQ-coded postings frame (neighbor_id, pq_code,
+    * centroid_id) — the path a PERSISTED IVF-PQ index takes: postings
+    * come off the lake as codes (see [[IvfIndex.savePq]]), assignment
+    * and encoding are NOT recomputed. The probe side (queries × nprobe
+    * list ids) is broadcast so the postings never hash-shuffle on
+    * centroid_id (nCentroids distinct values would pin the corpus onto
+    * ≤nCentroids reducers); reconstruction happens per POSTING once,
+    * before the join, never per (query, posting) pair. */
+  def ivfPqProbe(postings: DataFrame, queries: DataFrame, id: String,
+                 vec: String, cents: Array[Array[Double]],
+                 codebooks: Array[Array[Array[Double]]],
+                 nprobe: Int, k: Int): DataFrame = {
+    val enc = postings.select(col("centroid_id"), col("neighbor_id"),
+      pqReconstruct(col("pq_code"), codebooks).as("recon"))
+    val probeList = sort_array(centroidScores(col(vec), cents), asc = false)
+    val probed = queries
+      .select(col(id).as("query_id"), col(vec).as("qv"),
+        slice(probeList, 1, nprobe).as("probes"))
+      .select(col("query_id"), col("qv"),
+        explode(col("probes").getField("id")).as("centroid_id"))
+    val scored = enc.join(broadcast(probed), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("qv"), col("recon")))
     topKPerQuery(scored, k)
   }
