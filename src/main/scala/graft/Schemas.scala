@@ -47,9 +47,10 @@ object Schemas {
     StructField("latest_date", TimestampType)
   ))
 
-  /** Driver events table; `ts` arrives as parquet INT64(TIMESTAMP_NANOS),
-    * which Spark reads as LongType under
-    * spark.sql.legacy.parquet.nanosAsLong=true. */
+  /** Driver events table in the engine's NORMALIZED form: `ts` is
+    * nanos-since-epoch LongType regardless of the on-disk flavor
+    * (INT64 TIMESTAMP_NANOS or microsecond timestamp — see
+    * [[graft.Tables.normalizeEventTs]]). */
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),

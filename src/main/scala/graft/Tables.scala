@@ -23,13 +23,32 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 
-  /** `events.ts` is nanosecond-precision parquet, which Spark exposes as
-    * LongType (nanos since epoch) under
-    * `spark.sql.legacy.parquet.nanosAsLong=true`. We keep the raw nanos for
-    * exact ordering (ties at microsecond granularity cannot flip order vs
-    * the nanosecond-native oracle) and derive a microsecond TimestampType
-    * column `ts_utc` for calendar functions. */
+  /** The engine-wide events contract: `ts` = nanos-since-epoch LongType
+    * (exact ordering and arithmetic; DuckDB oracles read the same value
+    * via `epoch_ns(ts)`), plus a derived TimestampType `ts_utc` for
+    * calendar functions.
+    *
+    * The driver's parquet has shipped `ts` two ways — INT64
+    * (TIMESTAMP_NANOS), which Spark exposes as LongType nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, and plain microsecond
+    * timestamp (TIMESTAMP_NTZ to Spark). [[normalizeEventTs]] folds both
+    * to the contract at the read boundary, so every downstream query and
+    * oracle is schema-generation-proof. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "events")
+    normalizeEventTs(apply(spark, dir, "events"))
       .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+
+  /** Fold either on-disk representation of `events.ts` to nanos-Long
+    * (see [[events]]). The NTZ→instant interpretation is pinned by the
+    * session's UTC time zone ([[GraftSession]]); DuckDB reads the same
+    * naive microseconds as UTC, so both engines see identical nanos. A
+    * LongType `ts` (old fixtures, test-built frames) passes through
+    * untouched. Works on batch and streaming frames alike — it is a
+    * plain projection. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    }
 }

@@ -58,12 +58,71 @@ object IvfIndex {
       .parquet(s"$path/postings.parquet")
   }
 
+  /** Build and persist the COMPOSED IVF-PQ index — the production ANN
+    * layout where PQ codes live INSIDE the IVF postings: probes touch
+    * only `nprobe` lists (IVF's candidate pruning) AND read each
+    * surviving posting as m small ints instead of dim floats (PQ's ~32×
+    * compression). One corpus pass builds both structures (centroid
+    * argmax + subspace encode over the same scan).
+    *
+    * Layout adds to [[save]]'s:
+    *  - `codebooks.parquet`   — (s, code, cw array<double>), m·codeK
+    *    rows: subspace s's codeword for each code id;
+    *  - `pq_postings.parquet` — (neighbor_id, pq_code array<int>),
+    *    PARTITIONED BY centroid_id, so a probe's nprobe lists prune at
+    *    the file level and the scan reads codes, not vectors.
+    *
+    * Determinism: centroids/codebooks are data-derived
+    * ([[Similarity.dataCentroids]]/[[Similarity.pqCodebooks]]) and
+    * parquet round-trips doubles and int codes bit-exactly, so the
+    * loaded index probes identically to the in-memory composition —
+    * which lets the persisted path share the in-memory oracle. */
+  def savePq(df: DataFrame, id: String, vec: String, k: Int, path: String,
+             m: Int = 8, codeK: Int = 16, codeFrom: Long = 32)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val spark = df.sparkSession
+    val cents = Similarity.dataCentroids(df, id, vec, k)
+    val codebooks = Similarity.pqCodebooks(df, id, vec, dim = cents(0).length,
+      m = m, k = codeK, from = codeFrom)
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "cv")
+      .repartition(1) // k rows — one file, not one per shuffle partition
+      .write.mode("overwrite").parquet(s"$path/centroids.parquet")
+    codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (cw, code) => (s, code, cw.toSeq) }
+      }.toSeq.toDF("s", "code", "cw")
+      .repartition(1) // m·codeK rows
+      .write.mode("overwrite").parquet(s"$path/codebooks.parquet")
+    Similarity.pqEncode(Similarity.ivfAssignWith(df, vec, cents), vec, codebooks)
+      .select(col(id).as("neighbor_id"), col("pq_code"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/pq_postings.parquet")
+    (cents, codebooks)
+  }
+
   /** The k×dim centroid matrix, ordered by centroid_id (an index-load
     * action: k rows to the driver, not data). */
   def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
     spark.read.parquet(s"$path/centroids.parquet")
       .orderBy(col("centroid_id")).collect()
       .map(_.getSeq[Double](1).toArray)
+
+  /** The m×codeK×(dim/m) codebook tensor, (subspace, code)-ordered — an
+    * index-load action like [[loadCentroids]], m·codeK rows to the
+    * driver. */
+  def loadCodebooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(s"$path/codebooks.parquet")
+      .orderBy(col("s"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2)).toArray
+
+  /** The PQ-coded postings frame (neighbor_id, pq_code, centroid_id),
+    * partition-pruned by `centroid_id` at scan time when a probe
+    * filters on it. */
+  def loadPqPostings(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/pq_postings.parquet")
 
   /** The postings frame, partition-pruned by `centroid_id` at scan time
     * when a probe filters on it. */

@@ -44,7 +44,11 @@ object PipelineQueries {
       java.nio.file.Paths.get(s"$tmp/src/$table.parquet"),
       java.nio.file.Paths.get(s"$dir/$table.parquet"))
     val schema = s.read.parquet(s"$dir/$table.parquet").schema
-    (EventStreams.fromParquetDir(s, s"$tmp/src", schema), tmp)
+    val stream = EventStreams.fromParquetDir(s, s"$tmp/src", schema)
+    // events streams get the same ts normalization as the batch reads
+    // (nanos-Long contract; see Tables.normalizeEventTs) — a projection,
+    // so it composes with any downstream watermark/stateful op
+    (if (table == "events") Tables.normalizeEventTs(stream) else stream, tmp)
   }
 
 

@@ -47,6 +47,19 @@ object SimilarityQueries {
       tmp
     })
 
+  /** Once-per-(JVM, sfDir) COMPOSED IVF-PQ index (see [[ivfIndexDir]]'s
+    * caching rationale): sim_ivfpq_persisted's median then measures the
+    * probe (load + pruned code scan + ADC top-k), not the build. */
+  private val ivfPqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqIndexDir(s: SparkSession, dir: String): String =
+    ivfPqIndexCache.computeIfAbsent(dir, _ => {
+      val tmp = QuerySql.tempDir("graft_ivfpqidx")
+      IvfIndex.savePq(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 16, tmp)
+      tmp
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "sim_cosine_topk" -> ((s, dir) => {
@@ -213,6 +226,43 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // COMPOSED IVF-PQ — the billion-scale production layout: PQ codes
+    // stored inside the IVF postings, probed with ADC over only the
+    // nprobe nearest lists. Centroids = vectors 0..15, codebooks =
+    // subspace slices of vectors 32..47 — both data-derived, so the
+    // whole composition (assign ∘ encode ∘ pruned ADC) replays in SQL
+    // on the hard signal.
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.dataCentroids(emb, "vec_id", "embedding", k = 16)
+      val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", dim,
+        m = 8, k = 16, from = 32)
+      Similarity.ivfPqTopK(
+          queries = emb.filter(col("vec_id") < 8),
+          candidates = emb, id = "vec_id", vec = "embedding",
+          cents = cents, codebooks = cb, nprobe = 4, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cosine").cast("float").as("adc_score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // INDEX LIFECYCLE leg of the composition: probe the once-per-JVM
+    // PERSISTED IVF-PQ index — postings come off the lake as m-int
+    // codes (partition-pruned to the probed lists), centroids and
+    // codebooks load back bit-exactly, so the persisted path shares
+    // sim_ivfpq_topk's oracle verbatim.
+    "sim_ivfpq_persisted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val tmp = ivfPqIndexDir(s, dir)
+      Similarity.ivfPqProbe(IvfIndex.loadPqPostings(s, tmp),
+          queries = emb.filter(col("vec_id") < 8), id = "vec_id",
+          vec = "embedding", cents = IvfIndex.loadCentroids(s, tmp),
+          codebooks = IvfIndex.loadCodebooks(s, tmp), nprobe = 4, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cosine").cast("float").as("adc_score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ANN quality metric computed BY the engine on itself: recall@5 of
     // the data-centroid IVF probe against brute-force ground truth, per
     // query. Both sides are already-verified queries; this entry verifies
@@ -245,6 +295,25 @@ object SimilarityQueries {
           id = "vec_id", vec = "embedding", codebooks = cb, k = 5)
         .select(col("query_id"), col("neighbor_id"))
       recallAt5(bf, pq)
+    }),
+
+    // recall audit of the COMPOSED index: quantization loss ON TOP of
+    // list pruning, against the same brute-force ground truth — the
+    // number a production ANN service dials nprobe/codebook size by.
+    // (Expect ≤ both sim_recall_ivf and sim_recall_pq: the composition
+    // inherits both approximations.)
+    "sim_recall_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q8 = emb.filter(col("vec_id") < 8)
+      val bf = Similarity.bruteForceTopK(q8, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val cents = Similarity.dataCentroids(emb, "vec_id", "embedding", k = 16)
+      val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", dim,
+        m = 8, k = 16, from = 32)
+      val ivfpq = Similarity.ivfPqTopK(q8, emb, "vec_id", "embedding",
+          cents = cents, codebooks = cb, nprobe = 4, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      recallAt5(bf, ivfpq)
     }),
 
     // near-dup candidates in data-derived LSH buckets (planes = vectors
@@ -316,6 +385,64 @@ object SimilarityQueries {
       | scored AS (SELECT q.query_id, r.vec_id AS neighbor_id,
       |     list_dot_product(q.qv, r.rv) AS adc
       |   FROM q CROSS JOIN rec r WHERE q.query_id <> r.vec_id),
+      | rk AS (SELECT query_id, neighbor_id, adc,
+      |     row_number() OVER (PARTITION BY query_id
+      |       ORDER BY adc DESC, neighbor_id) AS rank
+      |   FROM scored)
+      |SELECT query_id, neighbor_id, CAST(adc AS REAL) AS adc_score,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM rk WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  // Composed IVF-PQ replay: the sim_ivf_data_topk assignment/probe CTEs
+  // (centroids = vectors 0..15, argmax cosine with ties to the HIGHER
+  // centroid id, zero vectors coalesced to -2) wrapped around the
+  // sim_pq_topk encode/reconstruct CTEs (codebooks = subspace slices of
+  // vectors 32..47, argmax 2·x·c − |c|² with ties to the higher code).
+  // Scoring is ADC (one left-to-right dot over the 64-dim
+  // reconstruction) over only the nprobe=4 probed lists — bit-identical
+  // to the Spark composition. Shared by sim_ivfpq_topk,
+  // sim_ivfpq_persisted (parquet round-trips codes/centroids/codebooks
+  // bit-exactly) and the sim_recall_ivfpq composition.
+  private val simIvfPqTopkSql =
+    """WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+      |              FROM embeddings WHERE vec_id < 16),
+      | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+      | assign AS (SELECT vec_id, centroid_id, dv,
+      |     row_number() OVER (PARTITION BY vec_id ORDER BY
+      |       COALESCE(list_cosine_similarity(dv, cvec), -2) DESC,
+      |       centroid_id DESC) AS rn
+      |   FROM v CROSS JOIN cent),
+      | asg AS (SELECT vec_id, centroid_id FROM assign WHERE rn = 1),
+      | seed AS (SELECT vec_id - 32 AS code, dv FROM v
+      |          WHERE vec_id >= 32 AND vec_id < 48),
+      | cbn AS (SELECT s, code, list_slice(dv, s*8 + 1, s*8 + 8) AS cw,
+      |     list_dot_product(list_slice(dv, s*8 + 1, s*8 + 8),
+      |                      list_slice(dv, s*8 + 1, s*8 + 8)) AS c2
+      |   FROM seed CROSS JOIN range(0, 8) t(s)),
+      | encs AS (SELECT v.vec_id, c.s, c.code,
+      |     row_number() OVER (PARTITION BY v.vec_id, c.s ORDER BY
+      |       2 * list_dot_product(list_slice(v.dv, c.s*8 + 1, c.s*8 + 8), c.cw)
+      |         - c.c2 DESC,
+      |       c.code DESC) AS rn
+      |   FROM v CROSS JOIN cbn c),
+      | rec AS (SELECT e.vec_id, flatten(list(c.cw ORDER BY e.s)) AS rv
+      |   FROM (SELECT * FROM encs WHERE rn = 1) e
+      |   JOIN cbn c ON c.s = e.s AND c.code = e.code
+      |   GROUP BY e.vec_id),
+      | post AS (SELECT rec.vec_id AS neighbor_id, asg.centroid_id, rec.rv
+      |          FROM rec JOIN asg ON rec.vec_id = asg.vec_id),
+      | q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id < 8),
+      | probes AS (SELECT query_id, qv, centroid_id,
+      |     row_number() OVER (PARTITION BY query_id ORDER BY
+      |       COALESCE(list_cosine_similarity(qv, cvec), -2) DESC,
+      |       centroid_id DESC) AS pr
+      |   FROM q CROSS JOIN cent),
+      | scored AS (SELECT p.query_id, post.neighbor_id,
+      |     list_dot_product(p.qv, post.rv) AS adc
+      |   FROM (SELECT query_id, qv, centroid_id FROM probes WHERE pr <= 4) p
+      |   JOIN post USING (centroid_id)
+      |   WHERE p.query_id <> post.neighbor_id),
       | rk AS (SELECT query_id, neighbor_id, adc,
       |     row_number() OVER (PARTITION BY query_id
       |       ORDER BY adc DESC, neighbor_id) AS rank
@@ -454,6 +581,16 @@ object SimilarityQueries {
     // flattening the codewords in subspace order, ADC = one left-to-right
     // dot over the full 64 dims — bit-identical to the Spark loop.
     "sim_pq_topk" -> simPqTopkSql,
+
+    // composed index: IVF assignment/probe wrapped around PQ
+    // encode/reconstruct — see simIvfPqTopkSql's comment
+    "sim_ivfpq_topk" -> simIvfPqTopkSql,
+
+    // the persisted composition is bit-identical to the in-memory one
+    // (parquet round-trips codes, centroids and codebooks exactly)
+    "sim_ivfpq_persisted" -> simIvfPqTopkSql,
+
+    "sim_recall_ivfpq" -> recallOracleSql(simIvfPqTopkSql),
 
     // Planes are corpus vectors 16..31; bit i = (v · plane_i) > 0. Both
     // engines accumulate the dot left-to-right in double, so the sign —

@@ -112,6 +112,68 @@ class SimilaritySpec extends SparkSpec {
     inMemory should not be empty
   }
 
+  test("ivfPqTopK: with all lists probed, the composition degenerates to pure PQ") {
+    // nprobe = nCentroids turns off IVF pruning, so the composed index
+    // must score/rank exactly like pqTopK — isolates the composition
+    // plumbing (assignment, posting join) from the approximation dials
+    val rng = new scala.util.Random(17)
+    val emb = (0L until 60L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val cents = Similarity.dataCentroids(emb, "vec_id", "embedding", k = 4)
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", dim = 8,
+      m = 2, k = 4, from = 4)
+    val q = emb.filter(col("vec_id") < 3)
+    val composed = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+        cents, cb, nprobe = 4, k = 5)
+      .select("query_id", "neighbor_id", "cosine", "rank").rows.sortBy(_.toString)
+    val purePq = Similarity.pqTopK(q, emb, "vec_id", "embedding", cb, k = 5)
+      .select("query_id", "neighbor_id", "cosine", "rank").rows.sortBy(_.toString)
+    composed shouldBe purePq
+    composed should not be empty
+  }
+
+  test("ivfPqTopK: pruned probe returns a subset of the probed lists' PQ ranking") {
+    val rng = new scala.util.Random(23)
+    val emb = (0L until 80L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val cents = Similarity.dataCentroids(emb, "vec_id", "embedding", k = 4)
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", dim = 8,
+      m = 2, k = 4, from = 4)
+    val q = emb.filter(col("vec_id") === 1)
+    val pruned = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+        cents, cb, nprobe = 2, k = 5)
+      .select("neighbor_id").rows.map(_.head.asInstanceOf[Long]).toSet
+    // every pruned result must be drawn from the 2 probed lists
+    val assigned = Similarity.ivfAssignWith(emb, "embedding", cents)
+      .select("vec_id", "centroid_id").rows
+      .map(r => r(0).asInstanceOf[Long] -> r(1).asInstanceOf[Int]).toMap
+    val probedLists = pruned.map(assigned)
+    probedLists.size should be <= 2
+    pruned.size shouldBe 5
+  }
+
+  test("IvfIndex.savePq: persisted IVF-PQ probes identically to the in-memory composition") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    val rng = new scala.util.Random(29)
+    val emb = (0L until 60L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val (cents, cb) = IvfIndex.savePq(emb, "vec_id", "embedding", k = 4, dir,
+      m = 2, codeK = 4, codeFrom = 4)
+    // codebooks round-trip bit-exactly, (subspace, code)-ordered
+    IvfIndex.loadCodebooks(spark, dir).map(_.map(_.toSeq).toSeq) shouldBe
+      cb.map(_.map(_.toSeq).toSeq)
+    val q = emb.filter(col("vec_id") < 3)
+    val persisted = Similarity.ivfPqProbe(IvfIndex.loadPqPostings(spark, dir),
+        q, "vec_id", "embedding", IvfIndex.loadCentroids(spark, dir),
+        IvfIndex.loadCodebooks(spark, dir), nprobe = 2, k = 3)
+      .select("query_id", "neighbor_id", "rank").rows.sortBy(_.toString)
+    val inMemory = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+        cents, cb, nprobe = 2, k = 3)
+      .select("query_id", "neighbor_id", "rank").rows.sortBy(_.toString)
+    persisted shouldBe inMemory
+    inMemory should not be empty
+  }
+
   test("IvfIndex.append: base build + late batch probes like a full build") {
     val rng = new scala.util.Random(11)
     val all = (0L until 80L).map(i =>
