@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Checkpoint RESTART/RECOVERY — the one Structured Streaming production
+  * behavior a long-lived pipeline leans on hardest: a stream stops (crash,
+  * deploy, scale event), restarts from its checkpoint dir, and must (a)
+  * not re-emit what it already committed, (b) pick up exactly the data
+  * that arrived while it was down, and (c) carry its STATE — open
+  * windows, watermark — across the gap, not just its source offsets.
+  *
+  * Each test is a stop/start pair of `Trigger.AvailableNow` runs over a
+  * growing file-source directory: run 1 drains file A to completion and
+  * stops (a clean shutdown — a mid-batch kill recovers through the same
+  * offset/commit log, it just replays the uncommitted batch), file B
+  * lands while the stream is "down", run 2 restarts from the same
+  * checkpoint. Assertions read the sink, which is the contract the
+  * downstream consumer sees.
+  */
+class StreamRecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("restart from checkpoint: committed rows stay, down-time arrivals land exactly once") {
+    val dir = Files.createTempDirectory("recov_sink").toString
+    val src = s"$dir/src"; val sink = s"$dir/lake"; val ckpt = s"$dir/ckpt"
+    Files.createDirectory(Paths.get(src))
+    val schema = Seq((ts("2024-01-01 10:00:00"), "click", 1.0))
+      .toDF("ts_utc", "event_type", "value").schema
+
+    // run 1: file A only
+    Seq((ts("2024-01-01 10:00:00"), "click", 1.0),
+        (ts("2024-01-02 11:00:00"), "view", 2.0))
+      .toDF("ts_utc", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(src)
+    val stream1 = EventStreams.fromParquetDir(spark, src, schema)
+      .withColumn("day", to_date(col("ts_utc")))
+    EventStreams.toLake(stream1, sink, ckpt, Seq("day")).awaitTermination()
+    spark.read.parquet(sink).count() shouldBe 2
+
+    // stream is down; file B arrives
+    Seq((ts("2024-01-03 12:00:00"), "click", 4.0))
+      .toDF("ts_utc", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(src)
+
+    // run 2: fresh query object, SAME checkpoint — offset log must skip
+    // file A (its rows appear once, not twice) and drain exactly file B
+    val stream2 = EventStreams.fromParquetDir(spark, src, schema)
+      .withColumn("day", to_date(col("ts_utc")))
+    EventStreams.toLake(stream2, sink, ckpt, Seq("day")).awaitTermination()
+
+    val out = spark.read.parquet(sink)
+    out.count() shouldBe 3
+    out.groupBy("ts_utc").count().filter(col("count") > 1).count() shouldBe 0
+    out.filter(col("value") === 4.0).count() shouldBe 1
+  }
+
+  test("restart recovers windowed STATE: a window spanning the restart emits once, complete") {
+    val dir = Files.createTempDirectory("recov_state").toString
+    val src = s"$dir/src"; val sink = s"$dir/lake"; val ckpt = s"$dir/ckpt"
+    Files.createDirectory(Paths.get(src))
+    val schema = Seq((ts("2024-01-01 10:00:00"), "click", 1.0))
+      .toDF("ts_utc", "event_type", "value").schema
+    def agg(s: org.apache.spark.sql.DataFrame) =
+      EventStreams.tumblingAgg(s, windowLen = "1 hour", lateness = "10 minutes")
+
+    // run 1: two events close the 10:00 window (13:00 advances the
+    // watermark past it) and leave the 13:00 window OPEN in the state
+    // store when the stream stops
+    Seq((ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:50:00"), "click", 2.0),
+        (ts("2024-01-01 13:00:00"), "click", 8.0))
+      .toDF("ts_utc", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(src)
+    EventStreams.toLake(
+      agg(EventStreams.fromParquetDir(spark, src, schema)),
+      sink, ckpt, Seq.empty).awaitTermination()
+    val afterRun1 = spark.read.parquet(sink)
+      .select("window_start", "n_events", "sum_value").rows
+    afterRun1 shouldBe Seq(Seq(ts("2024-01-01 10:00:00"), 2L, 3.0))
+
+    // down-time arrivals: one more event INTO the open 13:00 window,
+    // plus one far ahead that closes it on restart
+    Seq((ts("2024-01-01 13:05:00"), "click", 16.0),
+        (ts("2024-01-01 16:00:00"), "click", 0.0))
+      .toDF("ts_utc", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(src)
+
+    // run 2 reads ONLY file B — the 13:00 window's run-1 event exists
+    // nowhere but in the recovered state store, so n_events=2 proves
+    // state (not just offsets) survived the restart
+    EventStreams.toLake(
+      agg(EventStreams.fromParquetDir(spark, src, schema)),
+      sink, ckpt, Seq.empty).awaitTermination()
+    val out = spark.read.parquet(sink)
+      .select("window_start", "n_events", "sum_value")
+      .orderBy("window_start").rows
+    out shouldBe Seq(
+      Seq(ts("2024-01-01 10:00:00"), 2L, 3.0),   // emitted once, in run 1
+      Seq(ts("2024-01-01 13:00:00"), 2L, 24.0))  // run-1 event + run-2 event
+  }
+
+  test("restart recovers the WATERMARK: pre-restart lateness horizon still drops") {
+    val dir = Files.createTempDirectory("recov_wm").toString
+    val src = s"$dir/src"; val sink = s"$dir/lake"; val ckpt = s"$dir/ckpt"
+    Files.createDirectory(Paths.get(src))
+    val schema = Seq((ts("2024-01-01 10:00:00"), "click", 1.0))
+      .toDF("ts_utc", "event_type", "value").schema
+    def agg(s: org.apache.spark.sql.DataFrame) =
+      EventStreams.tumblingAgg(s, windowLen = "1 hour", lateness = "10 minutes")
+
+    // run 1 pushes the watermark to 13:50 (14:00 − 10 min) and stops
+    Seq((ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 14:00:00"), "click", 2.0))
+      .toDF("ts_utc", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(src)
+    EventStreams.toLake(
+      agg(EventStreams.fromParquetDir(spark, src, schema)),
+      sink, ckpt, Seq.empty).awaitTermination()
+
+    // a late event for the long-closed 10:00 window arrives during the
+    // outage; if the restart forgot the watermark it would reopen the
+    // window and re-emit it (duplicate window_start downstream)
+    Seq((ts("2024-01-01 10:30:00"), "click", 100.0),
+        (ts("2024-01-01 17:00:00"), "click", 0.0))
+      .toDF("ts_utc", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(src)
+    EventStreams.toLake(
+      agg(EventStreams.fromParquetDir(spark, src, schema)),
+      sink, ckpt, Seq.empty).awaitTermination()
+
+    val tenOClock = spark.read.parquet(sink)
+      .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+      .select("n_events", "sum_value").rows
+    // exactly one emission, with the ORIGINAL content — the late row
+    // neither duplicated the window nor leaked into it
+    tenOClock shouldBe Seq(Seq(1L, 1.0))
+  }
+}
