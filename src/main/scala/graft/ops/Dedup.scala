@@ -155,7 +155,10 @@ object Dedup {
   /** Candidate near-duplicate pairs from LSH buckets, with the signature
     * estimate of Jaccard similarity (fraction of agreeing minhashes);
     * see [[bandedSignatures]] for the banding shape and the `maxBucket`
-    * skew guard. */
+    * skew guard. Parallelism caveat: [[Skew.spread]] assumes file-less
+    * frames are already parallel — a narrow driver-built or
+    * 1-partition-checkpointed `df` should be `repartition`ed by the
+    * caller or the hash-heavy signature pass runs on that few cores. */
   def minhashCandidatePairs(df: DataFrame, id: String, text: String,
                             shingleSize: Int = 3, k: Int = 16, bands: Int = 4,
                             maxBucket: Int = 1000,
@@ -501,7 +504,13 @@ object Dedup {
       .select(col(idA).as("src"), col(idB).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct(), reliable)
-    var edgeCount = edges.count()
+    // -1 sentinel: the previous round's cardinality, seeded lazily from
+    // round 1's nextCount — an eager count() on the initial checkpointed
+    // set would be paid even when round 1 converges, and the only thing
+    // it could buy (detecting an input that is ALREADY a fixed point) is
+    // a case star contraction never sees in practice; the sentinel just
+    // runs one (trivial) extra round there
+    var edgeCount = -1L
     var converged = false
     var i = 0
     while (!converged && i <= maxIter) {
@@ -527,7 +536,7 @@ object Dedup {
       // non-converged round therefore pays one count instead of the
       // two shuffle anti-joins the previous form ran every round.
       val nextCount = next.count()
-      converged = nextCount == edgeCount &&
+      converged = edgeCount >= 0 && nextCount == edgeCount &&
         next.join(edges, Seq("src", "dst"), "left_anti").isEmpty
       edges = next
       edgeCount = nextCount
@@ -648,7 +657,11 @@ object Dedup {
     * aggregation on gram + one equi-join back + one keyed window —
     * every stage shuffle-parallel on unskewed keys (the gram-frequency
     * aggregation is the only wide gram-keyed stage, and count-distinct
-    * partial-aggregates map-side; no all-pairs anything). */
+    * partial-aggregates map-side; no all-pairs anything). Parallelism
+    * caveat: [[Skew.spread]] assumes file-less frames are already
+    * parallel — a narrow driver-built or 1-partition-checkpointed `df`
+    * should be `repartition`ed by the caller or the tokenize/explode
+    * pass runs on that few cores. */
   def frequentSpans(df: DataFrame, id: String, text: String,
                     n: Int = 8, minDocs: Int = 3,
                     minSpanTokens: Int = 12): DataFrame = {

@@ -40,7 +40,15 @@ object FuzzyJoin {
     * is identical. Leave at 1 (off) when blocks are plentiful: the
     * 100 TB name-prefix regime has millions of blocks and natural
     * parallelism, and there the replication would be pure shuffle
-    * waste. */
+    * waste.
+    *
+    * Parallelism caveat: [[Skew.spread]] ASSUMES file-LESS frames
+    * (in-memory, `localCheckpoint`ed, cached) are already parallel and
+    * skips the rebalance. A genuinely NARROW file-less `df` — a
+    * driver-built frame, or a checkpoint taken at 1 partition — will
+    * run the quadratic edit-distance stage on that few cores (the
+    * documented 12 s → 1.3 s pathology in reverse); `repartition` such
+    * a frame before calling, or the spread protection cannot see it. */
   def blockedLevenshtein(df: DataFrame, id: String, str: String,
                          block: Column, maxDist: Int,
                          maxBlock: Int = 1000, salts: Int = 1,

@@ -33,6 +33,20 @@ class IndicatorsSpec extends SparkSpec {
       Indicators.ewma(series(1.0), "key", Seq("ord"), "price", n = 13)
   }
 
+  test("ewma: additive-precision boundary is exactly n=10 at decay=0.5") {
+    // Pins the precision gate deliberately: decay=0.5 (scale 1) gives
+    // weight scale n−1, and the running SUM needs 20 + (n−1) + (n−1)
+    // digits — 38 at n=10 (the last accepted window), 40 at n=11. A
+    // future loosening/tightening of the bound must move this test
+    // consciously, not silently.
+    noException should be thrownBy
+      Indicators.ewma(series(1.0, 2.0), "key", Seq("ord"), "price",
+        n = 10, decay = BigDecimal("0.5")).collect()
+    an[IllegalArgumentException] should be thrownBy
+      Indicators.ewma(series(1.0, 2.0), "key", Seq("ord"), "price",
+        n = 11, decay = BigDecimal("0.5"))
+  }
+
   test("bollinger: flat series collapses the band onto the midline") {
     val out = Indicators.bollinger(series(5.0, 5.0, 5.0), key = "key",
         order = Seq("ord"), value = "price", n = 3)
