@@ -63,7 +63,14 @@ object Bench {
     // noise, and unlike min it can't be flattered by one lucky cache-warm
     // run. A failed query records -1 (never a fast-looking time-to-throw)
     // and logs to stderr.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries
+    // (local iteration on one operator without the 140-query loop); the
+    // driver never sets it, so round artifacts always cover everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }

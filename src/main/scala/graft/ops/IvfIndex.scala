@@ -14,7 +14,13 @@ import org.apache.spark.sql.functions._
   *    corpus vector, written PARTITIONED BY centroid_id so a probe that
   *    touches `nprobe` lists prunes the rest at the file level (the
   *    on-disk analogue of the broadcast-probe plan: the corpus is never
-  *    shuffled, and now never even fully scanned).
+  *    shuffled, and now never even fully scanned). The pruning is
+  *    Spark's DYNAMIC partition pruning: the probe's broadcast join on
+  *    centroid_id gets a pruning subquery reusing the broadcast
+  *    (asserted by IvfPruningSpec). Precondition: the QUERY side must
+  *    be file-backed — a driver-built local query frame constant-folds
+  *    its filter away, DPP's selectivity check fails, and the probe
+  *    (still correct) scans every list.
   *
   * Determinism: centroids are data-derived ([[Similarity.dataCentroids]])
   * and parquet round-trips doubles/floats bit-exactly, so a loaded index
