@@ -49,7 +49,8 @@ object ScaleSmoke {
     "scd2_priority", "sessionize_events", "ts_gap_fill",
     "er_fuzzy_pairs", "dedup_clusters_star", "text_bigram_lm",
     "cusum_drift", "sample_winsorize", "w_ewma", "sim_ivf_append",
-    "dedup_substring", "text_quality_nb")
+    "dedup_substring", "text_quality_nb",
+    "sim_ivfpq_topk", "sim_ivfpq_persisted")
 
   def replicate(df: DataFrame, copies: Int, idCols: Seq[String],
                 stride: Long, textCol: Option[String] = None): DataFrame = {
