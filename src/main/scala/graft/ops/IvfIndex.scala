@@ -107,6 +107,39 @@ object IvfIndex {
     (cents, codebooks)
   }
 
+  /** [[savePq]] with RESIDUAL encoding (the FAISS default): codebooks
+    * quantize `x − centroid(x)` and postings store residual codes.
+    * Same on-disk layout; the two encodings are NOT interchangeable at
+    * probe time — a residual index must be probed with
+    * [[Similarity.ivfPqResidualProbe]], which adds the list's centroid
+    * back at reconstruction. The caller owns that choice end-to-end,
+    * like the codebooks themselves. */
+  def savePqResidual(df: DataFrame, id: String, vec: String, k: Int,
+                     path: String, m: Int = 8, codeK: Int = 16,
+                     codeFrom: Long = 32)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val spark = df.sparkSession
+    val cents = Similarity.dataCentroids(df, id, vec, k)
+    val codebooks = Similarity.pqResidualCodebooks(df, id, vec, cents,
+      m = m, k = codeK, from = codeFrom)
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "cv").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids.parquet")
+    codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (cw, code) => (s, code, cw.toSeq) }
+      }.toSeq.toDF("s", "code", "cw").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks.parquet")
+    Similarity.pqEncode(
+        Similarity.ivfAssignWith(df, vec, cents)
+          .withColumn("__res", Similarity.residualCol(col(vec), cents)),
+        "__res", codebooks)
+      .select(col(id).as("neighbor_id"), col("pq_code"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/pq_postings.parquet")
+    (cents, codebooks)
+  }
+
   /** The k×dim centroid matrix, ordered by centroid_id (an index-load
     * action: k rows to the driver, not data). */
   def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] =

@@ -297,6 +297,46 @@ object SimilarityQueries {
       recallAt5(bf, pq)
     }),
 
+    // RESIDUAL-encoded composition (the FAISS default): codes quantize
+    // x − centroid(x), reconstruction adds the centroid back. On
+    // clustered corpora residual space is smaller-diameter so the same
+    // code budget quantizes finer; on THESE unclustered synthetic
+    // embeddings the measured effect is parity (recall@5 0.275 both
+    // encodings) — sim_recall_ivfpq_res keeps that comparison a
+    // number, not folklore. Codebooks are the seed rows' residuals
+    // (driver-replicated assignment, bit-identical to the plan's), so
+    // the whole chain still replays in SQL.
+    "sim_ivfpq_res_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.dataCentroids(emb, "vec_id", "embedding", k = 16)
+      val cb = Similarity.pqResidualCodebooks(emb, "vec_id", "embedding",
+        cents, m = 8, k = 16, from = 32)
+      Similarity.ivfPqResidualTopK(
+          queries = emb.filter(col("vec_id") < 8),
+          candidates = emb, id = "vec_id", vec = "embedding",
+          cents = cents, codebooks = cb, nprobe = 4, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cosine").cast("float").as("adc_score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // recall audit of the residual composition, same ground truth and
+    // k as every other recall entry — the raw-vs-residual encoding
+    // choice becomes a measured number instead of folklore
+    "sim_recall_ivfpq_res" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q8 = emb.filter(col("vec_id") < 8)
+      val bf = Similarity.bruteForceTopK(q8, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val cents = Similarity.dataCentroids(emb, "vec_id", "embedding", k = 16)
+      val cb = Similarity.pqResidualCodebooks(emb, "vec_id", "embedding",
+        cents, m = 8, k = 16, from = 32)
+      val approx = Similarity.ivfPqResidualTopK(q8, emb, "vec_id", "embedding",
+          cents = cents, codebooks = cb, nprobe = 4, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      recallAt5(bf, approx)
+    }),
+
     // recall audit of the COMPOSED index: quantization loss ON TOP of
     // list pruning, against the same brute-force ground truth — the
     // number a production ANN service dials nprobe/codebook size by.
@@ -452,6 +492,72 @@ object SimilarityQueries {
       |FROM rk WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // Residual-encoded IVF-PQ replay: assignment and probe CTEs as in
+  // simIvfPqTopkSql, but codebooks are the seed rows' RESIDUALS w.r.t.
+  // their assigned centroid, encoding runs over every vector's residual,
+  // and reconstruction is centroid + flattened codewords (element-wise
+  // IEEE add, mirrored exactly by Spark's zip_with). The long-form
+  // residual/reconstruction lists are built with the proven
+  // cross-join-range + list(ORDER BY) pattern (sim_ivf_refined_topk).
+  private val simIvfPqResTopkSql =
+    """WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+      |              FROM embeddings WHERE vec_id < 16),
+      | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+      | a0 AS (SELECT vec_id, centroid_id, dv,
+      |     row_number() OVER (PARTITION BY vec_id ORDER BY
+      |       COALESCE(list_cosine_similarity(dv, cvec), -2) DESC,
+      |       centroid_id DESC) AS rn
+      |   FROM v CROSS JOIN cent),
+      | asg AS (SELECT vec_id, centroid_id, dv FROM a0 WHERE rn = 1),
+      | res AS (SELECT a.vec_id, a.centroid_id,
+      |     list(a.dv[CAST(j AS INTEGER)] - c.cvec[CAST(j AS INTEGER)]
+      |          ORDER BY j) AS rv
+      |   FROM asg a JOIN cent c USING (centroid_id)
+      |   CROSS JOIN range(1, 65) t(j)
+      |   GROUP BY a.vec_id, a.centroid_id),
+      | cbn AS (SELECT s, r.vec_id - 32 AS code,
+      |     list_slice(r.rv, s*8 + 1, s*8 + 8) AS cw,
+      |     list_dot_product(list_slice(r.rv, s*8 + 1, s*8 + 8),
+      |                      list_slice(r.rv, s*8 + 1, s*8 + 8)) AS c2
+      |   FROM res r CROSS JOIN range(0, 8) t(s)
+      |   WHERE r.vec_id >= 32 AND r.vec_id < 48),
+      | encs AS (SELECT r.vec_id, c.s, c.code,
+      |     row_number() OVER (PARTITION BY r.vec_id, c.s ORDER BY
+      |       2 * list_dot_product(list_slice(r.rv, c.s*8 + 1, c.s*8 + 8), c.cw)
+      |         - c.c2 DESC,
+      |       c.code DESC) AS rn
+      |   FROM res r CROSS JOIN cbn c),
+      | rec AS (SELECT e.vec_id, flatten(list(c.cw ORDER BY e.s)) AS rr
+      |   FROM (SELECT * FROM encs WHERE rn = 1) e
+      |   JOIN cbn c ON c.s = e.s AND c.code = e.code
+      |   GROUP BY e.vec_id),
+      | post AS (SELECT a.vec_id AS neighbor_id, a.centroid_id,
+      |     list(c.cvec[CAST(j AS INTEGER)] + rec.rr[CAST(j AS INTEGER)]
+      |          ORDER BY j) AS fv
+      |   FROM asg a JOIN cent c USING (centroid_id)
+      |   JOIN rec ON rec.vec_id = a.vec_id
+      |   CROSS JOIN range(1, 65) t(j)
+      |   GROUP BY a.vec_id, a.centroid_id),
+      | q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id < 8),
+      | probes AS (SELECT query_id, qv, centroid_id,
+      |     row_number() OVER (PARTITION BY query_id ORDER BY
+      |       COALESCE(list_cosine_similarity(qv, cvec), -2) DESC,
+      |       centroid_id DESC) AS pr
+      |   FROM q CROSS JOIN cent),
+      | scored AS (SELECT p.query_id, post.neighbor_id,
+      |     list_dot_product(p.qv, post.fv) AS adc
+      |   FROM (SELECT query_id, qv, centroid_id FROM probes WHERE pr <= 4) p
+      |   JOIN post USING (centroid_id)
+      |   WHERE p.query_id <> post.neighbor_id),
+      | rk AS (SELECT query_id, neighbor_id, adc,
+      |     row_number() OVER (PARTITION BY query_id
+      |       ORDER BY adc DESC, neighbor_id) AS rank
+      |   FROM scored)
+      |SELECT query_id, neighbor_id, CAST(adc AS REAL) AS adc_score,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM rk WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   private val simCosineTopkSql =
     """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
       |           FROM embeddings WHERE vec_id < 8),
@@ -591,6 +697,11 @@ object SimilarityQueries {
     "sim_ivfpq_persisted" -> simIvfPqTopkSql,
 
     "sim_recall_ivfpq" -> recallOracleSql(simIvfPqTopkSql),
+
+    // residual-encoded composition — see simIvfPqResTopkSql's comment
+    "sim_ivfpq_res_topk" -> simIvfPqResTopkSql,
+
+    "sim_recall_ivfpq_res" -> recallOracleSql(simIvfPqResTopkSql),
 
     // Planes are corpus vectors 16..31; bit i = (v · plane_i) > 0. Both
     // engines accumulate the dot left-to-right in double, so the sign —

@@ -152,6 +152,58 @@ class SimilaritySpec extends SparkSpec {
     pruned.size shouldBe 5
   }
 
+  test("residual IVF-PQ: a seed reconstructs exactly; ADC on it is the true dot") {
+    // 4-dim corpus, 2 centroids (ids 0,1), 2 residual codewords (seeds
+    // 10,11). Seed 10's residual IS codeword 0 in both subspaces, so its
+    // reconstruction is bit-exact and ADC against any query equals the
+    // true dot with the original vector.
+    val pv = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),    // centroid 0
+      (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),    // centroid 1
+      (10L, Seq(1.0f, 0.2f, 0.2f, 1.0f)),   // seed: assigns to centroid 0
+      (11L, Seq(0.2f, 1.0f, 1.0f, 0.2f)),   // seed: assigns to centroid 1
+      (2L, Seq(1.0f, 0.2f, 0.2f, 1.0f))     // query twin of seed 10
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.dataCentroids(pv, "vec_id", "embedding", k = 2)
+    val cb = Similarity.pqResidualCodebooks(pv, "vec_id", "embedding",
+      cents, m = 2, k = 2, from = 10)
+    val scores = Similarity.ivfPqResidualTopK(
+        pv.filter(col("vec_id") === 2), pv, "vec_id", "embedding",
+        cents, cb, nprobe = 2, k = 4)
+      .select("neighbor_id", "cosine").rows
+      .map(r => r(0).asInstanceOf[Long] -> r(1).asInstanceOf[Double]).toMap
+    // seed 10's residual IS codeword 0 in both subspaces → its
+    // reconstruction is bit-exact and ADC = q·v10 = 1 + 0.04 + 0.04 + 1
+    // (float 0.2 squared, widened). Note the centroid rows themselves
+    // (ids 0,1) quantize their ZERO residual to a nonzero codeword (tie
+    // → higher code) and legitimately over-score — quantization error
+    // exists for non-seed rows by construction, which is why the
+    // assertion targets the exact seed, not the ranking.
+    val f02 = 0.2f.toDouble
+    scores(10L) shouldBe (2.0 + 2 * f02 * f02) +- 1e-9
+    scores(11L) should be < scores(10L)   // wrong-cluster seed scores lower
+  }
+
+  test("IvfIndex.savePqResidual: persisted residual index probes like the in-memory path") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqres").toString
+    val rng = new scala.util.Random(31)
+    val emb = (0L until 60L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val (cents, cb) = IvfIndex.savePqResidual(emb, "vec_id", "embedding",
+      k = 4, dir, m = 2, codeK = 4, codeFrom = 4)
+    val q = emb.filter(col("vec_id") < 3)
+    val persisted = Similarity.ivfPqResidualProbe(
+        IvfIndex.loadPqPostings(spark, dir), q, "vec_id", "embedding",
+        IvfIndex.loadCentroids(spark, dir), IvfIndex.loadCodebooks(spark, dir),
+        nprobe = 2, k = 3)
+      .select("query_id", "neighbor_id", "rank").rows.sortBy(_.toString)
+    val inMemory = Similarity.ivfPqResidualTopK(q, emb, "vec_id", "embedding",
+        cents, cb, nprobe = 2, k = 3)
+      .select("query_id", "neighbor_id", "rank").rows.sortBy(_.toString)
+    persisted shouldBe inMemory
+    inMemory should not be empty
+  }
+
   test("IvfIndex.savePq: persisted IVF-PQ probes identically to the in-memory composition") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
     val rng = new scala.util.Random(29)
