@@ -106,6 +106,52 @@ class StreamRecoverySpec extends SparkSpec {
       Seq(ts("2024-01-01 13:00:00"), 2L, 24.0))  // run-1 event + run-2 event
   }
 
+  test("restart recovers CUSTOM GroupState: the cusum fold carries across the gap") {
+    // flatMapGroupsWithState keeps its fold in the state store — a
+    // restart must resume the statistic, not restart it. Run 2 reads
+    // ONLY file B, so n_events=3 with the carried S+ proves the
+    // recovered CusumFold (not reprocessing) supplied events 1–2.
+    import EventStreams.CusumEvent
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("recov_cusum").toString
+    val src = s"$dir/src"; val ckpt = s"$dir/ckpt"; val sink = s"$dir/sink"
+    Files.createDirectory(Paths.get(src))
+    // memory sinks refuse checkpoint recovery; a foreachBatch parquet
+    // append is the restart-capable update-mode sink shape
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq(CusumEvent(1L, ts("2024-01-01 10:00:00"), 1L, 1L, 1L))
+          .toDS().schema)
+        .parquet(src).as[CusumEvent]
+      val q = EventStreams.streamingCusum(stream, targetCents = 100L)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[EventStreams.CusumRow],
+                         _: Long) =>
+          df.write.mode("append").parquet(sink); ()
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def latest() = spark.read.parquet(sink)
+      .orderBy(col("n_events").desc)
+      .select("user_id", "n_events", "cusum_up").rows.head
+    // run 1: devs 50→−50 then 300→+200 (sorted fold) ⇒ S+ = 200, n = 2
+    Seq(CusumEvent(1L, ts("2024-01-01 10:00:30"), 2000L, 2L, 300L),
+        CusumEvent(1L, ts("2024-01-01 10:00:00"), 1000L, 1L, 50L))
+      .toDS().coalesce(1).write.mode("append").parquet(src)
+    run()
+    latest() shouldBe Seq(1L, 2L, 200L)
+
+    // down-time arrival: a dev-0 event — the statistic must CARRY
+    Seq(CusumEvent(1L, ts("2024-01-01 10:01:00"), 3000L, 3L, 100L))
+      .toDS().coalesce(1).write.mode("append").parquet(src)
+    run()
+    latest() shouldBe Seq(1L, 3L, 200L)   // S+ carried — recovered fold
+  }
+
   test("restart recovers the WATERMARK: pre-restart lateness horizon still drops") {
     val dir = Files.createTempDirectory("recov_wm").toString
     val src = s"$dir/src"; val sink = s"$dir/lake"; val ckpt = s"$dir/ckpt"
