@@ -140,6 +140,32 @@ object IvfIndex {
     (cents, codebooks)
   }
 
+  /** Append a new vector batch to a persisted IVF-PQ index WITHOUT
+    * rebuilding — the composed-index twin of [[append]]: the batch is
+    * assigned and PQ-encoded against the EXISTING centroids and
+    * codebooks (both k×dim-scale driver loads, never data) and its
+    * code postings append into the partitioned layout. Per-batch work
+    * is O(|batch|·(k + m·codeK)); historical postings are never
+    * rewritten. Same trades as [[append]]: centroid/codebook drift
+    * under sustained ingest is handled by periodic [[savePq]] rebuilds,
+    * and duplicate ids are the caller's to prevent. `residual` must
+    * match the flag the index was built with ([[savePqResidual]]) —
+    * the two encodings are not interchangeable. */
+  def appendPq(df: DataFrame, id: String, vec: String, path: String,
+               residual: Boolean = false): Unit = {
+    val cents = loadCentroids(df.sparkSession, path)
+    val codebooks = loadCodebooks(df.sparkSession, path)
+    val assigned = Similarity.ivfAssignWith(df, vec, cents)
+    val enc =
+      if (residual) Similarity.pqEncode(
+        assigned.withColumn("__res", Similarity.residualCol(col(vec), cents)),
+        "__res", codebooks)
+      else Similarity.pqEncode(assigned, vec, codebooks)
+    enc.select(col(id).as("neighbor_id"), col("pq_code"), col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/pq_postings.parquet")
+  }
+
   /** The k×dim centroid matrix, ordered by centroid_id (an index-load
     * action: k rows to the driver, not data). */
   def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] =

@@ -297,6 +297,28 @@ object SimilarityQueries {
       recallAt5(bf, pq)
     }),
 
+    // INDEX LIFECYCLE incremental leg of the composition: build on the
+    // base corpus, APPEND a late batch as codes against the existing
+    // centroids AND codebooks (no rebuild), probe. Keeping every
+    // index-defining row (vec_id < 48: centroids 0..15, codebook seeds
+    // 32..47) in the base makes the appended index bit-identical to the
+    // full build, so the shared oracle verifies the whole append path
+    // on the hard signal.
+    "sim_ivfpq_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val late = col("vec_id") % 5 === 4 && col("vec_id") >= 48
+      val tmp = QuerySql.tempDir("graft_ivfpqapp")
+      IvfIndex.savePq(emb.filter(!late), "vec_id", "embedding", k = 16, tmp)
+      IvfIndex.appendPq(emb.filter(late), "vec_id", "embedding", tmp)
+      Similarity.ivfPqProbe(IvfIndex.loadPqPostings(s, tmp),
+          queries = emb.filter(col("vec_id") < 8), id = "vec_id",
+          vec = "embedding", cents = IvfIndex.loadCentroids(s, tmp),
+          codebooks = IvfIndex.loadCodebooks(s, tmp), nprobe = 4, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cosine").cast("float").as("adc_score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // RESIDUAL-encoded composition (the FAISS default): codes quantize
     // x − centroid(x), reconstruction adds the centroid back. On
     // clustered corpora residual space is smaller-diameter so the same
@@ -697,6 +719,10 @@ object SimilarityQueries {
     "sim_ivfpq_persisted" -> simIvfPqTopkSql,
 
     "sim_recall_ivfpq" -> recallOracleSql(simIvfPqTopkSql),
+
+    // base-build + code append must equal the full-corpus composition
+    // (identical centroids and codebooks by construction)
+    "sim_ivfpq_append" -> simIvfPqTopkSql,
 
     // residual-encoded composition — see simIvfPqResTopkSql's comment
     "sim_ivfpq_res_topk" -> simIvfPqResTopkSql,

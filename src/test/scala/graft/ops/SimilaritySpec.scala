@@ -279,6 +279,43 @@ class SimilaritySpec extends SparkSpec {
     inMemory should not be empty
   }
 
+  test("IvfIndex.appendPq: base build + code append probes like a full build (both encodings)") {
+    val rng = new scala.util.Random(37)
+    val all = (0L until 80L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    // ids < 8 are index-defining (centroids 0..3, codebook seeds 4..7):
+    // keep them in the base so both builds share centroids + codebooks
+    val late = col("vec_id") % 3 === 2 && col("vec_id") >= 8
+    for (residual <- Seq(false, true)) {
+      val dirA = java.nio.file.Files.createTempDirectory("pqapp_a").toString
+      val dirB = java.nio.file.Files.createTempDirectory("pqapp_b").toString
+      def build(df: org.apache.spark.sql.DataFrame, dir: String) =
+        if (residual) IvfIndex.savePqResidual(df, "vec_id", "embedding",
+          k = 4, dir, m = 2, codeK = 4, codeFrom = 4)
+        else IvfIndex.savePq(df, "vec_id", "embedding",
+          k = 4, dir, m = 2, codeK = 4, codeFrom = 4)
+      build(all.filter(!late), dirA)
+      IvfIndex.appendPq(all.filter(late), "vec_id", "embedding", dirA,
+        residual = residual)
+      build(all, dirB)
+      val q = all.filter(col("vec_id") < 3)
+      def probe(dir: String) = {
+        val cents = IvfIndex.loadCentroids(spark, dir)
+        val cb = IvfIndex.loadCodebooks(spark, dir)
+        val posts = IvfIndex.loadPqPostings(spark, dir)
+        (if (residual) Similarity.ivfPqResidualProbe(posts, q, "vec_id",
+          "embedding", cents, cb, nprobe = 2, k = 3)
+        else Similarity.ivfPqProbe(posts, q, "vec_id", "embedding",
+          cents, cb, nprobe = 2, k = 3))
+          .select("query_id", "neighbor_id", "rank").rows.sortBy(_.toString)
+      }
+      withClue(s"residual=$residual: ") {
+        probe(dirA) shouldBe probe(dirB)
+        probe(dirA) should not be empty
+      }
+    }
+  }
+
   test("IvfIndex.append: base build + late batch probes like a full build") {
     val rng = new scala.util.Random(11)
     val all = (0L until 80L).map(i =>
