@@ -319,6 +319,41 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // STREAMING ANN index maintenance — the production continual-ingest
+    // loop on the real engine: a file-source stream of late vectors
+    // folds into the persisted IVF-PQ index via foreachBatch + appendPq
+    // (assign + encode against the frozen centroids/codebooks, append
+    // code postings), then the index is probed. Every index-defining
+    // row (vec_id < 48) stays in the base build, so the streamed-into
+    // index is bit-identical to a full build and the probe shares
+    // sim_ivfpq_topk's oracle — checkpointed streaming ingest verified
+    // on the hard signal. stream_ prefix: construction runs a real
+    // streaming job, so the plan audit (rightly) skips it.
+    "stream_ann_ingest_live" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val late = col("vec_id") % 5 === 4 && col("vec_id") >= 48
+      val tmp = QuerySql.tempDir("graft_sann")
+      IvfIndex.savePq(emb.filter(!late), "vec_id", "embedding", k = 16,
+        s"$tmp/idx")
+      emb.filter(late).coalesce(1).write.parquet(s"$tmp/src")
+      val q = s.readStream.schema(emb.schema).parquet(s"$tmp/src")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          IvfIndex.appendPq(batch, "vec_id", "embedding", s"$tmp/idx"); ()
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Similarity.ivfPqProbe(IvfIndex.loadPqPostings(s, s"$tmp/idx"),
+          queries = emb.filter(col("vec_id") < 8), id = "vec_id",
+          vec = "embedding", cents = IvfIndex.loadCentroids(s, s"$tmp/idx"),
+          codebooks = IvfIndex.loadCodebooks(s, s"$tmp/idx"), nprobe = 4, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cosine").cast("float").as("adc_score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // RESIDUAL-encoded composition (the FAISS default): codes quantize
     // x − centroid(x), reconstruction adds the centroid back. On
     // clustered corpora residual space is smaller-diameter so the same
@@ -723,6 +758,11 @@ object SimilarityQueries {
     // base-build + code append must equal the full-corpus composition
     // (identical centroids and codebooks by construction)
     "sim_ivfpq_append" -> simIvfPqTopkSql,
+
+    // the streamed-in index is bit-identical to the full build (same
+    // argument as the batch append; the stream only changes WHO calls
+    // appendPq), so the probe shares the composition oracle
+    "stream_ann_ingest_live" -> simIvfPqTopkSql,
 
     // residual-encoded composition — see simIvfPqResTopkSql's comment
     "sim_ivfpq_res_topk" -> simIvfPqResTopkSql,
