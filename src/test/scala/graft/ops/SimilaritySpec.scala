@@ -77,6 +77,28 @@ class SimilaritySpec extends SparkSpec {
     top.head(1).asInstanceOf[Double] shouldBe 2.0 +- 1e-9
   }
 
+  test("SQ8: codes clamp to [0,255], constant dims code 0, grid corners quantize exactly") {
+    val df = Seq(
+      (1L, Seq(0.0f, 5.0f)),
+      (2L, Seq(1.0f, 5.0f)),
+      (3L, Seq(0.5f, 5.0f))).toDF("vec_id", "embedding")
+    val (mins, maxs) = Similarity.sqBounds(df, "embedding")
+    mins.toSeq shouldBe Seq(0.0, 5.0)
+    maxs.toSeq shouldBe Seq(1.0, 5.0)
+    val codes = Similarity.sq8Encode(df, "embedding", mins, maxs)
+      .select("vec_id", "sq_code").rows.map(r => r(0) -> r(1)).toMap
+    codes(1L) shouldBe Seq(0, 0)     // min corner; constant dim → 0
+    codes(2L) shouldBe Seq(255, 0)   // max corner clamps 256 → 255
+    codes(3L) shouldBe Seq(128, 0)   // midpoint → bucket 128
+    // mid-bucket reconstruction: bucket 128 → 0 + 128.5/256 = 0.502...;
+    // constant dim reconstructs to its min exactly
+    val rec = Seq((3L, Seq(128, 0))).toDF("vec_id", "sq_code")
+      .select(Similarity.sq8Reconstruct(col("sq_code"), mins, maxs).as("rv"))
+      .rows.head.head.asInstanceOf[scala.collection.Seq[Double]]
+    rec.head shouldBe (128.5 / 256.0) +- 1e-12
+    rec(1) shouldBe 5.0
+  }
+
   test("standardizeEmbeddings: hand-checked z-scores; constant dim is null") {
     val df = Seq(
       (1L, Seq(1.0f, 5.0f)),
