@@ -410,6 +410,21 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // SQ8's recall audit — completes the per-family recall matrix
+    // (IVF, PQ, IVF-PQ, IVF-PQ-residual, SQ8) on the same ground
+    // truth: the compression/recall frontier as measured numbers
+    "sim_recall_sq8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q8 = emb.filter(col("vec_id") < 8)
+      val bf = Similarity.bruteForceTopK(q8, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val (mins, maxs) = Similarity.sqBounds(emb, "embedding")
+      val approx = Similarity.sq8TopK(q8, emb, "vec_id", "embedding",
+          mins, maxs, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      recallAt5(bf, approx)
+    }),
+
     // recall audit of the COMPOSED index: quantization loss ON TOP of
     // list pruning, against the same brute-force ground truth — the
     // number a production ANN service dials nprobe/codebook size by.
@@ -631,6 +646,31 @@ object SimilarityQueries {
       |FROM rk WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  private val simSq8TopkSql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+      | comps AS (SELECT vec_id, generate_subscripts(dv, 1) AS j,
+      |     unnest(dv) AS x FROM v),
+      | b AS (SELECT j, min(x) AS mn, max(x) AS mx FROM comps GROUP BY j),
+      | rec AS (SELECT c.vec_id,
+      |     list(CASE WHEN b.mx - b.mn = 0 THEN b.mn
+      |          ELSE b.mn + (LEAST(255, GREATEST(0,
+      |               CAST(floor((c.x - b.mn) / (b.mx - b.mn) * 256) AS BIGINT)))
+      |               + 0.5) * (b.mx - b.mn) / 256
+      |          END ORDER BY c.j) AS rv
+      |   FROM comps c JOIN b USING (j) GROUP BY c.vec_id),
+      | q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id < 8),
+      | scored AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+      |     list_dot_product(q.qv, r.rv) AS adc
+      |   FROM q CROSS JOIN rec r WHERE q.query_id <> r.vec_id),
+      | rk AS (SELECT query_id, neighbor_id, adc,
+      |     row_number() OVER (PARTITION BY query_id
+      |       ORDER BY adc DESC, neighbor_id) AS rank
+      |   FROM scored)
+      |SELECT query_id, neighbor_id, CAST(adc AS REAL) AS adc_score,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM rk WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   private val simCosineTopkSql =
     """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
       |           FROM embeddings WHERE vec_id < 8),
@@ -787,30 +827,9 @@ object SimilarityQueries {
     // (x−mn)/(mx−mn)·256)), mid-bucket reconstruction, left-to-right
     // ADC dot — every step an IEEE exact-rounded double op mirrored by
     // the Spark zip_with chain (constant dims code 0 / reconstruct mn)
-    "sim_sq8_topk" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
-        | comps AS (SELECT vec_id, generate_subscripts(dv, 1) AS j,
-        |     unnest(dv) AS x FROM v),
-        | b AS (SELECT j, min(x) AS mn, max(x) AS mx FROM comps GROUP BY j),
-        | rec AS (SELECT c.vec_id,
-        |     list(CASE WHEN b.mx - b.mn = 0 THEN b.mn
-        |          ELSE b.mn + (LEAST(255, GREATEST(0,
-        |               CAST(floor((c.x - b.mn) / (b.mx - b.mn) * 256) AS BIGINT)))
-        |               + 0.5) * (b.mx - b.mn) / 256
-        |          END ORDER BY c.j) AS rv
-        |   FROM comps c JOIN b USING (j) GROUP BY c.vec_id),
-        | q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id < 8),
-        | scored AS (SELECT q.query_id, r.vec_id AS neighbor_id,
-        |     list_dot_product(q.qv, r.rv) AS adc
-        |   FROM q CROSS JOIN rec r WHERE q.query_id <> r.vec_id),
-        | rk AS (SELECT query_id, neighbor_id, adc,
-        |     row_number() OVER (PARTITION BY query_id
-        |       ORDER BY adc DESC, neighbor_id) AS rank
-        |   FROM scored)
-        |SELECT query_id, neighbor_id, CAST(adc AS REAL) AS adc_score,
-        |  CAST(rank AS BIGINT) AS rank
-        |FROM rk WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "sim_sq8_topk" -> simSq8TopkSql,
+
+    "sim_recall_sq8" -> recallOracleSql(simSq8TopkSql),
 
     "sim_recall_ivfpq_res" -> recallOracleSql(simIvfPqResTopkSql),
 
