@@ -593,6 +593,43 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Semantic deduplication over an embedding column — the SemDeDup
+    * shape (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus,
+    * mark within-cluster pairs whose cosine exceeds `threshold` as
+    * semantic duplicates, connect them into duplicate groups, keep one
+    * representative (the minimum id) per group. Returns
+    * (id, group_id, kept) for EVERY input row — the curation filter is
+    * `kept`, the audit trail is `group_id`.
+    *
+    * Scale shape: pair generation is an equi-join on `centroid_id`, so
+    * its cost is Σ|cluster|² — bounded by clustering granularity, never
+    * corpus². At 100 TB, scale k with the corpus so clusters stay
+    * O(10⁴–10⁵) rows (the paper's regime), or substitute LSH-bucketed
+    * pair generation ([[nearDupInBuckets]]'s capped shape) inside big
+    * clusters. Grouping reuses [[Dedup.duplicateClusters]]'s seeded
+    * min-label propagation. With `cents` from [[dataCentroids]] the
+    * whole chain — assignment, pairs, transitive grouping — replays in
+    * SQL (recursive CTE), keeping even the clustering-based curation
+    * step on the hard correctness signal. */
+  def semanticDedup(df: DataFrame, id: String, vec: String,
+                    cents: Array[Array[Double]], threshold: Double): DataFrame = {
+    val assigned = ivfAssignWith(df, vec, cents)
+      .select(col(id), col(vec), col("centroid_id"))
+    val a = assigned.select(col("centroid_id"), col(id).as("id_a"), col(vec).as("va"))
+    val b = assigned.select(col("centroid_id"), col(id).as("id_b"), col(vec).as("vb"))
+    val pairs = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comps = Dedup.duplicateClusters(pairs) // (id, comp = min id of group)
+      .select(col("id").as("__cid"), col("comp"))
+    df.select(col(id))
+      .join(comps, col(id) === col("__cid"), "left")
+      .select(col(id),
+        coalesce(col("comp"), col(id)).as("group_id"))
+      .withColumn("kept", col("group_id") === col(id))
+  }
+
   /** Embedding near-duplicate candidates: top `perBucket` most-similar
     * pairs inside each LSH bucket. Pair generation is bounded by bucket
     * size, not corpus size — the 100 TB-safe shape. */

@@ -394,6 +394,19 @@ object SimilarityQueries {
       recallAt5(bf, approx)
     }),
 
+    // SemDeDup-shape semantic dedup: IVF-cluster the embeddings, mark
+    // within-cluster pairs above cosine 0.35 as semantic duplicates,
+    // keep the min-id representative per connected group. Assignment,
+    // pairs and the transitive grouping all replay in SQL (recursive
+    // CTE) — clustering-based curation on the hard signal.
+    "emb_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.dataCentroids(emb, "vec_id", "embedding", k = 16)
+      Similarity.semanticDedup(emb, "vec_id", "embedding", cents,
+          threshold = 0.35)
+        .orderBy(col("vec_id"))
+    }),
+
     // SQ8 scalar quantization — per-dimension [min,max] grids, 4×
     // compression (the third standard index family next to IVF and
     // PQ). Bounds are exact min/max (no accumulation), so the whole
@@ -830,6 +843,40 @@ object SimilarityQueries {
     "sim_sq8_topk" -> simSq8TopkSql,
 
     "sim_recall_sq8" -> recallOracleSql(simSq8TopkSql),
+
+    // SemDeDup replay: data-centroid assignment (ties to the higher
+    // id, zero vectors → −2), within-cluster pairs at cosine ≥ 0.35,
+    // transitive closure via recursive CTE, group label = least(id,
+    // min reachable), kept = "I am my group's label"; rows in no pair
+    // group to themselves
+    "emb_semantic_dedup" ->
+      """WITH RECURSIVE cent AS (SELECT vec_id AS centroid_id,
+        |     CAST(embedding AS DOUBLE[]) AS cvec
+        |   FROM embeddings WHERE vec_id < 16),
+        | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+        | a0 AS (SELECT vec_id, centroid_id, dv,
+        |     row_number() OVER (PARTITION BY vec_id ORDER BY
+        |       COALESCE(list_cosine_similarity(dv, cvec), -2) DESC,
+        |       centroid_id DESC) AS rn
+        |   FROM v CROSS JOIN cent),
+        | asg AS (SELECT vec_id, centroid_id, dv FROM a0 WHERE rn = 1),
+        | pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |   FROM asg a JOIN asg b
+        |     ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        |   WHERE list_cosine_similarity(a.dv, b.dv) >= 0.35),
+        | e AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |       UNION SELECT id_b, id_a FROM pr),
+        | reach(a, b) AS (
+        |   SELECT src, dst FROM e
+        |   UNION
+        |   SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        | comp AS (SELECT a AS vec_id, least(a, min(b)) AS grp
+        |          FROM reach GROUP BY a)
+        |SELECT v.vec_id,
+        |  CAST(COALESCE(c.grp, v.vec_id) AS BIGINT) AS group_id,
+        |  (COALESCE(c.grp, v.vec_id) = v.vec_id) AS kept
+        |FROM v LEFT JOIN comp c ON v.vec_id = c.vec_id
+        |ORDER BY v.vec_id""".stripMargin,
 
     "sim_recall_ivfpq_res" -> recallOracleSql(simIvfPqResTopkSql),
 

@@ -99,6 +99,36 @@ class SimilaritySpec extends SparkSpec {
     rec(1) shouldBe 5.0
   }
 
+  test("semanticDedup: transitive groups keep min id; cross-cluster twins stay") {
+    // cluster 0 around (1,0), cluster 1 around (0,1); ids 10,11,12 are
+    // a transitive chain in cluster 0 (10~11, 11~12); 20 sits alone in
+    // cluster 1 even though it duplicates 10 in DIRECTION — different
+    // cluster ⇒ never paired (the SemDeDup trade: recall bounded by
+    // clustering)
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),     // centroid 0
+      (1L, Seq(0.0f, 1.0f)),     // centroid 1
+      (10L, Seq(1.0f, 0.05f)),
+      (11L, Seq(1.0f, 0.10f)),   // ~10 and ~12
+      (12L, Seq(1.0f, 0.15f)),
+      (20L, Seq(0.05f, 1.0f))    // lone in cluster 1
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.dataCentroids(emb, "vec_id", "embedding", k = 2)
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding", cents,
+        threshold = 0.995)
+      .orderBy("vec_id").rows.map(r => (r(0), r(1), r(2)))
+    // 0 pairs with nothing at 0.995 except its own co-cluster members
+    // 10..12 — wait: cos((1,0),(1,.05)) = .9988 ≥ .995 → 0 joins the
+    // chain, and min id of {0,10,11,12} is 0
+    out.filter(_._1 == 10L).head shouldBe ((10L, 0L, false))
+    out.filter(_._1 == 11L).head shouldBe ((11L, 0L, false))
+    out.filter(_._1 == 12L).head shouldBe ((12L, 0L, false))
+    // cluster-1 rows: 1 and 20 (cos = .9988) group under min id 1
+    out.filter(_._1 == 20L).head shouldBe ((20L, 1L, false))
+    out.filter(_._1 == 1L).head shouldBe ((1L, 1L, true))
+    out.filter(_._1 == 0L).head shouldBe ((0L, 0L, true))
+  }
+
   test("standardizeEmbeddings: hand-checked z-scores; constant dim is null") {
     val df = Seq(
       (1L, Seq(1.0f, 5.0f)),
