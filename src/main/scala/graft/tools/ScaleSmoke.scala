@@ -50,7 +50,8 @@ object ScaleSmoke {
     "er_fuzzy_pairs", "dedup_clusters_star", "text_bigram_lm",
     "cusum_drift", "sample_winsorize", "w_ewma", "sim_ivf_append",
     "dedup_substring", "text_quality_nb",
-    "sim_ivfpq_topk", "sim_ivfpq_persisted")
+    "sim_ivfpq_topk", "sim_ivfpq_persisted",
+    "sim_sq8_topk", "emb_semantic_dedup")
 
   def replicate(df: DataFrame, copies: Int, idCols: Seq[String],
                 stride: Long, textCol: Option[String] = None): DataFrame = {
