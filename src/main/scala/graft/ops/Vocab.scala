@@ -106,6 +106,47 @@ object Vocab {
           sum(col("tf"))).cast("float").as("avg_logprob"))
   }
 
+  /** [[unigramLogProb]] against an EXTERNAL model corpus — the building
+    * block of importance-resampling data selection (the DSIR shape,
+    * Xie et al. 2023, arXiv:2302.03169): score every document of
+    * `score` under the unigram distribution of `model`, so the
+    * difference of two such scores (target model minus raw model) ranks
+    * documents by how target-domain-like they are.
+    *
+    * Unlike the self-scoring variant, `score` can contain tokens the
+    * model never saw, so the distribution is add-1 smoothed:
+    * p(t) = (count_model(t) + 1) / (total_model + V + 1), with V the
+    * model's distinct-token count and the +1 slot standing in for all
+    * unseen tokens. Numerator and denominator are exact integers; each
+    * ln is one double op on identical inputs; per-doc sums go through
+    * DECIMAL so reduction order cannot change a bit (the
+    * [[unigramLogProb]] exactness contract, kept engine-portable).
+    *
+    * Scale shape: one tf pass over `score`, one count pass over
+    * `model`, a linear token-keyed left join, one broadcast stats row —
+    * no collects, no windows, nothing quadratic. */
+  def unigramLogProbAgainst(score: DataFrame, model: DataFrame,
+                            id: String = "doc_id",
+                            text: String = "text"): DataFrame = {
+    import TextAnalysis.d12
+    val tf = tokenRows(score, id, text)
+      .groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val counts = tokenRows(model, id, text)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("v"))
+    tf.join(counts, Seq("token"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("__lp",
+        log((coalesce(col("n"), lit(0L)) + 1L).cast("double") /
+          (col("total") + col("v") + 1L).cast("double")))
+      .groupBy(col(id))
+      .agg(
+        sum(col("tf")).as("n_tok"),
+        (sum(d12(col("__lp")) * col("tf").cast("decimal(17,0)")).cast("double") /
+          sum(col("tf"))).cast("float").as("avg_logprob"))
+  }
+
   /** Pairwise document cosine similarity over sparse term-weight vectors,
     * top `k` neighbors per document — text near-dup/clustering's
     * workhorse, via the INVERTED-INDEX join (term-at-a-time): documents

@@ -74,6 +74,27 @@ object SamplingQueries {
       Vocab.bigramLogProb(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // DSIR-shape importance scoring: every doc scored under the
+    // TARGET-domain unigram LM (here: the English subset) and the RAW
+    // LM (whole corpus), both add-1 smoothed; weight = the per-token
+    // log-likelihood ratio, selected = more target-like than raw. The
+    // standard cheap data-selection pass before training-mix assembly.
+    "sample_importance_dsir" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lpT = Vocab.unigramLogProbAgainst(docs, docs.filter(col("lang") === "en"))
+        .select(col("doc_id"), col("avg_logprob").as("lp_target"))
+      val lpR = Vocab.unigramLogProbAgainst(docs, docs)
+        .select(col("doc_id"), col("avg_logprob").as("lp_raw"))
+      lpT.join(lpR, "doc_id")
+        .withColumn("weight",
+          (col("lp_target").cast("double") - col("lp_raw").cast("double"))
+            .cast("float"))
+        .withColumn("selected", col("weight") >= 0.0f)
+        .select(col("doc_id"), col("lp_target"), col("lp_raw"),
+          col("weight"), col("selected"))
+        .orderBy(col("doc_id"))
+    }),
+
     // inverted-index sparse cosine: top-3 most similar docs per doc over
     // sqrt-idf term weights; terms in >25% of docs excluded (both the
     // skew cap and the standard stopword cut)
@@ -285,6 +306,42 @@ object SamplingQueries {
         |   / count(*) AS REAL) AS avg_logprob
         |FROM tok JOIN c USING (token) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // DSIR replay: two add-1-smoothed unigram scorings of the same
+    // token stream — target model (lang='en' subset) and raw model
+    // (whole corpus) — p(t) = (n+1)/(total+V+1) on exact integers,
+    // per-occurrence ln through DECIMAL(30,12) (≡ Spark's tf-weighted
+    // decimal sum), REAL means, weight = double difference of the two
+    // REALs cast back to REAL
+    "sample_importance_dsir" ->
+      """WITH tok AS (SELECT doc_id, token FROM (
+        |     SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+        |     FROM documents) WHERE length(token) > 0),
+        | mt AS (SELECT token FROM (
+        |     SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+        |     FROM documents WHERE lang = 'en') WHERE length(token) > 0),
+        | c AS (SELECT token, count(*) AS n FROM mt GROUP BY 1),
+        | st AS (SELECT sum(n) + count(*) + 1 AS denom FROM c),
+        | lt AS (SELECT t.doc_id,
+        |     CAST(CAST(sum(CAST(ln(CAST(COALESCE(c.n, 0) + 1 AS DOUBLE)
+        |         / CAST(st.denom AS DOUBLE)) AS DECIMAL(30,12))) AS DOUBLE)
+        |       / count(*) AS REAL) AS lp
+        |   FROM tok t LEFT JOIN c USING (token) CROSS JOIN st
+        |   GROUP BY t.doc_id),
+        | cr AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+        | sr AS (SELECT sum(n) + count(*) + 1 AS denom FROM cr),
+        | lr AS (SELECT t.doc_id,
+        |     CAST(CAST(sum(CAST(ln(CAST(COALESCE(cr.n, 0) + 1 AS DOUBLE)
+        |         / CAST(sr.denom AS DOUBLE)) AS DECIMAL(30,12))) AS DOUBLE)
+        |       / count(*) AS REAL) AS lp
+        |   FROM tok t LEFT JOIN cr USING (token) CROSS JOIN sr
+        |   GROUP BY t.doc_id)
+        |SELECT lt.doc_id, lt.lp AS lp_target, lr.lp AS lp_raw,
+        |  CAST(CAST(lt.lp AS DOUBLE) - CAST(lr.lp AS DOUBLE) AS REAL) AS weight,
+        |  (CAST(CAST(lt.lp AS DOUBLE) - CAST(lr.lp AS DOUBLE) AS REAL) >= 0)
+        |    AS selected
+        |FROM lt JOIN lr USING (doc_id)
+        |ORDER BY lt.doc_id""".stripMargin,
 
     // bigram replay: list_filter BEFORE pairing (as the Spark side),
     // add-1 ratio in double, DECIMAL(30,12) per-doc sum, REAL mean

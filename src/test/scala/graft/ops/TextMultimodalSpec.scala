@@ -240,6 +240,27 @@ class TextMultimodalSpec extends SparkSpec {
     Multimodal.parseWav(odd).map(_.dataLen) shouldBe Some(1L)
   }
 
+  test("unigramLogProbAgainst: add-1 smoothing, OOV tokens score the unseen slot") {
+    // model corpus tokens {a a b}: V = 2, total = 3, denom = 3+2+1 = 6
+    // p(a) = (2+1)/6 = 1/2, p(b) = (1+1)/6 = 1/3, p(OOV) = 1/6
+    val model = Seq((100L, "a a b")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a c"),      // ln(1/2) + ln(1/6) over 2 tokens
+      (2L, "b b")).toDF("doc_id", "text")
+    val out = Vocab.unigramLogProbAgainst(score, model)
+      .orderBy("doc_id").rows
+    out.head(1) shouldBe 2L
+    out.head(2).asInstanceOf[Float].toDouble shouldBe
+      ((math.log(0.5) + math.log(1.0 / 6)) / 2) +- 1e-6
+    out(1)(2).asInstanceOf[Float].toDouble shouldBe math.log(1.0 / 3) +- 1e-6
+    // self-scoring against the same corpus needs no smoothing and must
+    // NOT equal the smoothed score (the +1 mass shifts every p)
+    val self = Vocab.unigramLogProb(model).rows.head(2).asInstanceOf[Float]
+    val smoothedSelf = Vocab.unigramLogProbAgainst(model, model)
+      .rows.head(2).asInstanceOf[Float]
+    self should not equal smoothedSelf
+  }
+
   test("WAV walk: odd-chunk padding honored, RIFF extent clamps the walk") {
     // an odd-sized LIST chunk BEFORE fmt: only a correctly padded walk
     // lands on the fmt fourcc afterward
