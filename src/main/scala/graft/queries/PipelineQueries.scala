@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.Reshape
 import graft.pipeline.StockPipeline
-import graft.sources.LakeReader
+import graft.sources.{LakeReader, LakeWriter}
 import graft.streaming.EventStreams
 
 /** Pipeline-level and streaming-semantics queries:
@@ -86,6 +86,21 @@ object PipelineQueries {
           col("daily_return").cast("float").as("daily_return"),
           col("rolling_vol_30d").cast("float").as("rolling_vol_30d"))
         .orderBy(col("ticker"), col("date"))
+    }),
+
+    // Z-ORDER clustered rewrite (the Delta/Iceberg ZORDER BY shape from
+    // public primitives): orders re-laid-out on the (o_custkey,
+    // o_totalprice) z-curve, read back, totally ordered. The oracle
+    // verifies the layout loses/duplicates/corrupts nothing; the
+    // multi-column pruning property itself is pinned by LakeSpec
+    // (per-file tile spans vs a single-column sort).
+    "lake_zorder_roundtrip" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val tmp = QuerySql.tempDir("graft_zorder")
+      LakeWriter.writeZOrdered(o, tmp, Seq("o_custkey", "o_totalprice"),
+        files = 8)
+      s.read.parquet(tmp).orderBy(col("o_orderkey"))
     }),
 
     "p4_unpivot" -> ((s, dir) =>
@@ -389,6 +404,12 @@ object PipelineQueries {
         |  CAST(stddev_samp(dr) OVER (PARTITION BY ticker ORDER BY date
         |       ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS REAL) AS rolling_vol_30d
         |FROM r ORDER BY ticker, date""".stripMargin,
+
+    // layout is not data: a z-ordered rewrite must read back as exactly
+    // the source rows
+    "lake_zorder_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
 
     "p4_unpivot" ->
       """SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part

@@ -103,6 +103,63 @@ object LakeWriter {
     ()
   }
 
+  /** Z-value of numeric columns: each column scales linearly onto a
+    * `bits`-bit integer grid over its [min, max] (bounds passed in —
+    * one agg collects them; an index-layout action, not a data read),
+    * then the grids' bits interleave into one long. Rows close in
+    * z-value are close in EVERY interleaved dimension, which is what
+    * makes the multi-column clustering below work. Pure codegen'd
+    * column expression — shifts, masks, ors. */
+  private[sources] def zValue(cols: Seq[org.apache.spark.sql.Column],
+                              mins: Seq[Double], maxs: Seq[Double],
+                              bits: Int): org.apache.spark.sql.Column = {
+    require(cols.size * bits <= 63, s"${cols.size} cols × $bits bits exceeds a long")
+    val maxCell = (1L << bits) - 1
+    val cells = cols.zipWithIndex.map { case (c, i) =>
+      val span = maxs(i) - mins(i)
+      if (span == 0) lit(0L)
+      else least(lit(maxCell), greatest(lit(0L),
+        floor((c.cast("double") - mins(i)) / span * maxCell).cast("long")))
+    }
+    (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      cells.zipWithIndex.foldLeft(acc) { case (a, (cell, i)) =>
+        a.bitwiseOR(shiftleft(
+          shiftrightunsigned(cell, b).bitwiseAND(lit(1L)),
+          b * cols.size + i))
+      }
+    }
+  }
+
+  /** Z-ORDER clustered write — the multi-dimensional file-skipping
+    * layout (the shape of Delta/Iceberg's `ZORDER BY`, built from
+    * public Spark primitives): rows sort by the interleaved z-value, so
+    * every output file covers a small HYPER-RECTANGLE of the clustered
+    * columns and parquet min/max stats prune scans on ANY of them — a
+    * single-column sort gives perfect pruning on one column and none on
+    * the rest; z-ordering trades a little of the first column's
+    * locality for pruning on all of them. At 100 TB this is the
+    * difference between reading a table and reading a tile.
+    *
+    * Mechanics: one agg for per-column bounds, `repartitionByRange` on
+    * the z-value (range exchange: balanced files, globally ordered
+    * ranges), sort within partitions, write. The z-value itself is not
+    * persisted — it is layout, not data. */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+                    files: Int, bits: Int = 16): Unit = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"mn_$c"),
+        max(col(c).cast("double")).as(s"mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val mins = cols.indices.map(i => row.getDouble(2 * i)).toSeq
+    val maxs = cols.indices.map(i => row.getDouble(2 * i + 1)).toSeq
+    val z = zValue(cols.map(col), mins, maxs, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Bucketed catalog table: pre-shuffles ONCE at write time so every
     * subsequent equi-join/aggregation on the bucket keys is
     * co-located — no exchange in the join plan. The 100 TB pattern for

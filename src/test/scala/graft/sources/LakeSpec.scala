@@ -31,6 +31,37 @@ class LakeSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && !plan.contains("PartitionFilters: []"))
   }
 
+  test("writeZOrdered: every file covers a narrow tile of BOTH clustered columns") {
+    val dir = Files.createTempDirectory("lakez").toString
+    // two independent uniform columns — the adversarial case for
+    // single-column sorting (sorting by x leaves y's per-file span at
+    // the full domain)
+    val rng = new scala.util.Random(7)
+    val df = (1 to 20000).map(_ => (rng.nextInt(10000).toLong,
+      rng.nextInt(10000).toLong)).toDF("x", "y")
+    LakeWriter.writeZOrdered(df, s"$dir/z", Seq("x", "y"), files = 16)
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$dir/sx")
+    def meanSpan(path: String, c: String): Double =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).cast("double").as("span"))
+        .agg(avg(col("span"))).rows.head.head.asInstanceOf[Double]
+    // identical row SET either way — layout, not data
+    spark.read.parquet(s"$dir/z").count() shouldBe 20000
+    spark.read.parquet(s"$dir/z").except(df).count() shouldBe 0
+    df.except(spark.read.parquet(s"$dir/z")).count() shouldBe 0
+    // x-sorted layout: y files span ~the whole 10k domain; z-ordered:
+    // BOTH columns' per-file spans are tiles (16 files = 4 z-bits ⇒
+    // roughly 1/4 of each domain; assert a conservative 2.5×/2×)
+    val (zx, zy) = (meanSpan(s"$dir/z", "x"), meanSpan(s"$dir/z", "y"))
+    val (sxX, sxY) = (meanSpan(s"$dir/sx", "x"), meanSpan(s"$dir/sx", "y"))
+    withClue(s"z=(x $zx, y $zy) xsorted=(x $sxX, y $sxY): ") {
+      zy should be < sxY / 2.5   // y prunes under z-order, not under x-sort
+      zx should be < 10000.0 / 2 // x still clustered (tiles, not perfect runs)
+    }
+  }
+
   test("bucketed tables join without an exchange") {
     val n = 1000
     LakeWriter.writeBucketed((1 to n).map(i => (i.toLong, s"left$i")).toDF("k", "lv"),
