@@ -60,6 +60,30 @@ class LakeSpec extends SparkSpec {
       zy should be < sxY / 2.5   // y prunes under z-order, not under x-sort
       zx should be < 10000.0 / 2 // x still clustered (tiles, not perfect runs)
     }
+    // the spans CAUSE actual skipping — on the NON-leading column, the
+    // claim that distinguishes z-order from a plain sort: a y-only
+    // predicate lets the parquet reader's row-group pruning (pushed
+    // min/max) drop most of the z-layout's tiles, while the x-sorted
+    // layout reads everything (every file's y-range spans the domain)
+    def scanRows(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .filter(col("y").between(2000, 3000))
+      q.collect() // execute THIS dataset's plan so its metrics populate
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves()
+        .collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numOutputRows").value
+        }.get
+    }
+    val (zScan, sxScan) = (scanRows(s"$dir/z"), scanRows(s"$dir/sx"))
+    withClue(s"scan rows z=$zScan xsorted=$sxScan: ") {
+      zScan.toDouble should be < sxScan.toDouble / 2
+    }
   }
 
   test("bucketed tables join without an exchange") {
