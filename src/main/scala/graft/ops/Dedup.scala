@@ -509,7 +509,11 @@ object Dedup {
     // set would be paid even when round 1 converges, and the only thing
     // it could buy (detecting an input that is ALREADY a fixed point) is
     // a case star contraction never sees in practice; the sentinel just
-    // runs one (trivial) extra round there
+    // runs one (trivial) extra round there. Off-by-one consequence for
+    // SMALL maxIter: convergence can fire no earlier than round 2, so
+    // maxIter = 0 always fails the require below (its single permitted
+    // round cannot satisfy the check) — the effective minimum is
+    // maxIter >= 1, i.e. two rounds
     var edgeCount = -1L
     var converged = false
     var i = 0

@@ -28,6 +28,32 @@ import org.apache.spark.sql.functions._
   * persisted path share the in-memory path's oracle. */
 object IvfIndex {
 
+  /** The PQ encoding a persisted index was built with, recorded at
+    * save time in `meta.parquet` (one row: encoding "raw"|"residual").
+    * Raw and residual codes are NOT interchangeable at probe or append
+    * time, and nothing about the postings layout distinguishes them —
+    * without this marker, an append with the wrong flavor would
+    * silently mix encodings and probes would return wrong neighbors
+    * with no error. The marker makes the index self-describing:
+    * [[appendPq]] reads it instead of trusting a caller flag. */
+  def pqEncoding(spark: SparkSession, path: String): String = {
+    val rows = spark.read.parquet(s"$path/meta.parquet")
+      .select(col("encoding")).collect()
+    require(rows.length == 1,
+      s"$path/meta.parquet: expected exactly one encoding row, got ${rows.length}")
+    val enc = rows(0).getString(0)
+    require(enc == "raw" || enc == "residual",
+      s"$path/meta.parquet: unknown pq encoding '$enc'")
+    enc
+  }
+
+  private def writeMeta(spark: SparkSession, path: String, encoding: String): Unit = {
+    import spark.implicits._
+    Seq(encoding).toDF("encoding")
+      .repartition(1) // one row — one file
+      .write.mode("overwrite").parquet(s"$path/meta.parquet")
+  }
+
   /** Build the index from `df` and persist it; returns the centroids. */
   def save(df: DataFrame, id: String, vec: String, k: Int,
            path: String): Array[Array[Double]] = {
@@ -76,7 +102,9 @@ object IvfIndex {
     *    rows: subspace s's codeword for each code id;
     *  - `pq_postings.parquet` — (neighbor_id, pq_code array<int>),
     *    PARTITIONED BY centroid_id, so a probe's nprobe lists prune at
-    *    the file level and the scan reads codes, not vectors.
+    *    the file level and the scan reads codes, not vectors;
+    *  - `meta.parquet` — the encoding marker ([[pqEncoding]]): "raw"
+    *    here, "residual" from [[savePqResidual]].
     *
     * Determinism: centroids/codebooks are data-derived
     * ([[Similarity.dataCentroids]]/[[Similarity.pqCodebooks]]) and
@@ -104,6 +132,7 @@ object IvfIndex {
       .select(col(id).as("neighbor_id"), col("pq_code"), col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/pq_postings.parquet")
+    writeMeta(spark, path, "raw")
     (cents, codebooks)
   }
 
@@ -137,6 +166,7 @@ object IvfIndex {
       .select(col(id).as("neighbor_id"), col("pq_code"), col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/pq_postings.parquet")
+    writeMeta(spark, path, "residual")
     (cents, codebooks)
   }
 
@@ -148,11 +178,12 @@ object IvfIndex {
     * is O(|batch|·(k + m·codeK)); historical postings are never
     * rewritten. Same trades as [[append]]: centroid/codebook drift
     * under sustained ingest is handled by periodic [[savePq]] rebuilds,
-    * and duplicate ids are the caller's to prevent. `residual` must
-    * match the flag the index was built with ([[savePqResidual]]) —
-    * the two encodings are not interchangeable. */
-  def appendPq(df: DataFrame, id: String, vec: String, path: String,
-               residual: Boolean = false): Unit = {
+    * and duplicate ids are the caller's to prevent. The encoding flavor
+    * (raw vs residual) is READ FROM THE INDEX ([[pqEncoding]]'s
+    * marker), not supplied by the caller — an append can therefore
+    * never mix encodings within one index. */
+  def appendPq(df: DataFrame, id: String, vec: String, path: String): Unit = {
+    val residual = pqEncoding(df.sparkSession, path) == "residual"
     val cents = loadCentroids(df.sparkSession, path)
     val codebooks = loadCodebooks(df.sparkSession, path)
     val assigned = Similarity.ivfAssignWith(df, vec, cents)
@@ -164,6 +195,70 @@ object IvfIndex {
     enc.select(col(id).as("neighbor_id"), col("pq_code"), col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$path/pq_postings.parquet")
+  }
+
+  /** COMPACT a persisted IVF-PQ index's postings: rewrite every list
+    * down to at most `filesPerList` data files, codes unchanged. Each
+    * [[appendPq]] (and each streaming foreachBatch ingest) adds one
+    * file per touched list, so at production append rates the layout
+    * degrades into a small-files problem — probe wall grows with file
+    * COUNT (open/footer costs) even though dynamic partition pruning
+    * still skips unprobed lists. Run this as periodic maintenance, the
+    * way every log-structured index compacts.
+    *
+    * Shape: one shuffle keyed on (centroid_id, salt-of-`filesPerList`)
+    * — each list's rows land in ≤ filesPerList shuffle partitions, and
+    * the partitionBy write emits one file per (partition, list), so the
+    * per-list budget holds regardless of total partition count.
+    * Parallelism is min(shuffle partitions, lists × filesPerList);
+    * raise `filesPerList` for lists too big to write single-threaded.
+    * The rewrite goes to a staging dir and swaps in via two renames
+    * ([[graft.sources.LakeWriter.replaceSnapshot]]'s trade: atomic on
+    * HDFS/local rename, pointer-file indirection on object stores);
+    * the pre-compaction postings survive on disk until the new layout
+    * is fully written. Probes before and after return identical rows —
+    * compaction is layout, not data. */
+  def compactPq(spark: SparkSession, path: String, filesPerList: Int = 1): Unit = {
+    require(filesPerList >= 1, s"filesPerList must be >= 1, got $filesPerList")
+    val target = new org.apache.hadoop.fs.Path(s"$path/pq_postings.parquet")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/pq_postings.parquet.__compact__")
+    val old = new org.apache.hadoop.fs.Path(s"$path/pq_postings.parquet.__old__")
+    fs.delete(staging, true)
+    fs.delete(old, true)
+    loadPqPostings(spark, path)
+      .repartition(col("centroid_id"),
+        pmod(xxhash64(col("neighbor_id")), lit(filesPerList)))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(staging.toString)
+    require(fs.rename(target, old),
+      s"compactPq: could not stage out previous postings at $target")
+    require(fs.rename(staging, target),
+      s"compactPq: could not commit compacted postings at $target " +
+        s"(previous postings preserved at $old)")
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Per-list data-file counts of the persisted PQ postings — the
+    * small-files observer for append-heavy indexes ([[compactPq]]'s
+    * companion, the no-silent-degradation twin of the dropped-bucket
+    * observers): watch it grow under ingest, compact when it crosses
+    * the budget. Driver-side FS listing of nLists directories — an
+    * index-maintenance action, not a data read. */
+  def pqPostingsFileCounts(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/pq_postings.parquet")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+      .map { d =>
+        val cid = d.getPath.getName.stripPrefix("centroid_id=").toInt
+        val n = fs.listStatus(d.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        (cid, n.toLong)
+      }
+    import spark.implicits._
+    rows.toDF("centroid_id", "n_files")
   }
 
   /** The k×dim centroid matrix, ordered by centroid_id (an index-load

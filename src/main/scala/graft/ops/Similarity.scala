@@ -66,15 +66,52 @@ object Similarity {
         col("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** Default cap on how many query rows the flat ADC/brute-force scans
+    * will broadcast: ~100k rows of (id, dim-float vector) is order
+    * 10–100 MB — comfortably inside executor memory; beyond it an
+    * unconditional broadcast would OOM the build side. */
+  val DefaultMaxBroadcastQueries: Int = 100000
+
+  /** The (candidate × query) join behind every flat scan
+    * ([[bruteForceTopK]], [[pqTopK]], [[sq8TopK]]): semantically an
+    * all-pairs product filtered on query_id ≠ neighbor_id. Small query
+    * frames (≤ `maxBroadcastQueries` rows — checked with a bounded
+    * `limit(n+1).count()` probe, never a full count of an unbounded
+    * frame) broadcast, keeping the candidate side a pure streamed scan.
+    * Larger frames take the BLOCKED fallback: candidates hash into
+    * `blocks` buckets, queries replicate once per bucket, and the
+    * product becomes an equi-join on the bucket id — a real shuffle
+    * join (no driver-sized broadcast, no cartesian in the plan), with
+    * parallelism `blocks` and per-reducer work |C|/blocks · |Q|. Same
+    * rows out either way; only the join strategy changes. */
+  private def queryProductJoin(candSide: DataFrame, q: DataFrame,
+                               maxBroadcastQueries: Int,
+                               blocks: Int = 256): DataFrame = {
+    val over =
+      q.limit(maxBroadcastQueries + 1).count() > maxBroadcastQueries
+    if (!over) candSide.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    else {
+      val qb = q.select(col("*"),
+        explode(sequence(lit(0), lit(blocks - 1))).as("__qb"))
+      candSide
+        .withColumn("__qb", pmod(xxhash64(col("neighbor_id")), lit(blocks)).cast("int"))
+        .join(qb, Seq("__qb"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .drop("__qb")
+    }
+  }
+
   /** Brute-force cosine top-k: for every row of `queries` (small —
-    * broadcast), the k most similar rows of `candidates` (large —
-    * streamed; never shuffled whole). Excludes self-pairs when ids
-    * collide. */
+    * broadcast; above `maxBroadcastQueries` rows the blocked fallback
+    * of [[queryProductJoin]] kicks in), the k most similar rows of
+    * `candidates` (large — streamed; never shuffled whole). Excludes
+    * self-pairs when ids collide. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
-                     id: String, vec: String, k: Int): DataFrame = {
+                     id: String, vec: String, k: Int,
+                     maxBroadcastQueries: Int = DefaultMaxBroadcastQueries): DataFrame = {
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
     val c = candidates.select(col(id).as("neighbor_id"), col(vec).as("cv"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val scored = queryProductJoin(c, q, maxBroadcastQueries)
       .withColumn("cosine", cosine(col("qv"), col("cv")))
     topKPerQuery(scored, k)
   }
@@ -344,7 +381,8 @@ object Similarity {
     * top-k is the salted two-phase window. The recall/cost dial of real
     * PQ indexes, minus the training loop (codebooks are data-derived). */
   def pqTopK(queries: DataFrame, candidates: DataFrame, id: String, vec: String,
-             codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
+             codebooks: Array[Array[Array[Double]]], k: Int,
+             maxBroadcastQueries: Int = DefaultMaxBroadcastQueries): DataFrame = {
     // reconstruct BEFORE the join: per candidate once, not per
     // (query, candidate) pair — with Q queries the post-join form would
     // rebuild the dim-length array Q× per candidate for identical results
@@ -352,7 +390,7 @@ object Similarity {
       .select(col(id).as("neighbor_id"),
         pqReconstruct(col("pq_code"), codebooks).as("recon"))
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
-    val scored = enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val scored = queryProductJoin(enc, q, maxBroadcastQueries)
       .withColumn("cosine", dot(col("qv"), col("recon")))
     topKPerQuery(scored, k)
   }
@@ -425,7 +463,14 @@ object Similarity {
     var i = 0
     while (i < cents.length) {
       val c = cents(i)
-      val n = math.min(v.length, c.length)
+      // fail loudly on dimension drift: the in-plan cosine pads the short
+      // side with nulls and scores such rows -2, so a silent min-length
+      // truncation here could assign a malformed row DIFFERENTLY than the
+      // plan does — breaking the bit-identical contract residual
+      // codebooks rely on. A length mismatch is always a data bug.
+      require(v.length == c.length,
+        s"assignExact: vector dim ${v.length} != centroid dim ${c.length}")
+      val n = v.length
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var t = 0
       while (t < n) { dot += v(t) * c(t); na += v(t) * v(t); nb += c(t) * c(t); t += 1 }
@@ -583,12 +628,13 @@ object Similarity {
     * quantizer: per-dimension grids instead of subspace codebooks —
     * finer-grained, 4× compression instead of ~32×). */
   def sq8TopK(queries: DataFrame, candidates: DataFrame, id: String, vec: String,
-              mins: Array[Double], maxs: Array[Double], k: Int): DataFrame = {
+              mins: Array[Double], maxs: Array[Double], k: Int,
+              maxBroadcastQueries: Int = DefaultMaxBroadcastQueries): DataFrame = {
     val enc = sq8Encode(candidates, vec, mins, maxs)
       .select(col(id).as("neighbor_id"),
         sq8Reconstruct(col("sq_code"), mins, maxs).as("recon"))
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
-    val scored = enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val scored = queryProductJoin(enc, q, maxBroadcastQueries)
       .withColumn("cosine", dot(col("qv"), col("recon")))
     topKPerQuery(scored, k)
   }
@@ -604,17 +650,38 @@ object Similarity {
     * Scale shape: pair generation is an equi-join on `centroid_id`, so
     * its cost is Σ|cluster|² — bounded by clustering granularity, never
     * corpus². At 100 TB, scale k with the corpus so clusters stay
-    * O(10⁴–10⁵) rows (the paper's regime), or substitute LSH-bucketed
-    * pair generation ([[nearDupInBuckets]]'s capped shape) inside big
-    * clusters. Grouping reuses [[Dedup.duplicateClusters]]'s seeded
-    * min-label propagation. With `cents` from [[dataCentroids]] the
-    * whole chain — assignment, pairs, transitive grouping — replays in
-    * SQL (recursive CTE), keeping even the clustering-based curation
-    * step on the hard correctness signal. */
+    * O(10⁴–10⁵) rows (the paper's regime), and set `maxCluster` so one
+    * skewed centroid cannot quietly go quadratic: clusters above the
+    * cap are EXCLUDED from pair generation (their rows pass through
+    * un-deduped — the conservative keep) and surface via
+    * [[semanticDroppedClusters]], the no-silent-caps companion
+    * ([[Dedup.simhashDroppedBuckets]]'s pattern) — a capped run should
+    * report that frame so dropped dedup coverage is measured, never
+    * assumed. For capped clusters that still need dedup, substitute
+    * LSH-bucketed pair generation ([[nearDupInBuckets]]'s shape) inside
+    * them. The cap costs one extra assignment pass (a k-row size
+    * aggregate + broadcast semi-join — never a window over the corpus)
+    * and is off by default, so the default path is byte-identical to
+    * the uncapped oracle. Grouping reuses
+    * [[Dedup.duplicateClusters]]'s seeded min-label propagation. With
+    * `cents` from [[dataCentroids]] the whole chain — assignment,
+    * pairs, transitive grouping — replays in SQL (recursive CTE),
+    * keeping even the clustering-based curation step on the hard
+    * correctness signal. */
   def semanticDedup(df: DataFrame, id: String, vec: String,
-                    cents: Array[Array[Double]], threshold: Double): DataFrame = {
-    val assigned = ivfAssignWith(df, vec, cents)
+                    cents: Array[Array[Double]], threshold: Double,
+                    maxCluster: Int = Int.MaxValue): DataFrame = {
+    val assigned0 = ivfAssignWith(df, vec, cents)
       .select(col(id), col(vec), col("centroid_id"))
+    val assigned =
+      if (maxCluster == Int.MaxValue) assigned0
+      else {
+        val small = assigned0.groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("__csize"))
+          .filter(col("__csize") <= maxCluster)
+          .select(col("centroid_id"))
+        assigned0.join(broadcast(small), Seq("centroid_id"), "left_semi")
+      }
     val a = assigned.select(col("centroid_id"), col(id).as("id_a"), col(vec).as("va"))
     val b = assigned.select(col("centroid_id"), col(id).as("id_b"), col(vec).as("vb"))
     val pairs = a.join(b, Seq("centroid_id"))
@@ -629,6 +696,20 @@ object Similarity {
         coalesce(col("comp"), col(id)).as("group_id"))
       .withColumn("kept", col("group_id") === col(id))
   }
+
+  /** The clusters [[semanticDedup]]'s `maxCluster` cap EXCLUDES, as
+    * (centroid_id, n_members) — run it beside any capped dedup pass so
+    * the skipped pair-generation volume is OBSERVED (Σ n_members² pairs
+    * not examined), never silently assumed zero. Empty output proves
+    * the cap never fired on this input. Cost: one assignment map pass +
+    * a k-row aggregate. */
+  def semanticDroppedClusters(df: DataFrame, id: String, vec: String,
+                              cents: Array[Array[Double]],
+                              maxCluster: Int): DataFrame =
+    ivfAssignWith(df, vec, cents)
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxCluster)
 
   /** Embedding near-duplicate candidates: top `perBucket` most-similar
     * pairs inside each LSH bucket. Pair generation is bounded by bucket

@@ -147,6 +147,81 @@ object Vocab {
           sum(col("tf"))).cast("float").as("avg_logprob"))
   }
 
+  /** BPE MERGE-TABLE TRAINING — the tokenizer-side operator an LLM-data
+    * pipeline runs before [[TextAnalysis.bpeTokenCount]] can budget with
+    * a real vocabulary: learn `nMerges` byte-pair merges from the corpus
+    * (Sennrich et al. 2016, arXiv:1508.07909's word-frequency form).
+    *
+    * Classic BPE trains on the word-FREQUENCY dictionary, not the raw
+    * token stream: ONE corpus pass builds (word, freq) capped at the
+    * `maxWords` most frequent words (tie-break lexicographic — the
+    * df-cap that bounds every later pass), words split into character
+    * symbols, then per merge round: count adjacent symbol pairs
+    * weighted by word frequency, take the single most frequent pair
+    * (ties → lexicographically smallest (lhs, rhs)), and replace its
+    * occurrences greedily left-to-right without overlap ("aaa" under
+    * merge (a,a) → ["aa","a"]). The chosen pair is ONE ROW to the
+    * driver per round — an index-build action, like a centroid
+    * collect — and the merge application is a plan-literal fold over
+    * the ≤ maxWords dictionary, so per-round cost is O(maxWords · word
+    * length) regardless of corpus size; only the initial word count
+    * ever scans the corpus.
+    *
+    * The greedy replace is an `aggregate` fold: append each symbol,
+    * but when the accumulator ends in `lhs` and the symbol is `rhs`,
+    * pop and push the merged token. A token just created can never
+    * remerge as a left side within the same round (lhs+rhs ≠ lhs —
+    * rhs is nonempty), so the fold is exactly the
+    * position/run-parity semantics an oracle replays with window
+    * functions. Determinism end-to-end: integer counts, total-order
+    * tie-breaks, no floats anywhere.
+    *
+    * Output: (rank 1-based long, lhs, rhs, pair_count) — the merge
+    * table, highest-priority merge first. */
+  def bpeTrain(df: DataFrame, text: String = "text", nMerges: Int = 8,
+               maxWords: Int = 500): DataFrame = {
+    val spark = df.sparkSession
+    val words = df.select(explode(TextAnalysis.tokens(col(text))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(maxWords)
+    var state = words
+      .withColumn("syms", filter(split(col("word"), ""), s => length(s) > 0))
+      .select(col("word"), col("freq"), col("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val best = state.select(col("freq"),
+          explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // all words down to one symbol
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += (((i + 1).toLong, l, r, c))
+        // greedy left-to-right non-overlapping replace; the slice-form
+        // last-element probe stays ANSI-safe on the empty accumulator
+        val applied = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            slice(acc, -1, 1) === array(lit(l)) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+        state = state.withColumn("syms", applied).localCheckpoint()
+        i += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
   /** Pairwise document cosine similarity over sparse term-weight vectors,
     * top `k` neighbors per document — text near-dup/clustering's
     * workhorse, via the INVERTED-INDEX join (term-at-a-time): documents

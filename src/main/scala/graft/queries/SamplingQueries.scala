@@ -56,6 +56,15 @@ object SamplingQueries {
         .select(col("rank"), col("token"), col("n"))
         .orderBy(col("rank"))),
 
+    // learned BPE merge table: 8 most-frequent-pair merges over the
+    // 500-word df-capped dictionary — the trainer behind the
+    // n_bpe_tokens budget counter (text_bpe_tokens consumes a merge
+    // table; this is where one comes from)
+    "text_bpe_train" -> ((s, dir) =>
+      Vocab.bpeTrain(Tables.documents(s, dir), text = "text",
+          nMerges = 8, maxWords = 500)
+        .orderBy(col("rank"))),
+
     "text_tfidf" -> ((s, dir) =>
       Vocab.tfIdf(Tables.documents(s, dir), id = "doc_id", text = "text", perDoc = 3)
         .select(col("doc_id"), col("token"), col("tf"), col("df_t"),
@@ -177,7 +186,57 @@ object SamplingQueries {
     })
   )
 
+  /** DuckDB replay of [[graft.ops.Vocab.bpeTrain]], generated per merge
+    * round (SQL has no iteration): each round's pair-count argmax CTE
+    * (b$i) feeds a window-function replay of the greedy left-to-right
+    * non-overlapping merge — candidate positions group into maximal
+    * consecutive runs (p minus candidate row_number), odd run positions
+    * merge, the following position is consumed. Provably equivalent to
+    * the Spark fold: candidates are only ever adjacent when lhs = rhs,
+    * where both semantics merge ⌊run/2⌋ alternating pairs.
+    *
+    * The MATERIALIZED hints are load-bearing: pos$i and b$i are each
+    * referenced twice per round, so DuckDB's default CTE inlining
+    * doubles the plan per round — 2⁸ expansion across 8 rounds (the
+    * unhinted form did not finish; hinted runs in ~2 s). */
+  private def bpeTrainSql(nMerges: Int, maxWords: Int): String = {
+    val iters = (1 to nMerges).map { i =>
+      s"""pos$i AS MATERIALIZED (SELECT word, freq, unnest(syms) AS s, generate_subscripts(syms, 1) AS p
+         |   FROM w${i - 1}),
+         | pr$i AS (SELECT a.s AS lhs, b.s AS rhs, sum(a.freq) AS c
+         |   FROM pos$i a JOIN pos$i b ON a.word = b.word AND b.p = a.p + 1
+         |   GROUP BY 1, 2),
+         | b$i AS MATERIALIZED (SELECT lhs, rhs, c FROM pr$i ORDER BY c DESC, lhs, rhs LIMIT 1),
+         | cnd$i AS (SELECT m.word, m.freq, m.p, m.s, b.rhs AS mr,
+         |     (m.s = b.lhs AND lead(m.s) OVER (PARTITION BY m.word ORDER BY m.p) = b.rhs) AS cand
+         |   FROM pos$i m CROSS JOIN b$i b),
+         | run$i AS (SELECT *, p - row_number() OVER (PARTITION BY word, cand ORDER BY p) AS rnv
+         |   FROM cnd$i),
+         | rng$i AS (SELECT *, CASE WHEN cand THEN rnv END AS rn FROM run$i),
+         | mg$i AS (SELECT *, row_number() OVER (PARTITION BY word, rn ORDER BY p) AS rrn
+         |   FROM rng$i),
+         | mm$i AS (SELECT *, COALESCE(cand AND rrn % 2 = 1, false) AS mrg FROM mg$i),
+         | nx$i AS (SELECT *, COALESCE(lag(mrg) OVER (PARTITION BY word ORDER BY p), false) AS consumed
+         |   FROM mm$i),
+         | w$i AS MATERIALIZED (SELECT word, min(freq) AS freq,
+         |     list(CASE WHEN mrg THEN s || mr ELSE s END ORDER BY p) AS syms
+         |   FROM nx$i WHERE NOT consumed GROUP BY word)""".stripMargin
+    }.mkString(",\n ")
+    val out = (1 to nMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, c AS pair_count FROM b$i")
+      .mkString(" UNION ALL ")
+    s"""WITH tok AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents),
+       | wf AS MATERIALIZED (SELECT word, count(*) AS freq FROM tok WHERE length(word) > 0
+       |   GROUP BY word ORDER BY freq DESC, word LIMIT $maxWords),
+       | w0 AS (SELECT word, freq,
+       |     list_filter(string_split(word, ''), s -> length(s) > 0) AS syms FROM wf),
+       | $iters
+       |SELECT * FROM ($out) ORDER BY rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "text_bpe_train" -> bpeTrainSql(nMerges = 8, maxWords = 500),
 
     // stage-for-stage replay of the curation pipeline; each fragment is
     // the already-verified oracle of its standalone operator

@@ -117,6 +117,9 @@ object LakeWriter {
     val maxCell = (1L << bits) - 1
     val cells = cols.zipWithIndex.map { case (c, i) =>
       val span = maxs(i) - mins(i)
+      // null values land in cell 0: floor(null) is null, and greatest
+      // SKIPS nulls, leaving the lit(0L) floor — see writeZOrdered's
+      // null-handling contract
       if (span == 0) lit(0L)
       else least(lit(maxCell), greatest(lit(0L),
         floor((c.cast("double") - mins(i)) / span * maxCell).cast("long")))
@@ -143,20 +146,64 @@ object LakeWriter {
     * Mechanics: one agg for per-column bounds, `repartitionByRange` on
     * the z-value (range exchange: balanced files, globally ordered
     * ranges), sort within partitions, write. The z-value itself is not
-    * persisted — it is layout, not data. */
+    * persisted — it is layout, not data.
+    *
+    * STRING columns cluster too: each string column maps onto the grid
+    * through a sorted-distinct dictionary rank (value → its 0-based
+    * position in the column's sorted value set), so lexicographically
+    * close values land in close cells and parquet min/max stats on the
+    * string column itself still prune scans — the reference's own
+    * `ticker` cluster key is exactly this shape. The dictionary is one
+    * distinct + one |values|-row window and rides back on a broadcast
+    * join, so it must FIT: suitable for the low-cardinality keys that
+    * make good cluster columns (tickers, countries, categories), not
+    * for free-text; hash free-text to a numeric bucket first and
+    * accept the documented locality loss.
+    *
+    * Null handling: a NULL in a clustered column (numeric, or string —
+    * the dictionary skips nulls and the left join leaves them unranked)
+    * quantizes to cell 0, so null rows cluster into the grid-origin
+    * tile alongside the minimum values — they stay skippable on the
+    * OTHER clustered columns but not on the null one. An all-null (or
+    * empty) input fails loudly: there are no bounds to build a grid
+    * from. */
   def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
                     files: Int, bits: Int = 16): Unit = {
-    val aggs = cols.flatMap(c =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.StringType
+    val isString = cols.map(c => df.schema(c).dataType == StringType)
+    // string cluster keys → 0-based sorted-dictionary rank columns
+    val work = cols.zip(isString).foldLeft(df) { case (w, (c, s)) =>
+      if (!s) w
+      else {
+        val dict = df.select(col(c)).where(col(c).isNotNull).distinct()
+          .withColumn(s"__zd_$c",
+            (row_number().over(Window.orderBy(col(c))) - 1).cast("double"))
+        w.join(broadcast(dict), Seq(c), "left")
+      }
+    }
+    val zcols = cols.zip(isString).map { case (c, s) => if (s) s"__zd_$c" else c }
+    val aggs = zcols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"mn_$c"),
         max(col(c).cast("double")).as(s"mx_$c")))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val row = work.agg(aggs.head, aggs.tail: _*).head()
+    // min/max skip nulls, so an empty input or an all-null clustered
+    // column yields null bounds — fail with the actual problem instead
+    // of an opaque NPE at getDouble
+    cols.indices.foreach { i =>
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"writeZOrdered: no non-null values for clustered column " +
+          s"'${cols(i)}' (empty input or all-null column)")
+    }
     val mins = cols.indices.map(i => row.getDouble(2 * i)).toSeq
     val maxs = cols.indices.map(i => row.getDouble(2 * i + 1)).toSeq
-    val z = zValue(cols.map(col), mins, maxs, bits)
-    df.withColumn("__z", z)
+    val z = zValue(zcols.map(col), mins, maxs, bits)
+    work.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z")
+      // back to the INPUT schema: drops the surrogates and __z, and
+      // undoes the join's key-to-front column reorder
+      .select(df.columns.map(col).toSeq: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 

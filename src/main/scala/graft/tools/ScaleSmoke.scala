@@ -184,6 +184,29 @@ object ScaleSmoke {
       println(s"""{"metric":"simhash_dropped_buckets","copies":$copies,""" +
         s""""n_buckets":${dropped.getLong(0)},"n_rows":${dropped.getLong(1)}}""")
     }
+    // no-silent-caps, semantic flavor: when emb_semantic_dedup is under
+    // test, ALSO time the CAPPED variant at the synthetic scale and
+    // report what the cap dropped. The uncapped timing above exposes
+    // the fixed-k Σ|cluster|² boundary on purpose; this line shows the
+    // bound maxCluster buys and proves the engagement was measured
+    // (n_dropped_clusters > 0), never assumed.
+    if (sel.contains("emb_semantic_dedup")) {
+      val emb = spark.read.parquet(s"$dst/embeddings.parquet")
+      val cents = graft.ops.Similarity.dataCentroids(
+        emb, "vec_id", "embedding", k = 16)
+      val maxCluster = 5000
+      val t = median3(() => graft.ops.Similarity.semanticDedup(
+        emb, "vec_id", "embedding", cents, threshold = 0.35,
+        maxCluster = maxCluster).count())
+      val dropped = graft.ops.Similarity.semanticDroppedClusters(
+          emb, "vec_id", "embedding", cents, maxCluster)
+        .agg(count(lit(1)), coalesce(sum(col("n_members")), lit(0L)))
+        .head()
+      println(s"""{"metric":"semantic_dedup_capped","copies":$copies,""" +
+        s""""max_cluster":$maxCluster,"sec":${r2(t)},""" +
+        s""""n_dropped_clusters":${dropped.getLong(0)},""" +
+        s""""n_dropped_rows":${dropped.getLong(1)}}""")
+    }
     println(smokeLine(partial = false))
     spark.stop()
   }

@@ -61,6 +61,32 @@ class SamplingSpec extends SparkSpec {
     again.count() shouldBe up.count()
   }
 
+  test("bpeTrain: hand-computed merges, tie-breaks, greedy overlap, early exhaustion") {
+    val corpus = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "aaa"))
+      .toDF("doc_id", "text")
+    // word freqs: low 3, lower 2, aaa 1. Round by round:
+    //  1: (l,o) and (o,w) tie at 5 → lexicographic → (l,o)
+    //  2: (lo,w) 5
+    //  3: (a,a) 2 — counted WITH overlap (both adjacent positions of
+    //     "aaa"), tied with (e,r)/(low,e) → "a" sorts first; the merge
+    //     applies greedily without overlap: aaa → [aa, a]
+    //  4: (e,r) 2 beats (low,e) lexicographically
+    //  5: (low,er) 2
+    //  6: (aa,a) 1
+    //  7: no pairs left → stops at 6 of the 8 requested merges
+    val out = Vocab.bpeTrain(corpus, nMerges = 8, maxWords = 500)
+      .orderBy("rank").rows.map(r => (r.head, r(1), r(2), r(3)))
+    out shouldBe Seq(
+      (1L, "l", "o", 5L), (2L, "lo", "w", 5L), (3L, "a", "a", 2L),
+      (4L, "e", "r", 2L), (5L, "low", "er", 2L), (6L, "aa", "a", 1L))
+    // df-cap: with only the top-2 words in the dictionary, 'aaa' is out
+    // and its merges never surface
+    val capped = Vocab.bpeTrain(corpus, nMerges = 3, maxWords = 2)
+      .select("lhs", "rhs").rows.map(r => (r.head, r(1)))
+    capped should contain(("l", "o"))
+    capped should not contain (("a", "a"))
+  }
+
   test("tfIdfCosineTopK agrees with a dense brute-force cosine") {
     val docs = Seq(
       (1L, "apple banana cherry apple"),

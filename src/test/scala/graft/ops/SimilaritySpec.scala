@@ -347,8 +347,9 @@ class SimilaritySpec extends SparkSpec {
         else IvfIndex.savePq(df, "vec_id", "embedding",
           k = 4, dir, m = 2, codeK = 4, codeFrom = 4)
       build(all.filter(!late), dirA)
-      IvfIndex.appendPq(all.filter(late), "vec_id", "embedding", dirA,
-        residual = residual)
+      // no encoding flag: appendPq reads the marker the build wrote, so
+      // this loop is also the dispatch test for both flavors
+      IvfIndex.appendPq(all.filter(late), "vec_id", "embedding", dirA)
       build(all, dirB)
       val q = all.filter(col("vec_id") < 3)
       def probe(dir: String) = {
@@ -364,6 +365,119 @@ class SimilaritySpec extends SparkSpec {
       withClue(s"residual=$residual: ") {
         probe(dirA) shouldBe probe(dirB)
         probe(dirA) should not be empty
+      }
+    }
+  }
+
+  test("IvfIndex: encoding marker is persisted and self-describing") {
+    val rng = new scala.util.Random(41)
+    val emb = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val dirRaw = java.nio.file.Files.createTempDirectory("pqmeta_raw").toString
+    val dirRes = java.nio.file.Files.createTempDirectory("pqmeta_res").toString
+    IvfIndex.savePq(emb, "vec_id", "embedding", k = 4, dirRaw,
+      m = 2, codeK = 4, codeFrom = 4)
+    IvfIndex.savePqResidual(emb, "vec_id", "embedding", k = 4, dirRes,
+      m = 2, codeK = 4, codeFrom = 4)
+    IvfIndex.pqEncoding(spark, dirRaw) shouldBe "raw"
+    IvfIndex.pqEncoding(spark, dirRes) shouldBe "residual"
+    // an index without a marker cannot be appended to blindly — the
+    // encoding read fails loudly instead of guessing
+    val bare = java.nio.file.Files.createTempDirectory("pqmeta_none").toString
+    an[Exception] should be thrownBy IvfIndex.pqEncoding(spark, bare)
+  }
+
+  test("IvfIndex.compactPq: file count drops to the budget, probe results unchanged") {
+    val rng = new scala.util.Random(43)
+    val all = (0L until 100L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pqcompact").toString
+    IvfIndex.savePq(all.filter(col("vec_id") < 40), "vec_id", "embedding",
+      k = 4, dir, m = 2, codeK = 4, codeFrom = 4)
+    // three appends — each adds one file per touched list, the
+    // small-files failure mode the compactor exists for
+    for (b <- 0 until 3)
+      IvfIndex.appendPq(
+        all.filter(col("vec_id") >= 40 + b * 20 && col("vec_id") < 60 + b * 20),
+        "vec_id", "embedding", dir)
+    val q = all.filter(col("vec_id") < 3)
+    def probe() = Similarity.ivfPqProbe(IvfIndex.loadPqPostings(spark, dir),
+        q, "vec_id", "embedding", IvfIndex.loadCentroids(spark, dir),
+        IvfIndex.loadCodebooks(spark, dir), nprobe = 2, k = 3)
+      .select("query_id", "neighbor_id", "rank").rows.sortBy(_.toString)
+    val before = probe()
+    val filesBefore = IvfIndex.pqPostingsFileCounts(spark, dir)
+      .agg(sum(col("n_files"))).rows.head.head.asInstanceOf[Long]
+    IvfIndex.compactPq(spark, dir, filesPerList = 1)
+    val counts = IvfIndex.pqPostingsFileCounts(spark, dir)
+    val filesAfter = counts.agg(sum(col("n_files"))).rows.head.head.asInstanceOf[Long]
+    withClue(s"files before=$filesBefore after=$filesAfter: ") {
+      filesBefore should be > filesAfter       // appends really fragmented
+      counts.filter(col("n_files") > 1).count() shouldBe 0  // budget holds per list
+    }
+    probe() shouldBe before                    // layout changed, data did not
+    IvfIndex.pqEncoding(spark, dir) shouldBe "raw" // marker survives compaction
+  }
+
+  test("semanticDedup maxCluster: oversized clusters skip pair generation and are observed") {
+    // 3-dim corpus: ids 0..1 are the centroid seeds; a FAT cluster of
+    // near-identical vectors around seed 0 and a thin pair around seed 1
+    val emb = (
+      Seq((0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f))) ++
+      (2L until 10L).map(i => (i, Seq(1.0f, 0.001f * i, 0.0f))) ++   // fat: 9 members w/ seed
+      Seq((10L, Seq(0.0f, 1.0f, 0.001f)))                            // thin: 2 members
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.dataCentroids(emb, "vec_id", "embedding", k = 2)
+    val uncapped = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      cents, threshold = 0.999)
+    // the fat cluster collapses to one keeper without the cap
+    uncapped.filter(!col("kept")).count() should be > 0L
+    val capped = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      cents, threshold = 0.999, maxCluster = 5)
+    // capped: the fat cluster generates NO pairs — every row passes
+    // through kept=true (the conservative keep); the thin cluster still
+    // dedups (10 is a near-dup of 1)
+    capped.filter(col("vec_id") < 10 && !col("kept")).count() shouldBe 0
+    capped.filter(col("vec_id") === 10).select("kept").rows.head.head shouldBe false
+    // the observer surfaces exactly the skipped cluster, with its size
+    val dropped = Similarity.semanticDroppedClusters(emb, "vec_id", "embedding",
+      cents, maxCluster = 5).rows
+    dropped.map(r => (r.head, r(1))) shouldBe Seq((0, 9L)) // seed 0 + ids 2..9
+    // and proves silence when the cap never fires
+    Similarity.semanticDroppedClusters(emb, "vec_id", "embedding",
+      cents, maxCluster = 100).count() shouldBe 0
+  }
+
+  test("flat-scan broadcast guard: over-threshold query frames take the blocked join, results identical") {
+    val rng = new scala.util.Random(47)
+    val emb = (0L until 60L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 6)   // 6 queries > threshold 2
+    val (mins, maxs) = Similarity.sqBounds(emb, "embedding")
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding", dim = 8,
+      m = 2, k = 4, from = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").rows.sortBy(_.toString)
+    def assertNoBnlj(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      withClue(plan.take(2000)) {
+        plan should not include "BroadcastNestedLoopJoin"
+      }
+    }
+    for ((mk, name) <- Seq(
+      ((t: Int) => Similarity.sq8TopK(q, emb, "vec_id", "embedding",
+        mins, maxs, k = 3, maxBroadcastQueries = t), "sq8"),
+      ((t: Int) => Similarity.pqTopK(q, emb, "vec_id", "embedding",
+        cb, k = 3, maxBroadcastQueries = t), "pq"),
+      ((t: Int) => Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+        k = 3, maxBroadcastQueries = t), "bf"))) {
+      val small = mk(2)       // over threshold → blocked equi-join
+      val big = mk(1000000)   // default shape → broadcast product
+      withClue(s"$name: ") {
+        rows(small) shouldBe rows(big)
+        rows(small) should not be empty
+        assertNoBnlj(small)   // the fallback is a real equi-join plan
       }
     }
   }

@@ -92,6 +92,49 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("writeZOrdered: string cluster keys skip scans via dictionary rank") {
+    val dir = Files.createTempDirectory("lakezs").toString
+    // the reference's own cluster shape: (year, ticker) — a numeric and
+    // a STRING key, independently uniform
+    val rng = new scala.util.Random(13)
+    val tickers = ('A' to 'Z').map(c => s"TK$c")
+    val df = (1 to 20000).map(_ =>
+      (2000L + rng.nextInt(20), tickers(rng.nextInt(26)))).toDF("year", "ticker")
+    LakeWriter.writeZOrdered(df, s"$dir/z", Seq("year", "ticker"), files = 16)
+    df.repartitionByRange(16, col("year")).sortWithinPartitions("year")
+      .write.parquet(s"$dir/sy")
+    // identical row SET, original schema — the rank surrogate is layout,
+    // never persisted
+    val back = spark.read.parquet(s"$dir/z")
+    back.columns.toSeq.sorted shouldBe Seq("ticker", "year")
+    back.count() shouldBe 20000
+    back.except(df).count() shouldBe 0
+    df.except(back).count() shouldBe 0
+    // a ticker-only equality predicate prunes row groups in the
+    // z-layout (each file covers a narrow slice of the SORTED ticker
+    // dictionary, so parquet string min/max stats exclude most files);
+    // the year-sorted layout reads every row
+    def scanRows(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("ticker") === "TKB")
+      q.collect()
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves()
+        .collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numOutputRows").value
+        }.get
+    }
+    val (zScan, syScan) = (scanRows(s"$dir/z"), scanRows(s"$dir/sy"))
+    withClue(s"scan rows z=$zScan yearsorted=$syScan: ") {
+      syScan shouldBe 20000L          // nothing prunes on the string key
+      zScan.toDouble should be < syScan.toDouble * 0.7
+    }
+  }
+
   test("bucketed tables join without an exchange") {
     val n = 1000
     LakeWriter.writeBucketed((1 to n).map(i => (i.toLong, s"left$i")).toDF("k", "lv"),
