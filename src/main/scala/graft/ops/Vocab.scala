@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -181,12 +181,24 @@ object Vocab {
   def bpeTrain(df: DataFrame, text: String = "text", nMerges: Int = 8,
                maxWords: Int = 500): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
+    trainMergesWithCounts(df, text, nMerges, maxWords)
+      .toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** [[bpeTrain]]'s merge table as driver values, for feeding
+    * [[bpeApply]] — (rank, lhs, rhs, pair_count), highest-priority
+    * first. The collect is nMerges rows accumulated one per round — an
+    * index-build action, like a centroid collect. */
+  def trainMergesWithCounts(df: DataFrame, text: String = "text",
+                            nMerges: Int = 8, maxWords: Int = 500)
+      : Seq[(Long, String, String, Long)] = {
     val words = df.select(explode(TextAnalysis.tokens(col(text))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word")).limit(maxWords)
     var state = words
-      .withColumn("syms", filter(split(col("word"), ""), s => length(s) > 0))
+      .withColumn("syms", charSyms(col("word")))
       .select(col("word"), col("freq"), col("syms"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
@@ -206,20 +218,67 @@ object Vocab {
       else {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += (((i + 1).toLong, l, r, c))
-        // greedy left-to-right non-overlapping replace; the slice-form
-        // last-element probe stays ANSI-safe on the empty accumulator
-        val applied = aggregate(col("syms"),
-          array().cast("array<string>"),
-          (acc, x) => when(
-            slice(acc, -1, 1) === array(lit(l)) && x === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-            .otherwise(concat(acc, array(x))))
-        state = state.withColumn("syms", applied).localCheckpoint()
+        state = state.withColumn("syms", mergeFold(col("syms"), l, r))
+          .localCheckpoint()
         i += 1
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
+    merges.toSeq
+  }
+
+  /** Character symbols of a word (the BPE base alphabet); the filter
+    * drops the trailing empty string Java's empty-pattern split keeps
+    * under limit −1. */
+  private def charSyms(word: Column): Column =
+    filter(split(word, ""), s => length(s) > 0)
+
+  /** ONE greedy left-to-right non-overlapping merge pass of (l, r) over
+    * a symbol array — the `aggregate` fold shared by training and
+    * application: append each symbol, but when the accumulator ends in
+    * `l` and the symbol is `r`, pop and push the merged token. A token
+    * created this pass can never re-merge as a left side (l+r ≠ l);
+    * the slice-form last-element probe stays ANSI-safe on the empty
+    * accumulator. */
+  private def mergeFold(syms: Column, l: String, r: String): Column =
+    aggregate(syms,
+      array().cast("array<string>"),
+      (acc, x) => when(
+        slice(acc, -1, 1) === array(lit(l)) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** BPE SEGMENTATION with a learned merge table — the apply half of
+    * the tokenizer: split each word into characters, then run every
+    * merge in priority order (the [[bpeTrain]] contract: one greedy
+    * non-overlapping pass per merge). Output: per-document token count
+    * under the learned vocabulary, the number a training pipeline
+    * actually budgets with (vs [[TextAnalysis.bpeTokenCount]]'s
+    * regex-shape proxy).
+    *
+    * Scale shape: the chained fold is O(merges · word length) per
+    * word, so it runs over DISTINCT words only (the fast-tokenizer
+    * trick: segment the vocabulary, not the corpus), and the join back
+    * carries the per-(doc, word) term-frequency frame, not the raw
+    * occurrence stream (the [[unigramLogProb]] shape: map-side partial
+    * aggregation collapses occurrences before anything shuffles on
+    * word hash) — count = Σ tf(d,w) · |segments(w)|, identical
+    * integers. AQE broadcasts the vocab side when it is small. Exact
+    * integer counts end-to-end, so the whole train→apply chain replays
+    * in SQL on the hard signal. Documents with no tokens drop out (the
+    * [[unigramLogProb]] precedent). */
+  def bpeApply(df: DataFrame, id: String = "doc_id", text: String = "text",
+               merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(col(id), explode(TextAnalysis.tokens(col(text))).as("word"))
+      .filter(length(col("word")) > 0)
+    val tf = words.groupBy(col(id), col("word")).agg(count(lit(1)).as("tf"))
+    val seg = merges.foldLeft(charSyms(col("word"))) {
+      case (acc, (l, r)) => mergeFold(acc, l, r)
+    }
+    val segs = words.select(col("word")).distinct()
+      .withColumn("n_sub", size(seg).cast("long"))
+    tf.join(segs, Seq("word"))
+      .groupBy(col(id))
+      .agg(sum(col("n_sub") * col("tf")).as("n_bpe_vocab_tokens"))
   }
 
   /** Pairwise document cosine similarity over sparse term-weight vectors,

@@ -65,6 +65,17 @@ object SamplingQueries {
           nMerges = 8, maxWords = 500)
         .orderBy(col("rank"))),
 
+    // the apply half of the tokenizer: per-doc token counts after
+    // segmenting with the learned merge table (distinct-word
+    // segmentation — the fast-tokenizer shape)
+    "text_bpe_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = Vocab.trainMergesWithCounts(docs, "text",
+        nMerges = 8, maxWords = 500).map(m => (m._2, m._3))
+      Vocab.bpeApply(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
+
     "text_tfidf" -> ((s, dir) =>
       Vocab.tfIdf(Tables.documents(s, dir), id = "doc_id", text = "text", perDoc = 3)
         .select(col("doc_id"), col("token"), col("tf"), col("df_t"),
@@ -199,7 +210,7 @@ object SamplingQueries {
     * referenced twice per round, so DuckDB's default CTE inlining
     * doubles the plan per round — 2⁸ expansion across 8 rounds (the
     * unhinted form did not finish; hinted runs in ~2 s). */
-  private def bpeTrainSql(nMerges: Int, maxWords: Int): String = {
+  private def bpeTrainBlocks(nMerges: Int, maxWords: Int): String = {
     val iters = (1 to nMerges).map { i =>
       s"""pos$i AS MATERIALIZED (SELECT word, freq, unnest(syms) AS s, generate_subscripts(syms, 1) AS p
          |   FROM w${i - 1}),
@@ -222,21 +233,63 @@ object SamplingQueries {
          |     list(CASE WHEN mrg THEN s || mr ELSE s END ORDER BY p) AS syms
          |   FROM nx$i WHERE NOT consumed GROUP BY word)""".stripMargin
     }.mkString(",\n ")
-    val out = (1 to nMerges).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, c AS pair_count FROM b$i")
-      .mkString(" UNION ALL ")
-    s"""WITH tok AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents),
+    s"""tok AS MATERIALIZED (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents),
        | wf AS MATERIALIZED (SELECT word, count(*) AS freq FROM tok WHERE length(word) > 0
        |   GROUP BY word ORDER BY freq DESC, word LIMIT $maxWords),
        | w0 AS (SELECT word, freq,
        |     list_filter(string_split(word, ''), s -> length(s) > 0) AS syms FROM wf),
-       | $iters
+       | $iters""".stripMargin
+  }
+
+  private def bpeTrainSql(nMerges: Int, maxWords: Int): String = {
+    val out = (1 to nMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, c AS pair_count FROM b$i")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeTrainBlocks(nMerges, maxWords)}
        |SELECT * FROM ($out) ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.ops.Vocab.bpeApply]]: the full train
+    * chain above (b$i per round) followed by the SAME merge-replay
+    * blocks run over ALL distinct corpus words (the vocabulary, not
+    * the df-capped dictionary — exactly what the Spark side segments),
+    * then per-word subtoken counts joined back onto the document token
+    * stream and summed per document. */
+  private def bpeApplySql(nMerges: Int, maxWords: Int): String = {
+    val applies = (1 to nMerges).map { i =>
+      s"""apos$i AS MATERIALIZED (SELECT word, unnest(syms) AS s, generate_subscripts(syms, 1) AS p
+         |   FROM aw${i - 1}),
+         | acnd$i AS (SELECT m.word, m.p, m.s, b.rhs AS mr,
+         |     (m.s = b.lhs AND lead(m.s) OVER (PARTITION BY m.word ORDER BY m.p) = b.rhs) AS cand
+         |   FROM apos$i m CROSS JOIN b$i b),
+         | arun$i AS (SELECT *, p - row_number() OVER (PARTITION BY word, cand ORDER BY p) AS rnv
+         |   FROM acnd$i),
+         | arng$i AS (SELECT *, CASE WHEN cand THEN rnv END AS rn FROM arun$i),
+         | amg$i AS (SELECT *, row_number() OVER (PARTITION BY word, rn ORDER BY p) AS rrn
+         |   FROM arng$i),
+         | amm$i AS (SELECT *, COALESCE(cand AND rrn % 2 = 1, false) AS mrg FROM amg$i),
+         | anx$i AS (SELECT *, COALESCE(lag(mrg) OVER (PARTITION BY word ORDER BY p), false) AS consumed
+         |   FROM amm$i),
+         | aw$i AS MATERIALIZED (SELECT word,
+         |     list(CASE WHEN mrg THEN s || mr ELSE s END ORDER BY p) AS syms
+         |   FROM anx$i WHERE NOT consumed GROUP BY word)""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH ${bpeTrainBlocks(nMerges, maxWords)},
+       | aw0 AS (SELECT word, list_filter(string_split(word, ''), s -> length(s) > 0) AS syms
+       |   FROM (SELECT DISTINCT word FROM tok WHERE length(word) > 0) v),
+       | $applies,
+       | seg AS (SELECT word, len(syms) AS n_sub FROM aw$nMerges)
+       |SELECT t.doc_id, CAST(sum(s.n_sub) AS BIGINT) AS n_bpe_vocab_tokens
+       |FROM tok t JOIN seg s USING (word)
+       |WHERE length(t.word) > 0
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
 
     "text_bpe_train" -> bpeTrainSql(nMerges = 8, maxWords = 500),
+
+    "text_bpe_apply" -> bpeApplySql(nMerges = 8, maxWords = 500),
 
     // stage-for-stage replay of the curation pipeline; each fragment is
     // the already-verified oracle of its standalone operator

@@ -87,6 +87,25 @@ class SamplingSpec extends SparkSpec {
     capped should not contain (("a", "a"))
   }
 
+  test("bpeApply: learned merges segment the corpus to hand-computed counts") {
+    val corpus = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "aaa"))
+      .toDF("doc_id", "text")
+    // 2 merges — (l,o) then (lo,w): low → [low] (1), lower → [low,e,r]
+    // (3), aaa untouched → [a,a,a] (3)
+    val two = Vocab.trainMergesWithCounts(corpus, "text", nMerges = 2,
+      maxWords = 500).map(m => (m._2, m._3))
+    Vocab.bpeApply(corpus, "doc_id", "text", two)
+      .orderBy("doc_id").rows.map(r => (r.head, r(1))) shouldBe
+      Seq((1L, 3L), (2L, 6L), (3L, 3L))
+    // all 6 learnable merges: every vocabulary word collapses to a
+    // single token, so counts = whitespace token counts
+    val all = Vocab.trainMergesWithCounts(corpus, "text", nMerges = 8,
+      maxWords = 500).map(m => (m._2, m._3))
+    Vocab.bpeApply(corpus, "doc_id", "text", all)
+      .orderBy("doc_id").rows.map(r => (r.head, r(1))) shouldBe
+      Seq((1L, 3L), (2L, 2L), (3L, 1L))
+  }
+
   test("tfIdfCosineTopK agrees with a dense brute-force cosine") {
     val docs = Seq(
       (1L, "apple banana cherry apple"),
