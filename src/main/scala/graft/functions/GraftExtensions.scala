@@ -34,7 +34,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
     (FunctionIdentifier("pq_encode"),
       info("PqEncodeExpr", "pq_encode(v, codebooks) - product-quantization codes per subspace"),
-      (es: Seq[Expression]) => PqEncodeExpr(es(0), es(1)))
+      (es: Seq[Expression]) => PqEncodeExpr(es(0), es(1))),
+    (FunctionIdentifier("might_contain_bloom"),
+      info("BloomMightContain", "might_contain_bloom(key, filter) - bloom-filter membership probe"),
+      (es: Seq[Expression]) => BloomMightContain(es(0), es(1)))
   )
 
   /** Imperative registration on an existing session (idempotent). */
@@ -46,4 +49,6 @@ object GraftFunctions {
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def pqEncode(v: Column, codebooks: Column): Column = call_function("pq_encode", v, codebooks)
+  def mightContainBloom(key: Column, filterBytes: Array[Byte]): Column =
+    call_function("might_contain_bloom", key, org.apache.spark.sql.functions.lit(filterBytes))
 }

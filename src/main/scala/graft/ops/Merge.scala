@@ -47,6 +47,53 @@ object Merge {
       .unionByName(dedupByKey(incoming, keys, tiebreak))
   }
 
+  /** Incremental materialized-aggregate refresh: merge an insert-only
+    * delta's aggregate into an existing materialized aggregate WITHOUT
+    * rescanning the base table. `kinds` maps every non-key column of the
+    * MV to its distributive combine rule — "count"/"sum" add,
+    * "min"/"max" take the null-skipping extreme — the algebra that makes
+    * count/sum/min/max maintainable from deltas alone (avg is not: fail
+    * loudly and maintain sum+count instead).
+    *
+    * Scale: cost is one shuffle over |MV groups| + |delta groups| rows —
+    * the refresh of a 100 TB base's rollup touches megabytes, not the
+    * base. Stored partitioned by a key prefix, the rewrite further
+    * narrows to affected partitions via dynamic partition overwrite
+    * (the S9 idempotency pattern in [[graft.sources.LakeWriter]]).
+    * Deletes/updates need a different algebra (retractions or
+    * recompute-affected-groups); this operator is the insert-only fast
+    * path every warehouse rollup runs hourly. */
+  def mergeAggregates(mv: DataFrame, deltaAgg: DataFrame, keys: Seq[String],
+                      kinds: Map[String, String]): DataFrame = {
+    val valueCols = mv.columns.filterNot(keys.contains)
+    require(valueCols.toSet == deltaAgg.columns.filterNot(keys.contains).toSet,
+      s"MV and delta aggregate must share columns; mv=${valueCols.mkString(",")} " +
+        s"delta=${deltaAgg.columns.filterNot(keys.contains).mkString(",")}")
+    val unknown = kinds.collect { case (c, k) if !Set("count", "sum", "min", "max")(k) => s"$c -> $k" }
+    require(unknown.isEmpty,
+      s"non-distributive combine kind(s): ${unknown.mkString(", ")} — " +
+        "maintain sum+count and derive ratios at read time")
+    require(valueCols.forall(kinds.contains),
+      s"missing combine kind for: ${valueCols.filterNot(kinds.contains).mkString(", ")}")
+    val l = valueCols.foldLeft(mv)((d, c) => d.withColumnRenamed(c, s"__l_$c"))
+    val r = valueCols.foldLeft(deltaAgg)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
+    val combined = valueCols.map { c =>
+      val (lc, rc) = (col(s"__l_$c"), col(s"__r_$c"))
+      (kinds(c) match {
+        case "count" => coalesce(lc, lit(0L)) + coalesce(rc, lit(0L))
+        // sum/min/max keep null-if-absent-on-both semantics: a group all
+        // of whose inputs are null aggregates to null in both engines
+        case "sum" => when(lc.isNull, rc).when(rc.isNull, lc).otherwise(lc + rc)
+        case "min" => when(lc.isNull, rc).when(rc.isNull, lc).otherwise(least(lc, rc))
+        case "max" => when(lc.isNull, rc).when(rc.isNull, lc).otherwise(greatest(lc, rc))
+      }).as(c)
+    }
+    // full-outer on the key list: unseen groups insert, absent deltas
+    // pass the MV row through — the Seq-overload coalesces key columns
+    l.join(r, keys, "full_outer")
+      .select(keys.map(col) ++ combined: _*)
+  }
+
   /** Deterministic key dedup: one survivor per key, the row maximal under
     * `tiebreak` (reference dedup: load_stock_metrics.py:88 — its survivor
     * is positional; ours is explicit). */

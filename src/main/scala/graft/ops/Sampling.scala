@@ -104,6 +104,49 @@ object Sampling {
     df.join(band, Seq(value), "left_semi")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    * "Weighted random sampling with a reservoir", IPL 2006): each row
+    * draws a deterministic uniform u ∈ (0,1) from md5(id) and gets the
+    * exponential key −ln(u)/w; the n SMALLEST keys per stratum are the
+    * sample. This is the standard reservoir-free form of PPS-without-
+    * replacement: selecting the n smallest exponential keys is
+    * distributionally identical to n sequential weighted draws without
+    * replacement. Deterministic (u is a pure function of the id, never
+    * `rand()`), so the sample is stable under re-runs, task retries and
+    * engine replay.
+    *
+    * u uses 52 md5 bits (13 hex chars) so it is exactly representable in
+    * a double; the +0.5 offset keeps u strictly inside (0,1) (u = 0
+    * would make the key infinite). Key comparisons are tie-broken by id,
+    * which also absorbs the only cross-engine risk — a ≤1-ulp `ln`
+    * difference matters only when two keys collide to that precision.
+    *
+    * Rows with null or non-positive weight carry no sampling mass and
+    * are excluded (E-S is undefined for w ≤ 0); weights need not be
+    * normalized. Scale: the same salted two-phase top-n as
+    * [[stratifiedSample]] — the per-salt first-n provably contains the
+    * global first-n, so a hot stratum never pins one reducer and no
+    * corpus-sized global window exists. */
+  def weightedSampleWithoutReplacement(df: DataFrame, id: String, weight: Column,
+                                       n: Int, stratum: Option[String] = None,
+                                       salts: Int = 32): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    // 13 hex chars = 52 bits: the largest md5 prefix a double holds exactly
+    val u = (conv(substring(md5(concat(lit("wor:"), col(id).cast("string"))), 1, 13), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val key = -log(u) / weight.cast("double")
+    val strat = stratum.map(col).getOrElse(lit(0))
+    val w1 = Window.partitionBy(strat, col("__salt")).orderBy(col("__es_key"), col(id))
+    val w2 = Window.partitionBy(strat).orderBy(col("__es_key"), col(id))
+    df.filter(weight.isNotNull && weight.cast("double") > 0)
+      .withColumn("__es_key", key)
+      .withColumn("__salt", Skew.salt(col(id), salts))
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= n)
+      .withColumn("wor_rank", row_number().over(w2).cast("long"))
+      .filter(col("wor_rank") <= n)
+      .drop("__salt", "__r1", "__es_key")
+  }
+
   /** Domain upsampling with replacement — the "epochs per domain" form of
     * a training mixture (weights may exceed 1; weights < 1 degrade to a
     * [[weightedMix]]-style keep). Each row emits

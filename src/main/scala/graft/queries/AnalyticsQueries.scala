@@ -353,6 +353,28 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // ── Exact trailing-window MEDIAN: nearest-rank (lower) element of
+    // the last 15 rows per user — the robust rolling baseline
+    // (rolling-z on a median resists the exact outliers it should
+    // flag). No built-in exact windowed median exists; the frame is
+    // bounded (15 rows), so sorting the collected frame is O(k log k)
+    // per row with k fixed — a deliberate small-frame pattern that
+    // stays inside one window exchange. Integer cents ⇒ exact replay.
+    "w_rolling_median" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("t_us"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+        .rowsBetween(-14, 0)
+      ev.withColumn("__win", array_sort(collect_list(col("cents")).over(w)))
+        .select(col("user_id"), col("event_id"),
+          element_at(col("__win"),
+            floor((size(col("__win")) + 1) / 2).cast("int")).as("med_cents"),
+          size(col("__win")).cast("long").as("win_n"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // ── Robust outlier stats: per-group median and median absolute
     // deviation, both by exact nearest-rank selection — two linear
     // window passes, values straight from the data (|x − med| is a
@@ -816,6 +838,21 @@ object AnalyticsQueries {
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us
         |  RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // list() as a window aggregate collects the same 15-row frame; both
+    // engines sort it and take the 1-based nearest-rank-lower element
+    "w_rolling_median" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |            CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE value IS NOT NULL),
+        | w AS (SELECT user_id, event_id,
+        |     list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS win
+        |   FROM e)
+        |SELECT user_id, event_id,
+        | win[(len(win) + 1) // 2] AS med_cents,
+        | CAST(len(win) AS BIGINT) AS win_n
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
 
     "agg_mad" ->
       """WITH r AS (SELECT event_type, value,

@@ -103,6 +103,24 @@ object PipelineQueries {
       s.read.parquet(tmp).orderBy(col("o_orderkey"))
     }),
 
+    // Small-files repair round-trip: fragment the orders table into
+    // ~30 files per priority partition (an append-heavy zone's decay
+    // state), compact to ≤2, read back, totally ordered. The oracle
+    // verifies compaction loses/duplicates/corrupts nothing; the
+    // file-budget and staged-swap properties are pinned by LakeSpec.
+    "lake_compact_roundtrip" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      val tmp = QuerySql.tempDir("graft_compact")
+      LakeWriter.write(o.repartition(30), tmp, Seq("o_orderpriority"))
+      LakeWriter.compact(s, tmp, Seq("o_orderpriority"), filesPerPartition = 2)
+      s.read.parquet(tmp)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "p4_unpivot" -> ((s, dir) =>
       Reshape.unpivot(
           Tables.part(s, dir).select(col("p_partkey"),
@@ -263,6 +281,34 @@ object PipelineQueries {
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 
+    // REAL-ENGINE stream-stream LEFT OUTER interval join: same
+    // attribution shape, but clicks with no purchase inside the horizon
+    // null-pad — emitted ONLY once the watermark proves no future match
+    // can arrive (state eviction), the other hard outer-join behavior.
+    // The engine's watermark is min(max click ts, max purchase ts) −
+    // lateness (two watermark operators, min policy); unmatched clicks
+    // with l_ts + horizon ≥ that watermark are still "open" at stream
+    // end and are discarded unemitted — the oracle replays that cutoff
+    // exactly.
+    "stream_interval_left_join_live" -> ((s, dir) => {
+      val (raw, tmp) = stageStream(s, dir, "events", "graft_silj")
+      val src = raw.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("l_user"), col("ts_utc").as("l_ts"),
+          col("event_id").as("click_id"))
+      val buys = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"), col("ts_utc").as("r_ts"),
+          col("event_id").as("purchase_id"), col("value"))
+      val joined = EventStreams.intervalJoin(
+          clicks, "l_user", "l_ts", buys, "r_user", "r_ts",
+          horizon = "4 hours", joinType = "left_outer")
+        .select(col("click_id"), col("purchase_id"), col("value"))
+      awaitScoped(s)(EventStreams.toLake(joined, s"$tmp/sink", s"$tmp/ckpt",
+        partitionCols = Seq.empty))
+      LakeReader.read(s, s"$tmp/sink")
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     // REAL-ENGINE foreachBatch upsert — the reference's watermark+DELETE+
     // append load pattern as a streaming merge. The tiebreak (event_id) is
     // globally unique, so the per-key survivor is deterministic; one data
@@ -411,6 +457,12 @@ object PipelineQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
+    // layout is not data, compaction edition: identical row set after
+    // the rewrite
+    "lake_compact_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
     "p4_unpivot" ->
       """SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part
         |UNION ALL
@@ -444,6 +496,34 @@ object PipelineQueries {
         | AND l.user_id = r.user_id
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // left-outer stream-stream: matches as the inner join; unmatched
+    // clicks null-pad ONLY if the final watermark — min of the two
+    // sides' (max event ts − 10 min lateness), the engine's
+    // min-watermark policy — passed l_ts + horizon, proving no future
+    // match; younger unmatched clicks die unemitted at stream end
+    "stream_interval_left_join_live" ->
+      """WITH wm AS (SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL '10 minutes' AS w),
+        | l AS (SELECT user_id, ts, event_id AS click_id FROM events
+        |       WHERE event_type = 'click'),
+        | r AS (SELECT user_id, ts, event_id AS purchase_id, value FROM events
+        |       WHERE event_type = 'purchase'),
+        | m AS (SELECT l.click_id, r.purchase_id, r.value
+        |       FROM l JOIN r ON l.user_id = r.user_id
+        |        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR),
+        | u AS (SELECT l.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+        |         CAST(NULL AS DOUBLE) AS value
+        |       FROM l, wm
+        |       WHERE NOT EXISTS (SELECT 1 FROM r
+        |         WHERE r.user_id = l.user_id
+        |          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR)
+        |        AND l.ts + INTERVAL 4 HOUR < wm.w)
+        |SELECT * FROM m
+        |UNION ALL SELECT * FROM u
+        |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
 
     // integer-cents running totals: one Update row per user after the
     // single data batch = the full per-user aggregate

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Anomaly, AsOfJoin, Cohort, Funnel, Merge, Quality, RangeJoin, Reshape, Returns, Scd, Sessionize, Skew, Snapshot, Volatility}
+import graft.ops.{Anomaly, AsOfJoin, Cohort, Funnel, Merge, Quality, RangeJoin, Reshape, Returns, RuntimeFilter, Scd, Sessionize, Skew, Snapshot, Volatility}
 
 /** Core relational operator inventory (SURVEY.md §2.2–§2.9) expressed over
   * the driver's TPC-H-ish lake, each with a DuckDB oracle.
@@ -264,6 +264,48 @@ object RelationalQueries {
       Merge.upsert(existing, incoming,
           keys = Seq("o_custkey", "o_orderdate"), tiebreak = "o_orderkey")
         .orderBy(col("o_orderkey"))
+    }),
+
+    // ── Bloom-prefiltered semi-join: lineitem against the urgent
+    // high-value order keys. The sketch probe cuts the fact side before
+    // its shuffle; the exact semi-join over survivors makes the result
+    // row-for-row the plain semi-join the oracle runs (no false
+    // negatives; false positives evicted by the join).
+    "bloom_semi_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val hot = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 150000.0)
+        .select(col("o_orderkey"))
+      RuntimeFilter.semiJoinWithBloom(li, hot,
+          bigKey = "l_orderkey", smallKey = "o_orderkey",
+          expectedItems = 4096L)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ── Incremental materialized-view refresh: the pre-1997 rollup is
+    // the "materialized" state; 1997+ orders are the insert-only delta.
+    // mergeAggregates combines the two aggregate frames without touching
+    // the base — and the oracle PROVES the maintained MV equals the
+    // full recompute over the whole table. Integer cents keep the sums
+    // exactly portable.
+    "mv_incremental_refresh" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderdate"))
+      def rollup(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderpriority"), col("yr"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"),
+            max(col("o_orderdate")).as("latest_date"))
+      val cutoff = lit("1997-01-01").cast("timestamp")
+      val mv = rollup(o.filter(col("o_orderdate") < cutoff))
+      val deltaAgg = rollup(o.filter(col("o_orderdate") >= cutoff))
+      Merge.mergeAggregates(mv, deltaAgg, keys = Seq("o_orderpriority", "yr"),
+          kinds = Map("n_orders" -> "count", "total_cents" -> "sum",
+            "latest_date" -> "max"))
+        .orderBy(col("o_orderpriority"), col("yr"))
     }),
 
     // ── Long→wide pivot with a declared column set (single pass) ───────
@@ -646,6 +688,24 @@ object RelationalQueries {
         |     AND inc.o_orderdate = ex.o_orderdate)
         | UNION ALL SELECT * FROM ded) t
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the bloom probe is an engine-side optimization, invisible to the
+    // result: the oracle is the plain semi-join
+    "bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the oracle is the FULL recompute — the equality that justifies
+    // maintaining the rollup from deltas at all
+    "mv_incremental_refresh" ->
+      """SELECT o_orderpriority, year(o_orderdate) AS yr,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        | max(o_orderdate) AS latest_date
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY o_orderpriority, yr""".stripMargin,
 
     "p_pivot_daily" ->
       """WITH daily AS (

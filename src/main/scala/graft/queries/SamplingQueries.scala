@@ -44,6 +44,16 @@ object SamplingQueries {
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // PPS sampling without replacement: 25 docs per language, inclusion
+    // probability proportional to document length (Efraimidis–Spirakis
+    // exponential keys; deterministic md5-derived uniforms)
+    "sample_weighted_wor" -> ((s, dir) =>
+      Sampling.weightedSampleWithoutReplacement(Tables.documents(s, dir),
+          id = "doc_id", weight = col("n_chars"), n = 25,
+          stratum = Some("lang"))
+        .select(col("lang"), col("doc_id"), col("wor_rank"))
+        .orderBy(col("lang"), col("wor_rank"))),
+
     // epochs-per-domain mixture: en ×2.5, zh ×0.5, everything else ×1
     "sample_upsample" -> ((s, dir) =>
       Sampling.upsample(Tables.documents(s, dir), id = "doc_id",
@@ -348,6 +358,24 @@ object SamplingQueries {
         |SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
         |FROM r WHERE sample_rank <= 5
         |ORDER BY lang, sample_rank""".stripMargin,
+
+    // the salted two-phase top-n is identical to the one-window form
+    // (same containment proof as sample_stratified); the exponential key
+    // replays exactly: u is 52 md5 bits (double-exact), and +,/,negate
+    // are IEEE-specified, leaving ln as the only ≤1-ulp cross-engine
+    // wiggle — absorbed by the id tie-break unless two keys collide to
+    // ~1e-15, which the 52-bit u makes vanishingly unlikely
+    "sample_weighted_wor" ->
+      """WITH k AS (SELECT lang, doc_id,
+        |    -ln((CAST(concat('0x', substr(md5(concat('wor:', CAST(doc_id AS VARCHAR))), 1, 13)) AS BIGINT) + 0.5)
+        |        / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS k
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        | r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS wor_rank
+        |  FROM k)
+        |SELECT lang, doc_id, CAST(wor_rank AS BIGINT) AS wor_rank
+        |FROM r WHERE wor_rank <= 25
+        |ORDER BY lang, wor_rank""".stripMargin,
 
     "sample_weighted_mix" ->
       """SELECT doc_id, lang FROM documents

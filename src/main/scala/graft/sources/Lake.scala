@@ -103,6 +103,57 @@ object LakeWriter {
     ()
   }
 
+  /** Partitioned-lake compaction — the small-files repair for
+    * append-heavy zones. Every [[append]] adds at least one file per
+    * touched partition, so a zone fed hourly degrades into thousands of
+    * kilobyte files whose open/footer overhead dominates scans long
+    * before partition pruning can help (the same failure mode
+    * [[graft.ops.IvfIndex.compactPq]] repairs for ANN postings — this is
+    * the general-lake form). Rewrites every partition to at most
+    * `filesPerPartition` files via ONE shuffle keyed on
+    * (partition columns, deterministic row-hash bucket), then commits
+    * with the [[replaceSnapshot]] staged-rename swap, so the previous
+    * zone survives on disk until the compacted one is fully written and
+    * a reader never sees a half-compacted zone. Content is unchanged —
+    * compaction is layout, not data (spec-pinned by LakeSpec).
+    *
+    * Run it from the [[fileCounts]] observer, not on a timer: compact
+    * when the worst partition crosses a file budget. */
+  def compact(spark: SparkSession, path: String, partitionCols: Seq[String],
+              filesPerPartition: Int = 1): Unit = {
+    require(filesPerPartition >= 1,
+      s"filesPerPartition must be >= 1, got $filesPerPartition")
+    val df = LakeReader.read(spark, path)
+    val bucket = pmod(xxhash64(df.columns.toSeq.map(col): _*), lit(filesPerPartition))
+    replaceSnapshot(
+      df.repartition(partitionCols.map(col) :+ bucket: _*),
+      path, partitionCols)
+  }
+
+  /** Per-partition data-file counts of a Hive-partitioned zone — the
+    * no-silent-degradation observer that tells you WHEN to [[compact]]
+    * (companion of [[graft.ops.IvfIndex.pqPostingsFileCounts]]). Walks
+    * the partition directory tree on the driver — a maintenance action
+    * bounded by partition count, not a data read. `partition` is the
+    * relative Hive path ("year=1997/ticker=A"); an unpartitioned zone
+    * reports one "" row. */
+  def fileCounts(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(dir: org.apache.hadoop.fs.Path, rel: String): Seq[(String, Long)] = {
+      val entries = fs.listStatus(dir).toSeq
+      val subdirs = entries.filter(e => e.isDirectory && e.getPath.getName.contains("="))
+      val files = entries.count(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+      val below = subdirs.flatMap { d =>
+        val name = d.getPath.getName
+        walk(d.getPath, if (rel.isEmpty) name else s"$rel/$name")
+      }
+      if (files > 0 || below.isEmpty) (rel, files.toLong) +: below else below
+    }
+    import spark.implicits._
+    walk(root, "").toDF("partition", "n_files")
+  }
+
   /** Z-value of numeric columns: each column scales linearly onto a
     * `bits`-bit integer grid over its [min, max] (bounds passed in —
     * one agg collects them; an index-layout action, not a data read),

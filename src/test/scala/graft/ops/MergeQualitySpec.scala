@@ -68,4 +68,36 @@ class MergeQualitySpec extends SparkSpec {
     val good = Seq((Integer.valueOf(1), "y")).toDF("a", "b")
     Quality.check(good, schema, Seq("a")).isRight shouldBe true
   }
+
+  test("mergeAggregates: insert, passthrough, combine — and null algebra") {
+    import org.apache.spark.sql.functions.col
+    // mv: groups g1 (count 2, sum 10, max 5), g2 (count 1, sum null, max null)
+    val mv = Seq(("g1", 2L, Some(10L), Some(5L)), ("g2", 1L, None, None))
+      .toDF("g", "n", "s", "mx")
+    // delta: g1 combines, g3 inserts; g2 absent → passthrough
+    val delta = Seq(("g1", 1L, Some(7L), Some(9L)), ("g3", 4L, Some(1L), Some(2L)))
+      .toDF("g", "n", "s", "mx")
+    val out = Merge.mergeAggregates(mv, delta, Seq("g"),
+      Map("n" -> "count", "s" -> "sum", "mx" -> "max"))
+    out.orderBy(col("g")).rows shouldBe Seq(
+      Seq("g1", 3L, 17L, 9L),
+      Seq("g2", 1L, null, null),   // null sum/max survive passthrough
+      Seq("g3", 4L, 1L, 2L))
+  }
+
+  test("mergeAggregates matches the full recompute; avg is rejected") {
+    import org.apache.spark.sql.functions.{col, count, lit, max, sum}
+    val rows = (1L to 100L).map(i => (s"g${i % 7}", i)).toDF("g", "v")
+    val (base, delta) = (rows.filter(col("v") <= 60), rows.filter(col("v") > 60))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s"), max("v").as("mx"))
+    val maintained = Merge.mergeAggregates(agg(base), agg(delta), Seq("g"),
+      Map("n" -> "count", "s" -> "sum", "mx" -> "max"))
+    maintained.orderBy("g").rows shouldBe agg(rows).orderBy("g").rows
+    val e = intercept[IllegalArgumentException] {
+      Merge.mergeAggregates(agg(base), agg(delta), Seq("g"),
+        Map("n" -> "count", "s" -> "avg", "mx" -> "max"))
+    }
+    e.getMessage should include("non-distributive")
+  }
 }

@@ -176,4 +176,34 @@ class SamplingSpec extends SparkSpec {
     out.filter(col("doc_a") === 1L).count() shouldBe 1L   // only doc2 shares a term
     out.filter(col("doc_a") === 3L).count() shouldBe 0L
   }
+
+  test("weightedSampleWOR: weight bias, salted ≡ one-window, contiguous ranks") {
+    // heavy rows (w=100) vs light (w=1): the sample should be mostly heavy
+    val df = (1L to 300L).map(i => (i, if (i % 2 == 0) 100.0 else 1.0))
+      .toDF("id", "w")
+    val s = Sampling.weightedSampleWithoutReplacement(df, "id", col("w"), n = 50)
+    s.count() shouldBe 50L
+    s.filter(col("id") % 2 === 0).count() should be > 40L
+    // salted two-phase ≡ the unsalted one-window form (the containment
+    // proof, exercised): identical sample, identical ranks
+    val s1 = Sampling.weightedSampleWithoutReplacement(df, "id", col("w"),
+      n = 50, salts = 1)
+    s.orderBy("wor_rank").rows shouldBe s1.orderBy("wor_rank").rows
+    s.select("wor_rank").rows.map(_.head.asInstanceOf[Long]).sorted shouldBe
+      (1L to 50L)
+  }
+
+  test("weightedSampleWOR: null / non-positive weights carry no mass; strata are independent") {
+    val df = Seq(
+      (1L, "a", Some(5.0)), (2L, "a", Some(5.0)), (3L, "a", None),
+      (4L, "a", Some(0.0)), (5L, "a", Some(-2.0)),
+      (6L, "b", Some(1.0)), (7L, "b", Some(1.0)), (8L, "b", Some(1.0)))
+      .toDF("id", "lang", "w")
+    val s = Sampling.weightedSampleWithoutReplacement(df, "id", col("w"),
+      n = 2, stratum = Some("lang"))
+    // stratum a has only 2 eligible rows (3,4,5 excluded) → both selected
+    s.filter(col("lang") === "a").select("id").rows.map(_.head)
+      .toSet shouldBe Set(1L, 2L)
+    s.filter(col("lang") === "b").count() shouldBe 2L
+  }
 }

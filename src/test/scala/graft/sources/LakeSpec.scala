@@ -173,6 +173,28 @@ class LakeSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(s"$path.__staging__")))
   }
 
+  test("compact: file counts drop to the budget, data byte-identical, staging swept") {
+    val root = Files.createTempDirectory("lake5").toString
+    val path = s"$root/zone"
+    val df = (1L to 400L).map(i => (i, s"p${i % 3}", i * 1.5)).toDF("k", "part", "v")
+    // fragment: 12 shuffle partitions → up to 12 files per partition dir
+    LakeWriter.write(df.repartition(12), path, Seq("part"))
+    val before = LakeWriter.fileCounts(spark, path)
+      .rows.map(r => r.head.toString -> r(1).asInstanceOf[Long]).toMap
+    before.keySet shouldBe Set("part=p0", "part=p1", "part=p2")
+    before.values.max should be > 2L
+    LakeWriter.compact(spark, path, Seq("part"), filesPerPartition = 2)
+    val after = LakeWriter.fileCounts(spark, path)
+      .rows.map(r => r.head.toString -> r(1).asInstanceOf[Long]).toMap
+    after.keySet shouldBe before.keySet
+    all(after.values) should be <= 2L
+    // layout changed, data did not
+    LakeReader.read(spark, path).orderBy("k")
+      .select("k", "part", "v").rows shouldBe df.orderBy("k").rows
+    assert(!Files.exists(java.nio.file.Paths.get(s"$path.__staging__")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$path.__old__")))
+  }
+
   test("recoverSnapshot: leftover __old__ beside a live target is swept") {
     val root = Files.createTempDirectory("lake4").toString
     val path = s"$root/wh"

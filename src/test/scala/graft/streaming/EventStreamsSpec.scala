@@ -251,6 +251,43 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin left_outer: null-pad fires on watermark eviction, not before") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Timestamp, Long, String)]
+    val rIn = MemoryStream[(Timestamp, Long, String)]
+    val joined = EventStreams.intervalJoin(
+      lIn.toDF().toDF("l_ts", "l_user", "click_id"), "l_user", "l_ts",
+      rIn.toDF().toDF("r_ts", "r_user", "buy_id"), "r_user", "r_ts",
+      horizon = "30 minutes", lateness = "10 minutes", joinType = "left_outer")
+      .select("click_id", "buy_id")
+    val q = joined.writeStream.format("memory").queryName("ivjl")
+      .outputMode("append").start()
+    try {
+      lIn.addData((ts("2024-01-01 10:00:00"), 1L, "c1"),  // will match
+        (ts("2024-01-01 10:00:00"), 2L, "c2"))            // never matches
+      rIn.addData((ts("2024-01-01 10:20:00"), 1L, "b1"))
+      q.processAllAvailable()
+      // c2 is unmatched but still OPEN — no null row may exist yet
+      spark.table("ivjl").rows.map(r => (r(0), r(1))) shouldBe Seq(("c1", "b1"))
+      // push both watermarks past c2's ts + horizon → eviction emits
+      // exactly one null-padded row for c2 (and none for matched c1)
+      lIn.addData((ts("2024-01-01 12:00:00"), 9L, "cx"))
+      rIn.addData((ts("2024-01-01 12:00:00"), 9L, "bx"))
+      q.processAllAvailable()
+      lIn.addData((ts("2024-01-01 12:30:00"), 9L, "cy"))
+      rIn.addData((ts("2024-01-01 12:30:00"), 9L, "by"))
+      q.processAllAvailable()
+      val nulls = spark.table("ivjl").filter(col("buy_id").isNull)
+        .rows.map(_.head)
+      nulls shouldBe Seq("c2")
+    } finally q.stop()
+    an[IllegalArgumentException] should be thrownBy
+      EventStreams.intervalJoin(
+        lIn.toDF().toDF("l_ts", "l_user", "click_id"), "l_user", "l_ts",
+        rIn.toDF().toDF("r_ts", "r_user", "buy_id"), "r_user", "r_ts",
+        horizon = "30 minutes", joinType = "full_outer")
+  }
+
   test("intervalJoin rejects overlapping column names up front") {
     implicit val sqlCtx = spark.sqlContext
     val a = MemoryStream[(Timestamp, Long)].toDF().toDF("ts", "user")
