@@ -6,9 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.Reshape
+import graft.ops.{Reconcile, Reshape}
 import graft.pipeline.StockPipeline
-import graft.sources.{LakeReader, LakeWriter}
+import graft.sources.{LakeReader, LakeWriter, VersionedLake}
 import graft.streaming.EventStreams
 
 /** Pipeline-level and streaming-semantics queries:
@@ -101,6 +101,47 @@ object PipelineQueries {
       LakeWriter.writeZOrdered(o, tmp, Seq("o_custkey", "o_totalprice"),
         files = 8)
       s.read.parquet(tmp).orderBy(col("o_orderkey"))
+    }),
+
+    // Versioned-lake TIME TRAVEL: commit 1 = the pre-1997 table (every
+    // priority partition present); commit 2 rewrites ONLY the
+    // '1-URGENT' partition with its full history (copy-on-write: the
+    // other four partitions still point at commit 1's files). Reading
+    // both versions tagged proves v1 stayed intact after v2 landed —
+    // and the oracle derives both states from the raw table.
+    "lake_timetravel" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      val root = QuerySql.tempDir("graft_vlake") + "/t"
+      VersionedLake.commit(o.filter(year(col("o_orderdate")) < 1997),
+        root, Seq("o_orderpriority"))
+      VersionedLake.commit(o.filter(col("o_orderpriority") === "1-URGENT"),
+        root, Seq("o_orderpriority"))
+      val v1 = VersionedLake.read(s, root, Some(1)).withColumn("version", lit(1L))
+      val v2 = VersionedLake.read(s, root).withColumn("version", lit(2L))
+      v1.unionByName(v2)
+        .select(col("version"), col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("version"), col("o_orderkey"))
+    }),
+
+    // Versioned-lake CHANGE FEED: row-level diff between two commits =
+    // snapshotDiff over two time-travel reads. Here that is exactly the
+    // urgent orders the partition rewrite added (1997+; the shared rows
+    // compare identical and vanish from the feed).
+    "lake_version_diff" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      val root = QuerySql.tempDir("graft_vdiff") + "/t"
+      VersionedLake.commit(o.filter(year(col("o_orderdate")) < 1997),
+        root, Seq("o_orderpriority"))
+      VersionedLake.commit(o.filter(col("o_orderpriority") === "1-URGENT"),
+        root, Seq("o_orderpriority"))
+      Reconcile.snapshotDiff(
+          VersionedLake.read(s, root, Some(1)).select("o_orderkey", "o_totalprice"),
+          VersionedLake.read(s, root, Some(2)).select("o_orderkey", "o_totalprice"),
+          keys = Seq("o_orderkey"), compareCols = Seq("o_totalprice"))
+        .orderBy(col("o_orderkey"))
     }),
 
     // Small-files repair round-trip: fragment the orders table into
@@ -455,6 +496,32 @@ object PipelineQueries {
     // the source rows
     "lake_zorder_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // v1 = the pre-1997 state; v2 = urgent partition fully rewritten,
+    // the rest carried over from v1
+    "lake_timetravel" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+        |                  o_orderpriority FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS version, o_orderkey, o_custkey,
+        |       o_totalprice, o_orderpriority
+        |FROM o WHERE year(o_orderdate) < 1997
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), o_orderkey, o_custkey,
+        |       o_totalprice, o_orderpriority
+        |FROM o WHERE o_orderpriority = '1-URGENT'
+        |   OR (o_orderpriority <> '1-URGENT' AND year(o_orderdate) < 1997)
+        |ORDER BY version, o_orderkey""".stripMargin,
+
+    // the change feed is exactly the rows the rewrite added: urgent
+    // 1997+ orders (shared rows diff equal and drop out)
+    "lake_version_diff" ->
+      """SELECT o_orderkey,
+        |  CAST(NULL AS DOUBLE) AS o_totalprice_before,
+        |  o_totalprice AS o_totalprice_after,
+        |  'added' AS change
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) >= 1997
         |ORDER BY o_orderkey""".stripMargin,
 
     // layout is not data, compaction edition: identical row set after
