@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval — the RAG-serving side of a training-data engine:
+  * BM25 lexical search over an inverted index, and reciprocal-rank
+  * fusion for hybrid (lexical + semantic) retrieval.
+  *
+  * Scale shape: BM25 scoring is an inverted-index PROBE — query terms
+  * join postings on `token`, so only documents sharing a term are ever
+  * scored (never a query×corpus product), and the per-(query, doc) term
+  * sum is one hash aggregate. The corpus-side statistics (tf, doc
+  * length, document frequency) are plain linear aggregates a 100 TB
+  * corpus computes once and reuses across query batches.
+  *
+  * Cross-engine exactness engineering (the repo's ln-quantization
+  * pattern, see [[TextAnalysis]]): k1 = 1.25 and b = 0.75 are chosen
+  * binary-exact, every float step is IEEE-specified (+, −, ×, ÷) in a
+  * parenthesization the DuckDB oracle mirrors token-for-token, the one
+  * library-dependent op (ln) is quantized to DECIMAL(20,12) before the
+  * per-document sum — which also makes the sum order-independent — and
+  * ranks tie-break by doc id.
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k: for each query row, the `k` highest-scoring
+    * documents. score(q,d) = Σ_{t ∈ q, distinct} idf(t) · tf·(k1+1) /
+    * (tf + k1·(1−b+b·|d|/avgdl)), with the Lucene-style non-negative
+    * idf = ln((N − df + 0.5)/(df + 0.5) + 1). Repeated query terms count
+    * once (Lucene semantics). `excludeSelf` drops doc_id = query_id
+    * BEFORE ranking — the similar-items mode where queries are corpus
+    * documents themselves. */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               id: String = "doc_id", text: String = "text",
+               queryId: String = "query_id", queryText: String = "qtext",
+               excludeSelf: Boolean = false): DataFrame = {
+    val toks = corpus
+      .select(col(id), explode(TextAnalysis.tokens(col(text))).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col(id)).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df_t"))
+    val totals = dl.agg(sum(col("dl")).as("tot_len"), count(lit(1)).as("n_docs"))
+    val qt = queries
+      .select(col(queryId).as("query_id"),
+        explode(TextAnalysis.tokens(col(queryText))).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+    val d = (c: Column) => c.cast("double")
+    // parenthesization is load-bearing: the oracle mirrors it exactly
+    val idf = log((d(col("n_docs")) - d(col("df_t")) + lit(0.5)) /
+      (d(col("df_t")) + lit(0.5)) + lit(1.0))
+    val lenNorm = lit(0.25) + ((lit(0.75) * d(col("dl"))) * d(col("n_docs"))) / d(col("tot_len"))
+    val termScore = idf * ((d(col("tf")) * lit(2.25)) /
+      (d(col("tf")) + lit(1.25) * lenNorm))
+    val probed = qt
+      .join(tf.join(dfreq, "token").join(dl, id), "token") // inverted-index probe
+      .crossJoin(broadcast(totals))
+    val kept = if (excludeSelf) probed.filter(col("query_id") =!= col(id)) else probed
+    val scored = kept
+      .withColumn("__ts", termScore.cast("decimal(20,12)"))
+      .groupBy(col("query_id"), col(id))
+      .agg(sum(col("__ts")).cast("double").as("score"))
+    // per-query ranking: |queries| reducers — queries are a batch (small
+    // by contract), the corpus side never windows globally
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(id))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(id), col("score").cast("float").as("score"),
+        col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): fuse any number of
+    * rank lists (query_id, doc id, rank) into one, score(d) =
+    * Σ_lists 1/(c + rank). Rank-based, so heterogeneous score scales
+    * (BM25 vs cosine) fuse without calibration; a doc absent from a
+    * list contributes nothing for it. c = 60 is the published default.
+    * 1/(60+rank) is a single IEEE division on small integers —
+    * bit-portable; ties break by doc id. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, id: String = "doc_id",
+              c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one rank list")
+    val unioned = lists.map(_.select(col("query_id"), col(id), col("rank")))
+      .reduce(_ unionByName _)
+    val scored = unioned
+      .withColumn("__rr", lit(1.0) / (lit(c).cast("double") + col("rank").cast("double")))
+      // sums of 1/(c+r) over ≤ |lists| terms: quantize like the BM25 sum
+      // so addition order can't flip a rank across engines
+      .groupBy(col("query_id"), col(id))
+      .agg(sum(col("__rr").cast("decimal(20,12)")).cast("double").as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col(id))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(id),
+        col("rrf_score").cast("float").as("rrf_score"), col("n_lists"),
+        col("rank"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{IvfIndex, Similarity}
+import graft.ops.{IvfIndex, Retrieval, Similarity}
 
 /** Similarity search over the `embeddings` table (array<float>, dim 64).
   *
@@ -69,6 +69,46 @@ object SimilarityQueries {
           candidates = emb, id = "vec_id", vec = "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"),
           col("cosine").cast("float").as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // FILTERED vector search — the production "WHERE lang = 'en' AND
+    // nearest" hybrid: the metadata predicate narrows the candidate set
+    // BEFORE scoring (a semi-join against the paired documents row),
+    // then exact cosine top-k among survivors. Pre-filtering beats
+    // post-filtering an ANN list, which silently returns < k when the
+    // filter decimates the neighborhood.
+    "sim_filtered_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val en = Tables.documents(s, dir).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      Similarity.bruteForceTopK(
+          queries = emb.filter(col("vec_id") < 8),
+          candidates = emb.join(en, Seq("vec_id"), "left_semi"),
+          id = "vec_id", vec = "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cosine").cast("float").as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // HYBRID retrieval: the same four probe documents ranked lexically
+    // (BM25 over text) and semantically (cosine over the paired
+    // embeddings), fused by reciprocal rank — rank-based fusion needs no
+    // score calibration between the two spaces. n_lists records whether
+    // a hit came from one or both rankers.
+    "retrieval_rrf_fusion" -> ((s, dir) => {
+      val probeIds = Seq(7L, 123L, 321L, 444L)
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val probes = docs.filter(col("doc_id").isin(probeIds: _*))
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      val lex = Retrieval.bm25TopK(docs, probes, k = 10, excludeSelf = true)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val sem = Similarity.bruteForceTopK(
+          queries = emb.filter(col("vec_id").isin(probeIds: _*)),
+          candidates = emb, id = "vec_id", vec = "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, sem), k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -734,6 +774,62 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "sim_cosine_topk" -> simCosineTopkSql,
+
+    // same machinery as sim_cosine_topk with the candidate set
+    // pre-narrowed to embeddings whose paired document is English
+    "sim_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        | c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |       FROM embeddings e
+        |       WHERE EXISTS (SELECT 1 FROM documents d
+        |         WHERE d.doc_id = e.vec_id AND d.lang = 'en')),
+        | s AS (SELECT query_id, neighbor_id,
+        |         list_cosine_similarity(qv, cv) AS cos
+        |       FROM q JOIN c ON query_id <> neighbor_id),
+        | r AS (SELECT query_id, neighbor_id, cos,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cos DESC, neighbor_id) AS rank
+        |       FROM s)
+        |SELECT query_id, neighbor_id, CAST(cos AS REAL) AS cosine,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // the BM25 block is the shared QuerySql.bm25Ctes (cannot drift from
+    // text_bm25_topk's); the semantic list replays sim_cosine_topk's
+    // machinery at k = 10; fusion is 1/(60 + rank) per list, quantized
+    // like every cross-engine double sum
+    "retrieval_rrf_fusion" ->
+      s"""WITH ${QuerySql.bm25Ctes("7, 123, 321, 444")},
+         | eq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |        FROM embeddings WHERE vec_id IN (7, 123, 321, 444)),
+         | ec AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+         |        FROM embeddings),
+         | es AS (SELECT query_id, neighbor_id,
+         |          list_cosine_similarity(qv, cv) AS cos
+         |        FROM eq JOIN ec ON query_id <> neighbor_id),
+         | er AS (SELECT query_id, neighbor_id AS doc_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, neighbor_id) AS rank
+         |        FROM es),
+         | lists AS (
+         |   SELECT query_id, doc_id, rank FROM bm25r WHERE rank <= 10
+         |   UNION ALL
+         |   SELECT query_id, doc_id, rank FROM er WHERE rank <= 10),
+         | fused AS (SELECT query_id, doc_id,
+         |     CAST(sum(CAST(1.0 / (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE))
+         |       AS DECIMAL(20,12))) AS DOUBLE) AS rrf_score,
+         |     count(*) AS n_lists
+         |   FROM lists GROUP BY 1, 2),
+         | fr AS (SELECT query_id, doc_id, rrf_score, n_lists,
+         |     row_number() OVER (PARTITION BY query_id
+         |       ORDER BY rrf_score DESC, doc_id) AS rank
+         |   FROM fused)
+         |SELECT query_id, doc_id, CAST(rrf_score AS REAL) AS rrf_score,
+         |  CAST(n_lists AS BIGINT) AS n_lists, CAST(rank AS BIGINT) AS rank
+         |FROM fr WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "emb_label_centroids" ->
       """WITH c AS (SELECT label, generate_subscripts(embedding, 1) AS j,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, QualityModel, Sampling, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, QualityModel, Retrieval, Sampling, TextAnalysis}
 
 /** LLM-training-data text pipeline over the `documents` table:
   * dedup (exact / MinHash-LSH / SimHash / Jaccard), token statistics,
@@ -23,6 +23,17 @@ object TextQueries {
       Dedup.exactByContent(Tables.documents(s, dir), id = "doc_id", content = "text")
         .withColumnRenamed("keeper_id", "keeper_doc_id")
         .orderBy(col("content_hash"))),
+
+    // BM25 ranked retrieval in similar-items mode: four probe documents
+    // query the corpus through the inverted index (only docs sharing a
+    // term are scored), self-hits excluded before ranking
+    "text_bm25_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val probes = docs.filter(col("doc_id").isin(7L, 123L, 321L, 444L))
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      Retrieval.bm25TopK(docs, probes, k = 10, excludeSelf = true)
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir))
@@ -378,6 +389,13 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "dedup_clusters_star" -> dedupClustersSql,
+
+    "text_bm25_topk" ->
+      s"""WITH ${QuerySql.bm25Ctes("7, 123, 321, 444")}
+         |SELECT query_id, doc_id, CAST(score AS REAL) AS score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM bm25r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "dedup_substring_spans" ->
       s"""WITH $substringSpansCte

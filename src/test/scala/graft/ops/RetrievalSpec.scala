@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "red fox"),
+    (2L, "red red wolf"),
+    (3L, "blue bird")).toDF("doc_id", "text")
+
+  test("bm25TopK: hand-computed scores, unmatched docs absent, repeated query terms count once") {
+    // N=3, tot_len=7; df(red)=2, df(fox)=1
+    // d1 (dl=2): denom = 1 + 1.25*(0.25 + 0.75*2*3/7)      = 2.116071...
+    //   score = (ln(1.6) + ln(8/3)) * 2.25/2.116071        = 1.542764...
+    // d2 (dl=3, tf(red)=2): denom = 2 + 1.25*(0.25+0.75*9/7) = 3.517857...
+    //   score = ln(1.6) * 4.5/3.517857                     = 0.601244...
+    val q = Seq((100L, "red fox red")).toDF("query_id", "qtext") // dup 'red'
+    val out = Retrieval.bm25TopK(corpus, q, k = 10)
+      .orderBy("rank").rows
+    out.map(r => (r(1), r(3))) shouldBe Seq((1L, 1L), (2L, 2L)) // d3 absent
+    val Seq(s1, s2) = out.map(_(2).asInstanceOf[Float].toDouble)
+    val idfRed = math.log(1.6); val idfFox = math.log(8.0 / 3.0)
+    s1 shouldBe ((idfRed + idfFox) * 2.25 / (1 + 1.25 * (0.25 + 0.75 * 2 * 3 / 7.0))) +- 1e-6
+    s2 shouldBe (idfRed * 4.5 / (2 + 1.25 * (0.25 + 0.75 * 3 * 3 / 7.0))) +- 1e-6
+  }
+
+  test("bm25TopK excludeSelf drops the probe doc before ranking") {
+    val q = corpus.filter(col("doc_id") === 1L)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    val withSelf = Retrieval.bm25TopK(corpus, q, k = 10)
+    withSelf.filter(col("rank") === 1).select("doc_id").rows.head.head shouldBe 1L
+    val noSelf = Retrieval.bm25TopK(corpus, q, k = 10, excludeSelf = true)
+    noSelf.filter(col("doc_id") === 1L).count() shouldBe 0L
+    noSelf.filter(col("rank") === 1).select("doc_id").rows.head.head shouldBe 2L
+  }
+
+  test("rrfFuse: 1/(60+rank) sums across lists, singles fuse too, ties break by id") {
+    val a = Seq((9L, 2L, 1L), (9L, 3L, 2L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((9L, 3L, 1L)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 10).orderBy("rank").rows
+    out.map(r => (r(1), r(3), r(4))) shouldBe Seq((3L, 2L, 1L), (2L, 1L, 2L))
+    out.head(2).asInstanceOf[Float].toDouble shouldBe (1.0 / 61 + 1.0 / 62) +- 1e-6
+    out(1)(2).asInstanceOf[Float].toDouble shouldBe (1.0 / 61) +- 1e-6
+  }
+}
