@@ -40,12 +40,19 @@ object RuntimeFilter {
   }
 
   /** Build the small side's key filter: a distributed sketch aggregate
-    * (`DataFrameStatFunctions.bloomFilter`) sized by the caller —
-    * `expectedItems` at `fpp` sets the bit budget (~1.2 MB per million
-    * keys at 1%); undersizing degrades fpp, never correctness. */
-  def bloomFor(small: DataFrame, key: String, expectedItems: Long,
-               fpp: Double = 0.01): Array[Byte] =
-    serialize(small.stat.bloomFilter(key, expectedItems, fpp))
+    * (`DataFrameStatFunctions.bloomFilter`). The bit budget comes from
+    * `expectedItems` at `fpp` (~1.2 MB per million keys at 1%);
+    * undersizing degrades fpp — never correctness, but a 5×-undersized
+    * sketch can quietly keep most of the big side and turn the operator
+    * into pure overhead. Default: COUNT the small side first — one
+    * cheap job over the side that is small by contract — so the sketch
+    * is sized to the data, not to a guess. */
+  def bloomFor(small: DataFrame, key: String,
+               expectedItems: Option[Long] = None,
+               fpp: Double = 0.01): Array[Byte] = {
+    val n = expectedItems.getOrElse(math.max(small.count(), 64L))
+    serialize(small.stat.bloomFilter(key, n, fpp))
+  }
 
   /** The codegen'd probe column over pre-built filter bytes. */
   def mightContain(key: Column, filterBytes: Array[Byte]): Column =
@@ -57,7 +64,8 @@ object RuntimeFilter {
     * never match (semi-join semantics; the probe is null-rejecting). */
   def semiJoinWithBloom(big: DataFrame, small: DataFrame,
                         bigKey: String, smallKey: String,
-                        expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+                        expectedItems: Option[Long] = None,
+                        fpp: Double = 0.01): DataFrame = {
     val bytes = bloomFor(small, smallKey, expectedItems, fpp)
     big.filter(mightContain(col(bigKey), bytes))
       .join(small, col(bigKey) === small(smallKey), "left_semi")

@@ -144,6 +144,52 @@ object PipelineQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Versioned-lake ADDITIVE SCHEMA EVOLUTION: commit 1 lands without
+    // o_totalprice; commit 2's partition rewrite carries the new
+    // column. An evolveSchema read nulls the column for
+    // pre-evolution partitions instead of failing — the "metric added
+    // mid-history" read every long-lived lake eventually needs (strict
+    // mode still fails loudly, spec-pinned).
+    "lake_schema_evolution" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val root = QuerySql.tempDir("graft_vevo") + "/t"
+      VersionedLake.commit(
+        o.filter(year(col("o_orderdate")) < 1997)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority")),
+        root, Seq("o_orderpriority"))
+      VersionedLake.commit(
+        o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority")),
+        root, Seq("o_orderpriority"))
+      VersionedLake.read(s, root, evolveSchema = true)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // STREAMING ingest INTO the versioned lake: foreachBatch commits
+    // each micro-batch as a version (checkpointed — a replayed batch
+    // would just re-commit the same partitions, idempotent at the
+    // read-latest level). One staged file ⇒ one commit holding every
+    // partition; the read-back equals the batch projection.
+    "stream_versioned_ingest_live" -> ((s, dir) => {
+      val (raw, tmp) = stageStream(s, dir, "events", "graft_svl")
+      val root = s"$tmp/vlake"
+      val src = raw.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      awaitScoped(s)(src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          VersionedLake.commit(batch, root, Seq("event_type")); ()
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+      VersionedLake.read(s, root)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Small-files repair round-trip: fragment the orders table into
     // ~30 files per priority partition (an append-heavy zone's decay
     // state), compact to ≤2, read back, totally ordered. The oracle
@@ -523,6 +569,23 @@ object PipelineQueries {
         |FROM orders
         |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) >= 1997
         |ORDER BY o_orderkey""".stripMargin,
+
+    // pre-evolution partitions read the added column as NULL; the
+    // rewritten partition carries real values
+    "lake_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END
+        |    AS o_totalprice,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |   OR (o_orderpriority <> '1-URGENT' AND year(o_orderdate) < 1997)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // one staged file ⇒ one commit ⇒ read-latest equals the projection
+    "stream_versioned_ingest_live" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin,
 
     // layout is not data, compaction edition: identical row set after
     // the rewrite

@@ -279,8 +279,7 @@ object RelationalQueries {
           col("o_totalprice") > 150000.0)
         .select(col("o_orderkey"))
       RuntimeFilter.semiJoinWithBloom(li, hot,
-          bigKey = "l_orderkey", smallKey = "o_orderkey",
-          expectedItems = 4096L)
+          bigKey = "l_orderkey", smallKey = "o_orderkey")
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 

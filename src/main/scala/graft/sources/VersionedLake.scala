@@ -124,9 +124,17 @@ object VersionedLake {
   /** Time-travel read: the table as of `version` (default: latest).
     * Partitions group by owning commit; each group is ONE partition-
     * pruned scan of that commit's directory (basePath keeps the
-    * partition columns), unioned by name. */
+    * partition columns), unioned by name.
+    *
+    * `evolveSchema = true` turns on ADDITIVE schema evolution across
+    * commits: columns a commit lacks read as null (mergeSchema within a
+    * commit dir, allowMissingColumns across commits) — the
+    * "new column lands mid-table-history" read. The default is strict:
+    * schema drift between commits fails loudly rather than silently
+    * nulling a column the caller believed populated. */
   def read(spark: SparkSession, root: String,
-           version: Option[Int] = None): DataFrame = {
+           version: Option[Int] = None,
+           evolveSchema: Boolean = false): DataFrame = {
     val v = version.orElse(latestVersion(spark, root)).getOrElse(
       throw new IllegalArgumentException(s"no committed versions under $root"))
     require(versions(spark, root).contains(v),
@@ -134,9 +142,10 @@ object VersionedLake {
     val byOwner = readManifest(spark, root, v).toSeq.groupBy(_._2)
     byOwner.toSeq.sortBy(_._1).map { case (owner, parts) =>
       val base = s"$root/data/v$owner"
-      spark.read.option("basePath", base)
+      val r = spark.read.option("basePath", base)
+      (if (evolveSchema) r.option("mergeSchema", "true") else r)
         .parquet(parts.map { case (rel, _) => s"$base/$rel" }: _*)
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = evolveSchema))
   }
 
   /** Roll back by committing a PAST manifest as the new latest — history

@@ -51,7 +51,11 @@ object ScaleSmoke {
     "cusum_drift", "sample_winsorize", "w_ewma", "sim_ivf_append",
     "dedup_substring", "text_quality_nb",
     "sim_ivfpq_topk", "sim_ivfpq_persisted",
-    "sim_sq8_topk", "emb_semantic_dedup")
+    "sim_sq8_topk", "emb_semantic_dedup",
+    // round 9: retrieval tier + lake/maintenance + sampling additions
+    "text_bm25_topk", "retrieval_rrf_fusion", "sample_weighted_wor",
+    "bloom_semi_join", "mv_incremental_refresh", "w_rolling_median",
+    "lake_compact_roundtrip", "lake_timetravel")
 
   def replicate(df: DataFrame, copies: Int, idCols: Seq[String],
                 stride: Long, textCol: Option[String] = None): DataFrame = {
@@ -91,6 +95,10 @@ object ScaleSmoke {
       10000000L), "events")
     write(replicate(read("orders"), copies, Seq("o_orderkey", "o_custkey"),
       10000000L), "orders")
+    // lineitem rides the same stride as orders so the replicas' join
+    // keys stay paired (bloom_semi_join probes l_orderkey ∈ orders keys)
+    write(replicate(read("lineitem"), copies, Seq("l_orderkey"), 10000000L),
+      "lineitem")
     // names re-derive from the shifted key (c_name is "Customer#%09d"):
     // carrying replica-0 names verbatim would put 10 copies in every
     // er_fuzzy block, blowing them past maxBlock and dropping them all
@@ -210,6 +218,25 @@ object ScaleSmoke {
         s""""max_cluster":$maxCluster,"sec":${r2(t)},""" +
         s""""n_dropped_clusters":${dropped.getLong(0)},""" +
         s""""n_dropped_rows":${dropped.getLong(1)}}""")
+    }
+    // no-silent-claims, runtime-filter flavor: when bloom_semi_join is
+    // under test, report the sketch's PRE-SHUFFLE cut at the synthetic
+    // scale — survivors / total is the fraction of the fact table that
+    // ever reaches the join's exchange, the number the operator exists
+    // to shrink (sized to the scaled key count; fpp stays ~1%)
+    if (sel.contains("bloom_semi_join")) {
+      val li = spark.read.parquet(s"$dst/lineitem.parquet")
+      val hot = spark.read.parquet(s"$dst/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 150000.0)
+        .select(col("o_orderkey"))
+      val bytes = graft.ops.RuntimeFilter.bloomFor(hot, "o_orderkey")
+      val total = li.count()
+      val surv = li.filter(graft.ops.RuntimeFilter.mightContain(
+        col("l_orderkey"), bytes)).count()
+      println(s"""{"metric":"bloom_prefilter_cut","copies":$copies,""" +
+        s""""fact_rows":$total,"survivors":$surv,""" +
+        s""""kept_frac":${r2(surv.toDouble / total)}}""")
     }
     println(smokeLine(partial = false))
     spark.stop()

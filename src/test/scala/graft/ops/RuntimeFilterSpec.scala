@@ -11,13 +11,12 @@ class RuntimeFilterSpec extends SparkSpec {
   test("semiJoinWithBloom ≡ plain left-semi join; probe cuts the big side first") {
     val big = (1L to 5000L).map(i => (i, s"row$i")).toDF("k", "payload")
     val small = Seq(7L, 42L, 999L, 4321L, 4321L).toDF("sk") // dup keys too
-    val out = RuntimeFilter.semiJoinWithBloom(big, small, "k", "sk",
-      expectedItems = 16L)
+    val out = RuntimeFilter.semiJoinWithBloom(big, small, "k", "sk")
     val plain = big.join(small, col("k") === col("sk"), "left_semi")
     out.orderBy("k").rows shouldBe plain.orderBy("k").rows
     // the sketch alone (before the exact join) must already reject the
     // overwhelming majority of the 5000 non-matching rows at fpp=1%
-    val bytes = RuntimeFilter.bloomFor(small, "sk", expectedItems = 16L)
+    val bytes = RuntimeFilter.bloomFor(small, "sk")
     val survivors = big.filter(RuntimeFilter.mightContain(col("k"), bytes)).count()
     survivors should be >= 4L      // no false negatives, ever
     survivors should be < 200L     // ~1% fp on 5k rows, generous bound
@@ -26,7 +25,7 @@ class RuntimeFilterSpec extends SparkSpec {
   test("string keys probe through UTF-8; null keys are rejected; SQL surface works") {
     val big = Seq(Some("alpha"), Some("beta"), Some("gamma"), None).toDF("s")
     val small = Seq("beta", "delta").toDF("s2")
-    val bytes = RuntimeFilter.bloomFor(small, "s2", expectedItems = 8L)
+    val bytes = RuntimeFilter.bloomFor(small, "s2")
     val kept = big.filter(RuntimeFilter.mightContain(col("s"), bytes))
       .rows.map(_.head)
     kept should contain("beta")

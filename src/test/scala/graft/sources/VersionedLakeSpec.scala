@@ -56,6 +56,18 @@ class VersionedLakeSpec extends SparkSpec {
       Seq("part=c", "dropped", -1L))
   }
 
+  test("schema evolution: additive column nulls old commits; strict mode fails loudly") {
+    val root = freshRoot()
+    VersionedLake.commit(Seq((1L, "a")).toDF("k", "part"), root, Seq("part"))
+    VersionedLake.commit(Seq((2L, "b", 7.5)).toDF("k", "part", "extra"),
+      root, Seq("part"))
+    val evolved = VersionedLake.read(spark, root, evolveSchema = true)
+      .select("k", "part", "extra").orderBy("k")
+    evolved.rows shouldBe Seq(Seq(1L, "a", null), Seq(2L, "b", 7.5))
+    an[Exception] should be thrownBy
+      VersionedLake.read(spark, root).collect() // strict: drift is an error
+  }
+
   test("vacuum sweeps unreferenced commit dirs, keeps shared ones; guards fire") {
     val root = freshRoot()
     VersionedLake.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "part"), root, Seq("part"))
