@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{IvfIndex, Retrieval, Similarity}
+import graft.ops.{IvfIndex, Pca, Retrieval, Similarity}
 
 /** Similarity search over the `embeddings` table (array<float>, dim 64).
   *
@@ -89,6 +89,30 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"),
           col("cosine").cast("float").as("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Exact sample covariance of the embedding space (upper triangle,
+    // 0-based cells) — the statistics pass under whitening/PCA, its
+    // shuffle bounded at d² cells by map-side partial aggregation
+    "emb_covariance" -> ((s, dir) =>
+      Pca.covariance(Tables.embeddings(s, dir), "embedding")
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("cov").cast("float").as("cov"))
+        .orderBy(col("i"), col("j"))),
+
+    // PCA projection onto the dominant component — including the
+    // EIGENSOLVER on the oracle's hard signal: six power iterations
+    // from e₁ over the covariance cells, every sum decimal-quantized,
+    // so DuckDB reruns the identical arithmetic and the projections
+    // hash-match after the float downcast. Convergence quality at this
+    // budget is pinned separately by PcaSpec on a known matrix.
+    "emb_pca_project" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cov = Pca.covariance(emb, "embedding")
+      val comp = Pca.topComponent(cov, dim = 64, iters = 6)
+      Pca.project(emb, "vec_id", "embedding", comp)
+        .select(col("vec_id"), col("pc1").cast("float").as("pc1"))
+        .orderBy(col("vec_id"))
     }),
 
     // HYBRID retrieval: the same four probe documents ranked lexically
@@ -724,6 +748,56 @@ object SimilarityQueries {
       |FROM rk WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Covariance cell CTEs shared by the emb_covariance and
+    * emb_pca_project oracles (0-based cells; quantized product sums —
+    * mirrors [[graft.ops.Pca.covariance]] op-for-op; MATERIALIZED: the
+    * pca oracle references these once per iteration and DuckDB's
+    * default inlining would recompute the 1M-row pair join each time). */
+  private val pcaCovCtes =
+    """x AS MATERIALIZED (SELECT vec_id,
+      |    unnest(range(1, len(e) + 1)) AS i, unnest(e) AS xi
+      |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |        FROM embeddings WHERE embedding IS NOT NULL)),
+      | p AS (SELECT a.i AS i, b.i AS j,
+      |     CAST(a.xi * b.xi AS DECIMAL(30,12)) AS p,
+      |     CAST(a.xi AS DECIMAL(30,12)) AS qi,
+      |     CAST(b.xi AS DECIMAL(30,12)) AS qj
+      |   FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i),
+      | sums AS (SELECT i, j, CAST(sum(p) AS DOUBLE) AS s_ij,
+      |     CAST(sum(qi) AS DOUBLE) AS s_i, CAST(sum(qj) AS DOUBLE) AS s_j,
+      |     count(*) AS n
+      |   FROM p GROUP BY 1, 2),
+      | cov AS MATERIALIZED (SELECT i - 1 AS i, j - 1 AS j,
+      |     (s_ij - (s_i * s_j) / n) / (n - 1) AS cov
+      |   FROM sums)""".stripMargin
+
+  /** One power-iteration CTE block per round (mat-vec with quantized
+    * sums, then L2 normalization — sqrt is IEEE-exact), chained v0→vN:
+    * the same generated-replay pattern as the BPE train oracle. */
+  private val pcaIters = 6
+  private def pcaIterCtes: String = (1 to pcaIters).map { k =>
+    s""" m$k AS (SELECT c.i,
+       |     CAST(sum(CAST(c.cov * v.val AS DECIMAL(30,12))) AS DOUBLE) AS mv
+       |   FROM covfull c JOIN v${k - 1} v ON c.j = v.i GROUP BY 1),
+       | n$k AS (SELECT sqrt(CAST(sum(CAST(mv * mv AS DECIMAL(30,12)))
+       |     AS DOUBLE)) AS nrm FROM m$k),
+       | v$k AS (SELECT i, mv / nrm AS val FROM m$k, n$k)""".stripMargin
+  }.mkString(",\n")
+
+  private val embPcaProjectSql =
+    s"""WITH $pcaCovCtes,
+       | covfull AS MATERIALIZED (SELECT i, j, cov FROM cov
+       |   UNION ALL SELECT j, i, cov FROM cov WHERE i <> j),
+       | v0 AS (SELECT i,
+       |     CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS DOUBLE) AS val
+       |   FROM (SELECT DISTINCT i FROM covfull)),
+       |$pcaIterCtes,
+       | proj AS (SELECT e.vec_id,
+       |     CAST(sum(CAST(e.xi * v.val AS DECIMAL(30,12))) AS DOUBLE) AS pc1
+       |   FROM x e JOIN v$pcaIters v ON e.i - 1 = v.i GROUP BY 1)
+       |SELECT vec_id, CAST(pc1 AS REAL) AS pc1
+       |FROM proj ORDER BY vec_id""".stripMargin
+
   private val simCosineTopkSql =
     """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
       |           FROM embeddings WHERE vec_id < 8),
@@ -774,6 +848,15 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "sim_cosine_topk" -> simCosineTopkSql,
+
+    "emb_covariance" ->
+      s"""WITH $pcaCovCtes
+         |SELECT i, j, CAST(cov AS REAL) AS cov
+         |FROM cov ORDER BY i, j""".stripMargin,
+
+    // the eigensolver replay: identical quantized arithmetic per
+    // iteration, so equality holds at ANY fixed iteration budget
+    "emb_pca_project" -> embPcaProjectSql,
 
     // same machinery as sim_cosine_topk with the candidate set
     // pre-narrowed to embeddings whose paired document is English
