@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, QualityModel, Retrieval, Sampling, TextAnalysis}
+import graft.ops.{Dedup, Graph, Multimodal, QualityModel, Retrieval, Sampling, TextAnalysis}
 
 /** LLM-training-data text pipeline over the `documents` table:
   * dedup (exact / MinHash-LSH / SimHash / Jaccard), token statistics,
@@ -23,6 +23,31 @@ object TextQueries {
       Dedup.exactByContent(Tables.documents(s, dir), id = "doc_id", content = "text")
         .withColumnRenamed("keeper_id", "keeper_doc_id")
         .orderBy(col("content_hash"))),
+
+    // PageRank centrality over the rare-shingle co-occurrence graph:
+    // documents link (both directions) when they share a 3-gram seen in
+    // 2–4 docs (the corpus's 31-token vocabulary makes single tokens
+    // universal — n-grams carry the discriminating structure, as in the
+    // decontamination pass); eight damped iterations with quantized
+    // contribution sums — the iterative graph algorithm on the oracle's
+    // hard signal, same replay contract as the PCA eigensolver.
+    // Centrality surfaces the template/boilerplate hubs a dedup pass
+    // should look at first.
+    "graph_pagerank" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 3)).as("gram"))
+        .distinct()
+      val rare = sh.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+        .filter(col("c").between(2, 4)).select(col("gram"))
+      val rt = sh.join(rare, "gram")
+      val edges = rt.as("a").join(rt.as("b"), "gram")
+        .filter(col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      Graph.pageRank(edges, iters = 8)
+        .select(col("id").as("doc_id"), col("pr").cast("float").as("pr"))
+        .orderBy(col("doc_id"))
+    }),
 
     // BM25 ranked retrieval in similar-items mode: four probe documents
     // query the corpus through the inverted index (only docs sharing a
@@ -387,8 +412,60 @@ object TextQueries {
       |          count(*) AS n_grams FROM gr GROUP BY doc_id, island),
       | spf AS (SELECT * FROM sp WHERE span_end - span_start + 1 >= 8)""".stripMargin
 
+  /** PageRank iteration CTEs (the generated-replay pattern): per round
+    * a contribution join (pr/outdeg, doubles), quantized inflow sum,
+    * quantized dangling mass, then the damped update with every
+    * constant forced to DOUBLE (DuckDB would otherwise do the
+    * (1 − 0.85) arithmetic in DECIMAL and diverge from Spark's
+    * doubles). */
+  private val pageRankIters = 8
+  private def pageRankIterCtes: String = (1 to pageRankIters).map { k =>
+    s""" c$k AS (SELECT e.dst AS id, r.pr / r.outdeg AS c
+       |   FROM r${k - 1} r JOIN e ON r.id = e.src
+       |   WHERE r.outdeg IS NOT NULL),
+       | inf$k AS (SELECT id,
+       |     CAST(sum(CAST(c AS DECIMAL(30,12))) AS DOUBLE) AS inflow
+       |   FROM c$k GROUP BY 1),
+       | dm$k AS (SELECT CAST(coalesce(sum(CAST(pr AS DECIMAL(30,12))), 0)
+       |     AS DOUBLE) AS dm
+       |   FROM r${k - 1} WHERE outdeg IS NULL),
+       | r$k AS (SELECT nd.id, nd.outdeg,
+       |     (1 - CAST(0.85 AS DOUBLE)) / nn + CAST(0.85 AS DOUBLE) *
+       |       (coalesce(inflow, CAST(0 AS DOUBLE)) + dm / nn) AS pr
+       |   FROM nd CROSS JOIN nctl CROSS JOIN dm$k LEFT JOIN inf$k USING (id))""".stripMargin
+  }.mkString(",\n")
+
+  private val graphPageRankSql =
+    s"""WITH tkk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+       |   FROM documents),
+       | shg AS (SELECT DISTINCT doc_id, gram FROM (
+       |     SELECT doc_id, array_to_string(list_slice(t, p, p + 2), ' ') AS gram
+       |     FROM (SELECT doc_id, t,
+       |             unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS p
+       |           FROM tkk) z
+       |     UNION ALL SELECT doc_id, array_to_string(t, ' ')
+       |     FROM tkk WHERE len(t) < 3) u),
+       | rare AS (SELECT gram FROM (
+       |    SELECT gram, count(*) AS c FROM shg GROUP BY 1)
+       |   WHERE c BETWEEN 2 AND 4),
+       | rt AS (SELECT doc_id, gram FROM shg JOIN rare USING (gram)),
+       | e AS MATERIALIZED (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |   FROM rt a JOIN rt b USING (gram) WHERE a.doc_id <> b.doc_id),
+       | nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       | od AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY 1),
+       | nd AS MATERIALIZED (SELECT n.id, od.outdeg
+       |   FROM nodes n LEFT JOIN od USING (id)),
+       | nctl AS (SELECT count(*) AS nn FROM nd),
+       | r0 AS (SELECT id, outdeg, CAST(1 AS DOUBLE) / nn AS pr
+       |   FROM nd CROSS JOIN nctl),
+       |$pageRankIterCtes
+       |SELECT id AS doc_id, CAST(pr AS REAL) AS pr
+       |FROM r$pageRankIters ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_clusters_star" -> dedupClustersSql,
+
+    "graph_pagerank" -> graphPageRankSql,
 
     "text_bm25_topk" ->
       s"""WITH ${QuerySql.bm25Ctes("7, 123, 321, 444")}
