@@ -73,6 +73,21 @@ object Retrieval {
         col("rank"))
   }
 
+  /** Per-token corpus statistics of the inverted index — document
+    * frequency and total term frequency. Both are distributive counts,
+    * so the index stats of a growing corpus MAINTAIN from deltas via
+    * [[Merge.mergeAggregates]] (df_t/tf_total add across disjoint doc
+    * sets) — the hourly refresh path that never rescans the corpus. */
+  def corpusStats(corpus: DataFrame, id: String = "doc_id",
+                  text: String = "text"): DataFrame = {
+    val toks = corpus
+      .select(col(id), explode(TextAnalysis.tokens(col(text))).as("token"))
+      .filter(length(col("token")) > 0)
+    toks.groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df_t"), sum(col("tf")).as("tf_total"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009): fuse any number of
     * rank lists (query_id, doc id, rank) into one, score(d) =
     * Σ_lists 1/(c + rank). Rank-based, so heterogeneous score scales

@@ -147,6 +147,51 @@ object Sampling {
       .drop("__salt", "__r1", "__es_key")
   }
 
+  /** Temperature-flattened mixture sampling (the UNIMAX / multilingual
+    * T-sampling shape): domain d gets a share ∝ count(d)^α of a fixed
+    * `total` budget — α = 1 keeps natural proportions, α → 0 flattens
+    * toward uniform, so low-resource domains stop drowning (the
+    * standard knob for multilingual pretraining mixes). Within each
+    * domain the rows are the deterministic md5-ranked prefix (the
+    * [[stratifiedSample]] order), so the draw replays bit-for-bit.
+    *
+    * α is restricted to {1, 0.5, 0.25}: those powers evaluate as
+    * repeated `sqrt`, which IEEE specifies EXACTLY (correctly rounded),
+    * where a general `pow` is library-dependent — the same reasoning
+    * that quantizes every ln in this repo. Budget shares floor-truncate
+    * (Σ allocations ≤ total; the remainder is dropped, not
+    * redistributed — documented, deterministic). Scale: one |domains|
+    * aggregate + the salted two-phase rank of [[stratifiedSample]]. */
+  def temperatureSample(df: DataFrame, id: String, domain: String,
+                        total: Long, alpha: Double = 0.5,
+                        salts: Int = 32): DataFrame = {
+    require(Set(1.0, 0.5, 0.25)(alpha),
+      s"alpha must be 1, 0.5 or 0.25 (exactly replayable powers), got $alpha")
+    require(total > 0, s"total budget must be positive, got $total")
+    val pow: Column => Column = alpha match {
+      case 1.0 => identity
+      case 0.5 => sqrt
+      case 0.25 => c => sqrt(sqrt(c))
+    }
+    val counts = df.groupBy(col(domain))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__w", pow(col("__c").cast("double")))
+    val z = counts.agg(
+      sum(col("__w").cast("decimal(30,12)")).cast("double").as("__z"))
+    val alloc = counts.crossJoin(broadcast(z))
+      .select(col(domain),
+        floor(lit(total) * (col("__w") / col("__z"))).as("__n"))
+    val key = md5(concat(lit("temp:"), col(id).cast("string")))
+    val w1 = Window.partitionBy(col(domain), col("__salt")).orderBy(key, col(id))
+    val w2 = Window.partitionBy(col(domain)).orderBy(key, col(id))
+    df.join(broadcast(alloc), domain)
+      .withColumn("__salt", Skew.salt(col(id), salts))
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= col("__n"))
+      .withColumn("sample_rank", row_number().over(w2).cast("long"))
+      .filter(col("sample_rank") <= col("__n"))
+      .drop("__salt", "__r1", "__n")
+  }
+
   /** Domain upsampling with replacement — the "epochs per domain" form of
     * a training mixture (weights may exceed 1; weights < 1 degrade to a
     * [[weightedMix]]-style keep). Each row emits

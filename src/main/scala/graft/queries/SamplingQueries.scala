@@ -44,6 +44,15 @@ object SamplingQueries {
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // temperature-flattened mixture: a 200-doc budget split across
+    // languages ∝ count^0.5 — low-resource langs get a super-natural
+    // share, the multilingual-pretraining mixing knob
+    "sample_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureSample(Tables.documents(s, dir), id = "doc_id",
+          domain = "lang", total = 200L, alpha = 0.5)
+        .select(col("lang"), col("doc_id"), col("sample_rank"))
+        .orderBy(col("lang"), col("sample_rank"))),
+
     // PPS sampling without replacement: 25 docs per language, inclusion
     // probability proportional to document length (Efraimidis–Spirakis
     // exponential keys; deterministic md5-derived uniforms)
@@ -357,6 +366,23 @@ object SamplingQueries {
         |  FROM documents)
         |SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
         |FROM r WHERE sample_rank <= 5
+        |ORDER BY lang, sample_rank""".stripMargin,
+
+    // count^0.5 via sqrt (IEEE-exact), the share-sum decimal-quantized,
+    // floor-truncated budgets, md5-ranked prefix per language
+    "sample_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+        | w AS (SELECT lang, sqrt(CAST(c AS DOUBLE)) AS w FROM c),
+        | z AS (SELECT CAST(sum(CAST(w AS DECIMAL(30,12))) AS DOUBLE) AS z FROM w),
+        | n AS (SELECT lang, CAST(floor(200 * (w / z)) AS BIGINT) AS n_d
+        |       FROM w, z),
+        | r AS (SELECT lang, doc_id,
+        |     row_number() OVER (PARTITION BY lang
+        |       ORDER BY md5(concat('temp:', CAST(doc_id AS VARCHAR))), doc_id)
+        |       AS sample_rank
+        |   FROM documents)
+        |SELECT r.lang, r.doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+        |FROM r JOIN n USING (lang) WHERE sample_rank <= n_d
         |ORDER BY lang, sample_rank""".stripMargin,
 
     // the salted two-phase top-n is identical to the one-window form

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Graph, Multimodal, QualityModel, Retrieval, Sampling, TextAnalysis}
+import graft.ops.{Dedup, Graph, Merge, Multimodal, QualityModel, Retrieval, Sampling, TextAnalysis}
 
 /** LLM-training-data text pipeline over the `documents` table:
   * dedup (exact / MinHash-LSH / SimHash / Jaccard), token statistics,
@@ -47,6 +47,20 @@ object TextQueries {
       Graph.pageRank(edges, iters = 8)
         .select(col("id").as("doc_id"), col("pr").cast("float").as("pr"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Incremental INVERTED-INDEX stats maintenance: the per-token
+    // df/tf corpus statistics behind BM25 are distributive counts, so a
+    // delta batch folds into the standing stats via mergeAggregates —
+    // no corpus rescan. The oracle is the full recompute, the equality
+    // that lets a 100 TB search index refresh hourly.
+    "mv_bm25_stats_refresh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = Retrieval.corpusStats(docs.filter(col("doc_id") <= 400))
+      val delta = Retrieval.corpusStats(docs.filter(col("doc_id") > 400))
+      Merge.mergeAggregates(base, delta, keys = Seq("token"),
+          kinds = Map("df_t" -> "count", "tf_total" -> "sum"))
+        .orderBy(col("token"))
     }),
 
     // BM25 ranked retrieval in similar-items mode: four probe documents
@@ -466,6 +480,14 @@ object TextQueries {
     "dedup_clusters_star" -> dedupClustersSql,
 
     "graph_pagerank" -> graphPageRankSql,
+
+    "mv_bm25_stats_refresh" ->
+      """WITH tok AS (SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+        |    FROM documents) WHERE len(token) > 0),
+        | tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2)
+        |SELECT token, count(*) AS df_t, CAST(sum(tf) AS BIGINT) AS tf_total
+        |FROM tf GROUP BY 1 ORDER BY token""".stripMargin,
 
     "text_bm25_topk" ->
       s"""WITH ${QuerySql.bm25Ctes("7, 123, 321, 444")}

@@ -177,6 +177,24 @@ class SamplingSpec extends SparkSpec {
     out.filter(col("doc_a") === 3L).count() shouldBe 0L
   }
 
+  test("temperatureSample: α=0.5 flattens toward uniform, budgets floor-truncate") {
+    // 320 'en' vs 80 'zh': natural shares 80%/20%; sqrt shares
+    // √320/(√320+√80) ≈ 66.7%/33.3% — the minority domain gains
+    val d = (1L to 400L).map(i => (i, if (i <= 320) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val s = Sampling.temperatureSample(d, "doc_id", "lang", total = 100L)
+    val byLang = s.groupBy("lang").count().rows.map(r => r.head -> r(1)).toMap
+    byLang("en").asInstanceOf[Long] shouldBe 66L // floor(100·2/3)
+    byLang("zh").asInstanceOf[Long] shouldBe 33L // floor(100·1/3)
+    // α=1 reproduces natural proportions
+    val nat = Sampling.temperatureSample(d, "doc_id", "lang",
+      total = 100L, alpha = 1.0)
+    nat.groupBy("lang").count().rows.map(r => r.head -> r(1)).toMap
+      .apply("en").asInstanceOf[Long] shouldBe 80L
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.temperatureSample(d, "doc_id", "lang", total = 100L, alpha = 0.7)
+  }
+
   test("weightedSampleWOR: weight bias, salted ≡ one-window, contiguous ranks") {
     // heavy rows (w=100) vs light (w=1): the sample should be mostly heavy
     val df = (1L to 300L).map(i => (i, if (i % 2 == 0) 100.0 else 1.0))
