@@ -396,6 +396,31 @@ object PipelineQueries {
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 
+    // REAL-ENGINE stream-stream FULL OUTER interval join: both
+    // unmatched sides null-pad on their own eviction boundary —
+    // unmatched clicks once the watermark passes l_ts + horizon,
+    // unmatched purchases once it passes r_ts (their match window is
+    // l_ts ∈ [r_ts − horizon, r_ts], all in the past once the watermark
+    // crosses r_ts). Both cutoffs replayed in the oracle.
+    "stream_interval_full_join_live" -> ((s, dir) => {
+      val (raw, tmp) = stageStream(s, dir, "events", "graft_sifj")
+      val src = raw.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("l_user"), col("ts_utc").as("l_ts"),
+          col("event_id").as("click_id"))
+      val buys = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"), col("ts_utc").as("r_ts"),
+          col("event_id").as("purchase_id"), col("value"))
+      val joined = EventStreams.intervalJoin(
+          clicks, "l_user", "l_ts", buys, "r_user", "r_ts",
+          horizon = "4 hours", joinType = "full_outer")
+        .select(col("click_id"), col("purchase_id"), col("value"))
+      awaitScoped(s)(EventStreams.toLake(joined, s"$tmp/sink", s"$tmp/ckpt",
+        partitionCols = Seq.empty))
+      LakeReader.read(s, s"$tmp/sink")
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     // REAL-ENGINE foreachBatch upsert — the reference's watermark+DELETE+
     // append load pattern as a streaming merge. The tiebreak (event_id) is
     // globally unique, so the per-key survivor is deterministic; one data
@@ -654,6 +679,38 @@ object PipelineQueries {
         |SELECT * FROM m
         |UNION ALL SELECT * FROM u
         |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
+
+    // full-outer: the left-outer oracle plus the symmetric unmatched-
+    // purchase leg, whose eviction boundary is the purchase's OWN ts
+    "stream_interval_full_join_live" ->
+      """WITH wm AS (SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL '10 minutes' AS w),
+        | l AS (SELECT user_id, ts, event_id AS click_id FROM events
+        |       WHERE event_type = 'click'),
+        | r AS (SELECT user_id, ts, event_id AS purchase_id, value FROM events
+        |       WHERE event_type = 'purchase'),
+        | m AS (SELECT l.click_id, r.purchase_id, r.value
+        |       FROM l JOIN r ON l.user_id = r.user_id
+        |        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR),
+        | ul AS (SELECT l.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+        |         CAST(NULL AS DOUBLE) AS value
+        |       FROM l, wm
+        |       WHERE NOT EXISTS (SELECT 1 FROM r
+        |         WHERE r.user_id = l.user_id
+        |          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR)
+        |        AND l.ts + INTERVAL 4 HOUR < wm.w),
+        | ur AS (SELECT CAST(NULL AS BIGINT) AS click_id, r.purchase_id, r.value
+        |       FROM r, wm
+        |       WHERE NOT EXISTS (SELECT 1 FROM l
+        |         WHERE l.user_id = r.user_id
+        |          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR)
+        |        AND r.ts < wm.w)
+        |SELECT * FROM m
+        |UNION ALL SELECT * FROM ul
+        |UNION ALL SELECT * FROM ur
+        |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin,
 
     // integer-cents running totals: one Update row per user after the
     // single data batch = the full per-user aggregate

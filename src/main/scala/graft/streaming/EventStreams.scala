@@ -113,20 +113,22 @@ object EventStreams {
                    right: DataFrame, rightKey: String, rightTs: String,
                    horizon: String, lateness: String = "10 minutes",
                    joinType: String = "inner"): DataFrame = {
-    require(Set("inner", "left_outer")(joinType),
-      s"intervalJoin supports inner | left_outer, got $joinType")
+    require(Set("inner", "left_outer", "full_outer")(joinType),
+      s"intervalJoin supports inner | left_outer | full_outer, got $joinType")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"left and right must have disjoint columns, both have: $overlap")
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
-    // left_outer: a left row null-pads ONLY when the engine can prove no
-    // future right row can match — i.e. once the watermark passes
-    // leftTs + horizon and its buffered state evicts. Unmatched rows
-    // younger than that at stream end are discarded WITHOUT a null
-    // emission (their answer was still open); this watermark-cutoff
-    // boundary is exactly what stream_interval_left_join_live's oracle
-    // replays.
+    // outer flavors: an unmatched row null-pads ONLY when the engine
+    // can prove no future partner can match — left rows once the
+    // watermark passes leftTs + horizon, right rows once it passes
+    // rightTs (their match window lies entirely in the past then) —
+    // i.e. when the buffered state evicts. Unmatched rows younger than
+    // their boundary at stream end are discarded WITHOUT a null
+    // emission (their answer was still open); these watermark-cutoff
+    // boundaries are exactly what the stream_interval_*_join_live
+    // oracles replay.
     l.join(r, col(leftKey) === col(rightKey) &&
       col(rightTs) >= col(leftTs) &&
       col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizon"), joinType)

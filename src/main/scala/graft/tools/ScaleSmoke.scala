@@ -55,7 +55,12 @@ object ScaleSmoke {
     // round 9: retrieval tier + lake/maintenance + sampling additions
     "text_bm25_topk", "retrieval_rrf_fusion", "sample_weighted_wor",
     "bloom_semi_join", "mv_incremental_refresh", "w_rolling_median",
-    "lake_compact_roundtrip", "lake_timetravel")
+    "lake_compact_roundtrip", "lake_timetravel",
+    // graph_pagerank deliberately NOT here: replicating documents
+    // multiplies every shared shingle's df out of the 2–4 rare band, so
+    // the synthetic lake's graph SHRINKS with copies — the smoke would
+    // measure a vanishing input, not the operator
+    "emb_covariance", "emb_pca_project", "sample_temperature_mix")
 
   def replicate(df: DataFrame, copies: Int, idCols: Seq[String],
                 stride: Long, textCol: Option[String] = None): DataFrame = {

@@ -285,7 +285,7 @@ class EventStreamsSpec extends SparkSpec {
       EventStreams.intervalJoin(
         lIn.toDF().toDF("l_ts", "l_user", "click_id"), "l_user", "l_ts",
         rIn.toDF().toDF("r_ts", "r_user", "buy_id"), "r_user", "r_ts",
-        horizon = "30 minutes", joinType = "full_outer")
+        horizon = "30 minutes", joinType = "right_outer")
   }
 
   test("intervalJoin rejects overlapping column names up front") {
