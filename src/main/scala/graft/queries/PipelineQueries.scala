@@ -144,6 +144,31 @@ object PipelineQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Versioned-lake row-level MERGE: the 1996+ batch upserts into the
+    // pre-1997 table state — colliding (priority, custkey, orderdate)
+    // keys replaced, delta duplicates collapsed to the max-orderkey
+    // survivor — committed as partition rewrites of only the delta's
+    // partitions. The read-back equals the global upsert the oracle
+    // computes (merge_upsert's shape with the partition column in the
+    // key, as commitUpsert requires).
+    "lake_merge_commit" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"), col("o_orderpriority"))
+      val root = QuerySql.tempDir("graft_vmerge") + "/t"
+      VersionedLake.commit(
+        o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        root, Seq("o_orderpriority"))
+      VersionedLake.commitUpsert(
+        o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")),
+        root, Seq("o_orderpriority"),
+        keys = Seq("o_orderpriority", "o_custkey", "o_orderdate"),
+        tiebreak = "o_orderkey")
+      VersionedLake.read(s, root)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Versioned-lake ADDITIVE SCHEMA EVOLUTION: commit 1 lands without
     // o_totalprice; commit 2's partition rewrite carries the new
     // column. An evolveSchema read nulls the column for
@@ -593,6 +618,26 @@ object PipelineQueries {
         |  'added' AS change
         |FROM orders
         |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) >= 1997
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the versioned MERGE equals the global upsert keyed with the
+    // partition column included
+    "lake_merge_commit" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+        |                  o_orderpriority FROM orders),
+        | ex AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+        | inc AS (SELECT * FROM o WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+        | ded AS (SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+        |           o_orderpriority FROM (
+        |   SELECT *, row_number() OVER (
+        |       PARTITION BY o_orderpriority, o_custkey, o_orderdate
+        |       ORDER BY o_orderkey DESC) AS rn FROM inc) WHERE rn = 1)
+        |SELECT * FROM (
+        | SELECT * FROM ex WHERE NOT EXISTS (
+        |   SELECT 1 FROM inc WHERE inc.o_custkey = ex.o_custkey
+        |     AND inc.o_orderdate = ex.o_orderdate
+        |     AND inc.o_orderpriority = ex.o_orderpriority)
+        | UNION ALL SELECT * FROM ded) t
         |ORDER BY o_orderkey""".stripMargin,
 
     // pre-evolution partitions read the added column as NULL; the

@@ -121,6 +121,39 @@ object VersionedLake {
     next
   }
 
+  /** Row-level MERGE commit (the MERGE INTO shape on partition-granular
+    * copy-on-write): upsert `delta` into the current table state by
+    * `keys` — rows of touched partitions whose key collides with a
+    * delta row are replaced, colliding delta rows collapse to the
+    * max-`tiebreak` survivor ([[graft.ops.Merge.upsert]] semantics) —
+    * and commit ONLY the rewritten partitions. Reads are partition-
+    * pruned to the delta's partitions, so the merge cost scales with
+    * the delta's footprint, never the table.
+    *
+    * `partitionCols ⊆ keys` is required: a key that can migrate across
+    * partitions would leave its stale copy in an untouched partition
+    * (classic partition-merge pitfall — fail loudly instead). */
+  def commitUpsert(delta: DataFrame, root: String, partitionCols: Seq[String],
+                   keys: Seq[String], tiebreak: String): Int = {
+    require(partitionCols.forall(keys.contains),
+      s"partition columns (${partitionCols.mkString(",")}) must be part of " +
+        s"the merge keys (${keys.mkString(",")}) — a key that migrates " +
+        "partitions would duplicate across them")
+    val spark = delta.sparkSession
+    val merged = latestVersion(spark, root) match {
+      case None => graft.ops.Merge.dedupByKey(delta, keys, tiebreak)
+      case Some(_) =>
+        val enc = concat_ws("/", partitionCols.map(c =>
+          concat(lit(s"$c="), col(c).cast("string"))): _*)
+        val touched = partitionPaths(delta, partitionCols)
+        // a predicate purely over partition columns: the grouped scans
+        // in read() prune to the delta's partitions
+        val current = read(spark, root).filter(enc.isin(touched: _*))
+        graft.ops.Merge.upsert(current, delta, keys, tiebreak)
+    }
+    commit(merged, root, partitionCols)
+  }
+
   /** Time-travel read: the table as of `version` (default: latest).
     * Partitions group by owning commit; each group is ONE partition-
     * pruned scan of that commit's directory (basePath keeps the

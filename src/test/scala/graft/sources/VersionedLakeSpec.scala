@@ -56,6 +56,35 @@ class VersionedLakeSpec extends SparkSpec {
       Seq("part=c", "dropped", -1L))
   }
 
+  test("commitUpsert: merges only the delta's partitions; migration-prone keys rejected") {
+    val root = freshRoot()
+    VersionedLake.commit(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+        .toDF("k", "part", "v"), root, Seq("part"))
+    // delta touches ONLY partition a: replaces k=1, inserts k=9, and
+    // its own duplicate k=9 collapses to the max-tiebreak row
+    val delta = Seq((1L, "a", 11.0), (9L, "a", 90.0), (9L, "a", 91.0))
+      .toDF("k", "part", "v")
+    VersionedLake.commitUpsert(delta,
+      root, Seq("part"), keys = Seq("part", "k"), tiebreak = "v")
+    // partition b untouched — still owned by commit 1 (file sharing)
+    VersionedLake.readManifest(spark, root, 2) shouldBe
+      Map("part=a" -> 2, "part=b" -> 1)
+    VersionedLake.read(spark, root).select("k", "part", "v").orderBy("k")
+      .rows shouldBe Seq(Seq(1L, "a", 11.0), Seq(2L, "a", 20.0),
+      Seq(3L, "b", 30.0), Seq(9L, "a", 91.0))
+    // keys that do not pin the partition would strand stale copies
+    an[IllegalArgumentException] should be thrownBy
+      VersionedLake.commitUpsert(delta,
+        root, Seq("part"), keys = Seq("k"), tiebreak = "v")
+    // first-commit path: upsert onto an empty table = dedup of the delta
+    val root2 = freshRoot()
+    VersionedLake.commitUpsert(delta,
+      root2, Seq("part"), keys = Seq("part", "k"), tiebreak = "v")
+    VersionedLake.read(spark, root2).select("k", "v").orderBy("k")
+      .rows shouldBe Seq(Seq(1L, 11.0), Seq(9L, 91.0))
+  }
+
   test("schema evolution: additive column nulls old commits; strict mode fails loudly") {
     val root = freshRoot()
     VersionedLake.commit(Seq((1L, "a")).toDF("k", "part"), root, Seq("part"))
