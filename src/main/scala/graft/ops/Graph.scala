@@ -29,9 +29,25 @@ object Graph {
     * edges collapse (a multigraph would double-count contributions);
     * every remaining op is IEEE-exact division/multiply/add. */
   def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
-               damping: Double = 0.85, iters: Int = 8): DataFrame = {
+               damping: Double = 0.85, iters: Int = 8,
+               shufflePartitions: Option[Int] = None): DataFrame = {
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     require(iters >= 1, s"need at least one iteration, got $iters")
+    // iteration frames are |nodes|/|edges|-sized and materialize HERE
+    // (localCheckpoint is eager), so the caller can size reducers to
+    // the graph instead of paying iters × session-default scheduling
+    // overhead; the session setting is restored before returning. A
+    // real deployment sizes this to edge volume.
+    val spark = edges.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    shufflePartitions.foreach(p => spark.conf.set(key, p.toString))
+    try pageRankImpl(edges, src, dst, damping, iters)
+    finally spark.conf.set(key, prev)
+  }
+
+  private def pageRankImpl(edges: DataFrame, src: String, dst: String,
+                           damping: Double, iters: Int): DataFrame = {
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint()

@@ -44,7 +44,7 @@ object TextQueries {
       val edges = rt.as("a").join(rt.as("b"), "gram")
         .filter(col("a.doc_id") =!= col("b.doc_id"))
         .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-      Graph.pageRank(edges, iters = 8)
+      Graph.pageRank(edges, iters = 8, shufflePartitions = Some(8))
         .select(col("id").as("doc_id"), col("pr").cast("float").as("pr"))
         .orderBy(col("doc_id"))
     }),
