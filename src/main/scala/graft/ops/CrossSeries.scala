@@ -37,8 +37,12 @@ object CrossSeries {
   def bucketSeries(df: DataFrame, key: String, tsNanos: String,
                    value: String, bucketNanos: Long): DataFrame = {
     require(bucketNanos > 0, s"bucketNanos must be positive, got $bucketNanos")
+    // integer `div`, never float division: epoch nanos (~1.7e18) sit far
+    // beyond double's 2^53 integer range, so a float quotient can flip
+    // bucket-boundary rows; `div` keeps both engines on exact int64
     df.filter(col(value).isNotNull)
-      .groupBy(col(key).as("k"), (col(tsNanos) / lit(bucketNanos)).cast("long").as("b"))
+      .groupBy(col(key).as("k"),
+        expr(s"`$tsNanos` div ${bucketNanos}L").as("b"))
       .agg(sum(round(col(value) * 100).cast("long")).as("v"))
   }
 

@@ -46,6 +46,72 @@ object Graph {
     finally spark.conf.set(key, prev)
   }
 
+  /** Per-node triangle counts over an undirected graph given as a
+    * (possibly directed, possibly multi-) edge list. Output: (id,
+    * n_triangles) for nodes in ≥1 triangle.
+    *
+    * The scale-critical trick is DEGREE ORIENTATION (the node-iterator
+    * bound): collapse to unique undirected edges, then orient every
+    * edge from its lower-(degree, id) endpoint to the higher. The
+    * oriented out-degree is O(√m), so the wedge join (e1.t = e2.f)
+    * generates Σ outdeg² = O(m^1.5) candidates worst-case — the
+    * textbook bound — instead of Σ deg² which a hub node makes
+    * quadratic. Closing wedges is one more join against the oriented
+    * edge set; each triangle materializes exactly once (its
+    * orientation is a unique DAG path a→b→c plus the chord a→c).
+    * Plan: three shuffles on node keys, no window, no driver state. */
+  def triangles(edges: DataFrame, src: String = "src", dst: String = "dst"): DataFrame = {
+    val und = edges
+      .filter(col(src).isNotNull && col(dst).isNotNull && col(src) =!= col(dst))
+      .select(least(col(src), col(dst)).as("u"), greatest(col(src), col(dst)).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("id"))
+      .union(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // total order (deg, id) makes the orientation a DAG
+    val o = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("f"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.t") === col("e2.f"))
+      .select(col("e1.f").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+      .join(o.as("e3"), col("a") === col("e3.f") && col("c") === col("e3.t"), "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Minimum hop distance from a seed set, bounded at `k` hops — BFS
+    * as k rounds of frontier expansion. Output: (id, hops) for every
+    * node within k directed hops of a seed (seeds themselves at 0).
+    *
+    * Each round shuffles only the FRONTIER (nodes first reached last
+    * round) against the edge list and anti-joins the visited set —
+    * never all paths (the recursive-CTE oracle dedups per level for
+    * the same reason). Frames localCheckpoint per round so the plan
+    * stays k-independent; visited is bounded by |nodes|. */
+  def kHopMinHops(edges: DataFrame, seeds: DataFrame, src: String = "src",
+                  dst: String = "dst", k: Int = 3): DataFrame = {
+    require(k >= 1, s"need at least one hop, got $k")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint()
+    val s0 = seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint()
+    val (visited, _) = (1 to k).foldLeft((s0, s0)) { case ((vis, frontier), i) =>
+      val next = frontier.join(e, col("id") === col("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(vis, Seq("id"), "left_anti")
+        .withColumn("hops", lit(i)).localCheckpoint()
+      (vis.union(next).localCheckpoint(), next)
+    }
+    visited
+  }
+
   private def pageRankImpl(edges: DataFrame, src: String, dst: String,
                            damping: Double, iters: Int): DataFrame = {
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))

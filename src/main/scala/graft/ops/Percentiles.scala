@@ -76,4 +76,36 @@ object Percentiles {
           .otherwise(greatest(least(col(value), col("__hi")), col("__lo"))))
       .drop("__lo", "__hi")
   }
+
+  /** Equi-depth histogram: `buckets` variable-width bins each holding
+    * ~n/buckets rows — the ANALYZE-style statistic behind selectivity
+    * estimation and quantile-bucketed feature binning (equal-WIDTH is
+    * `value_histogram` in the query layer; equal-DEPTH is this one).
+    * Output: (bucket 1..buckets, lo, hi, n_rows), bucket boundaries on
+    * observed values only.
+    *
+    * Shape: the ranking runs over the DISTINCT-VALUE frame (one count
+    * exchange collapses the data first), so the single-partition
+    * cumulative window is |distinct values|-sized — the same bounded
+    * contract as the z-order string dictionary, not a row_number over
+    * raw rows. Tied rows share a value, hence a cumulative rank, hence
+    * a bucket: bucket = ⌈cum·b / n⌉ in INTEGER arithmetic, so both
+    * engines bin identically (a float ratio would split grid-boundary
+    * ties engine-specifically). Buckets can be empty only when heavy
+    * ties swallow a whole depth stripe; they are simply absent. */
+  def equiDepthHistogram(df: DataFrame, value: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"need at least one bucket, got $buckets")
+    val vc = df.filter(col(value).isNotNull)
+      .groupBy(col(value).as("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = vc.agg(sum(col("c")).as("n"))
+    vc.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(n))
+      .withColumn("bucket",
+        expr(s"(cum * $buckets + n - 1) div n"))
+      .groupBy(col("bucket"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(col("c")).as("n_rows"))
+  }
 }

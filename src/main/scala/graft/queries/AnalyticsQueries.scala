@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Anomaly, Cdc, FuzzyJoin, Indicators, Intervals, Percentiles, Reconcile}
+import graft.ops.{Anomaly, Cdc, CrossSeries, FuzzyJoin, Indicators, Intervals, Percentiles, Reconcile, Resample, Skyline}
 
 /** OLAP / warehouse-analytics extensions: grouping sets, event-path
   * transitions, exact nearest-rank quantiles, batch CDC apply, and
@@ -479,7 +479,60 @@ object AnalyticsQueries {
       withO.unionByName(withoutO)
         .select(col("c_mktsegment"), col("kind"), col("n"))
         .orderBy(col("c_mktsegment"), col("kind"))
-    })
+    }),
+
+    // ── Cross-series tier (ops/CrossSeries): the raw table reduces to
+    // one exact cents row per (key, day) FIRST, so the quadratic pair
+    // step is keys², never rows² — the shape that makes a correlation
+    // matrix tractable at lake scale.
+    "corr_series_pairs" -> ((s, dir) => {
+      val series = CrossSeries.bucketSeries(Tables.events(s, dir),
+        key = "event_type", tsNanos = "ts", value = "value",
+        bucketNanos = 86400000000000L)
+      CrossSeries.corrPairs(series)
+        .select(col("k1"), col("k2"), col("n"), col("corr"))
+        .orderBy(col("k1"), col("k2"))
+    }),
+
+    "beta_vs_market" -> ((s, dir) => {
+      val series = CrossSeries.bucketSeries(Tables.events(s, dir),
+        key = "event_type", tsNanos = "ts", value = "value",
+        bucketNanos = 86400000000000L)
+      CrossSeries.betaVsMarket(series)
+        .select(col("k").as("event_type"), col("n"), col("beta"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── Equi-depth histogram: 16 bins of ~equal row count over
+    // l_extendedprice — the ANALYZE statistic; the ranking window runs
+    // over the distinct-value frame, not raw rows.
+    "hist_equi_depth" -> ((s, dir) =>
+      Percentiles.equiDepthHistogram(
+          Tables.lineitem(s, dir), value = "l_extendedprice", buckets = 16)
+        .select(col("bucket"), col("lo"), col("hi"), col("n_rows"))
+        .orderBy(col("bucket"))),
+
+    // ── 2-D Pareto frontier over orders: the (highest price, earliest
+    // date) staircase — no order on the frontier is beaten on both
+    // axes. Sort-based exact algorithm with a bucket prune, never a
+    // quadratic dominance join.
+    "skyline_pareto" -> ((s, dir) =>
+      Skyline.frontier2d(Tables.orders(s, dir),
+          hi = "o_totalprice", lo = "o_orderdate")
+        .orderBy(col("o_totalprice"))),
+
+    // ── Weekly OHLC candles per event type: the finance downsample
+    // (pandas resample('W').ohlc() shape) as ONE map-side-combined
+    // aggregation — min_by/max_by over the total (ts, event_id) order,
+    // no window, no self-join.
+    "ts_ohlc_weekly" -> ((s, dir) =>
+      Resample.ohlc(Tables.events(s, dir), key = "event_type",
+          tsNanos = "ts", tie = "event_id", value = "value",
+          bucketNanos = 604800000000000L)
+        .select(col("k").as("event_type"), col("b"), col("open"),
+          col("high"), col("low"), col("close"), col("n_ticks"),
+          col("vol_cents"))
+        .orderBy(col("event_type"), col("b")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -924,6 +977,86 @@ object AnalyticsQueries {
         |SELECT c_mktsegment, 'without_orders' AS kind, count(*) AS n
         |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM o95)
         |GROUP BY 1
-        |ORDER BY c_mktsegment, kind""".stripMargin
+        |ORDER BY c_mktsegment, kind""".stripMargin,
+
+    // cents-sum series per (type, day); pair co-moments in HUGEINT —
+    // the same exact-arithmetic contract as agg_exact_corr
+    "corr_series_pairs" ->
+      """WITH s AS (SELECT event_type AS k, epoch_ns(ts) // 86400000000000 AS b,
+        |        sum(CAST(round(value * 100) AS BIGINT)) AS v
+        |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        | p AS (SELECT a.k AS k1, b2.k AS k2, count(*) AS n,
+        |        sum(a.v) AS sx, sum(b2.v) AS sy, sum(a.v * b2.v) AS sxy,
+        |        sum(a.v * a.v) AS sxx, sum(b2.v * b2.v) AS syy
+        |       FROM s a JOIN s b2 USING (b) WHERE a.k < b2.k GROUP BY 1, 2),
+        | c AS (SELECT k1, k2, n,
+        |        n * sxy - sx * sy AS cov_n,
+        |        n * sxx - sx * sx AS var_x,
+        |        n * syy - sy * sy AS var_y FROM p WHERE n >= 2)
+        |SELECT k1, k2, n, CAST(CAST(cov_n AS DOUBLE) /
+        |   nullif(sqrt(CAST(var_x AS DOUBLE) * CAST(var_y AS DOUBLE)), 0) AS REAL) AS corr
+        |FROM c ORDER BY k1, k2""".stripMargin,
+
+    "beta_vs_market" ->
+      """WITH s AS (SELECT event_type AS k, epoch_ns(ts) // 86400000000000 AS b,
+        |        sum(CAST(round(value * 100) AS BIGINT)) AS v
+        |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        | mkt AS (SELECT b, sum(v) AS m FROM s GROUP BY 1),
+        | p AS (SELECT k, count(*) AS n, sum(s.v) AS sx, sum(mkt.m) AS sm,
+        |        sum(s.v * mkt.m) AS sxm, sum(mkt.m * mkt.m) AS smm
+        |       FROM s JOIN mkt USING (b) GROUP BY 1),
+        | c AS (SELECT k, n, n * sxm - sx * sm AS cov_n,
+        |        n * smm - sm * sm AS var_m FROM p WHERE n >= 2)
+        |SELECT k AS event_type, n, CAST(CAST(cov_n AS DOUBLE) /
+        |   nullif(CAST(var_m AS DOUBLE), 0) AS REAL) AS beta
+        |FROM c ORDER BY event_type""".stripMargin,
+
+    // bucket = ⌈cum·16 / n⌉ in INTEGER arithmetic on both engines, so
+    // depth-stripe boundaries land identically under heavy ties
+    "hist_equi_depth" ->
+      """WITH vc AS (SELECT l_extendedprice AS v, count(*) AS c
+        |       FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        | cw AS (SELECT v, c, sum(c) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        (SELECT sum(c) FROM vc) AS n FROM vc),
+        | bk AS (SELECT v, c, (cum * 16 + n - 1) // n AS bucket FROM cw)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, min(v) AS lo, max(v) AS hi,
+        | CAST(sum(c) AS BIGINT) AS n_rows
+        |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the staircase replay: per-distinct-price min date, kept iff every
+    // strictly higher price ships strictly later (same sort-only
+    // algorithm the engine runs — an all-pairs NOT EXISTS would be
+    // quadratic in the oracle, not just slow in the engine)
+    "skyline_pareto" ->
+      """WITH pts AS (SELECT o_totalprice AS h, min(o_orderdate) AS l
+        |       FROM orders
+        |       WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |       GROUP BY 1),
+        | w AS (SELECT h, l, min(l) OVER (ORDER BY h DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_min
+        |       FROM pts)
+        |SELECT h AS o_totalprice, l AS o_orderdate
+        |FROM w WHERE run_min IS NULL OR l < run_min
+        |ORDER BY o_totalprice""".stripMargin,
+
+    // open/close = row_number picks over the total (ts, event_id)
+    // order — the same well-defined first/last min_by/max_by computes
+    "ts_ohlc_weekly" ->
+      """WITH ev AS (SELECT event_type, event_id, epoch_ns(ts) AS tsn, value
+        |       FROM events WHERE value IS NOT NULL),
+        | r AS (SELECT event_type AS k, tsn // 604800000000000 AS b, value,
+        |        row_number() OVER (PARTITION BY event_type, tsn // 604800000000000
+        |          ORDER BY tsn, event_id) AS rn_a,
+        |        row_number() OVER (PARTITION BY event_type, tsn // 604800000000000
+        |          ORDER BY tsn DESC, event_id DESC) AS rn_d
+        |       FROM ev)
+        |SELECT k AS event_type, CAST(b AS BIGINT) AS b,
+        | min(CASE WHEN rn_a = 1 THEN value END) AS open,
+        | max(value) AS high, min(value) AS low,
+        | min(CASE WHEN rn_d = 1 THEN value END) AS close,
+        | count(*) AS n_ticks,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vol_cents
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

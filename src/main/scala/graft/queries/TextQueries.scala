@@ -17,6 +17,23 @@ import graft.ops.{Dedup, Graph, Merge, Multimodal, QualityModel, Retrieval, Samp
   */
 object TextQueries {
 
+  /** The rare-shingle co-occurrence graph (docs link, both directions,
+    * when they share a 3-gram seen in 2–4 docs) — the shared edge
+    * frame under `graph_pagerank`, `graph_triangles` and `graph_khop`,
+    * factored so the three queries and their oracles cannot drift. */
+  private def coocEdges(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 3)).as("gram"))
+      .distinct()
+    val rare = sh.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      .filter(col("c").between(2, 4)).select(col("gram"))
+    val rt = sh.join(rare, "gram")
+    rt.as("a").join(rt.as("b"), "gram")
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "dedup_exact_text" -> ((s, dir) =>
@@ -33,19 +50,32 @@ object TextQueries {
     // hard signal, same replay contract as the PCA eigensolver.
     // Centrality surfaces the template/boilerplate hubs a dedup pass
     // should look at first.
-    "graph_pagerank" -> ((s, dir) => {
-      val sh = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 3)).as("gram"))
-        .distinct()
-      val rare = sh.groupBy(col("gram")).agg(count(lit(1)).as("c"))
-        .filter(col("c").between(2, 4)).select(col("gram"))
-      val rt = sh.join(rare, "gram")
-      val edges = rt.as("a").join(rt.as("b"), "gram")
-        .filter(col("a.doc_id") =!= col("b.doc_id"))
-        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-      Graph.pageRank(edges, iters = 8, shufflePartitions = Some(8))
+    "graph_pagerank" -> ((s, dir) =>
+      Graph.pageRank(coocEdges(s, dir), iters = 8, shufflePartitions = Some(8))
         .select(col("id").as("doc_id"), col("pr").cast("float").as("pr"))
+        .orderBy(col("doc_id"))),
+
+    // Per-document triangle counts over the same graph — the local
+    // clustering signal (a doc inside many closed co-occurrence
+    // triangles sits in a dense template family; a high-degree doc with
+    // NO triangles is a hub stitching unrelated clusters). Degree
+    // orientation bounds the wedge join at O(m^1.5) — the step that
+    // keeps exact triangle counting feasible on web-scale graphs.
+    "graph_triangles" -> ((s, dir) =>
+      Graph.triangles(coocEdges(s, dir))
+        .select(col("id").as("doc_id"), col("n_triangles"))
+        .orderBy(col("doc_id"))),
+
+    // Bounded-depth BFS from a seed set: min hop distance within 3 hops
+    // — the contamination-neighborhood query ("everything within k
+    // links of these flagged docs"). Each round shuffles only the new
+    // frontier against the edge list; the visited set dedups per level
+    // exactly as the recursive-CTE oracle's UNION does.
+    "graph_khop" -> ((s, dir) => {
+      val seeds = Tables.documents(s, dir)
+        .filter(col("doc_id") <= 5).select(col("doc_id"))
+      Graph.kHopMinHops(coocEdges(s, dir), seeds, k = 3)
+        .select(col("id").as("doc_id"), col("hops").cast("long").as("hops"))
         .orderBy(col("doc_id"))
     }),
 
@@ -449,22 +479,28 @@ object TextQueries {
        |   FROM nd CROSS JOIN nctl CROSS JOIN dm$k LEFT JOIN inf$k USING (id))""".stripMargin
   }.mkString(",\n")
 
+  /** The rare-shingle co-occurrence edge CTEs (through `e`) — shared
+    * verbatim by the pagerank / triangles / khop oracles, mirroring the
+    * shared [[coocEdges]] on the Spark side. */
+  private val coocEdgeCtes =
+    """tkk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+      |   FROM documents),
+      | shg AS (SELECT DISTINCT doc_id, gram FROM (
+      |     SELECT doc_id, array_to_string(list_slice(t, p, p + 2), ' ') AS gram
+      |     FROM (SELECT doc_id, t,
+      |             unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS p
+      |           FROM tkk) z
+      |     UNION ALL SELECT doc_id, array_to_string(t, ' ')
+      |     FROM tkk WHERE len(t) < 3) u),
+      | rare AS (SELECT gram FROM (
+      |    SELECT gram, count(*) AS c FROM shg GROUP BY 1)
+      |   WHERE c BETWEEN 2 AND 4),
+      | rt AS (SELECT doc_id, gram FROM shg JOIN rare USING (gram)),
+      | e AS MATERIALIZED (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |   FROM rt a JOIN rt b USING (gram) WHERE a.doc_id <> b.doc_id)""".stripMargin
+
   private val graphPageRankSql =
-    s"""WITH tkk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
-       |   FROM documents),
-       | shg AS (SELECT DISTINCT doc_id, gram FROM (
-       |     SELECT doc_id, array_to_string(list_slice(t, p, p + 2), ' ') AS gram
-       |     FROM (SELECT doc_id, t,
-       |             unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS p
-       |           FROM tkk) z
-       |     UNION ALL SELECT doc_id, array_to_string(t, ' ')
-       |     FROM tkk WHERE len(t) < 3) u),
-       | rare AS (SELECT gram FROM (
-       |    SELECT gram, count(*) AS c FROM shg GROUP BY 1)
-       |   WHERE c BETWEEN 2 AND 4),
-       | rt AS (SELECT doc_id, gram FROM shg JOIN rare USING (gram)),
-       | e AS MATERIALIZED (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-       |   FROM rt a JOIN rt b USING (gram) WHERE a.doc_id <> b.doc_id),
+    s"""WITH $coocEdgeCtes,
        | nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
        | od AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY 1),
        | nd AS MATERIALIZED (SELECT n.id, od.outdeg
@@ -480,6 +516,39 @@ object TextQueries {
     "dedup_clusters_star" -> dedupClustersSql,
 
     "graph_pagerank" -> graphPageRankSql,
+
+    // same degree orientation (total order (deg, id)), same wedge
+    // close — row-value comparisons keep the CASE deterministic
+    "graph_triangles" ->
+      s"""WITH $coocEdgeCtes,
+         | und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |   FROM e),
+         | dg AS (SELECT id, count(*) AS deg FROM (
+         |     SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+         | o AS MATERIALIZED (SELECT
+         |     CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)
+         |          THEN und.u ELSE und.v END AS f,
+         |     CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)
+         |          THEN und.v ELSE und.u END AS t
+         |   FROM und JOIN dg du ON du.id = und.u JOIN dg dv ON dv.id = und.v),
+         | tri AS (SELECT e1.f AS a, e1.t AS b, e2.t AS c
+         |   FROM o e1 JOIN o e2 ON e1.t = e2.f
+         |   WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.f = e1.f AND e3.t = e2.t))
+         |SELECT id AS doc_id, count(*) AS n_triangles FROM (
+         |   SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+         |   UNION ALL SELECT c FROM tri)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // level-synchronous BFS: UNION (not UNION ALL) dedups (id, hops)
+    // rows per level, so the recursion explores nodes, never paths
+    "graph_khop" ->
+      s"""WITH RECURSIVE $coocEdgeCtes,
+         | r AS (SELECT doc_id AS id, 0 AS hops FROM documents WHERE doc_id <= 5
+         |   UNION
+         |   SELECT e.dst AS id, r.hops + 1 AS hops
+         |   FROM r JOIN e ON e.src = r.id WHERE r.hops < 3)
+         |SELECT id AS doc_id, CAST(min(hops) AS BIGINT) AS hops
+         |FROM r GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "mv_bm25_stats_refresh" ->
       """WITH tok AS (SELECT doc_id, token FROM (

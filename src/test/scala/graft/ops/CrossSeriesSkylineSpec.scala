@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed cases for the round-9 additions: cross-series
+  * correlation/beta, the 2-D skyline, OHLC resampling, and the
+  * equi-depth histogram. */
+class CrossSeriesSkylineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── CrossSeries ────────────────────────────────────────────────────
+
+  private val day = 86400000000000L
+
+  test("bucketSeries: cents sums per (key, day); nulls excluded; div is integer") {
+    val df = Seq(
+      ("a", 0L, Some(1.25)), ("a", day - 1, Some(2.0)), // same bucket 0
+      ("a", day, Some(3.0)),                            // bucket 1
+      ("b", 0L, None)                                   // null → dropped
+    ).toDF("k0", "ts", "value")
+      .select(col("k0"), col("ts"), col("value").cast("double"))
+    val s = CrossSeries.bucketSeries(df, "k0", "ts", "value", day)
+      .rows.map(r => (r.head, r(1), r(2))).toSet
+    s shouldBe Set(("a", 0L, 325L), ("a", 1L, 300L))
+  }
+
+  test("corrPairs: perfectly correlated and anti-correlated pairs; min overlap enforced") {
+    // x: 1,2,3  y = 2x (corr +1)  z = -x (corr −1)  w: one shared bucket only
+    val series = Seq(
+      ("x", 0L, 100L), ("x", 1L, 200L), ("x", 2L, 300L),
+      ("y", 0L, 200L), ("y", 1L, 400L), ("y", 2L, 600L),
+      ("z", 0L, -100L), ("z", 1L, -200L), ("z", 2L, -300L),
+      ("w", 0L, 500L)
+    ).toDF("k", "b", "v")
+    val out = CrossSeries.corrPairs(series)
+      .rows.map(r => ((r.head, r(1)), r(3).asInstanceOf[Float])).toMap
+    out(("x", "y")) shouldBe 1.0f
+    out(("x", "z")) shouldBe -1.0f
+    out(("y", "z")) shouldBe -1.0f
+    out.keySet should not contain (("w", "x")) // n=1 < minOverlap
+  }
+
+  test("betaVsMarket: a series that IS the market scaled has beta = its share slope") {
+    // two keys, a = 2·b. market m = a+b = 3·b. cov(a,m)/var(m):
+    // b: 100,200,300  a: 200,400,600  m: 300,600,900
+    // beta(a) = cov(a,m)/var(m) = 2/3, beta(b) = 1/3
+    val series = Seq(
+      ("a", 0L, 200L), ("a", 1L, 400L), ("a", 2L, 600L),
+      ("b", 0L, 100L), ("b", 1L, 200L), ("b", 2L, 300L)
+    ).toDF("k", "b", "v")
+    val out = CrossSeries.betaVsMarket(series)
+      .rows.map(r => (r.head, r(2).asInstanceOf[Float])).toMap
+    out("a") shouldBe (2.0f / 3.0f)
+    out("b") shouldBe (1.0f / 3.0f)
+  }
+
+  // ── Skyline ────────────────────────────────────────────────────────
+
+  private def frontier(pts: Seq[(Double, Double)], buckets: Int = 4) =
+    Skyline.frontier2d(pts.toDF("h", "l"), "h", "l", buckets)
+      .rows.map(r => (r.head.asInstanceOf[Double], r(1).asInstanceOf[Double]))
+      .toSet
+
+  test("frontier2d: staircase survives, dominated points cut, ties co-frontier rules") {
+    val pts = Seq(
+      (10.0, 5.0),  // frontier (highest h)
+      (8.0, 3.0),   // frontier (lower h, lower l)
+      (8.0, 7.0),   // same h, worse l → dominated by (8,3)
+      (9.0, 5.0),   // dominated by (10,5): h strictly lower at equal l
+      (7.0, 3.0),   // dominated by (8,3): equal l, lower h
+      (6.0, 1.0)    // frontier
+    )
+    frontier(pts) shouldBe Set((10.0, 5.0), (8.0, 3.0), (6.0, 1.0))
+  }
+
+  test("frontier2d: transitively pruned dominator chains still cut their victims") {
+    // c is dominated only by b; b is dominated by a. Even if the bucket
+    // prune removes b, a must still cut c through the chain.
+    val pts = Seq((3.0, 1.0), (2.0, 2.0), (1.9, 2.5))
+    frontier(pts, buckets = 1) shouldBe Set((3.0, 1.0))
+    frontier(pts, buckets = 256) shouldBe Set((3.0, 1.0))
+  }
+
+  test("frontier2d: all-equal h collapses to single best point; bucket count invariant") {
+    val pts = Seq((5.0, 3.0), (5.0, 2.0), (5.0, 9.0))
+    (1 to 8).foreach { b => frontier(pts, b) shouldBe Set((5.0, 2.0)) }
+  }
+
+  // ── Resample ───────────────────────────────────────────────────────
+
+  test("ohlc: open/close by (ts, tie) order, high/low/count/cents volume") {
+    val df = Seq(
+      ("a", 0L, 1L, 4.0), ("a", 5L, 2L, 9.0), ("a", 9L, 3L, 2.0),
+      ("a", 5L, 9L, 7.0),          // same ts as tick 2, higher tie
+      ("a", 10L, 4L, 6.0),         // next bucket
+      ("b", 0L, 5L, 1.005)         // 1.005·100 = 100.4999… in IEEE → 100
+                                   // (same double path both engines take)
+    ).toDF("key", "ts", "id", "value")
+    val out = Resample.ohlc(df, "key", "ts", "id", "value", bucketNanos = 10L)
+      .rows.map(r => (r.head, r(1)) -> (r(2), r(3), r(4), r(5), r(6), r(7))).toMap
+    out(("a", 0L)) shouldBe ((4.0, 9.0, 2.0, 2.0, 4L, 2200L))
+    out(("a", 1L)) shouldBe ((6.0, 6.0, 6.0, 6.0, 1L, 600L))
+    out(("b", 0L)) shouldBe ((1.005, 1.005, 1.005, 1.005, 1L, 100L))
+  }
+
+  // ── equi-depth histogram ───────────────────────────────────────────
+
+  test("equiDepthHistogram: equal depths on distinct values; ties share a bucket") {
+    val even = (1 to 8).map(_.toDouble).toDF("v")
+    val h = Percentiles.equiDepthHistogram(even, "v", 4)
+      .rows.map(r => (r.head, r(1), r(2), r(3))).toSet
+    h shouldBe Set((1L, 1.0, 2.0, 2L), (2L, 3.0, 4.0, 2L),
+      (3L, 5.0, 6.0, 2L), (4L, 7.0, 8.0, 2L))
+
+    // heavy tie: five 1.0s swallow buckets 1–3 entirely (cum=5 of 8,
+    // bucket ⌈5·4/8⌉=3); buckets 1,2 are absent, never misassigned
+    val tied = (Seq.fill(5)(1.0) ++ Seq(2.0, 3.0, 4.0)).toDF("v")
+    val ht = Percentiles.equiDepthHistogram(tied, "v", 4)
+      .rows.map(r => (r.head, r(1), r(2), r(3))).toSet
+    ht shouldBe Set((3L, 1.0, 2.0, 6L), (4L, 3.0, 4.0, 2L))
+  }
+}

@@ -37,4 +37,44 @@ class GraphSpec extends SparkSpec {
     ranks(star ++ star) shouldBe pr // multigraph input, same result
     pr.values.sum shouldBe 1.0 +- 1e-9
   }
+
+  private def triCounts(edges: Seq[(Long, Long)]) =
+    Graph.triangles(edges.toDF("src", "dst"))
+      .rows.map(r => r.head.asInstanceOf[Long] -> r(1).asInstanceOf[Long])
+      .toMap
+
+  test("triangles: K4 has 4 triangles, every node in 3; direction and duplicates collapse") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val t = triCounts(k4) // every ordered pair both ways = heavy multigraph
+    t shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+  }
+
+  test("triangles: a path has none; a square has none; square + one chord has two") {
+    triCounts(Seq((1L, 2L), (2L, 3L), (3L, 4L))) shouldBe empty
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    triCounts(square) shouldBe empty
+    val chorded = square :+ (1L, 3L)
+    // triangles {1,2,3} and {1,3,4}: nodes 1,3 in both, 2,4 in one
+    triCounts(chorded) shouldBe Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L)
+  }
+
+  test("kHopMinHops: chain distances, bounded depth, unreachable and isolated-seed cases") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("doc_id") // 99 is not in the graph at all
+    val hops = Graph.kHopMinHops(chain, seeds, k = 3)
+      .rows.map(r => r.head.asInstanceOf[Long] -> r(1).asInstanceOf[Int]).toMap
+    // node 5 is 4 hops out — beyond k=3, absent; isolated seed still hop 0
+    hops shouldBe Map(1L -> 0, 99L -> 0, 2L -> 1, 3L -> 2, 4L -> 3)
+  }
+
+  test("kHopMinHops: min over multiple seeds and converging paths") {
+    // diamond 1→2→4, 1→3→4 plus a long way 1→5→6→4: min(4) = 2
+    val g = Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 4L),
+      (1L, 5L), (5L, 6L), (6L, 4L)).toDF("src", "dst")
+    val hops = Graph.kHopMinHops(g, Seq(1L).toDF("id"), k = 3)
+      .rows.map(r => r.head.asInstanceOf[Long] -> r(1).asInstanceOf[Int]).toMap
+    hops(4L) shouldBe 2
+    hops(6L) shouldBe 2
+    hops(1L) shouldBe 0
+  }
 }
