@@ -43,4 +43,49 @@ object Funnel {
       .withColumn("converted", col("first_b").isNotNull)
       .withColumn("latency", col("first_b") - col("first_a"))
   }
+
+  /** N-step ordered funnel with a PER-STEP gap bound: for each key the
+    * greedy earliest-completion chain t₁ < t₂ < … < tₙ where tᵢ is the
+    * first `steps(i)` event after tᵢ₋₁ within `maxGap` — the product-
+    * analytics "signup → activate → purchase within a day each" query.
+    * Greedy-earliest is the standard semantics AND the correct one: if
+    * any valid chain exists, the greedy chain exists (each greedy tᵢ is
+    * ≤ the corresponding step of any other chain, so every later
+    * window only widens).
+    *
+    * Output: (key, reached, t_final) for every key with a step-1 event:
+    * `reached` = number of steps completed (1..n), `t_final` the
+    * completion time of the last reached step.
+    *
+    * Plan shape: conditional-min aggregations over ONE hash exchange on
+    * the key — step i is min(ts WHERE type = stepᵢ AND tᵢ₋₁ < ts ≤
+    * tᵢ₋₁+gap), computable because tᵢ₋₁ is itself a per-key window min.
+    * n−1 window passes share the single partitioning (no re-shuffle:
+    * same key), no self-joins, no per-key UDAF state. */
+  def orderedFunnel(events: DataFrame, key: String, typeCol: String,
+                    tsCol: String, steps: Seq[String],
+                    maxGap: Long): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs at least 2 steps, got ${steps.size}")
+    require(maxGap > 0, s"maxGap must be positive, got $maxGap")
+    val working = steps.indices.map(i => s"__t$i")
+    val clash = events.columns.toSet.intersect(working.toSet)
+    require(clash.isEmpty,
+      s"orderedFunnel appends ${working.mkString(", ")} — input already has: $clash")
+    val w = Window.partitionBy(col(key))
+    val withTs = steps.zipWithIndex.foldLeft(events) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) col(typeCol) === step
+        else col(typeCol) === step &&
+          col(tsCol) > col(s"__t${i - 1}") &&
+          col(tsCol) <= col(s"__t${i - 1}") + maxGap
+      df.withColumn(s"__t$i", min(when(cond, col(tsCol))).over(w))
+    }
+    val reached = steps.indices.map(i =>
+      when(col(s"__t$i").isNotNull, 1).otherwise(0)).reduce(_ + _)
+    val tFinal = coalesce(steps.indices.reverse.map(i => col(s"__t$i")): _*)
+    withTs
+      .filter(col("__t0").isNotNull)
+      .select(col(key), reached.as("reached"), tFinal.as("t_final"))
+      .dropDuplicates(key) // per-key constants — one row per key
+  }
 }

@@ -77,6 +77,9 @@ object Graph {
           .otherwise(col("v")).as("f"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
           .otherwise(col("u")).as("t"))
+      // referenced three times (both wedge sides + the closing chord):
+      // materialize once instead of leaning on runtime exchange reuse
+      .localCheckpoint()
     val tri = o.as("e1")
       .join(o.as("e2"), col("e1.t") === col("e2.f"))
       .select(col("e1.f").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))

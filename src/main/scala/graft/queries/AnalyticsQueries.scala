@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Anomaly, Cdc, CrossSeries, FuzzyJoin, Indicators, Intervals, Percentiles, Reconcile, Resample, Skyline}
+import graft.ops.{Anomaly, Cdc, CrossSeries, FuzzyJoin, Indicators, Intervals, Moments, Percentiles, Reconcile, Resample, Skyline}
 
 /** OLAP / warehouse-analytics extensions: grouping sets, event-path
   * transitions, exact nearest-rank quantiles, batch CDC apply, and
@@ -532,7 +532,15 @@ object AnalyticsQueries {
         .select(col("k").as("event_type"), col("b"), col("open"),
           col("high"), col("low"), col("close"), col("n_ticks"),
           col("vol_cents"))
-        .orderBy(col("event_type"), col("b")))
+        .orderBy(col("event_type"), col("b"))),
+
+    // ── Distribution-shape audit: per-type skewness + excess kurtosis
+    // from exact shifted power sums (two grouped passes, one broadcast
+    // μ join; the IEEE tail mirrored token-for-token by the oracle).
+    "agg_skew_kurt" -> ((s, dir) =>
+      Moments.skewKurtosis(Tables.events(s, dir),
+          keys = Seq("event_type"), value = "value")
+        .orderBy(col("event_type")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -1057,6 +1065,37 @@ object AnalyticsQueries {
         | min(CASE WHEN rn_d = 1 THEN value END) AS close,
         | count(*) AS n_ticks,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vol_cents
-        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // floor-mean via (s1 − pmod)/n (sign-safe in both engines), shifted
+    // power sums in HUGEINT, then the double tail token-for-token as
+    // the Spark expressions — see ops/Moments
+    "agg_skew_kurt" ->
+      """WITH e AS (SELECT event_type AS g,
+        |        CAST(round(value * 100) AS BIGINT) AS x
+        |       FROM events WHERE value IS NOT NULL),
+        | s AS (SELECT g, count(*) AS n, sum(x) AS s1 FROM e GROUP BY 1),
+        | m AS (SELECT g, n, (s1 - ((s1 % n) + n) % n) // n AS mu FROM s),
+        | t AS (SELECT e.g, min(m.n) AS n,
+        |        sum(CAST(x - mu AS HUGEINT)) AS t1,
+        |        sum(CAST(x - mu AS HUGEINT) * (x - mu)) AS t2,
+        |        sum(CAST(x - mu AS HUGEINT) * (x - mu) * (x - mu)) AS t3,
+        |        sum(CAST(x - mu AS HUGEINT) * (x - mu) * (x - mu) * (x - mu)) AS t4
+        |       FROM e JOIN m USING (g) GROUP BY e.g),
+        | q AS (SELECT g, n,
+        |        CAST(t1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+        |        CAST(t2 AS DOUBLE) / CAST(n AS DOUBLE) AS q2,
+        |        CAST(t3 AS DOUBLE) / CAST(n AS DOUBLE) AS q3,
+        |        CAST(t4 AS DOUBLE) / CAST(n AS DOUBLE) AS q4
+        |       FROM t),
+        | c AS (SELECT g, n, q2 - m1 * m1 AS m2,
+        |        q3 - 3.0 * q2 * m1 + 2.0 * m1 * m1 * m1 AS m3,
+        |        q4 - 4.0 * q3 * m1 + 6.0 * q2 * m1 * m1
+        |          - 3.0 * m1 * m1 * m1 * m1 AS m4
+        |       FROM q)
+        |SELECT g AS event_type, n,
+        | CAST(m3 / nullif(m2 * sqrt(m2), 0) AS REAL) AS skewness,
+        | CAST(m4 / nullif(m2 * m2, 0) - 3.0 AS REAL) AS kurtosis
+        |FROM c ORDER BY event_type""".stripMargin
   )
 }

@@ -362,6 +362,22 @@ object RelationalQueries {
           col("latency").as("latency_us"))
         .orderBy(col("user_id"))),
 
+    // N-step ordered funnel: signup → view → click → purchase, each
+    // step within 48 hours of the previous (greedy earliest-completion
+    // chain — n−1 conditional-min windows over ONE key exchange, no
+    // self-joins). Output: steps reached + completion time per user.
+    "funnel_ordered_steps" -> ((s, dir) =>
+      Funnel.orderedFunnel(
+          Tables.events(s, dir)
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts_utc")).as("t_us")),
+          key = "user_id", typeCol = "event_type", tsCol = "t_us",
+          steps = Seq("signup", "view", "click", "purchase"),
+          maxGap = 48L * 3600L * 1000000L)
+        .select(col("user_id"), col("reached").cast("long").as("reached"),
+          col("t_final"))
+        .orderBy(col("user_id"))),
+
     // ── Binned range join: events falling in each user's first-2h window.
     // Times in epoch MICROS (ts_utc), not raw nanos: DuckDB truncates
     // TIMESTAMP_NANOS to micros on read, so micros is the shared grid
@@ -751,6 +767,31 @@ object RelationalQueries {
         |  b.first_b - a.first_a AS latency_us
         |FROM a LEFT JOIN b USING (user_id)
         |ORDER BY a.user_id""".stripMargin,
+
+    // greedy earliest-completion chain, strict progress (t > prev),
+    // per-step 48-hour gap — each tᵢ CTE is the conditional min the
+    // engine computes as a window
+    "funnel_ordered_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        | s0 AS (SELECT user_id, min(t) AS t0 FROM e
+        |        WHERE event_type = 'signup' GROUP BY 1),
+        | s1 AS (SELECT e.user_id, min(e.t) AS t1 FROM e JOIN s0 USING (user_id)
+        |        WHERE e.event_type = 'view'
+        |          AND e.t > s0.t0 AND e.t <= s0.t0 + 172800000000 GROUP BY 1),
+        | s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+        |        WHERE e.event_type = 'click'
+        |          AND e.t > s1.t1 AND e.t <= s1.t1 + 172800000000 GROUP BY 1),
+        | s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+        |        WHERE e.event_type = 'purchase'
+        |          AND e.t > s2.t2 AND e.t <= s2.t2 + 172800000000 GROUP BY 1)
+        |SELECT s0.user_id,
+        |  CAST(1 + (CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached,
+        |  coalesce(s3.t3, s2.t2, s1.t1, s0.t0) AS t_final
+        |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |ORDER BY s0.user_id""".stripMargin,
 
     "range_join_user_windows" ->
       """WITH e AS (SELECT epoch_us(ts) AS t_us, user_id, value FROM events),

@@ -60,7 +60,13 @@ object ScaleSmoke {
     // multiplies every shared shingle's df out of the 2–4 rare band, so
     // the synthetic lake's graph SHRINKS with copies — the smoke would
     // measure a vanishing input, not the operator
-    "emb_covariance", "emb_pca_project", "sample_temperature_mix")
+    "emb_covariance", "emb_pca_project", "sample_temperature_mix",
+    // graph_triangles / graph_khop share the same caveat (their input
+    // graph SHRINKS under replication) — their scale decades live in
+    // tools/GraphTime over synthetic graphs with a true ×10/×30 edge
+    // axis instead
+    "corr_series_pairs", "beta_vs_market", "hist_equi_depth",
+    "skyline_pareto", "ts_ohlc_weekly")
 
   def replicate(df: DataFrame, copies: Int, idCols: Seq[String],
                 stride: Long, textCol: Option[String] = None): DataFrame = {
