@@ -99,4 +99,58 @@ object Quality {
       .select(col("col_name"), col("s.n_rows"), col("s.n_null"),
         col("s.n_distinct"))
   }
+
+  /** Declarative expectation suite (the Great-Expectations shape): one
+    * audit row per rule — (rule, n_violations, passed) — covering
+    * row-local predicates, key uniqueness, and referential integrity.
+    * The generalization of [[check]]'s fixed three rules to a
+    * user-declared contract; run it before promoting any batch.
+    *
+    * Plan shape by rule class:
+    *  - every ROW-LOCAL rule (not-null, range, regex, set membership —
+    *    any boolean Column) folds into ONE shared aggregation pass:
+    *    a conditional count per rule, one scan total;
+    *  - each UNIQUE rule is one groupBy on its key columns counting
+    *    rows beyond the keeper (Σ max(c−1, 0));
+    *  - each REFERENTIAL rule is one left-anti join against the
+    *    (deduplicated) dimension key — broadcastable when the dim is.
+    * The per-rule one-row results union at zero data cost.
+    *
+    * `rowRules` maps rule name → VIOLATION predicate (true = bad row;
+    * null predicates count as violations — an unevaluable expectation
+    * is a failed one). */
+  def expectations(df: DataFrame,
+                   rowRules: Seq[(String, org.apache.spark.sql.Column)],
+                   uniqueKeys: Seq[(String, Seq[String])] = Seq.empty,
+                   refIntegrity: Seq[(String, DataFrame, String, String)] = Seq.empty): DataFrame = {
+    require(rowRules.nonEmpty || uniqueKeys.nonEmpty || refIntegrity.nonEmpty,
+      "expectations: declare at least one rule")
+    val names = rowRules.map(_._1) ++ uniqueKeys.map(_._1) ++ refIntegrity.map(_._1)
+    require(names.distinct.size == names.size,
+      s"expectations: duplicate rule names ${names.diff(names.distinct).mkString(", ")}")
+    val rowPart: Seq[DataFrame] =
+      if (rowRules.isEmpty) Seq.empty
+      else {
+        val aggs = rowRules.map { case (name, bad) =>
+          count(when(coalesce(bad, lit(true)), 1)).as(name)
+        }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        Seq(one.select(explode(map(rowRules.flatMap { case (n, _) =>
+          Seq(lit(n), col(n)) }: _*)).as(Seq("rule", "n_violations"))))
+      }
+    val uniquePart = uniqueKeys.map { case (name, keys) =>
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(col("__c") - lit(1)), lit(0L)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_violations"))
+    }
+    val refPart = refIntegrity.map { case (name, dim, fk, pk) =>
+      df.filter(col(fk).isNotNull)
+        .join(dim.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_violations"))
+    }
+    (rowPart ++ uniquePart ++ refPart)
+      .reduce(_ unionByName _)
+      .withColumn("passed", col("n_violations") === 0)
+  }
 }

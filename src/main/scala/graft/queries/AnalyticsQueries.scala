@@ -295,6 +295,37 @@ object AnalyticsQueries {
         .limit(10)
     }),
 
+    // ── Q5-shape local-supplier volume: six-table join where customer
+    // and supplier must share a nation — dims (nation, region,
+    // supplier) broadcast, the two fact shuffles keyed on
+    // orderkey/custkey, the co-nationality predicate applied after the
+    // last broadcast (a join condition, never a cartesian). DECIMAL
+    // revenue, ties pinned by name.
+    "j6_local_supplier_volume" -> ((s, dir) => {
+      val asiaNations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(d2(col("l_extendedprice")) * d2(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // ── Daily gap fill with forward fill: build each key's full day
     // grid (sequence+explode — no driver loop), left-join actuals, and
     // carry the last non-null value forward. The grid explode is
@@ -865,6 +896,23 @@ object AnalyticsQueries {
         |GROUP BY 1, 2
         |ORDER BY revenue DESC, o_orderdate, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "j6_local_supplier_volume" ->
+      """SELECT n.n_name,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |   CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1
+        |ORDER BY revenue DESC, n_name""".stripMargin,
 
     "ts_gap_fill" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, value

@@ -264,6 +264,27 @@ object PipelineQueries {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // REAL-ENGINE daily OHLC candles: the order-dependent open/close
+    // computed by an order-insensitive min_by/max_by accumulator over
+    // the total (ts, event_id) order — arrival order cannot change a
+    // candle. Finalized windows only (watermark-bounded), the
+    // stream_tumbling_live finalization argument verbatim.
+    "stream_ohlc_live" -> ((s, dir) => {
+      val (raw, tmp) = stageStream(s, dir, "events", "graft_sohlc")
+      val src = raw.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      awaitScoped(s)(EventStreams.toLake(EventStreams.ohlcCandles(src),
+        s"$tmp/sink", s"$tmp/ckpt", partitionCols = Seq.empty))
+      val bound = Tables.events(s, dir)
+        .agg((max(col("ts_utc")) - expr("INTERVAL 20 MINUTES")).as("bound"))
+      LakeReader.read(s, s"$tmp/sink")
+        .crossJoin(broadcast(bound))
+        .filter(col("window_end") <= col("bound"))
+        .select(col("window_start"), col("event_type"), col("open"),
+          col("high"), col("low"), col("close"), col("n_ticks"),
+          col("vol_cents"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // REAL-ENGINE stateful dedup: dropDuplicatesWithinWatermark over the
     // staged file stream. One staged file + AvailableNow = exactly one
     // micro-batch, during which the watermark is still 0 — no late-row
@@ -679,6 +700,28 @@ object PipelineQueries {
         |SELECT window_start, event_type, n_events, sum_value
         |FROM h, b
         |WHERE window_start + INTERVAL '1 hour' <= b.bound
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // daily candles: open/close replayed as row_number picks over the
+    // same (ts, event_id) total order the min_by/max_by accumulator uses
+    "stream_ohlc_live" ->
+      """WITH b AS (SELECT max(ts) - INTERVAL '20 minutes' AS bound FROM events),
+        | e AS (SELECT date_trunc('day', ts) AS window_start, event_type,
+        |         value, epoch_ns(ts) AS tsn, event_id
+        |       FROM events WHERE value IS NOT NULL),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY window_start, event_type
+        |          ORDER BY tsn, event_id) AS rn_a,
+        |        row_number() OVER (PARTITION BY window_start, event_type
+        |          ORDER BY tsn DESC, event_id DESC) AS rn_d FROM e),
+        | h AS (SELECT window_start, event_type,
+        |        min(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |        max(value) AS high, min(value) AS low,
+        |        min(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |        count(*) AS n_ticks,
+        |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vol_cents
+        |       FROM r GROUP BY 1, 2)
+        |SELECT window_start, event_type, open, high, low, close, n_ticks, vol_cents
+        |FROM h, b WHERE window_start + INTERVAL '1 day' <= b.bound
         |ORDER BY window_start, event_type""".stripMargin,
 
     // one micro-batch ⇒ the dedup survivors are first-occurrence-per-key;

@@ -79,6 +79,24 @@ object RelationalQueries {
         min(col("l_extendedprice")).as("min_price")))
     }),
 
+    // ── Declarative expectation suite (Great-Expectations shape): six
+    // rules over orders — row-local predicates fold into ONE scan,
+    // uniqueness is one groupBy, referential integrity one anti-join.
+    // Two rules are deliberately tight (price cap, closed-status
+    // domain) so the audit exercises both verdicts.
+    "dq_expectations" -> ((s, dir) =>
+      Quality.expectations(Tables.orders(s, dir),
+          rowRules = Seq(
+            "o_orderkey_not_null" -> col("o_orderkey").isNull,
+            "o_totalprice_range" ->
+              (col("o_totalprice") < 0 || col("o_totalprice") > 400000),
+            "o_orderstatus_closed" -> !col("o_orderstatus").isin("O", "F"),
+            "o_priority_format" -> !col("o_orderpriority").rlike("^[1-5]-")),
+          uniqueKeys = Seq("o_orderkey_unique" -> Seq("o_orderkey")),
+          refIntegrity = Seq(
+            ("o_custkey_in_customer", Tables.customer(s, dir), "o_custkey", "c_custkey")))
+        .orderBy(col("rule"))),
+
     // ── Window family (SURVEY §2.5) ─────────────────────────────────────
     // (l_orderkey, l_linenumber) is NOT unique in this lake — the window
     // order and the output order both carry the full identifying tuple so
@@ -546,6 +564,36 @@ object RelationalQueries {
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         | min(l_extendedprice) AS min_price
         |FROM lineitem""".stripMargin,
+
+    // null predicates count as violations (coalesce TRUE) on both sides
+    "dq_expectations" ->
+      """WITH a AS (
+        | SELECT 'o_orderkey_not_null' AS rule,
+        |   count(CASE WHEN coalesce(o_orderkey IS NULL, TRUE) THEN 1 END) AS n_violations
+        | FROM orders
+        | UNION ALL
+        | SELECT 'o_totalprice_range',
+        |   count(CASE WHEN coalesce(o_totalprice < 0 OR o_totalprice > 400000, TRUE) THEN 1 END)
+        | FROM orders
+        | UNION ALL
+        | SELECT 'o_orderstatus_closed',
+        |   count(CASE WHEN coalesce(NOT o_orderstatus IN ('O', 'F'), TRUE) THEN 1 END)
+        | FROM orders
+        | UNION ALL
+        | SELECT 'o_priority_format',
+        |   count(CASE WHEN coalesce(NOT regexp_matches(o_orderpriority, '^[1-5]-'), TRUE) THEN 1 END)
+        | FROM orders
+        | UNION ALL
+        | SELECT 'o_orderkey_unique',
+        |   CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+        | FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+        | UNION ALL
+        | SELECT 'o_custkey_in_customer', count(*)
+        | FROM orders o
+        | WHERE o.o_custkey IS NOT NULL
+        |   AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |SELECT rule, n_violations, n_violations = 0 AS passed
+        |FROM a ORDER BY rule""".stripMargin,
 
     "w1_lag_return" ->
       """SELECT l_partkey, l_orderkey, l_linenumber, l_suppkey,

@@ -60,6 +60,32 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("avg_value"), col("n_events"))
 
+  /** Tumbling OHLC candles per event type — the continuous form of
+    * [[graft.ops.Resample.ohlc]]: open/close are `min_by`/`max_by`
+    * over the total (ts, event_id) order, which makes an ORDER-
+    * DEPENDENT output computable by an order-INSENSITIVE streaming
+    * aggregate (the accumulator keeps the arg-min/max pair, so
+    * micro-batch arrival order cannot change the result); high/low/
+    * count and the exact cents volume are plain aggs. Watermarked
+    * append mode: a candle emits once its window finalizes. */
+  def ohlcCandles(events: DataFrame, tsCol: String = "ts_utc",
+                  windowLen: String = "1 day",
+                  lateness: String = "10 minutes"): DataFrame =
+    events.filter(col("value").isNotNull)
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_ticks"),
+        sum(round(col("value") * 100).cast("long")).as("vol_cents"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("open"), col("high"), col("low"),
+        col("close"), col("n_ticks"), col("vol_cents"))
+
   /** Session windows per user: a session extends while events arrive
     * within `gap` of each other. `value` as in [[slidingAvg]] (pass a
     * DECIMAL cast for an exact sum). */

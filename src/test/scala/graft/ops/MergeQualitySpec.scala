@@ -100,4 +100,39 @@ class MergeQualitySpec extends SparkSpec {
     }
     e.getMessage should include("non-distributive")
   }
+
+  test("expectations: row rules, null-as-violation, uniqueness, referential integrity") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Some(10.0), Some(100L)),
+      (2L, Some(-5.0), Some(200L)),   // range violation
+      (3L, None, Some(100L)),         // null value → violation of the range rule
+      (3L, Some(20.0), Some(999L)),   // dup id + dangling fk
+      (4L, Some(30.0), None)          // null fk → NOT a ref violation
+    ).toDF("id", "v", "fk")
+    val dim = Seq(100L, 200L).toDF("pk")
+    val out = Quality.expectations(df,
+        rowRules = Seq("v_non_negative" -> (col("v") < 0)),
+        uniqueKeys = Seq("id_unique" -> Seq("id")),
+        refIntegrity = Seq(("fk_in_dim", dim, "fk", "pk")))
+      .orderBy("rule")
+      .rows.map(r => (r.head, r(1), r(2)))
+    out shouldBe Seq(
+      ("fk_in_dim", 1L, false),
+      ("id_unique", 1L, false),
+      ("v_non_negative", 2L, false))
+  }
+
+  test("expectations: clean table passes every rule; duplicate rule names rejected") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+    val out = Quality.expectations(df,
+        rowRules = Seq("v_pos" -> (col("v") <= 0)),
+        uniqueKeys = Seq("id_unique" -> Seq("id")))
+      .rows.map(r => r(2))
+    out shouldBe Seq(true, true)
+    an[IllegalArgumentException] should be thrownBy
+      Quality.expectations(df, rowRules = Seq(
+        "r" -> (col("v") <= 0), "r" -> (col("v") > 1e9)))
+  }
 }
