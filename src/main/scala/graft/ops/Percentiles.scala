@@ -77,6 +77,39 @@ object Percentiles {
       .drop("__lo", "__hi")
   }
 
+  /** Weighted median per group: the smallest value whose cumulative
+    * weight reaches half the group total (the lower weighted median —
+    * a value FROM the data, no interpolation, so the result is
+    * engine-exact by construction like [[nearestRank]]).
+    *
+    * Weights must be non-negative integers (exact cumulative compare:
+    * `2·cum ≥ total` in int64 — a float half-total would put boundary
+    * groups on an ulp). Zero-weight rows carry no mass but remain
+    * eligible carriers only if some positive mass lands on them —
+    * i.e. never, so they are excluded up front with nulls.
+    *
+    * Shape: one groupBy collapses to (key, value, weight-sum), then
+    * the cumulative window runs per key over DISTINCT values — the
+    * same bounded contract as [[equiDepthHistogram]]. */
+  def weightedMedian(df: DataFrame, keys: Seq[String], value: String,
+                     weight: String): DataFrame = {
+    val vw = df.filter(col(value).isNotNull && col(weight).isNotNull &&
+        col(weight) > 0)
+      .groupBy((keys.map(col) :+ col(value).as("__v")): _*)
+      .agg(sum(col(weight).cast("long")).as("__w"))
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    vw.withColumn("__cum", sum(col("__w")).over(wOrd))
+      .withColumn("__tot", sum(col("__w")).over(wAll))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))))
+      .filter(col("__rn") === 1)
+      .select(keys.map(col) :+ col("__v").as("weighted_median") :+
+        col("__tot").as("total_weight"): _*)
+  }
+
   /** Equi-depth histogram: `buckets` variable-width bins each holding
     * ~n/buckets rows — the ANALYZE-style statistic behind selectivity
     * estimation and quantile-bucketed feature binning (equal-WIDTH is

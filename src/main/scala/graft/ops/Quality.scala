@@ -153,4 +153,36 @@ object Quality {
       .reduce(_ unionByName _)
       .withColumn("passed", col("n_violations") === 0)
   }
+
+  /** Benford's-law first-digit audit: the leading-digit distribution
+    * of a positive measure against log₁₀(1 + 1/d) — the classic
+    * fabricated-data screen for financial columns (organic multi-
+    * magnitude amounts follow it; invented ones rarely do). One
+    * aggregation pass; output one row per digit 1–9 with observed
+    * count/share, expected share, and the digit's χ² term.
+    *
+    * The leading digit is extracted from the INTEGER-CENTS STRING
+    * (`substr(cast(round(x·100) as string), 1, 1)`) — a log₁₀/floor
+    * extraction flips digits when two engines' `log10` differ by one
+    * ulp at a power of ten; string length of an integer cannot.
+    * Non-positive and null values are excluded (Benford is defined on
+    * positive magnitudes). Shares and χ² terms combine doubles in a
+    * fixed order and surface as FLOAT. */
+  def benfordAudit(df: DataFrame, value: String): DataFrame = {
+    val cents = round(col(value) * 100).cast("long")
+    val counts = df
+      .filter(col(value).isNotNull && col(value) > 0 && cents > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("expected_share",
+        log(10.0, lit(1.0) + lit(1.0) / col("digit")))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("total")).cast("float").as("share"),
+        col("expected_share").cast("float").as("expected"),
+        (((col("n").cast("double") - col("total") * col("expected_share")) *
+          (col("n").cast("double") - col("total") * col("expected_share"))) /
+          (col("total") * col("expected_share"))).cast("float").as("chi2_term"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Anomaly, Cdc, CrossSeries, FuzzyJoin, Indicators, Intervals, Moments, Percentiles, Reconcile, Resample, Skyline}
+import graft.ops.{Anomaly, Cdc, CrossSeries, FuzzyJoin, Indicators, Intervals, Moments, Percentiles, Quality, Reconcile, Resample, Skyline}
 
 /** OLAP / warehouse-analytics extensions: grouping sets, event-path
   * transitions, exact nearest-rank quantiles, batch CDC apply, and
@@ -565,6 +565,23 @@ object AnalyticsQueries {
           col("vol_cents"))
         .orderBy(col("event_type"), col("b"))),
 
+    // ── Benford first-digit audit over order totals: leading digit
+    // from the integer-cents STRING (a log10/floor extraction flips
+    // digits on a one-ulp engine difference at powers of ten; string
+    // length of an integer cannot).
+    "dq_benford" -> ((s, dir) =>
+      Quality.benfordAudit(Tables.orders(s, dir), value = "o_totalprice")
+        .orderBy(col("digit"))),
+
+    // ── Weighted median: quantity-weighted median unit price per
+    // return flag — exact integer cumulative-weight compare, the
+    // window over DISTINCT values only.
+    "agg_weighted_median" -> ((s, dir) =>
+      Percentiles.weightedMedian(Tables.lineitem(s, dir),
+          keys = Seq("l_returnflag"), value = "l_extendedprice",
+          weight = "l_quantity")
+        .orderBy(col("l_returnflag"))),
+
     // ── Distribution-shape audit: per-type skewness + excess kurtosis
     // from exact shifted power sums (two grouped passes, one broadcast
     // μ join; the IEEE tail mirrored token-for-token by the oracle).
@@ -1114,6 +1131,39 @@ object AnalyticsQueries {
         | count(*) AS n_ticks,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vol_cents
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dq_benford" ->
+      """WITH c AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |          AS VARCHAR), 1, 1) AS INT) AS digit
+        |       FROM orders
+        |       WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+        |         AND CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        | g AS (SELECT digit, count(*) AS n FROM c GROUP BY 1),
+        | t AS (SELECT sum(n) AS total FROM g),
+        | x AS (SELECT digit, n, CAST(total AS DOUBLE) AS td,
+        |        ln(1.0 + 1.0 / digit) / ln(10.0) AS es FROM g, t)
+        |SELECT digit, n,
+        | CAST(CAST(n AS DOUBLE) / td AS REAL) AS share,
+        | CAST(es AS REAL) AS expected,
+        | CAST(((CAST(n AS DOUBLE) - td * es) * (CAST(n AS DOUBLE) - td * es))
+        |   / (td * es) AS REAL) AS chi2_term
+        |FROM x ORDER BY digit""".stripMargin,
+
+    "agg_weighted_median" ->
+      """WITH vw AS (SELECT l_returnflag AS k, l_extendedprice AS v,
+        |        sum(CAST(l_quantity AS BIGINT)) AS w
+        |       FROM lineitem
+        |       WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |         AND l_quantity > 0
+        |       GROUP BY 1, 2),
+        | cw AS (SELECT k, v, sum(w) OVER (PARTITION BY k ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(w) OVER (PARTITION BY k) AS tot FROM vw),
+        | f AS (SELECT k, v, tot, row_number() OVER (PARTITION BY k ORDER BY v) AS rn
+        |       FROM cw WHERE cum * 2 >= tot)
+        |SELECT k AS l_returnflag, v AS weighted_median,
+        | CAST(tot AS BIGINT) AS total_weight
+        |FROM f WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
 
     // floor-mean via (s1 − pmod)/n (sign-safe in both engines), shifted
     // power sums in HUGEINT, then the double tail token-for-token as

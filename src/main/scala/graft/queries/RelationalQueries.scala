@@ -493,6 +493,31 @@ object RelationalQueries {
           attrCol = "o_orderpriority")
         .orderBy(col("o_custkey"), col("version"))),
 
+    // Point-in-time SCD2 lookup: which version was valid on a given
+    // date, per key — composed as probe-frame AS-OF JOIN against the
+    // history's valid_from (backward semantics), while the oracle runs
+    // the interval-containment filter: the query IS the equivalence
+    // proof between the two standard PIT formulations. Same-date
+    // version stacks resolve to the highest version on both sides.
+    "scd2_asof_lookup" -> ((s, dir) => {
+      val hist = Scd.type2(
+        Tables.orders(s, dir).select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey"), col("o_orderpriority")),
+        key = "o_custkey", tsCol = "o_orderdate", tieCol = "o_orderkey",
+        attrCol = "o_orderpriority")
+      val probes = hist.select(col("o_custkey")).distinct()
+        .withColumn("pit", lit("1997-06-30").cast("timestamp"))
+      AsOfJoin.asOf(probes,
+          hist.select(col("o_custkey"), col("valid_from").as("pit"),
+            col("version"), col("o_orderpriority")),
+          on = "pit", by = Seq("o_custkey"),
+          valueCols = Seq("version", "o_orderpriority"))
+        .filter(col("asof_version").isNotNull)
+        .select(col("o_custkey"), col("asof_version").as("version"),
+          col("asof_o_orderpriority").as("priority_at_pit"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // ── Daily cohort retention triangle over events. Integral periods
     // (epoch-nanos div day) — exact and engine-portable; the per-user
     // pass is one groupBy whose state is bounded by #periods, not volume.
@@ -515,6 +540,23 @@ object RelationalQueries {
         .select(col("user_id"), col("event_id"), col("value"), col("z"))
         .orderBy(col("user_id"), col("event_id")))
   )
+
+  /** SCD2 replay CTEs (change flags → versions → rolled intervals),
+    * shared by the `scd2_priority` history oracle and the
+    * `scd2_asof_lookup` point-in-time oracle. */
+  private val scd2Ctes =
+    """c AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+      |        CASE WHEN row_number() OVER w = 1
+      |          OR o_orderpriority IS DISTINCT FROM lag(o_orderpriority) OVER w
+      |          THEN 1 ELSE 0 END AS chg
+      |       FROM orders
+      |       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      | v AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+      |          ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)
+      |          AS BIGINT) AS version FROM c),
+      | r AS (SELECT o_custkey, version, min(o_orderpriority) AS o_orderpriority,
+      |         min(o_orderdate) AS valid_from, count(*) AS n_obs
+      |       FROM v GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -897,23 +939,25 @@ object RelationalQueries {
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "scd2_priority" ->
-      """WITH c AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
-        |        CASE WHEN row_number() OVER w = 1
-        |          OR o_orderpriority IS DISTINCT FROM lag(o_orderpriority) OVER w
-        |          THEN 1 ELSE 0 END AS chg
-        |       FROM orders
-        |       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
-        | v AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
-        |          ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)
-        |          AS BIGINT) AS version FROM c),
-        | r AS (SELECT o_custkey, version, min(o_orderpriority) AS o_orderpriority,
-        |         min(o_orderdate) AS valid_from, count(*) AS n_obs
-        |       FROM v GROUP BY 1, 2)
-        |SELECT o_custkey, version, o_orderpriority, valid_from,
-        | lead(valid_from) OVER pv AS valid_to,
-        | lead(valid_from) OVER pv IS NULL AS is_current, n_obs
-        |FROM r WINDOW pv AS (PARTITION BY o_custkey ORDER BY version)
-        |ORDER BY o_custkey, version""".stripMargin,
+      s"""WITH $scd2Ctes
+         |SELECT o_custkey, version, o_orderpriority, valid_from,
+         | lead(valid_from) OVER pv AS valid_to,
+         | lead(valid_from) OVER pv IS NULL AS is_current, n_obs
+         |FROM r WINDOW pv AS (PARTITION BY o_custkey ORDER BY version)
+         |ORDER BY o_custkey, version""".stripMargin,
+
+    // the PIT lookup replayed as the INTERVAL FILTER formulation —
+    // proving the engine's as-of-join composition equals the
+    // valid_from/valid_to containment query
+    "scd2_asof_lookup" ->
+      s"""WITH $scd2Ctes,
+         | h AS (SELECT o_custkey, version, o_orderpriority, valid_from,
+         |        lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+         |          AS valid_to FROM r)
+         |SELECT o_custkey, version, o_orderpriority AS priority_at_pit
+         |FROM h WHERE valid_from <= TIMESTAMP '1997-06-30'
+         |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1997-06-30')
+         |ORDER BY o_custkey""".stripMargin,
 
     "cohort_retention" ->
       """WITH p AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS p

@@ -134,4 +134,37 @@ class PercentilesCdcSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Cdc.apply(base, noBal, "k", "seq", "tie", "op")
   }
+
+  test("weightedMedian: lower median at half mass, zero/null weights excluded") {
+    // g1: values 1(w3), 2(w1), 9(w2) — total 6, half 3 → cum(1)=3 ⇒ 2·3 ≥ 6 → median 1
+    // g2: values 5(w1), 7(w1) — even split → lower median 5
+    // g3: only zero/null weights → no output row
+    val df = Seq(
+      ("g1", 1.0, Some(3L)), ("g1", 2.0, Some(1L)), ("g1", 9.0, Some(2L)),
+      ("g2", 5.0, Some(1L)), ("g2", 7.0, Some(1L)),
+      ("g3", 4.0, Some(0L)), ("g3", 6.0, None)
+    ).toDF("g", "v", "w")
+    val out = Percentiles.weightedMedian(df, Seq("g"), "v", "w")
+      .rows.map(r => r.head -> ((r(1), r(2)))).toMap
+    out shouldBe Map("g1" -> ((1.0, 6L)), "g2" -> ((5.0, 2L)))
+  }
+
+  test("weightedMedian: duplicate values merge their weights first") {
+    // 10(w1), 10(w1), 20(w1): merged 10(w2) → cum 2·2 ≥ 3 → 10
+    val df = Seq(("g", 10.0, 1L), ("g", 10.0, 1L), ("g", 20.0, 1L))
+      .toDF("g", "v", "w")
+    Percentiles.weightedMedian(df, Seq("g"), "v", "w")
+      .rows.head(1) shouldBe 10.0
+  }
+
+  test("benfordAudit: digits from the cents string; shares sum to 1; non-positive excluded") {
+    val df = Seq(1.0, 1.5, 19.99, 2.0, 30.0, 0.0, -5.0, 9000.0)
+      .toDF("v") // cents: 100,150,1999,200,3000,(0 out),(neg out),900000
+    val out = Quality.benfordAudit(df, "v")
+      .rows.map(r => r.head.asInstanceOf[Int] -> r(1).asInstanceOf[Long]).toMap
+    out shouldBe Map(1 -> 3L, 2 -> 1L, 3 -> 1L, 9 -> 1L)
+    val shares = Quality.benfordAudit(df, "v")
+      .rows.map(_(2).asInstanceOf[Float]).sum
+    shares shouldBe 1.0f +- 1e-6f
+  }
 }
