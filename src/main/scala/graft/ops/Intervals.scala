@@ -60,4 +60,39 @@ object Intervals {
         count(lit(1)).as("n_merged"))
       .drop("__island")
   }
+
+  /** Peak concurrency per calendar bucket — "how many intervals were
+    * open at once, at worst, each day": the classic sweep-line.
+    * Each [start, end) interval contributes +1 at start and −1 at end;
+    * the running sum over the GLOBAL (t, delta) order is the live
+    * concurrency level after each boundary; one groupBy rolls the step
+    * function up to max-per-bucket.
+    *
+    * Half-open convention: at a shared boundary the closing −1 sorts
+    * before the opening +1 (delta asc), so back-to-back intervals never
+    * double-count. Scale note: deltas COLLAPSE per distinct (t, delta)
+    * first (one exchange over the data), so the single-partition
+    * running-sum window ranges over distinct boundary instants — the
+    * same bounded contract as the equi-depth histogram's distinct-value
+    * window, not a window over raw rows. */
+  def peakConcurrency(df: DataFrame, startCol: String, endCol: String,
+                      bucket: Long): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    val s = col(startCol).cast("long")
+    val e = col(endCol).cast("long")
+    val valid = df.filter(s.isNotNull && e.isNotNull && e > s)
+    val deltas = valid.select(s.as("t"), lit(1L).as("d"))
+      .unionAll(valid.select(e.as("t"), lit(-1L).as("d")))
+      .groupBy(col("t"), col("d")).agg(sum(col("d")).as("dsum"))
+    val w = Window.orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("level", sum(col("dsum")).over(w))
+      // the step function attains every local maximum at an opening, so
+      // per-bucket "peak reached by openings in the bucket" is exact
+      // wherever an interval opens; open-free buckets (level carried
+      // from before, never raised) are absent by construction
+      .filter(col("d") === 1)
+      .groupBy(expr(s"t div ${bucket}L").as("bucket"))
+      .agg(max(col("level")).as("peak_concurrency"))
+  }
 }

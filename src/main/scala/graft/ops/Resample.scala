@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-bucket downsampling to OHLC candles — the standard
@@ -38,5 +39,35 @@ object Resample {
         max_by(col(value), ord).as("close"),
         count(lit(1)).as("n_ticks"),
         sum(round(col(value) * 100).cast("long")).as("vol_cents"))
+  }
+
+  private val d38 = (c: Column) => c.cast("decimal(38,0)")
+
+  /** Time-weighted average price per key (TWAP): each observation holds
+    * from its timestamp until the key's next one; the average weights
+    * each held value by its holding duration — the execution-quality
+    * benchmark a plain mean misstates whenever sampling is irregular
+    * (one stale quote held for a day outweighs a burst of ticks).
+    *
+    * Exactness: integer cents × integer nano-durations accumulate in
+    * DECIMAL(38,0) (cents·duration products clear int64), one double
+    * division at the end. The final (unterminated) observation carries
+    * no duration and is excluded — the standard right-open convention.
+    * Plan: one lead() window + one aggregation, same key exchange. */
+  def timeWeightedAvg(df: DataFrame, key: String, tsNanos: String,
+                      tie: String, value: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsNanos), col(tie))
+    val cents = round(col(value) * 100).cast("long")
+    df.filter(col(value).isNotNull)
+      .withColumn("__next", lead(col(tsNanos), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .withColumn("__dur", col("__next") - col(tsNanos))
+      .groupBy(col(key).as("k"))
+      .agg(
+        (sum(d38(cents) * d38(col("__dur"))).cast("double") /
+          sum(d38(col("__dur"))).cast("double") / lit(100.0))
+          .cast("float").as("twap"),
+        sum(col("__dur")).as("span_nanos"),
+        count(lit(1)).as("n_holds"))
   }
 }

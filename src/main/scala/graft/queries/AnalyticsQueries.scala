@@ -207,6 +207,29 @@ object AnalyticsQueries {
         .orderBy(col("o_custkey"), col("start"))
     }),
 
+    // ── Peak concurrency per week: how many 30-day order windows were
+    // open at once, at worst — sweep-line over collapsed ±1 boundary
+    // deltas, half-open (a window closing exactly when another opens
+    // never double-counts), the running sum over distinct boundary
+    // instants only.
+    "interval_peak_concurrency" -> ((s, dir) => {
+      val sec = col("o_orderdate").cast("timestamp").cast("long")
+      val iv = Tables.orders(s, dir).select(
+        sec.as("active_from"), (sec + 30L * 86400L).as("active_to"))
+      Intervals.peakConcurrency(iv, startCol = "active_from",
+          endCol = "active_to", bucket = 7L * 86400L)
+        .orderBy(col("bucket"))
+    }),
+
+    // ── TWAP per event type: duration-weighted mean value, integer
+    // cents × nano-durations in DECIMAL(38,0), right-open holds.
+    "ts_twap" -> ((s, dir) =>
+      Resample.timeWeightedAvg(Tables.events(s, dir), key = "event_type",
+          tsNanos = "ts", tie = "event_id", value = "value")
+        .select(col("k").as("event_type"), col("twap"),
+          col("span_nanos"), col("n_holds"))
+        .orderBy(col("event_type"))),
+
     // ── Table profile: exact per-column n/null/distinct over orders —
     // one multi-distinct aggregate pass, unpivoted to long form.
     "table_profile" -> ((s, dir) =>
@@ -1131,6 +1154,33 @@ object AnalyticsQueries {
         | count(*) AS n_ticks,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vol_cents
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "interval_peak_concurrency" ->
+      """WITH iv AS (SELECT CAST(epoch(o_orderdate) AS BIGINT) AS s,
+        |     CAST(epoch(o_orderdate) AS BIGINT) + 30 * 86400 AS e
+        |   FROM orders),
+        | dl AS (SELECT t, d, sum(d) AS dsum FROM (
+        |     SELECT s AS t, CAST(1 AS BIGINT) AS d FROM iv
+        |     UNION ALL SELECT e, CAST(-1 AS BIGINT) FROM iv) u
+        |   GROUP BY 1, 2),
+        | lv AS (SELECT t, d, sum(dsum) OVER (ORDER BY t, d
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS level
+        |   FROM dl)
+        |SELECT t // 604800 AS bucket, CAST(max(level) AS BIGINT) AS peak_concurrency
+        |FROM lv WHERE d = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ts_twap" ->
+      """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS t, event_id,
+        |        CAST(round(value * 100) AS BIGINT) AS c
+        |       FROM events WHERE value IS NOT NULL),
+        | h AS (SELECT k, c, t, lead(t) OVER (PARTITION BY k
+        |          ORDER BY t, event_id) AS nt FROM e),
+        | d AS (SELECT k, c, nt - t AS dur FROM h WHERE nt IS NOT NULL)
+        |SELECT k AS event_type,
+        | CAST(CAST(sum(CAST(c AS HUGEINT) * dur) AS DOUBLE)
+        |   / CAST(sum(dur) AS DOUBLE) / 100.0 AS REAL) AS twap,
+        | CAST(sum(dur) AS BIGINT) AS span_nanos, count(*) AS n_holds
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dq_benford" ->
       """WITH c AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)

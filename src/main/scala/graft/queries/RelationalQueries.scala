@@ -270,6 +270,39 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // ── Nearest as-of: closer of the backward/forward purchase, ties
+    // to backward (pandas direction='nearest') — both directions run
+    // over the ONE key exchange.
+    "asof_join_nearest" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.asOf(clicks, purchases, on = "ts", by = Seq("user_id"),
+          valueCols = Seq("value"), direction = "nearest")
+        .select(col("user_id"), col("event_id"),
+          col("asof_value").cast("float").as("asof_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ── Tolerance-bounded as-of: the backward match stands only within
+    // one hour — stale quotes gate to null instead of silently matching
+    // (pandas merge_asof tolerance).
+    "asof_join_tolerance" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.asOf(clicks, purchases, on = "ts", by = Seq("user_id"),
+          valueCols = Seq("value"),
+          tolerance = Some(3600L * 1000000000L))
+        .select(col("user_id"), col("event_id"),
+          col("asof_value").cast("float").as("asof_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // ── Upsert: incoming batch replaces colliding keys ─────────────────
     // existing = pre-1997 orders, incoming = 1996+ orders → the 1996
     // overlap is replaced by the incoming copy; incoming duplicates on
@@ -778,6 +811,39 @@ object RelationalQueries {
         |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+
+    // nearest = closer of the two native ASOF directions, backward on ties
+    "asof_join_nearest" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn
+        |           FROM events WHERE event_type = 'click'),
+        | p AS (SELECT user_id, epoch_ns(ts) AS tsn, value
+        |       FROM events WHERE event_type = 'purchase'),
+        | b AS (SELECT c.event_id, p.tsn AS bts, p.value AS bval
+        |       FROM c ASOF LEFT JOIN p
+        |         ON c.user_id = p.user_id AND c.tsn >= p.tsn),
+        | f AS (SELECT c.event_id, p.tsn AS fts, p.value AS fval
+        |       FROM c ASOF LEFT JOIN p
+        |         ON c.user_id = p.user_id AND c.tsn <= p.tsn)
+        |SELECT c.user_id, c.event_id,
+        | CAST(CASE WHEN b.bts IS NULL THEN f.fval
+        |           WHEN f.fts IS NULL THEN b.bval
+        |           WHEN c.tsn - b.bts <= f.fts - c.tsn THEN b.bval
+        |           ELSE f.fval END AS REAL) AS asof_value
+        |FROM c LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+
+    // the backward match gated to one hour of staleness
+    "asof_join_tolerance" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn
+        |           FROM events WHERE event_type = 'click'),
+        | p AS (SELECT user_id, epoch_ns(ts) AS tsn, value
+        |       FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id,
+        | CAST(CASE WHEN p.tsn IS NOT NULL AND c.tsn - p.tsn <= 3600000000000
+        |           THEN p.value END AS REAL) AS asof_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.tsn >= p.tsn
         |ORDER BY c.user_id, c.event_id""".stripMargin,
 
     "merge_upsert" ->

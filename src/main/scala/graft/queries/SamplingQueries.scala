@@ -95,6 +95,27 @@ object SamplingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // tokenizer fertility per language: subword pieces per word under
+    // the learned merges — the multilingual-equity audit (a language
+    // the vocab underserves pays more sequence length per word)
+    "text_bpe_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = Vocab.trainMergesWithCounts(docs, "text",
+        nMerges = 8, maxWords = 500).map(m => (m._2, m._3))
+      val perDoc = Vocab.bpeApply(docs, "doc_id", "text", merges)
+      val words = docs.select(col("doc_id"), col("lang"),
+        size(filter(TextAnalysis.tokens(col("text")),
+          w => length(w) > 0)).cast("long").as("n_words"))
+      perDoc.join(words, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_bpe_vocab_tokens")).as("n_subword_tokens"),
+          sum(col("n_words")).as("n_words"))
+        .withColumn("fertility",
+          (col("n_subword_tokens").cast("double") /
+            col("n_words").cast("double")).cast("float"))
+        .orderBy(col("lang"))
+    }),
+
     "text_tfidf" -> ((s, dir) =>
       Vocab.tfIdf(Tables.documents(s, dir), id = "doc_id", text = "text", perDoc = 3)
         .select(col("doc_id"), col("token"), col("tf"), col("df_t"),
@@ -274,7 +295,10 @@ object SamplingQueries {
     * the df-capped dictionary — exactly what the Spark side segments),
     * then per-word subtoken counts joined back onto the document token
     * stream and summed per document. */
-  private def bpeApplySql(nMerges: Int, maxWords: Int): String = {
+  /** Train chain + merge replay over ALL distinct corpus words →
+    * per-word subtoken counts (`seg`), shared by the apply and
+    * fertility oracles. */
+  private def bpeSegCtes(nMerges: Int, maxWords: Int): String = {
     val applies = (1 to nMerges).map { i =>
       s"""apos$i AS MATERIALIZED (SELECT word, unnest(syms) AS s, generate_subscripts(syms, 1) AS p
          |   FROM aw${i - 1}),
@@ -293,22 +317,42 @@ object SamplingQueries {
          |     list(CASE WHEN mrg THEN s || mr ELSE s END ORDER BY p) AS syms
          |   FROM anx$i WHERE NOT consumed GROUP BY word)""".stripMargin
     }.mkString(",\n ")
-    s"""WITH ${bpeTrainBlocks(nMerges, maxWords)},
+    s"""${bpeTrainBlocks(nMerges, maxWords)},
        | aw0 AS (SELECT word, list_filter(string_split(word, ''), s -> length(s) > 0) AS syms
        |   FROM (SELECT DISTINCT word FROM tok WHERE length(word) > 0) v),
        | $applies,
-       | seg AS (SELECT word, len(syms) AS n_sub FROM aw$nMerges)
+       | seg AS (SELECT word, len(syms) AS n_sub FROM aw$nMerges)""".stripMargin
+  }
+
+  private def bpeApplySql(nMerges: Int, maxWords: Int): String =
+    s"""WITH ${bpeSegCtes(nMerges, maxWords)}
        |SELECT t.doc_id, CAST(sum(s.n_sub) AS BIGINT) AS n_bpe_vocab_tokens
        |FROM tok t JOIN seg s USING (word)
        |WHERE length(t.word) > 0
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
-  }
+
+  /** Per-language tokenizer fertility (subword pieces per word) under
+    * the learned merge table — the vocabulary-equity audit of
+    * multilingual tokenizers (a language with high fertility pays more
+    * sequence length per word). */
+  private def bpeFertilitySql(nMerges: Int, maxWords: Int): String =
+    s"""WITH ${bpeSegCtes(nMerges, maxWords)},
+       | per AS (SELECT t.doc_id, sum(s.n_sub) AS nb, count(*) AS nw
+       |   FROM tok t JOIN seg s USING (word)
+       |   WHERE length(t.word) > 0 GROUP BY 1)
+       |SELECT d.lang, CAST(sum(nb) AS BIGINT) AS n_subword_tokens,
+       | CAST(sum(nw) AS BIGINT) AS n_words,
+       | CAST(CAST(sum(nb) AS DOUBLE) / CAST(sum(nw) AS DOUBLE) AS REAL) AS fertility
+       |FROM per JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
 
     "text_bpe_train" -> bpeTrainSql(nMerges = 8, maxWords = 500),
 
     "text_bpe_apply" -> bpeApplySql(nMerges = 8, maxWords = 500),
+
+    "text_bpe_fertility" -> bpeFertilitySql(nMerges = 8, maxWords = 500),
 
     // stage-for-stage replay of the curation pipeline; each fragment is
     // the already-verified oracle of its standalone operator

@@ -62,6 +62,49 @@ class AsOfSkewSpec extends SparkSpec {
     }
   }
 
+  test("asOf forward: earliest right row at-or-after; nearest: closer side, backward ties") {
+    val l = Seq((1L, 10L, "a"), (1L, 13L, "b"), (1L, 30L, "c")).toDF("k", "ts", "id")
+    val r = Seq((1L, 8L, 100.0), (1L, 18L, 200.0)).toDF("k", "ts", "v")
+    val fwd = AsOfJoin.asOf(l, r, "ts", Seq("k"), Seq("v"), direction = "forward")
+      .orderBy("ts").select("id", "asof_v").rows
+    fwd(0) shouldBe Seq("a", 200.0) // 10 → next at 18
+    fwd(1) shouldBe Seq("b", 200.0)
+    assert(fwd(2)(1) == null)       // 30 → nothing after
+    val near = AsOfJoin.asOf(l, r, "ts", Seq("k"), Seq("v"), direction = "nearest")
+      .orderBy("ts").select("id", "asof_v").rows
+    near(0) shouldBe Seq("a", 100.0) // |10−8|=2 < |18−10|=8
+    near(1) shouldBe Seq("b", 100.0) // 13 is EQUIDISTANT (5/5) → backward wins
+    near(2) shouldBe Seq("c", 200.0) // only backward exists
+  }
+
+  test("asOf forward: an equal-timestamp right row matches") {
+    val l = Seq((1L, 10L)).toDF("k", "ts")
+    val r = Seq((1L, 10L, 7.0)).toDF("k", "ts", "v")
+    AsOfJoin.asOf(l, r, "ts", Seq("k"), Seq("v"), direction = "forward")
+      .rows.head(2) shouldBe 7.0
+  }
+
+  test("asOf tolerance: stale matches gate to null, in-range ones stand") {
+    val l = Seq((1L, 100L, "fresh"), (1L, 500L, "stale")).toDF("k", "ts", "id")
+    val r = Seq((1L, 95L, 1.0)).toDF("k", "ts", "v")
+    val out = AsOfJoin.asOf(l, r, "ts", Seq("k"), Seq("v"),
+        tolerance = Some(50L))
+      .orderBy("ts").select("id", "asof_v").rows
+    out(0) shouldBe Seq("fresh", 1.0)  // distance 5 ≤ 50
+    assert(out(1)(1) == null)          // distance 405 > 50 → gated
+  }
+
+  test("asOf: nearest/tolerance demand a numeric ordering column") {
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "ts")
+    val r = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("k", "ts", "v")
+    an[IllegalArgumentException] should be thrownBy
+      AsOfJoin.asOf(l, r, "ts", Seq("k"), Seq("v"), direction = "nearest")
+    // plain backward on timestamps still works
+    AsOfJoin.asOf(l, r, "ts", Seq("k"), Seq("v")).rows.head(2) shouldBe 1.0
+  }
+
   test("saltedAggregate equals straight aggregation") {
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toLong))
       .toDF("k", "v")

@@ -104,6 +104,44 @@ class CrossSeriesSkylineSpec extends SparkSpec {
     out(("b", 0L)) shouldBe ((1.005, 1.005, 1.005, 1.005, 1L, 100L))
   }
 
+  // ── TWAP ───────────────────────────────────────────────────────────
+
+  test("timeWeightedAvg: holds weight by duration; final observation carries none") {
+    // key a: 10.0 held 0→30 (dur 30), 40.0 held 30→40 (dur 10), last at 40 dropped
+    // twap = (1000·30 + 4000·10)/40/100 = 17.5
+    val df = Seq(("a", 0L, 1L, 10.0), ("a", 30L, 2L, 40.0), ("a", 40L, 3L, 99.0))
+      .toDF("k0", "ts", "id", "value")
+    val out = Resample.timeWeightedAvg(df, "k0", "ts", "id", "value").rows.head
+    out(1) shouldBe 17.5f
+    out(2) shouldBe 40L
+    out(3) shouldBe 2L
+  }
+
+  test("timeWeightedAvg: a single observation per key yields no row (no duration)") {
+    val df = Seq(("a", 0L, 1L, 10.0)).toDF("k0", "ts", "id", "value")
+    Resample.timeWeightedAvg(df, "k0", "ts", "id", "value").rows shouldBe empty
+  }
+
+  // ── peak concurrency ───────────────────────────────────────────────
+
+  test("peakConcurrency: sweep counts overlaps; half-open boundaries never double-count") {
+    // [0,10) [5,15) overlap → 2; [15,20) starts exactly as [5,15) ends → stays ≤ 2
+    val iv = Seq((0L, 10L), (5L, 15L), (15L, 20L)).toDF("s", "e")
+    val out = Intervals.peakConcurrency(iv, "s", "e", bucket = 100L)
+      .rows.map(r => r.head -> r(1)).toMap
+    out shouldBe Map(0L -> 2L)
+  }
+
+  test("peakConcurrency: per-bucket peaks and degenerate intervals excluded") {
+    val iv = Seq((0L, 5L), (1L, 6L), (2L, 7L),      // bucket 0: 3 deep
+      (10L, 12L),                                    // bucket 1: alone
+      (20L, 20L)                                     // zero-length → dropped
+    ).toDF("s", "e")
+    val out = Intervals.peakConcurrency(iv, "s", "e", bucket = 10L)
+      .rows.map(r => r.head -> r(1)).toMap
+    out shouldBe Map(0L -> 3L, 1L -> 1L)
+  }
+
   // ── equi-depth histogram ───────────────────────────────────────────
 
   test("equiDepthHistogram: equal depths on distinct values; ties share a bucket") {
