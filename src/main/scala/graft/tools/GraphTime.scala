@@ -34,7 +34,7 @@ object GraphTime {
       .select((col("id") % nodes).as("src"),
         pmod(xxhash64(col("id"), lit("gt-dst")), lit(nodes.toLong)).as("dst"))
 
-    def time3(keep: Set[Int])(fn: () => Long): (Double, Long) = {
+    def time3(keep: Set[Int])(fn: () => Long): (String, Long) = {
       var rows = 0L
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); rows = fn()
@@ -48,7 +48,8 @@ object GraphTime {
           .filterNot(r => keep.contains(r.id)).foreach(_.unpersist(blocking = true))
         sec
       }.sorted
-      (math.round(ts(1) * 100) / 100.0, rows)
+      def r2(v: Double) = math.round(v * 100) / 100.0
+      (s"[${r2(ts(1))},${r2(ts(0))},${r2(ts(2))}]", rows) // [median,min,max]
     }
 
     mults.foreach { mult =>
