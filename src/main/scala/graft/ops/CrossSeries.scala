@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-series analytics: pairwise statistics BETWEEN keyed time
@@ -86,6 +87,41 @@ object CrossSeries {
     * frame; the whole operator is two aggregations and one broadcast
     * join. Self-inclusion (k's own cents are inside the market total)
     * is the index convention — S&P constituents are inside the S&P. */
+  /** TRAILING-window correlation of each series against the market —
+    * [[betaVsMarket]]'s global regression localized in time: corr over
+    * the last `window` observed buckets per key, emitted per (key,
+    * bucket). The regime-change detector ("this ticker decoupled from
+    * the index in March") a single whole-history coefficient averages
+    * away.
+    *
+    * Same exactness contract: co-moment sums are DECIMAL(38,0) window
+    * sums over integer cents, one double combination per row, float
+    * out. Plan: the broadcast market join, then ONE key-partitioned
+    * window ordering — all six frame sums share it. */
+  def rollingCorrVsMarket(series: DataFrame, window: Int,
+                          minOverlap: Int = 2): DataFrame = {
+    require(window >= 2, s"window must be at least 2, got $window")
+    require(minOverlap >= 2, s"corr needs at least 2 buckets, got $minOverlap")
+    val market = series.groupBy(col("b")).agg(sum(col("v")).as("m"))
+    val w = Window.partitionBy(col("k")).orderBy(col("b"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    series.join(broadcast(market), Seq("b"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(d38(col("v"))).over(w))
+      .withColumn("sy", sum(d38(col("m"))).over(w))
+      .withColumn("sxy", sum(d38(col("v")) * d38(col("m"))).over(w))
+      .withColumn("sxx", sum(d38(col("v")) * d38(col("v"))).over(w))
+      .withColumn("syy", sum(d38(col("m")) * d38(col("m"))).over(w))
+      .filter(col("n") >= minOverlap)
+      .withColumn("cov_n", d38(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("var_x", d38(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("var_y", d38(col("n")) * col("syy") - col("sy") * col("sy"))
+      .select(col("k"), col("b"), col("n"),
+        (col("cov_n").cast("double") /
+          nullif(sqrt(col("var_x").cast("double") * col("var_y").cast("double")),
+            lit(0.0))).cast("float").as("corr"))
+  }
+
   def betaVsMarket(series: DataFrame, minOverlap: Int = 2): DataFrame = {
     require(minOverlap >= 2, s"beta needs at least 2 shared buckets, got $minOverlap")
     val market = series.groupBy(col("b")).agg(sum(col("v")).as("m"))

@@ -548,6 +548,15 @@ object AnalyticsQueries {
         .orderBy(col("k1"), col("k2"))
     }),
 
+    "w_rolling_corr_market" -> ((s, dir) => {
+      val series = CrossSeries.bucketSeries(Tables.events(s, dir),
+        key = "event_type", tsNanos = "ts", value = "value",
+        bucketNanos = 86400000000000L)
+      CrossSeries.rollingCorrVsMarket(series, window = 14)
+        .select(col("k"), col("b"), col("n"), col("corr"))
+        .orderBy(col("k"), col("b"))
+    }),
+
     "beta_vs_market" -> ((s, dir) => {
       val series = CrossSeries.bucketSeries(Tables.events(s, dir),
         key = "event_type", tsNanos = "ts", value = "value",
@@ -1092,6 +1101,27 @@ object AnalyticsQueries {
         |SELECT k1, k2, n, CAST(CAST(cov_n AS DOUBLE) /
         |   nullif(sqrt(CAST(var_x AS DOUBLE) * CAST(var_y AS DOUBLE)), 0) AS REAL) AS corr
         |FROM c ORDER BY k1, k2""".stripMargin,
+
+    "w_rolling_corr_market" ->
+      """WITH s AS (SELECT event_type AS k, epoch_ns(ts) // 86400000000000 AS b,
+        |        sum(CAST(round(value * 100) AS BIGINT)) AS v
+        |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        | mkt AS (SELECT b, sum(v) AS m FROM s GROUP BY 1),
+        | j AS (SELECT s.k, s.b, s.v, mkt.m FROM s JOIN mkt USING (b)),
+        | r AS (SELECT k, b,
+        |        count(*) OVER w AS n,
+        |        sum(v) OVER w AS sx, sum(m) OVER w AS sy,
+        |        sum(CAST(v AS HUGEINT) * m) OVER w AS sxy,
+        |        sum(CAST(v AS HUGEINT) * v) OVER w AS sxx,
+        |        sum(CAST(m AS HUGEINT) * m) OVER w AS syy
+        |       FROM j WINDOW w AS (PARTITION BY k ORDER BY b
+        |         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        | c AS (SELECT k, b, n, n * sxy - sx * sy AS cov_n,
+        |        n * sxx - sx * sx AS var_x, n * syy - sy * sy AS var_y
+        |       FROM r WHERE n >= 2)
+        |SELECT k, b, n, CAST(CAST(cov_n AS DOUBLE) /
+        |   nullif(sqrt(CAST(var_x AS DOUBLE) * CAST(var_y AS DOUBLE)), 0) AS REAL) AS corr
+        |FROM c ORDER BY k, b""".stripMargin,
 
     "beta_vs_market" ->
       """WITH s AS (SELECT event_type AS k, epoch_ns(ts) // 86400000000000 AS b,

@@ -367,6 +367,44 @@ object PipelineQueries {
         .orderBy(col("user_id"))
     }),
 
+    // STREAMING ORDERED FUNNEL: the greedy earliest-completion chain as
+    // order-aware keyed state — the online form of funnel_ordered_steps
+    // (same steps, same 48h per-step gap), folded per batch in (tick,
+    // id) order; the oracle is the BATCH formulation's chained
+    // conditional-min CTEs, the cross-formulation equality.
+    "stream_funnel_live" -> ((s, dir) => {
+      import s.implicits._
+      val (raw, tmp) = stageStream(s, dir, "events", "graft_sfunnel")
+      val fe = raw
+        .withColumn("step",
+          when(col("event_type") === "signup", 0)
+            .when(col("event_type") === "view", 1)
+            .when(col("event_type") === "click", 2)
+            .when(col("event_type") === "purchase", 3)
+            .otherwise(-1))
+        .filter(col("step") >= 0)
+        .select(col("user_id"),
+          expr("timestamp_micros(ts div 1000)").as("ts_utc"),
+          col("ts").as("ts_nanos"), col("event_id"), col("step"))
+        .as[EventStreams.FunnelEvent]
+      awaitScoped(s)(EventStreams.streamingFunnel(fe, nSteps = 4,
+          maxGapNanos = 48L * 3600L * 1000000000L).toDF()
+        .writeStream.format("memory").queryName("graft_sfunnel_mem")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+      // Update mode emits one row per (user, batch) — keep the final
+      // chain per user (max reached; n_late tiebreak), as stream_cusum
+      val wFinal = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("reached").desc, col("n_late").desc)
+      s.table("graft_sfunnel_mem")
+        .withColumn("__rn", row_number().over(wFinal))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("reached"), col("t_final"), col("n_late"))
+        .orderBy(col("user_id"))
+    }),
+
     // STREAMING CURATION: the LLM-data path run as a stream — stateless
     // quality gate (pure column expressions work unchanged on streaming
     // frames), then stateful exact dedup on the content hash through the
@@ -809,6 +847,31 @@ object PipelineQueries {
 
     // streamed CUSUM: the batch closed form per USER, final row per key
     // (one data batch → the statistic after the whole history)
+    // the batch formulation replayed in nanos; one staged batch folds
+    // fully in order ⇒ n_late = 0
+    "stream_funnel_live" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+        | s0 AS (SELECT user_id, min(t) AS t0 FROM e
+        |        WHERE event_type = 'signup' GROUP BY 1),
+        | s1 AS (SELECT e.user_id, min(e.t) AS t1 FROM e JOIN s0 USING (user_id)
+        |        WHERE e.event_type = 'view'
+        |          AND e.t > s0.t0 AND e.t <= s0.t0 + 172800000000000 GROUP BY 1),
+        | s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+        |        WHERE e.event_type = 'click'
+        |          AND e.t > s1.t1 AND e.t <= s1.t1 + 172800000000000 GROUP BY 1),
+        | s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+        |        WHERE e.event_type = 'purchase'
+        |          AND e.t > s2.t2 AND e.t <= s2.t2 + 172800000000000 GROUP BY 1)
+        |SELECT s0.user_id,
+        |  CAST(1 + (CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached,
+        |  coalesce(s3.t3, s2.t2, s1.t1, s0.t0) AS t_final,
+        |  CAST(0 AS BIGINT) AS n_late
+        |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |ORDER BY s0.user_id""".stripMargin,
+
     "stream_cusum_live" ->
       """WITH e AS (SELECT user_id, event_id, ts,
         |             CAST(round(value * 100) AS BIGINT) AS c

@@ -280,6 +280,75 @@ object EventStreams {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, ts_utc: java.sql.Timestamp,
+                               ts_nanos: Long, event_id: Long, step: Int)
+  final case class FunnelRow(user_id: Long, reached: Long, t_final: Long,
+                             n_late: Long)
+  /** streamingFunnel's carried fold: completion times of the steps
+    * reached so far (ascending), the last folded (tick, id) position,
+    * and the dropped-late tally. Public for the state encoder. */
+  final case class FunnelFold(times: Seq[Long], lastNanos: Long,
+                              lastId: Long, nLate: Long)
+
+  /** ORDER-AWARE keyed state: the online form of
+    * [[graft.ops.Funnel.orderedFunnel]] — the greedy earliest-
+    * completion chain folded through flatMapGroupsWithState. Because
+    * each batch's per-key rows fold in ascending (tick, id) order, the
+    * FIRST qualifying event per step is exactly the batch operator's
+    * conditional-min — the two formulations agree whenever events fold
+    * in order, and an out-of-order straggler is DROPPED into `n_late`
+    * (the [[streamingCusum]] contract: a visibly-smaller fold beats a
+    * silently-wrong chain — an order-sensitive statistic cannot fold a
+    * row it has already advanced past). `step` is the 0-based step
+    * index (pre-map event types; non-step events must be filtered
+    * out). Emits each key's post-batch chain; keys with no step-0
+    * event stay silent. */
+  def streamingFunnel(events: Dataset[FunnelEvent], nSteps: Int,
+                      maxGapNanos: Long,
+                      lateness: String = "10 minutes",
+                      idleGapMs: Long = 3600000L): Dataset[FunnelRow] = {
+    require(nSteps >= 2, s"a funnel needs at least 2 steps, got $nSteps")
+    require(maxGapNanos > 0, s"maxGap must be positive, got $maxGapNanos")
+    implicit val stateEnc: Encoder[FunnelFold] = Encoders.product[FunnelFold]
+    implicit val outEnc: Encoder[FunnelRow] = Encoders.product[FunnelRow]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.withWatermark("ts_utc", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelFold, FunnelRow](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, it, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              FunnelFold(Seq.empty, Long.MinValue, Long.MinValue, 0L))
+            var maxTs = 0L
+            it.toSeq.sortBy(e => (e.ts_nanos, e.event_id)).foreach { e =>
+              val inOrder = e.ts_nanos > st.lastNanos ||
+                (e.ts_nanos == st.lastNanos && e.event_id > st.lastId)
+              st = if (!inOrder) st.copy(nLate = st.nLate + 1) else {
+                val advanced =
+                  if (st.times.size < nSteps && e.step == st.times.size &&
+                    (st.times.isEmpty ||
+                      (e.ts_nanos > st.times.last &&
+                        e.ts_nanos <= st.times.last + maxGapNanos)))
+                    st.times :+ e.ts_nanos
+                  else st.times
+                FunnelFold(advanced, e.ts_nanos, e.event_id, st.nLate)
+              }
+              maxTs = math.max(maxTs, e.ts_utc.getTime)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs()) + idleGapMs)
+            if (st.times.isEmpty) Iterator.empty
+            else Iterator(FunnelRow(uid, st.times.size.toLong,
+              st.times.last, st.nLate))
+          }
+      }
+  }
+
   /** Stream → serving upsert: merge each micro-batch into a keyed
     * warehouse (streaming replacement for the reference's
     * watermark+DELETE+append load, load_stock_metrics.py:40-89). */

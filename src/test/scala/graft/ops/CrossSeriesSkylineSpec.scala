@@ -55,6 +55,26 @@ class CrossSeriesSkylineSpec extends SparkSpec {
     out("b") shouldBe (1.0f / 3.0f)
   }
 
+  test("rollingCorrVsMarket: trailing frame tracks local regime, not history") {
+    // two keys; key a = market/2 on buckets 0-3 (corr 1), then inverts
+    val series = Seq(
+      ("a", 0L, 100L), ("a", 1L, 200L), ("a", 2L, 300L), ("a", 3L, 400L),
+      ("a", 4L, 100L),
+      ("bkey", 0L, 100L), ("bkey", 1L, 200L), ("bkey", 2L, 300L),
+      ("bkey", 3L, 400L), ("bkey", 4L, 900L)
+    ).toDF("k", "b", "v")
+    val out = CrossSeries.rollingCorrVsMarket(series, window = 3)
+      .rows.map(r => (r.head, r(1)) -> r(3).asInstanceOf[Float]).toMap
+    // buckets 0-3: a and bkey are identical → market = 2a → corr 1
+    out(("a", 2L)) shouldBe 1.0f
+    out(("a", 3L)) shouldBe 1.0f
+    // bucket 4 window {2,3,4}: a falls while the market rises → negative
+    out(("a", 4L)) should be < 0.0f
+    out(("bkey", 4L)) should be > 0.9f
+    // first bucket has n=1 < minOverlap → absent
+    out.keySet should not contain (("a", 0L))
+  }
+
   // ── Skyline ────────────────────────────────────────────────────────
 
   private def frontier(pts: Seq[(Double, Double)], buckets: Int = 4) =
