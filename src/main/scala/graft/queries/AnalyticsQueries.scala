@@ -597,6 +597,31 @@ object AnalyticsQueries {
           col("vol_cents"))
         .orderBy(col("event_type"), col("b"))),
 
+    // ── Gini coefficient of order value per priority class — the
+    // inequality audit (how concentrated is revenue among orders).
+    // Rank-weighted form G = 2·Σrᵢxᵢ/(n·Σx) − (n+1)/n over cents with
+    // row_number ranks: Σrᵢxᵢ is TIE-INVARIANT (swapping equal x's
+    // changes nothing), so the arbitrary tie order cannot leak into
+    // the result; sums in DECIMAL(38,0), one double combination.
+    "agg_gini" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("__x"))
+      Tables.orders(s, dir)
+        .filter(col("o_totalprice").isNotNull)
+        .select(col("o_orderpriority"), cents.as("__x"))
+        .withColumn("__r", row_number().over(w))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(d38(col("__x"))).as("sx"),
+          sum(d38(col("__r")) * d38(col("__x"))).as("srx"))
+        .select(col("o_orderpriority"), col("n"),
+          ((lit(2.0) * col("srx").cast("double") /
+            (col("n").cast("double") * col("sx").cast("double"))) -
+            (col("n").cast("double") + lit(1.0)) / col("n").cast("double"))
+            .cast("float").as("gini"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ── Benford first-digit audit over order totals: leading digit
     // from the integer-cents STRING (a log10/floor extraction flips
     // digits on a one-ulp engine difference at powers of ten; string
@@ -1211,6 +1236,21 @@ object AnalyticsQueries {
         |   / CAST(sum(dur) AS DOUBLE) / 100.0 AS REAL) AS twap,
         | CAST(sum(dur) AS BIGINT) AS span_nanos, count(*) AS n_holds
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_gini" ->
+      """WITH x AS (SELECT o_orderpriority,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS r
+        |       FROM orders WHERE o_totalprice IS NOT NULL),
+        | g AS (SELECT o_orderpriority, count(*) AS n, sum(v) AS sx,
+        |        sum(CAST(r AS HUGEINT) * v) AS srx
+        |       FROM x GROUP BY 1)
+        |SELECT o_orderpriority, n,
+        | CAST((2.0 * CAST(srx AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))) -
+        |   (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS REAL) AS gini
+        |FROM g ORDER BY o_orderpriority""".stripMargin,
 
     "dq_benford" ->
       """WITH c AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
