@@ -78,12 +78,20 @@ object AsOfJoin {
 
     // backward: right (side 0) sorts before left at equal ts → frame
     // (-∞, current] sees it; forward mirrors with side order flipped →
-    // frame [current, +∞) sees equal-ts right rows
+    // frame [current, +∞) sees equal-ts right rows.
+    // Duplicate-(key, on) right rows: BOTH directions keep the row with
+    // the greatest payload struct — backward's last() over __r asc and
+    // forward's first() over __r DESC land on the same row, so `nearest`
+    // can't flip payloads across a distance tie and the forward/backward
+    // answers agree wherever both match the same timestamp. (DuckDB's
+    // ASOF JOIN leaves the duplicate choice unspecified; oracle equality
+    // on duplicate-ts data relies on this deterministic greatest-row
+    // contract.)
     val wb = Window.partitionBy(by.map(col): _*)
       .orderBy(col(on).asc, col("__side").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = Window.partitionBy(by.map(col): _*)
-      .orderBy(col(on).asc, col("__side").desc, col("__r").asc)
+      .orderBy(col(on).asc, col("__side").desc, col("__r").desc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     val withMatch = direction match {

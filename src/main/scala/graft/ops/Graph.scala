@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge frames. Companion to the
@@ -18,6 +18,72 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   private val d30 = (c: Column) => c.cast("decimal(30,12)")
+
+  // ── persisted edge-frame lifecycle ─────────────────────────────────
+  //
+  // The [[graft.ops.IvfIndex]] pattern applied to graphs: DERIVING the
+  // edge frame (shingle co-occurrence, entity blocking, citation
+  // extraction) is routinely 10–100× the cost of the algorithm that
+  // consumes it, and it is a pure function of the corpus — so build it
+  // ONCE, persist it partitioned, and run pagerank/triangles/BFS
+  // against the lake artifact. At 100 TB this is the only sane
+  // lifecycle (nobody re-derives a trillion-edge graph to run one BFS),
+  // and it also makes benchmarks honest: the algorithm's timing stops
+  // being dominated by the amortizable derivation.
+
+  private def writeEdgeFiles(edges: DataFrame, src: String, dst: String,
+                             path: String, buckets: Int, mode: String): Unit =
+    edges.select(col(src).as("src"), col(dst).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .withColumn("bkt", pmod(xxhash64(col("src")), lit(buckets.toLong)))
+      .write.mode(mode).partitionBy("bkt").parquet(s"$path/edges.parquet")
+
+  /** Persist a deduplicated (src, dst) edge frame under `path`, hash-
+    * bucketed on src into `buckets` Hive partitions: bounded file count
+    * under parallel writers, and a reader driving per-source lookups
+    * can prune to hash(src)'s bucket. The bucket count is recorded in
+    * `meta.parquet` (the [[IvfIndex]] self-describing-index contract)
+    * so appends land in the same layout instead of trusting a caller
+    * flag. Overwrites any previous frame. */
+  def saveEdges(edges: DataFrame, src: String, dst: String, path: String,
+                buckets: Int = 8): Unit = {
+    require(buckets >= 1, s"need at least one bucket, got $buckets")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq(buckets).toDF("buckets").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/meta.parquet")
+    writeEdgeFiles(edges, src, dst, path, buckets, "overwrite")
+  }
+
+  /** The recorded bucket count of a persisted edge frame; fails loudly
+    * on a directory that isn't one (no silent default). */
+  def edgeBuckets(spark: SparkSession, path: String): Int = {
+    val rows = spark.read.parquet(s"$path/meta.parquet")
+      .select(col("buckets")).collect()
+    require(rows.length == 1,
+      s"$path/meta.parquet: expected exactly one buckets row, got ${rows.length}")
+    rows(0).getInt(0)
+  }
+
+  /** Append a delta batch to a persisted edge frame WITHOUT rewriting
+    * it (the incremental-graph story: yesterday's trillion edges stand,
+    * today's crawl adds its own files). The delta dedups against ITSELF
+    * only — an edge already present in the base will appear twice, so
+    * either feed disjoint deltas (the common case: edges over new
+    * documents) or rely on the consumer's dedup ([[pageRank]],
+    * [[triangles]] and [[kHopMinHops]] all collapse duplicate edges by
+    * contract; degree-style consumers must `distinct()` first). */
+  def appendEdges(delta: DataFrame, src: String, dst: String,
+                  path: String): Unit =
+    writeEdgeFiles(delta, src, dst, path,
+      edgeBuckets(delta.sparkSession, path), "append")
+
+  /** The persisted edge frame as (src, dst). May contain duplicate
+    * edges after [[appendEdges]] of overlapping deltas — see its
+    * contract. */
+  def loadEdges(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/edges.parquet").select(col("src"), col("dst"))
 
   /** PageRank with damping over a directed edge list. Exact replay
     * contract (the [[Pca]] pattern): rank₀ = 1/n; per iteration
@@ -88,6 +154,25 @@ object Graph {
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-node out/in degree over the DISTINCT directed edge set —
+    * the first profile anyone runs against a freshly persisted edge
+    * frame (hub detection, degree-cap pre-filters for the wedge join,
+    * sanity vs the derivation). Duplicate edges collapse (same
+    * multigraph contract as [[pageRank]]); nodes appearing on only one
+    * side carry 0 on the other. Two map-side-combined aggregations and
+    * one |nodes|-sized outer join — no window, no driver state. */
+  def degrees(edges: DataFrame, src: String = "src", dst: String = "dst"): DataFrame = {
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val out = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_degree"))
+    val in = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_degree"))
+    out.join(in, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+
   /** Minimum hop distance from a seed set, bounded at `k` hops — BFS
     * as k rounds of frontier expansion. Output: (id, hops) for every
     * node within k directed hops of a seed (seeds themselves at 0).
@@ -113,6 +198,97 @@ object Graph {
       (vis.union(next).localCheckpoint(), next)
     }
     visited
+  }
+
+  /** PERSONALIZED PageRank: restart mass returns to the `seeds` set
+    * (uniformly) instead of every node — the seed-biased influence
+    * score behind "how exposed is each document to these flagged
+    * ones", the weighted complement of [[kHopMinHops]]'s hop cutoff
+    * (hops say reachable; PPR says how much). Same replay contract as
+    * [[pageRank]]: rank₀ = 1/|S| on seeds, per iteration
+    * rank'(v) = (1−d)·s(v) + d·(Σ_{u→v} q(rank(u)/outdeg(u)) + dm·s(v))
+    * with s(v) = 1/|S| on seeds else 0, every contribution sum
+    * quantized to DECIMAL(30,12), dangling mass re-seeded (not spread
+    * table-wide — that would leak bias back to uniform). Nodes with
+    * rank exactly 0 (never reached) are emitted too: the caller
+    * filters, the oracle compares the whole vector. Scale shape is
+    * [[pageRank]]'s: one rank⋈edges shuffle + one inflow agg per
+    * iteration, localCheckpoint'd so the plan never deepens. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           src: String = "src", dst: String = "dst",
+                           damping: Double = 0.85, iters: Int = 8): DataFrame = {
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint()
+    val sd = seeds.select(col(seeds.columns.head).as("id")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).union(sd.select(col("id")))
+      .distinct()
+    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val nd = nodes.join(outdeg, Seq("id"), "left")
+      .join(broadcast(sd.withColumn("is_seed", lit(true))), Seq("id"), "left")
+      .withColumn("is_seed", coalesce(col("is_seed"), lit(false)))
+      .localCheckpoint()
+    val ns = sd.count()
+    require(ns > 0, "personalizedPageRank needs a non-empty seed set")
+    val sv = when(col("is_seed"), lit(1.0) / lit(ns)).otherwise(lit(0.0))
+    val r0 = nd.withColumn("pr", sv)
+    val rFinal = (1 to iters).foldLeft(r0) { (rk, _) =>
+      val dm = rk.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(d30(col("pr"))), lit(0).cast("decimal(30,12)"))
+          .cast("double").as("dm"))
+      val contrib = rk.filter(col("outdeg").isNotNull)
+        .join(e, col("id") === col("src"))
+        .select(col("dst").as("id"), (col("pr") / col("outdeg")).as("c"))
+      val inflow = contrib.groupBy(col("id"))
+        .agg(sum(d30(col("c"))).cast("double").as("inflow"))
+      nd.join(inflow, Seq("id"), "left").crossJoin(broadcast(dm))
+        .select(col("id"), col("outdeg"), col("is_seed"),
+          (lit(1 - damping) * sv + lit(damping) *
+            (coalesce(col("inflow"), lit(0.0)) + col("dm") * sv)).as("pr"))
+        .localCheckpoint()
+    }
+    rFinal.select(col("id"), col("pr"))
+  }
+
+  /** Synchronous label propagation, `iters` rounds — deterministic
+    * community detection (template families, mirror clusters) without
+    * a modularity objective: label₀(v) = v; each round every node
+    * adopts the most frequent label among its in-neighbors (by src→dst
+    * edge direction; feed both directions for undirected semantics),
+    * ties broken by the SMALLEST label, isolated/unreached nodes keep
+    * their own. All-integer arithmetic — the DuckDB oracle replays
+    * every round bit-for-bit, which a random-order asynchronous LPA
+    * could never offer. Fixed iteration count: synchronous LPA can
+    * 2-cycle on bipartite structures, so the output contract is "the
+    * label vector after k rounds", not a fixpoint — convergence
+    * behavior is pinned by spec on known graphs. One neighbor-label
+    * shuffle + one mode-agg + one keep-own join per round,
+    * localCheckpoint'd like the other iterative ops. */
+  def labelPropagation(edges: DataFrame, src: String = "src",
+                       dst: String = "dst", iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val l0 = nodes.withColumn("lbl", col("id")).localCheckpoint()
+    val lFinal = (1 to iters).foldLeft(l0) { (lk, _) =>
+      val counts = lk.join(e, col("id") === col("src"))
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      // argmax c, min lbl on ties: maximize the (count, -label) pair
+      val pick = counts.groupBy(col("id"))
+        .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl")))
+          .as("new_lbl"))
+      lk.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    lFinal.select(col("id"), col("lbl").as("community"))
   }
 
   private def pageRankImpl(edges: DataFrame, src: String, dst: String,

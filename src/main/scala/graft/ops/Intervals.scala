@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, functions}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -68,6 +68,17 @@ object Intervals {
     * concurrency level after each boundary; one groupBy rolls the step
     * function up to max-per-bucket.
     *
+    * A bucket's true peak is max(level the bucket OPENS at, levels
+    * attained at openings within it): the step function only rises at
+    * +1 boundaries, but the level in force at the bucket boundary can
+    * have been raised by intervals opened in EARLIER buckets that are
+    * still live — keeping only in-bucket openings would underreport
+    * such a bucket (e.g. [0,12),[0,13),[15,16) with bucket 10: the
+    * level 2 carried into [10,20) exceeds anything opened there). The
+    * carry-in is the lag(level) of the bucket's first boundary row.
+    * Buckets containing NO boundary at all stay absent: their level is
+    * constant, equal to the previous emitted bucket's closing level.
+    *
     * Half-open convention: at a shared boundary the closing −1 sorts
     * before the opening +1 (delta asc), so back-to-back intervals never
     * double-count. Scale note: deltas COLLAPSE per distinct (t, delta)
@@ -84,15 +95,20 @@ object Intervals {
     val deltas = valid.select(s.as("t"), lit(1L).as("d"))
       .unionAll(valid.select(e.as("t"), lit(-1L).as("d")))
       .groupBy(col("t"), col("d")).agg(sum(col("d")).as("dsum"))
-    val w = Window.orderBy(col("t"), col("d"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas.withColumn("level", sum(col("dsum")).over(w))
-      // the step function attains every local maximum at an opening, so
-      // per-bucket "peak reached by openings in the bucket" is exact
-      // wherever an interval opens; open-free buckets (level carried
-      // from before, never raised) are absent by construction
-      .filter(col("d") === 1)
+    val ord = Window.orderBy(col("t"), col("d"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("level", sum(col("dsum")).over(run))
+      // level in force just BEFORE this boundary — for each bucket's
+      // first row this is the concurrency the bucket opens at
+      .withColumn("prev_level",
+        functions.coalesce(lag(col("level"), 1).over(ord), lit(0L)))
       .groupBy(expr(s"t div ${bucket}L").as("bucket"))
-      .agg(max(col("level")).as("peak_concurrency"))
+      .agg(greatest(
+        // highest level attained at an in-bucket opening (closes only
+        // lower the step function, so they never set the max) ...
+        functions.coalesce(max(when(col("d") === 1, col("level"))), lit(0L)),
+        // ... vs the level carried in at the bucket's first boundary
+        min_by(col("prev_level"), struct(col("t"), col("d"))))
+        .as("peak_concurrency"))
   }
 }

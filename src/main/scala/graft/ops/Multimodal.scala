@@ -196,6 +196,128 @@ object Multimodal {
       .toDF(id, "frame_idx", "frame_bytes")
   }
 
+  // ── perceptual frame near-dup (dHash) ──────────────────────────────
+
+  /** Difference hash over a frame's RAW bytes — the perceptual
+    * companion to exact frame dedup (md5 catches bit-identical frames;
+    * a one-pixel shift or a requantize escapes it). The classic dHash
+    * recipe, applied to the byte stream the container walk already
+    * yields: resample the frame into `bits`+1 contiguous cells, average
+    * each, and set bit k iff cell k+1's average exceeds cell k's.
+    * Averages are stable under small shifts (a few bytes moving across
+    * a cell boundary barely moves its mean) and under monotone
+    * requantization (order of means is preserved), which is exactly
+    * what makes gradient-sign hashes perceptual.
+    *
+    * All INTEGER arithmetic — the average comparison cross-multiplies
+    * (s₂·n₁ > s₁·n₂) instead of dividing, so there is no rounding to
+    * disagree on and the DuckDB oracle replays the hash bit-for-bit.
+    * Degenerate cells (frame shorter than bits+1 bytes → empty slots)
+    * take the single byte at their clamped start position, keeping the
+    * hash total and deterministic for any frame length; the empty frame
+    * hashes to 0. */
+  private[ops] def frameDHash(b: Array[Byte], bits: Int): Long = {
+    val n = b.length
+    if (n == 0) return 0L
+    def cell(k: Int): (Long, Long) = {
+      val lo = (k.toLong * n / (bits + 1)).toInt
+      val hi = ((k + 1).toLong * n / (bits + 1)).toInt
+      if (hi <= lo) ((b(math.min(lo, n - 1)) & 0xFF).toLong, 1L)
+      else {
+        var s = 0L; var i = lo
+        while (i < hi) { s += (b(i) & 0xFF); i += 1 }
+        (s, (hi - lo).toLong)
+      }
+    }
+    var h = 0L
+    var (ps, pl) = cell(0)
+    var k = 0
+    while (k < bits) {
+      val (cs, cl) = cell(k + 1)
+      if (cs * pl > ps * cl) h |= 1L << k
+      ps = cs; pl = cl
+      k += 1
+    }
+    h
+  }
+
+  /** (id, frame_idx, dhash) per frame — partition-parallel, no shuffle
+    * (the [[extractMeta]] contract). */
+  def frameDHashes(frames: DataFrame, id: String = "doc_id",
+                   idxCol: String = "frame_idx", bin: String = "frame_bytes",
+                   bits: Int = 32): DataFrame = {
+    require(bits >= 4 && bits % 4 == 0 && bits <= 62,
+      s"bits must be a multiple of 4 in [4, 62] (4-chunk bucketing on a signed long), got $bits")
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.select(col(id), col(idxCol), col(bin)).as[(Long, Long, Array[Byte])]
+      .mapPartitions(_.map { case (d, i, b) => (d, i, frameDHash(b, bits)) })
+      .toDF(id, idxCol, "dhash")
+  }
+
+  private def dHashChunkBuckets(frames: DataFrame, id: String, idxCol: String,
+                                bin: String, bits: Int): DataFrame = {
+    val cb = bits / 4
+    val cm = (1L << cb) - 1
+    val chunks = array((0 until 4).map { i =>
+      struct(lit(i).as("chunk"),
+        shiftright(col("dhash"), i * cb).bitwiseAND(lit(cm)).as("bucket"))
+    }: _*)
+    frameDHashes(frames, id, idxCol, bin, bits)
+      .select(col(id), col(idxCol), col("dhash"), explode(chunks).as("cb"))
+      .select(col(id), col(idxCol), col("dhash"),
+        col("cb.chunk").as("chunk"), col("cb.bucket").as("bucket"))
+  }
+
+  /** The chunk buckets [[framePerceptualNearDup]]'s `maxBucket` cap
+    * EXCLUDES — the no-silent-caps observer (the
+    * [[Dedup.simhashDroppedBuckets]] pattern): a capped run surfaces
+    * this frame so dropped recall is measured, never assumed. */
+  def frameDHashDroppedBuckets(frames: DataFrame, id: String = "doc_id",
+                               idxCol: String = "frame_idx",
+                               bin: String = "frame_bytes", bits: Int = 32,
+                               maxBucket: Int = 10000): DataFrame =
+    dHashChunkBuckets(frames, id, idxCol, bin, bits)
+      .groupBy(col("chunk"), col("bucket"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucket)
+
+  /** Perceptual near-duplicate frame pairs: dHash each frame, bucket
+    * under the hash's four disjoint chunks, and verify candidates with
+    * bit_count over XOR — [[Dedup.simhashNearDup]]'s 4-table scheme on
+    * the visual signature. Pigeonhole guarantees recall at Hamming ≤ 3:
+    * such a pair agrees exactly on at least one chunk. Join cost is
+    * bounded per (chunk, bucket) with the `maxBucket` cap (observed by
+    * [[frameDHashDroppedBuckets]]), never frames². Pairs are canonical
+    * ((id, idx) lexicographically ascending) and deduped across the
+    * chunks that co-bucket them. */
+  def framePerceptualNearDup(frames: DataFrame, id: String = "doc_id",
+                             idxCol: String = "frame_idx",
+                             bin: String = "frame_bytes", bits: Int = 32,
+                             maxBits: Int = 3,
+                             maxBucket: Int = 10000): DataFrame = {
+    require(maxBits <= 3,
+      s"4-chunk pigeonhole recall only holds at maxBits <= 3, got $maxBits")
+    val bucketed = dHashChunkBuckets(frames, id, idxCol, bin, bits)
+    val sized = bucketed.withColumn("bsize",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("chunk"), col("bucket"))))
+      .filter(col("bsize") <= maxBucket)
+    val a = sized.select(col("chunk"), col("bucket"),
+      col(id).as(s"${id}_a"), col(idxCol).as(s"${idxCol}_a"), col("dhash").as("h_a"))
+    val b = sized.select(col("chunk"), col("bucket"),
+      col(id).as(s"${id}_b"), col(idxCol).as(s"${idxCol}_b"), col("dhash").as("h_b"))
+    a.join(b, Seq("chunk", "bucket"))
+      .filter(struct(col(s"${id}_a"), col(s"${idxCol}_a")) <
+        struct(col(s"${id}_b"), col(s"${idxCol}_b")))
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxBits)
+      .select(col(s"${id}_a"), col(s"${idxCol}_a"),
+        col(s"${id}_b"), col(s"${idxCol}_b"),
+        col("hamming").cast("long").as("hamming"))
+      .distinct()
+  }
+
   // ── audio modality (WAV / RIFF) ─────────────────────────────────────
 
   /** Typed audio metadata from a WAV header walk. */

@@ -10,10 +10,20 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the covariance pass is the only corpus-sized work — a
   * per-row d(d+1)/2 product expansion with map-side partial aggregation,
-  * so the shuffle carries d² cells per partition, never the corpus. The
+  * so the SHUFFLE carries d² cells per partition, never the corpus. The
   * iteration then runs on the d×d cell frame (tiny), and the projection
-  * is one broadcast join back onto the corpus. d is bounded by the
-  * d(d+1)/2-per-row expansion — embedding dims (64–4096) are fine.
+  * is one broadcast join back onto the corpus.
+  *
+  * Dim bound — be honest about the CPU axis, not just the shuffle:
+  * exact covariance is inherently O(n·d²) COMPUTE, and the expansion
+  * pays it per row (d=256 → 33k products/row is fine; d=4096 → 8.4M
+  * products/row means every core does 8.4M multiplies per vector —
+  * that's a compute wall no partitioning fixes). Past ~1k dims the
+  * production answer is [[covarianceSampled]] (deterministic row
+  * subsample — covariance is an expectation, so a hash-chosen sample
+  * estimates it with ~1/√m error at m rows and cuts n, the axis that
+  * is actually huge) or a sketched pass; this exact form is for
+  * d ≲ 1024.
   *
   * Exactness: every sum quantizes its double terms to DECIMAL(30,12)
   * first (order-independent, cross-engine identical — the repo's
@@ -65,6 +75,25 @@ object Pca {
       .select(col("i"), col("j"),
         ((col("s_ij") - (col("s_i") * col("s_j")) / col("n")) /
           (col("n") - lit(1))).as("cov"))
+  }
+
+  /** Sample covariance over a DETERMINISTIC row subsample: keep rows
+    * whose md5-bucket of `id` falls under `keepPct` (the
+    * [[Sampling.hashBucket]] contract — a row's fate is a pure function
+    * of its id, so the estimate replays bit-for-bit across runs,
+    * retries and engines), then run the exact quantized pass on the
+    * survivors. This is the prescribed path past ~1k dims: it divides
+    * the O(n·d²) compute by 100/keepPct while the d²-cell shuffle
+    * contract is unchanged, and the standard error of each cell decays
+    * as 1/√(sampled rows) — at 100 TB a 1% sample is still ~1e9 rows,
+    * far past where the estimate has converged for curation use. */
+  def covarianceSampled(df: DataFrame, id: String, vec: String,
+                        keepPct: Int): DataFrame = {
+    require(keepPct >= 1 && keepPct <= 100,
+      s"keepPct must be in [1, 100], got $keepPct")
+    covariance(
+      df.filter(Sampling.hashBucket(col(id), 100, tag = "cov:") < keepPct),
+      vec)
   }
 
   /** Dominant eigenvector of the covariance as a (i, val) frame via

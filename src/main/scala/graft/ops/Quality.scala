@@ -185,4 +185,47 @@ object Quality {
           (col("n").cast("double") - col("total") * col("expected_share"))) /
           (col("total") * col("expected_share"))).cast("float").as("chi2_term"))
   }
+
+  /** Population Stability Index between two snapshots of a categorical
+    * column — THE drift gate for training-data mixtures (did the lang /
+    * domain / source distribution move between yesterday's corpus and
+    * today's?): psi = Σ_buckets (p − q)·ln(p/q), with the usual call
+    * thresholds (< 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
+    *
+    * Shares use add-1 smoothing over the UNION of observed buckets
+    * (p = (c+1)/(n+B)): a bucket present in only one snapshot —
+    * exactly the event a drift monitor must catch — contributes a
+    * finite term instead of ln(0), and the smoothing rule is integer
+    * arithmetic both engines replay. One aggregation per side on the
+    * bucket key, one |buckets|-sized outer join, broadcast totals —
+    * nothing corpus-sized shuffles twice. Per-bucket contributions
+    * surface (the actionable part: WHICH bucket moved), with the total
+    * on every row via a DECIMAL(30,12)-quantized window sum (order-
+    * independent, so the cross-engine equality survives the float
+    * downcast). */
+  def psiDrift(base: DataFrame, current: DataFrame, bucket: String): DataFrame = {
+    def side(df: DataFrame, out: String) =
+      df.filter(col(bucket).isNotNull)
+        .groupBy(col(bucket)).agg(count(lit(1)).as(out))
+    val joined = side(base, "n_base").join(side(current, "n_cur"),
+        Seq(bucket), "full_outer")
+      .select(col(bucket),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_base")).as("tb"),
+      sum(col("n_cur")).as("tc"), count(lit(1)).as("nb"))
+    val p = (col("n_base") + 1).cast("double") / (col("tb") + col("nb"))
+    val q = (col("n_cur") + 1).cast("double") / (col("tc") + col("nb"))
+    val contrib = (p - q) * log(p / q)
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    joined.crossJoin(broadcast(totals))
+      .withColumn("contribution", contrib)
+      .withColumn("psi_total",
+        sum(col("contribution").cast("decimal(30,12)")).over(w)
+          .cast("double"))
+      .select(col(bucket), col("n_base"), col("n_cur"),
+        col("contribution").cast("float").as("contribution"),
+        col("psi_total").cast("float").as("psi_total"))
+  }
 }

@@ -639,6 +639,83 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  // ── binary (sign) quantization ──────────────────────────────────────
+
+  /** 1-bit sign quantization: the vector's sign pattern packed into
+    * ⌈dim/32⌉ long words (bit j of word w set iff component 32w+j > 0)
+    * — 32× smaller than float32, the most aggressive memory/recall
+    * dial in the quantization family (below [[sq8Encode]]'s 4× and
+    * PQ's ~32×), and the only one whose distance is pure integer
+    * popcount. 32-bit words rather than 64: bit 63 would need a
+    * 1<<63 the oracle engine rejects as signed overflow, and the word
+    * array already generalizes to any dim. Pure map stage. */
+  def binarySignCode(vec: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    val words = (0 until (dim + 31) / 32).map { w =>
+      val n = math.min(32, dim - 32 * w)
+      aggregate(
+        zip_with(slice(vec, 32 * w + 1, n),
+          array((0 until n).map(j => lit(1L << j)): _*),
+          (x, m) => when(x > lit(0.0f), m).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc.bitwiseOR(x))
+    }
+    array(words: _*)
+  }
+
+  /** Hamming distance between two packed sign codes: Σ popcount(xor)
+    * over the word arrays — codegen'd bit_count, no custom
+    * expression. */
+  def binaryHamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** The `shortlist` smallest-Hamming candidates per query — the same
+    * salted two-phase shape as [[topKPerQuery]] (per-(query, salt)
+    * partial list provably contains the global list), ordered
+    * (hamming asc, neighbor_id asc) so the cut is deterministic. */
+  private def smallestHammingPerQuery(scored: DataFrame, n: Int,
+                                      salts: Int = 32): DataFrame = {
+    val w1 = Window.partitionBy(col("query_id"), col("__salt"))
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    scored.withColumn("__salt", Skew.salt(col("neighbor_id"), salts))
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= n)
+      .withColumn("__r2", row_number().over(w2)).filter(col("__r2") <= n)
+      .drop("__salt", "__r1", "__r2")
+  }
+
+  /** Binary-quantized approximate top-k: scan CODES ONLY (8–16 bytes a
+    * row instead of the 256-byte vector — at 100 TB this is the scan
+    * that fits in page cache), shortlist the `shortlist`
+    * smallest-Hamming candidates per query, then fetch ONLY the
+    * shortlisted vectors back from the corpus (a |shortlist|-sized
+    * equi-join, not a second corpus scan) and rerank by exact cosine —
+    * the standard binary-quantization + refine lifecycle (the
+    * RaBitQ/BQ shape in production vector stores). Approximation is
+    * confined to the shortlist cut; everything after it is exact, and
+    * the cut itself is deterministic, so the oracle replays the whole
+    * pipeline. shortlist/k is the recall dial (8× default). */
+  def binaryTopK(queries: DataFrame, candidates: DataFrame, id: String,
+                 vec: String, dim: Int, k: Int, shortlist: Int = 0,
+                 maxBroadcastQueries: Int = DefaultMaxBroadcastQueries): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 8 * k
+    require(sl >= k, s"shortlist $sl must be >= k $k")
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+      binarySignCode(col(vec), dim).as("qw"))
+    val cCodes = candidates.select(col(id).as("neighbor_id"),
+      binarySignCode(col(vec), dim).as("cw"))
+    val ham = queryProductJoin(cCodes, q, maxBroadcastQueries)
+      .withColumn("hamming", binaryHamming(col("qw"), col("cw")))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("hamming"))
+    val short = smallestHammingPerQuery(ham, sl)
+    val rerank = short
+      .join(candidates.select(col(id).as("neighbor_id"), col(vec).as("cv")),
+        Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    topKPerQuery(rerank, k)
+  }
+
   /** Semantic deduplication over an embedding column — the SemDeDup
     * shape (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus,
     * mark within-cluster pairs whose cosine exceeds `threshold` as

@@ -39,12 +39,20 @@ object Skyline {
     val pts = df.filter(col(hi).isNotNull && col(lo).isNotNull)
       .groupBy(col(hi).as("h")).agg(min(col(lo)).as("l"))
     val bounds = pts.agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+    // ratio computed in DOUBLE: a native (h - hmin) * buckets on a
+    // long-typed axis whose range exceeds Long.MaxValue/buckets (epoch
+    // nanos) would wrap silently and break bucket monotonicity — the
+    // prune's only correctness requirement. Double division with a
+    // fixed positive denominator is monotonic non-decreasing in h, so a
+    // rounding-blurred bucket EDGE can only move a point to an adjacent
+    // bucket, never reorder two points — the guard stays sound at any
+    // axis magnitude (precision loss degrades prune selectivity only).
     val bucketed = pts.crossJoin(broadcast(bounds))
       .withColumn("bkt",
         when(col("hmax") === col("hmin"), lit(0)).otherwise(
           least(lit(buckets - 1),
-            floor((col("h") - col("hmin")) * buckets /
-              (col("hmax") - col("hmin"))).cast("int"))))
+            floor((col("h") - col("hmin")).cast("double") * buckets /
+              (col("hmax") - col("hmin")).cast("double")).cast("int"))))
       .select(col("h"), col("l"), col("bkt"))
       // feeds BOTH the per-bucket guard and the survivor filter:
       // materialize once (the Graph-op localCheckpoint pattern) so the

@@ -1220,9 +1220,14 @@ object AnalyticsQueries {
         |   GROUP BY 1, 2),
         | lv AS (SELECT t, d, sum(dsum) OVER (ORDER BY t, d
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS level
-        |   FROM dl)
-        |SELECT t // 604800 AS bucket, CAST(max(level) AS BIGINT) AS peak_concurrency
-        |FROM lv WHERE d = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+        |   FROM dl),
+        | pv AS (SELECT t, d, level,
+        |     COALESCE(lag(level) OVER (ORDER BY t, d), 0) AS prev_level
+        |   FROM lv)
+        |SELECT t // 604800 AS bucket,
+        | CAST(greatest(COALESCE(max(CASE WHEN d = 1 THEN level END), 0),
+        |   first(prev_level ORDER BY t, d)) AS BIGINT) AS peak_concurrency
+        |FROM pv GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ts_twap" ->
       """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS t, event_id,

@@ -283,7 +283,7 @@ object SamplingQueries {
 
   private def bpeTrainSql(nMerges: Int, maxWords: Int): String = {
     val out = (1 to nMerges).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, c AS pair_count FROM b$i")
+      s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM b$i")
       .mkString(" UNION ALL ")
     s"""WITH ${bpeTrainBlocks(nMerges, maxWords)}
        |SELECT * FROM ($out) ORDER BY rank""".stripMargin

@@ -192,6 +192,22 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // BINARY-quantized ANN: 1-bit sign codes (two 32-bit words for
+    // dim 64 — 32× compression), integer-popcount Hamming shortlist
+    // (40 per query, deterministic (hamming, id) cut), exact-cosine
+    // rerank over a |shortlist|-sized vector fetch-back — the
+    // scan-codes-then-refine lifecycle production vector stores run
+    // when the float corpus no longer fits the cache tier.
+    "sim_binary_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.binaryTopK(
+          queries = emb.filter(col("vec_id") < 8), candidates = emb,
+          id = "vec_id", vec = "embedding", dim = 64, k = 5, shortlist = 40)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cosine").cast("float").as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // per-label class prototypes via DECIMAL elementwise means
     "emb_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir),
@@ -849,6 +865,42 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "sim_cosine_topk" -> simCosineTopkSql,
+
+    // binary sign codes as two 32-bit words (bit 63 via 1<<63 would
+    // overflow DuckDB's signed shift — the word split avoids it in both
+    // engines), popcount Hamming, deterministic shortlist, exact rerank
+    "sim_binary_topk" ->
+      """WITH w AS (SELECT vec_id,
+        |     CAST(sum(CASE WHEN x > 0 AND i <= 32
+        |       THEN CAST(1 AS BIGINT) << (CAST(i AS INTEGER) - 1)
+        |       ELSE 0 END) AS BIGINT) AS w0,
+        |     CAST(sum(CASE WHEN x > 0 AND i > 32
+        |       THEN CAST(1 AS BIGINT) << (CAST(i AS INTEGER) - 33)
+        |       ELSE 0 END) AS BIGINT) AS w1
+        |   FROM (SELECT vec_id, unnest(embedding) AS x,
+        |           generate_subscripts(embedding, 1) AS i FROM embeddings)
+        |   GROUP BY 1),
+        | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+        | q AS (SELECT v.vec_id AS query_id, v.dv AS qv, w.w0 AS q0, w.w1 AS q1
+        |       FROM v JOIN w USING (vec_id) WHERE v.vec_id < 8),
+        | c AS (SELECT v.vec_id AS neighbor_id, w.w0 AS c0, w.w1 AS c1
+        |       FROM v JOIN w USING (vec_id)),
+        | hm AS (SELECT query_id, neighbor_id, qv,
+        |          bit_count(xor(q0, c0)) + bit_count(xor(q1, c1)) AS hamming
+        |        FROM q JOIN c ON query_id <> neighbor_id),
+        | sl AS (SELECT query_id, neighbor_id, qv FROM (
+        |     SELECT *, row_number() OVER (PARTITION BY query_id
+        |       ORDER BY hamming, neighbor_id) AS srn FROM hm) z
+        |   WHERE srn <= 40),
+        | r AS (SELECT s.query_id, s.neighbor_id,
+        |          list_cosine_similarity(s.qv, v.dv) AS cos
+        |        FROM sl s JOIN v ON v.vec_id = s.neighbor_id),
+        | rk AS (SELECT query_id, neighbor_id, cos,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cos DESC, neighbor_id) AS rank FROM r)
+        |SELECT query_id, neighbor_id, CAST(cos AS REAL) AS cosine,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "emb_covariance" ->
       s"""WITH $pcaCovCtes

@@ -90,20 +90,39 @@ object VersionedLake {
     require(f.rename(tmp, target), s"could not commit manifest $target")
   }
 
+  /** Hard ceiling on distinct partitions one commit may touch (and so
+    * on the driver-side partition-path collect): the manifest design is
+    * partition-granular, so a commit that touches millions of partitions
+    * means the table is partitioned on a near-unique column — that's a
+    * modeling bug, and collecting its partition list would balloon the
+    * driver. Raise deliberately via the `maxPartitions` parameter. */
+  val DefaultMaxPartitions = 100000
+
   /** The batch's partition directories, Hive-encoded relative paths in
     * partition-column order ("year=1997/ticker=A"). One |partitions|-row
-    * aggregate — a commit-metadata action, not a data read. */
-  private def partitionPaths(df: DataFrame, partitionCols: Seq[String]): Seq[String] = {
+    * aggregate — a commit-metadata action, not a data read. BOUNDED: the
+    * collect is `limit(max+1)`, so a runaway partition column costs one
+    * extra row and a loud failure, never an unbounded driver list. */
+  private def partitionPaths(df: DataFrame, partitionCols: Seq[String],
+                             maxPartitions: Int): Seq[String] = {
     val enc = concat_ws("/", partitionCols.map(c =>
       concat(lit(s"$c="), col(c).cast("string"))): _*)
-    df.select(enc.as("p")).distinct().collect().map(_.getString(0)).toSeq
+    val got = df.select(enc.as("p")).distinct()
+      .limit(maxPartitions + 1).collect().map(_.getString(0)).toSeq
+    require(got.size <= maxPartitions,
+      s"commit touches more than $maxPartitions distinct partitions of " +
+        s"(${partitionCols.mkString(",")}) — the partition columns are " +
+        "near-unique (mis-partitioned table?); repartition the model or " +
+        "raise maxPartitions deliberately")
+    got
   }
 
   /** Commit a batch: its partitions' files are replaced (copy-on-write),
     * every other live partition carries over from the previous manifest.
     * Returns the new version number. Partition values must be non-null —
     * the Hive path is the partition's identity here. */
-  def commit(df: DataFrame, root: String, partitionCols: Seq[String]): Int = {
+  def commit(df: DataFrame, root: String, partitionCols: Seq[String],
+             maxPartitions: Int = DefaultMaxPartitions): Int = {
     require(partitionCols.nonEmpty, "versioned lake requires partition columns")
     val spark = df.sparkSession
     val prev = latestVersion(spark, root)
@@ -112,7 +131,7 @@ object VersionedLake {
       !df.filter(partitionCols.map(col(_).isNull).reduce(_ || _)).isEmpty
     require(!hasNullPartitionRows,
       "null partition values are not addressable in a versioned lake")
-    val touched = partitionPaths(df, partitionCols)
+    val touched = partitionPaths(df, partitionCols, maxPartitions)
     require(touched.nonEmpty, "refusing to commit an empty batch (no partitions)")
     df.write.mode("overwrite").partitionBy(partitionCols: _*)
       .parquet(s"$root/data/v$next")
@@ -134,7 +153,8 @@ object VersionedLake {
     * partitions would leave its stale copy in an untouched partition
     * (classic partition-merge pitfall — fail loudly instead). */
   def commitUpsert(delta: DataFrame, root: String, partitionCols: Seq[String],
-                   keys: Seq[String], tiebreak: String): Int = {
+                   keys: Seq[String], tiebreak: String,
+                   maxPartitions: Int = DefaultMaxPartitions): Int = {
     require(partitionCols.forall(keys.contains),
       s"partition columns (${partitionCols.mkString(",")}) must be part of " +
         s"the merge keys (${keys.mkString(",")}) — a key that migrates " +
@@ -145,13 +165,13 @@ object VersionedLake {
       case Some(_) =>
         val enc = concat_ws("/", partitionCols.map(c =>
           concat(lit(s"$c="), col(c).cast("string"))): _*)
-        val touched = partitionPaths(delta, partitionCols)
+        val touched = partitionPaths(delta, partitionCols, maxPartitions)
         // a predicate purely over partition columns: the grouped scans
         // in read() prune to the delta's partitions
         val current = read(spark, root).filter(enc.isin(touched: _*))
         graft.ops.Merge.upsert(current, delta, keys, tiebreak)
     }
-    commit(merged, root, partitionCols)
+    commit(merged, root, partitionCols, maxPartitions)
   }
 
   /** Time-travel read: the table as of `version` (default: latest).

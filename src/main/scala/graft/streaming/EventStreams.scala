@@ -67,18 +67,26 @@ object EventStreams {
     * aggregate (the accumulator keeps the arg-min/max pair, so
     * micro-batch arrival order cannot change the result); high/low/
     * count and the exact cents volume are plain aggs. Watermarked
-    * append mode: a candle emits once its window finalizes. */
+    * append mode: a candle emits once its window finalizes.
+    *
+    * `tsCol` drives the window/watermark (typically the truncated
+    * display timestamp); `tieTs`/`tieId` drive the open/close total
+    * order and default to the events schema's full-precision `ts` +
+    * `event_id` — pass both when the frame uses different names, or
+    * the analyzer fails loudly on the missing default columns. */
   def ohlcCandles(events: DataFrame, tsCol: String = "ts_utc",
                   windowLen: String = "1 day",
-                  lateness: String = "10 minutes"): DataFrame =
+                  lateness: String = "10 minutes",
+                  tieTs: String = "ts",
+                  tieId: String = "event_id"): DataFrame =
     events.filter(col("value").isNotNull)
       .withWatermark(tsCol, lateness)
       .groupBy(window(col(tsCol), windowLen), col("event_type"))
       .agg(
-        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        min_by(col("value"), struct(col(tieTs), col(tieId))).as("open"),
         max(col("value")).as("high"),
         min(col("value")).as("low"),
-        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        max_by(col("value"), struct(col(tieTs), col(tieId))).as("close"),
         count(lit(1)).as("n_ticks"),
         sum(round(col("value") * 100).cast("long")).as("vol_cents"))
       .select(col("window.start").as("window_start"),

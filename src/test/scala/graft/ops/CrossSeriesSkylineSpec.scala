@@ -162,6 +162,26 @@ class CrossSeriesSkylineSpec extends SparkSpec {
     out shouldBe Map(0L -> 3L, 1L -> 1L)
   }
 
+  test("peakConcurrency: level carried in from earlier buckets sets the peak") {
+    // [0,12) [0,13) [15,16), bucket 10: bucket 1 holds level 2 during
+    // [10,13) purely from intervals opened in bucket 0 — its only
+    // in-bucket opening (t=15) reaches just 1
+    val iv = Seq((0L, 12L), (0L, 13L), (15L, 16L)).toDF("s", "e")
+    val out = Intervals.peakConcurrency(iv, "s", "e", bucket = 10L)
+      .rows.map(r => r.head -> r(1)).toMap
+    out shouldBe Map(0L -> 2L, 1L -> 2L)
+  }
+
+  test("peakConcurrency: closes-only bucket reports the carry-in; event-free buckets absent") {
+    // [0,25) bucket 10: bucket 2 contains only the close at t=25 but the
+    // interval was live throughout → peak 1; bucket 1 has no boundary at
+    // all (level constant at 1) and stays absent by documented contract
+    val iv = Seq((0L, 25L)).toDF("s", "e")
+    val out = Intervals.peakConcurrency(iv, "s", "e", bucket = 10L)
+      .rows.map(r => r.head -> r(1)).toMap
+    out shouldBe Map(0L -> 1L, 2L -> 1L)
+  }
+
   // ── equi-depth histogram ───────────────────────────────────────────
 
   test("equiDepthHistogram: equal depths on distinct values; ties share a bucket") {

@@ -77,4 +77,63 @@ class GraphSpec extends SparkSpec {
     hops(6L) shouldBe 2
     hops(1L) shouldBe 0
   }
+
+  private def ppr(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int) =
+    Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        seeds.toDF("id"), iters = iters)
+      .rows.map(r => r.head.asInstanceOf[Long] -> r(1).asInstanceOf[Double])
+      .toMap
+
+  test("personalizedPageRank: one hand-computed iteration, restart mass returns to the seed") {
+    // cycle 1⇄2, seed {1}: r0 = (1, 0); after one round
+    // pr(1) = 0.15·1 + 0.85·(inflow 0) = 0.15, pr(2) = 0.85·1 = 0.85
+    val p = ppr(Seq((1L, 2L), (2L, 1L)), Seq(1L), iters = 1)
+    p(1L) shouldBe 0.15 +- 1e-12
+    p(2L) shouldBe 0.85 +- 1e-12
+  }
+
+  test("personalizedPageRank: dangling mass re-seeds (not table-wide); conservation") {
+    // 1→2 with 2 dangling, seed {1}: iter1 → (0.15, 0.85);
+    // iter2: dm = 0.85 lands back ON THE SEED:
+    // pr(1) = 0.15 + 0.85·(0 + 0.85) = 0.8725, pr(2) = 0.85·0.15 = 0.1275
+    val p = ppr(Seq((1L, 2L)), Seq(1L), iters = 2)
+    p(1L) shouldBe 0.8725 +- 1e-9
+    p(2L) shouldBe 0.1275 +- 1e-9
+    p.values.sum shouldBe 1.0 +- 1e-9
+    // seed bias: on the bidirectional path 1⇄2⇄3 the seed-adjacent
+    // node outranks the 2-hop one (hand-traced through 8 rounds)
+    val chain = ppr(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)),
+      Seq(1L), iters = 8)
+    chain(2L) should be > chain(3L)
+    chain.values.sum shouldBe 1.0 +- 1e-9
+  }
+
+  test("personalizedPageRank: off-graph seed still carries rank; empty seeds reject") {
+    val p = ppr(Seq((1L, 2L)), Seq(1L, 99L), iters = 1)
+    p.keySet shouldBe Set(1L, 2L, 99L)
+    p.values.sum shouldBe 1.0 +- 1e-9
+    an[IllegalArgumentException] should be thrownBy
+      Graph.personalizedPageRank(Seq((1L, 2L)).toDF("src", "dst"),
+        spark.emptyDataset[Long].toDF("id")).count()
+  }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int = 5) =
+    Graph.labelPropagation(edges.toDF("src", "dst"), iters = iters)
+      .rows.map(r => r.head.asInstanceOf[Long] -> r(1).asInstanceOf[Long])
+      .toMap
+
+  test("labelPropagation: two disjoint bidirectional triangles settle on their min labels") {
+    def tri(a: Long, b: Long, c: Long) =
+      Seq((a, b), (b, a), (b, c), (c, b), (a, c), (c, a))
+    lpa(tri(1L, 2L, 3L) ++ tri(4L, 5L, 6L)) shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L)
+  }
+
+  test("labelPropagation: keep-own without in-neighbors; smallest label wins ties") {
+    // 1→2: node 1 has no in-neighbors and keeps its own label
+    lpa(Seq((1L, 2L)), iters = 1) shouldBe Map(1L -> 1L, 2L -> 1L)
+    // 2→1, 3→1: node 1 sees the tied label set {2, 3} — smallest wins
+    lpa(Seq((2L, 1L), (3L, 1L)), iters = 1) shouldBe
+      Map(1L -> 2L, 2L -> 2L, 3L -> 3L)
+  }
 }

@@ -135,4 +135,29 @@ class MergeQualitySpec extends SparkSpec {
       Quality.expectations(df, rowRules = Seq(
         "r" -> (col("v") <= 0), "r" -> (col("v") > 1e9)))
   }
+
+  test("psiDrift: identical mixtures → 0; one-sided bucket contributes finitely") {
+    import org.apache.spark.sql.functions.col
+    val base = Seq("en", "en", "de", "fr").toDF("lang")
+    val same = Quality.psiDrift(base, base, "lang")
+      .rows.map(r => r(3).asInstanceOf[Float])
+    all(same) shouldBe 0.0f // p == q exactly per bucket
+    // "zh" appears ONLY in current: add-1 smoothing keeps its ln finite,
+    // and the drifted mixture totals strictly above zero
+    val cur = Seq("en", "zh", "zh", "zh").toDF("lang")
+    val out = Quality.psiDrift(base, cur, "lang")
+      .orderBy(col("lang"))
+      .rows.map(r => (r.head, r(1), r(2), r(3).asInstanceOf[Float], r(4).asInstanceOf[Float]))
+    out.map(t => (t._1, t._2, t._3)) shouldBe Seq(
+      ("de", 1L, 0L), ("en", 2L, 1L), ("fr", 1L, 0L), ("zh", 0L, 3L))
+    all(out.map(_._4.isNaN)) shouldBe false
+    out.map(_._5).distinct.size shouldBe 1 // total repeats on every row
+    out.head._5 should be > 0.25f // classic "shifted" threshold
+    // hand-check one term: B = 4 buckets, "zh": p = 1/8, q = 4/8
+    val zh = out.find(_._1 == "zh").get._4
+    zh shouldBe (((1.0 / 8) - (4.0 / 8)) * math.log((1.0 / 8) / (4.0 / 8))).toFloat +- 1e-7f
+    // nulls carry no mass
+    val withNull = Seq(Some("en"), None, Some("de")).toDF("lang")
+    Quality.psiDrift(withNull, withNull, "lang").rows.length shouldBe 2
+  }
 }

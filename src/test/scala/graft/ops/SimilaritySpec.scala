@@ -27,6 +27,43 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2) == null)
   }
 
+  test("binarySignCode/Hamming: word packing, bit 63 reachable, distances exact") {
+    // dim 3 → one word; signs (+,0,−) → only bit 0 set (0 is NOT positive)
+    val df = Seq((1L, Seq(1.0f, 0.0f, -2.0f))).toDF("id", "v")
+    df.select(Similarity.binarySignCode(col("v"), 3).as("w"))
+      .rows.head.head shouldBe Seq(1L)
+    // dim 64 → two words; an all-positive vector fills both to 2^32−1
+    val full = Seq((1L, Seq.fill(64)(1.0f))).toDF("id", "v")
+    full.select(Similarity.binarySignCode(col("v"), 64).as("w"))
+      .rows.head.head shouldBe Seq(0xFFFFFFFFL, 0xFFFFFFFFL)
+    // Hamming across both words: flip component 0 and component 63
+    val pair = Seq((Seq.fill(64)(1.0f),
+      (-1.0f +: Seq.fill(62)(1.0f)) :+ -1.0f)).toDF("a", "b")
+    pair.select(Similarity.binaryHamming(
+        Similarity.binarySignCode(col("a"), 64),
+        Similarity.binarySignCode(col("b"), 64)).as("h"))
+      .rows.head.head shouldBe 2L
+  }
+
+  test("binaryTopK: shortlist-then-rerank returns exact cosine order among survivors") {
+    // with shortlist >= |corpus| the binary path must EQUAL brute force
+    val q = vecs.filter(col("vec_id") === 1L)
+    val exact = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank").rows
+    val bin = Similarity.binaryTopK(q, vecs, "vec_id", "embedding",
+        dim = 3, k = 3, shortlist = 10)
+      .select("query_id", "neighbor_id", "rank").rows
+    bin shouldBe exact
+    // a tight shortlist cuts deterministically: codes are 1→001, 2→010,
+    // 3→001, 4→000, 5→011, so query 1's Hamming order is 3 (h=0), then
+    // the h=1 tie {4, 5} broken by id → shortlist {3, 4}; the exact
+    // rerank then orders them by true cosine (3: 1.0, 4: −1.0)
+    val tight = Similarity.binaryTopK(q, vecs, "vec_id", "embedding",
+        dim = 3, k = 2, shortlist = 2)
+      .select("neighbor_id").rows.map(_.head)
+    tight shouldBe Seq(3L, 4L)
+  }
+
   test("bruteForceTopK: ranks by cosine desc, excludes self, respects k") {
     val out = Similarity.bruteForceTopK(
       vecs.filter(col("vec_id") === 1), vecs, "vec_id", "embedding", k = 3)

@@ -211,6 +211,41 @@ class TextMultimodalSpec extends SparkSpec {
     Multimodal.parseGif(gct) shouldBe Some((320L, 200L, "gif"))
   }
 
+  test("frameDHash: shifted and requantized frames stay within Hamming 3; noise does not") {
+    // a smooth ramp-ish "image row" of 64 bytes
+    val base = Array.tabulate(64)(i => (40 + i * 3 % 180).toByte)
+    val h0 = Multimodal.frameDHash(base, 32)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // one-byte shift (the frame md5 canonical miss): cell averages move
+    // by at most one byte's worth — the gradient signs barely change
+    val shifted = (base.last +: base.init.toSeq).toArray
+    ham(h0, Multimodal.frameDHash(shifted, 32)) should be <= 3
+    // monotone requantize (halve every level): order of cell means is
+    // preserved, so the hash is IDENTICAL
+    val requant = base.map(b => ((b & 0xFF) / 2).toByte)
+    Multimodal.frameDHash(requant, 32) shouldBe h0
+    // an unrelated pattern lands far away
+    val other = Array.tabulate(64)(i => (((i * 37) % 256) ^ 0x5A).toByte)
+    ham(h0, Multimodal.frameDHash(other, 32)) should be > 3
+    // degenerate lengths stay total and deterministic
+    Multimodal.frameDHash(Array.emptyByteArray, 32) shouldBe 0L
+    Multimodal.frameDHash(Array[Byte](7), 32) shouldBe 0L // constant frame: no gradients
+  }
+
+  test("framePerceptualNearDup pairs shifted frames md5 dedup misses; observer stays empty") {
+    val base = Array.tabulate(64)(i => (40 + i * 3 % 180).toByte)
+    val shifted = (base.last +: base.init.toSeq).toArray
+    val other = Array.tabulate(64)(i => (((i * 37) % 256) ^ 0x5A).toByte)
+    val frames = Seq((1L, 0L, base), (2L, 0L, shifted), (3L, 0L, other))
+      .toDF("doc_id", "frame_idx", "frame_bytes")
+    val pairs = Multimodal.framePerceptualNearDup(frames)
+      .select("doc_id_a", "doc_id_b").rows.map(r => (r.head, r(1)))
+    pairs shouldBe Seq((1L, 2L)) // base↔shifted only; `other` pairs with neither
+    // exact-dedup would NOT have caught it: the bytes differ
+    base.sameElements(shifted) shouldBe false
+    Multimodal.frameDHashDroppedBuckets(frames).rows shouldBe empty
+  }
+
   test("normalize folds accents, strips punctuation, collapses whitespace") {
     val df = Seq(
       (1L, "  Héllo,   Wörld! Ça va très bien — naïve façade №9  "),

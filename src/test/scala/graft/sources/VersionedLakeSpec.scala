@@ -30,6 +30,21 @@ class VersionedLakeSpec extends SparkSpec {
       Seq(1L, "p0", 11.0), Seq(3L, "p1", 30.0), Seq(9L, "p0", 99.0))
   }
 
+  test("commit: a near-unique partition column trips maxPartitions loudly, never an unbounded collect") {
+    val root = freshRoot()
+    // partitioning on k itself: every row is its own partition — the
+    // mis-partitioned-table shape the guard exists for
+    val runaway = (1L to 6L).map(i => (i, s"p$i")).toDF("k", "part")
+    val err = intercept[IllegalArgumentException] {
+      VersionedLake.commit(runaway, root, Seq("part"), maxPartitions = 5)
+    }
+    err.getMessage should include("more than 5 distinct partitions")
+    // nothing committed: no manifest appeared
+    VersionedLake.versions(spark, root) shouldBe empty
+    // a deliberate raise admits the same batch
+    VersionedLake.commit(runaway, root, Seq("part"), maxPartitions = 6) shouldBe 1
+  }
+
   test("rollback commits the past manifest as a NEW version; history stays linear") {
     val root = freshRoot()
     VersionedLake.commit(Seq((1L, "a")).toDF("k", "part"), root, Seq("part"))
