@@ -70,4 +70,45 @@ object Resample {
         sum(col("__dur")).as("span_nanos"),
         count(lit(1)).as("n_holds"))
   }
+
+  /** Resample an irregular series onto a REGULAR time grid by forward
+    * fill — the pandas `resample(...).ffill()` / `date_range + merge_asof`
+    * shape every downstream model with a fixed time step needs (a join
+    * between two irregular series is ill-posed; a join between their
+    * grids is trivial). Per key, grid instants are the multiples of
+    * `stepNanos` inside [min(ts), max(ts)] (integer ceil/floor division
+    * — epoch nanos exceed double's exact range, so no float quotient
+    * touches a boundary), and each instant carries the latest
+    * observation at-or-before it via the [[AsOfJoin]] backward pass.
+    * Observations collapse to one row per (key, ts) first (max value —
+    * a deterministic pick both engines replay), so the as-of match is
+    * unambiguous under duplicate timestamps.
+    *
+    * Scale shape: grid size is span/step per key — generated, never
+    * shuffled from data; the as-of is the linear windowed pass, not an
+    * inequality join. A pathological step (nanos-scale over a year span)
+    * would explode the generated grid, so the per-key grid size is
+    * guarded at `maxGridPerKey` — fail loudly, not OOM quietly. */
+  def gridForwardFill(df: DataFrame, key: String, tsNanos: String,
+                      value: String, stepNanos: Long,
+                      maxGridPerKey: Long = 10L * 1000 * 1000): DataFrame = {
+    require(stepNanos > 0, s"stepNanos must be positive, got $stepNanos")
+    val obs = df.filter(col(value).isNotNull && col(tsNanos).isNotNull)
+      .groupBy(col(key), col(tsNanos))
+      .agg(max(col(value)).as("__gv"))
+    val bounds = obs.groupBy(col(key))
+      .agg(min(col(tsNanos)).as("__mn"), max(col(tsNanos)).as("__mx"))
+      .withColumn("__lo", expr(s"(__mn + ${stepNanos - 1}L) div ${stepNanos}L"))
+      .withColumn("__hi", expr(s"__mx div ${stepNanos}L"))
+      .where(assert_true(col("__hi") - col("__lo") <= maxGridPerKey,
+        lit(s"gridForwardFill: a key's span/step exceeds $maxGridPerKey " +
+          "grid points — coarsen stepNanos")).isNull)
+    val grid = bounds.filter(col("__lo") <= col("__hi"))
+      .select(col(key),
+        explode(sequence(col("__lo"), col("__hi"))).as("__m"))
+      .select(col(key), (col("__m") * stepNanos).as(tsNanos))
+    AsOfJoin.asOf(grid, obs, on = tsNanos, by = Seq(key),
+        valueCols = Seq("__gv"), direction = "backward")
+      .select(col(key), col(tsNanos), col("asof___gv").as(value))
+  }
 }

@@ -115,4 +115,63 @@ object Retrieval {
         col("rrf_score").cast("float").as("rrf_score"), col("n_lists"),
         col("rank"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998): greedily pick `k` results per query trading relevance
+    * against redundancy — pick₁ = argmax rel; pickᵢ = argmax
+    * λ·rel − (1−λ)·max_{s ∈ picked} cos(cand, s). The standard
+    * diversifier over a near-dup-heavy corpus, where a plain top-k
+    * returns k copies of the same answer.
+    *
+    * Input is a CANDIDATE SHORTLIST (query_id, `id`, `rel`, `vec`) —
+    * typically a top-N from [[bm25TopK]] / cosine retrieval joined back
+    * to its vectors — NOT a corpus: the candidate×picked similarity
+    * join is |shortlist|·k per query by construction, so the op scales
+    * with the shortlist dial, never the corpus (run the shortlist
+    * through the salted top-k machinery first at 100 TB). k driver
+    * rounds, each one bounded join + argmax window, localCheckpoint'd
+    * like the other fixed-iteration ops; every argmax is deterministic
+    * (score desc, id asc), so the greedy trajectory — not just the
+    * final set — is engine-replayable. Zero-norm vectors are rejected
+    * loudly: their null cosine would make the argmax ordering
+    * engine-dependent. */
+  def mmrDiversify(candidates: DataFrame, k: Int, lambda: Double = 0.5,
+                   id: String = "doc_id", rel: String = "rel",
+                   vec: String = "cv"): DataFrame = {
+    require(k >= 1, s"need at least one pick, got $k")
+    require(lambda > 0 && lambda <= 1, s"lambda must be in (0,1], got $lambda")
+    val cand = candidates.select(col("query_id"), col(id),
+        col(rel).cast("double").as("__rel"), col(vec).as("__v"))
+      .where(assert_true(Similarity.norm(col("__v")) > 0,
+        lit("mmrDiversify: zero-norm candidate vector")).isNull)
+      .localCheckpoint()
+    def pickTop(scored: DataFrame, score: Column): DataFrame = {
+      val w = Window.partitionBy(col("query_id")).orderBy(score.desc, col(id))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    val s1 = pickTop(cand, col("__rel")).withColumn("mmr_rank", lit(1L))
+      .localCheckpoint()
+    val (selected, _) = (2 to k).foldLeft(
+      (s1, cand.join(s1.select(col("query_id"), col(id)),
+        Seq("query_id", id), "left_anti").localCheckpoint())) {
+      case ((sel, rem), i) =>
+        val selSide = sel.select(col("query_id"), col("__v").as("__sv"))
+        val msim = rem.select(col("query_id"), col(id), col("__v"))
+          .join(selSide, Seq("query_id"))
+          .groupBy(col("query_id"), col(id))
+          .agg(max(Similarity.cosine(col("__v"), col("__sv"))).as("__msim"))
+        val scored = rem.join(msim, Seq("query_id", id))
+          .withColumn("__score",
+            lit(lambda) * col("__rel") - lit(1 - lambda) * col("__msim"))
+        val next = pickTop(scored, col("__score"))
+          .withColumn("mmr_rank", lit(i.toLong))
+          .select(sel.columns.map(col): _*)
+        (sel.union(next).localCheckpoint(),
+          rem.join(next.select(col("query_id"), col(id)),
+            Seq("query_id", id), "left_anti").localCheckpoint())
+    }
+    selected.select(col("query_id"), col(id),
+      col("__rel").as(rel), col("mmr_rank"))
+  }
 }

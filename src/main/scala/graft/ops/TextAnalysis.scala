@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -197,5 +198,47 @@ object TextAnalysis {
     val codes = transform(split(canonical(col(text)), ""), c => ascii(c).cast("long"))
     df.withColumn(out,
       aggregate(codes, lit(0L), (acc, c) => (acc * lit(257L) + c) % lit(1000000007L)))
+  }
+
+  /** Zipf rank–frequency fit over the corpus vocabulary: least-squares
+    * slope/intercept of ln(freq) against ln(rank) for the `topN` most
+    * frequent tokens — the curation health check on any scraped corpus
+    * (natural language sits near slope −1; a template-dominated or
+    * boilerplate-heavy crawl bends visibly away, and the fit quantifies
+    * it). Token ranks are (freq desc, token asc) — a total order, so
+    * the fitted sample is identical across engines.
+    *
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept = ȳ − m·x̄;
+    * every Σ quantizes its double ln-products to DECIMAL(30,12) first
+    * (the repo's ln-quantization pattern — order-independent sums), the
+    * closing arithmetic is a handful of IEEE ops, and the result
+    * surfaces as FLOAT. One token aggregation (map-side combined) + a
+    * topN window over the |vocabulary| frame — the corpus is scanned
+    * once; nothing occurrence-sized is shuffled twice. */
+  def zipfFit(df: DataFrame, text: String = "text", topN: Int = 100): DataFrame = {
+    require(topN >= 2, s"need at least two ranks to fit a line, got $topN")
+    val d30 = (c: Column) => c.cast("decimal(30,12)")
+    val freqs = df
+      .select(explode(tokens(col(text))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("tok"))
+    val ranked = freqs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(d30(col("x"))).cast("double").as("sx"),
+        sum(d30(col("y"))).cast("double").as("sy"),
+        sum(d30(col("x") * col("y"))).cast("double").as("sxy"),
+        sum(d30(col("x") * col("x"))).cast("double").as("sxx"))
+      .select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+          .cast("float").as("zipf_slope"),
+        ((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n")).cast("float").as("zipf_intercept"))
   }
 }

@@ -230,6 +230,17 @@ object AnalyticsQueries {
           col("span_nanos"), col("n_holds"))
         .orderBy(col("event_type"))),
 
+    // ── Regular-grid forward-fill resample: each event type's irregular
+    // series sampled onto daily instants (integer ceil/floor grid
+    // bounds), value = latest observation at-or-before the instant via
+    // the as-of backward pass; duplicate-timestamp observations collapse
+    // to max(value) first so the fill is unambiguous in both engines.
+    "ts_resample_ffill" -> ((s, dir) =>
+      Resample.gridForwardFill(Tables.events(s, dir), key = "event_type",
+          tsNanos = "ts", value = "value",
+          stepNanos = 86400L * 1000000000L)
+        .orderBy(col("event_type"), col("ts"))),
+
     // ── Table profile: exact per-column n/null/distinct over orders —
     // one multi-distinct aggregate pass, unpivoted to long form.
     "table_profile" -> ((s, dir) =>
@@ -1228,6 +1239,21 @@ object AnalyticsQueries {
         | CAST(greatest(COALESCE(max(CASE WHEN d = 1 THEN level END), 0),
         |   first(prev_level ORDER BY t, d)) AS BIGINT) AS peak_concurrency
         |FROM pv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ts_resample_ffill" ->
+      """WITH obs AS (SELECT event_type, epoch_ns(ts) AS t, max(value) AS v
+        |     FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |     GROUP BY 1, 2),
+        | b AS (SELECT event_type, min(t) AS mn, max(t) AS mx
+        |       FROM obs GROUP BY 1),
+        | g AS (SELECT event_type,
+        |         unnest(range((mn + 86399999999999) // 86400000000000,
+        |           mx // 86400000000000 + 1)) * 86400000000000 AS t
+        |       FROM b)
+        |SELECT g.event_type, CAST(g.t AS BIGINT) AS ts, o.v AS value
+        |FROM g ASOF JOIN obs o
+        |  ON g.event_type = o.event_type AND g.t >= o.t
+        |ORDER BY 1, 2""".stripMargin,
 
     "ts_twap" ->
       """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS t, event_id,

@@ -192,6 +192,26 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // MMR diversified re-rank: cosine top-10 shortlist per query, then
+    // 5 greedy λ=0.5 rounds trading relevance against similarity to the
+    // already-picked set — the near-dup-suppressing final ranker. The
+    // whole greedy trajectory (argmax per round, ties by id) is
+    // deterministic, so the oracle replays every pick.
+    "retrieval_mmr_diversify" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val top = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 4), emb, "vec_id", "embedding", k = 10)
+      val cand = top.join(
+          emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+          Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          col("cosine").as("rel"), col("cv"))
+      Retrieval.mmrDiversify(cand, k = 5, lambda = 0.5, id = "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          col("rel").cast("float").as("rel"), col("mmr_rank"))
+        .orderBy(col("query_id"), col("mmr_rank"))
+    }),
+
     // BINARY-quantized ANN: 1-bit sign codes (two 32-bit words for
     // dim 64 — 32× compression), integer-popcount Hamming shortlist
     // (40 per query, deterministic (hamming, id) cut), exact-cosine
@@ -865,6 +885,52 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "sim_cosine_topk" -> simCosineTopkSql,
+
+    // MMR replay: same top-10 shortlist, then the five greedy rounds
+    // unrolled — each round's argmax is a row_number pick over
+    // (score desc, id), score = 0.5·rel − 0.5·max-cosine-to-picked
+    "retrieval_mmr_diversify" -> {
+      val rounds = (2 to 5).map { i =>
+        s""" ms$i AS (SELECT r.query_id, r.neighbor_id,
+           |     max(list_cosine_similarity(r.cv, s.cv)) AS msim
+           |   FROM rem${i - 1} r JOIN sel${i - 1} s USING (query_id)
+           |   GROUP BY 1, 2),
+           | sc$i AS (SELECT r.query_id, r.neighbor_id, r.rel, r.cv,
+           |     CAST(0.5 AS DOUBLE) * r.rel - CAST(0.5 AS DOUBLE) * m.msim AS score
+           |   FROM rem${i - 1} r JOIN ms$i m
+           |     ON m.query_id = r.query_id AND m.neighbor_id = r.neighbor_id),
+           | p$i AS (SELECT query_id, neighbor_id, rel, cv,
+           |     CAST($i AS BIGINT) AS mmr_rank FROM (
+           |     SELECT *, row_number() OVER (PARTITION BY query_id
+           |       ORDER BY score DESC, neighbor_id) AS rn FROM sc$i) z
+           |   WHERE rn = 1),
+           | sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM p$i),
+           | rem$i AS (SELECT r.* FROM rem${i - 1} r
+           |   WHERE NOT EXISTS (SELECT 1 FROM p$i p
+           |     WHERE p.query_id = r.query_id AND p.neighbor_id = r.neighbor_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+         | q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id < 4),
+         | s0 AS (SELECT query_id, vec_id AS neighbor_id,
+         |     list_cosine_similarity(qv, dv) AS rel, dv AS cv
+         |   FROM q JOIN v ON query_id <> vec_id),
+         | cand AS (SELECT query_id, neighbor_id, rel, cv FROM (
+         |     SELECT *, row_number() OVER (PARTITION BY query_id
+         |       ORDER BY rel DESC, neighbor_id) AS rn FROM s0) z
+         |   WHERE rn <= 10),
+         | p1 AS (SELECT query_id, neighbor_id, rel, cv,
+         |     CAST(1 AS BIGINT) AS mmr_rank FROM (
+         |     SELECT *, row_number() OVER (PARTITION BY query_id
+         |       ORDER BY rel DESC, neighbor_id) AS rn FROM cand) z
+         |   WHERE rn = 1),
+         | sel1 AS (SELECT * FROM p1),
+         | rem1 AS (SELECT c.* FROM cand c
+         |   WHERE NOT EXISTS (SELECT 1 FROM p1 p
+         |     WHERE p.query_id = c.query_id AND p.neighbor_id = c.neighbor_id)),
+         |$rounds
+         |SELECT query_id, neighbor_id, CAST(rel AS REAL) AS rel, mmr_rank
+         |FROM sel5 ORDER BY query_id, mmr_rank""".stripMargin
+    },
 
     // binary sign codes as two 32-bit words (bit 63 via 1<<63 would
     // overflow DuckDB's signed shift — the word split avoids it in both

@@ -456,6 +456,14 @@ object TextQueries {
           col("k.frame_idx").as("keeper_frame_idx"))
         .orderBy(col("frame_hash"))),
 
+    // Zipf rank–frequency fit over the top-100 vocabulary: the corpus-
+    // health regression (natural text ≈ slope −1; template/boilerplate
+    // dominance bends it), every ln-sum decimal-quantized so both
+    // engines fit the identical line.
+    "text_zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(Tables.documents(s, dir), topN = 100)
+        .orderBy(col("n"))),
+
     // PSI drift between two corpus snapshots' language mixtures — the
     // training-data drift gate: per-bucket (p−q)·ln(p/q) contributions
     // with add-1 smoothing over the union of observed buckets (a
@@ -719,6 +727,28 @@ object TextQueries {
     "graph_ppr" -> graphPprSql,
 
     "graph_communities" -> graphCommunitiesSql,
+
+    "text_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+        |             FROM documents),
+        | f AS (SELECT tok, count(*) AS freq FROM tok
+        |       WHERE length(tok) > 0 GROUP BY 1),
+        | r AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+        |         ln(CAST(freq AS DOUBLE)) AS y FROM (
+        |     SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rank
+        |     FROM f) z
+        |   WHERE rank <= 100),
+        | a AS (SELECT count(*) AS n,
+        |     CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+        |     CAST(sum(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+        |     CAST(sum(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+        |     CAST(sum(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx
+        |   FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) AS REAL) AS zipf_slope,
+        |  CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+        |    AS REAL) AS zipf_intercept
+        |FROM a ORDER BY n""".stripMargin,
 
     "dq_psi_drift" ->
       """WITH b AS (SELECT lang, count(*) AS n_base FROM documents

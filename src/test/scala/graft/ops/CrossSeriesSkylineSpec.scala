@@ -142,6 +142,25 @@ class CrossSeriesSkylineSpec extends SparkSpec {
     Resample.timeWeightedAvg(df, "k0", "ts", "id", "value").rows shouldBe empty
   }
 
+  test("gridForwardFill: daily grid inside [min,max], forward fill, duplicate-ts collapse") {
+    val obs = Seq(
+      ("a", 5L, 1.0), ("a", 5L, 3.0), // duplicate instant → max = 3.0
+      ("a", 25L, 2.0),
+      ("b", 7L, 9.0) // span < step → no grid point
+    ).toDF("k0", "ts", "value")
+    val out = Resample.gridForwardFill(obs, "k0", "ts", "value", stepNanos = 10L)
+      .orderBy("k0", "ts").rows.map(r => (r.head, r(1), r(2)))
+    // grid for a: t = 10, 20 (ceil(5/10)=1 .. floor(25/10)=2); both
+    // carry the last observation at-or-before them (ts 5 → 3.0)
+    out shouldBe Seq(("a", 10L, 3.0), ("a", 20L, 3.0))
+    // a grid instant exactly on an observation takes it, not the prior
+    val exact = Resample.gridForwardFill(
+        Seq(("a", 10L, 5.0), ("a", 20L, 7.0)).toDF("k0", "ts", "value"),
+        "k0", "ts", "value", stepNanos = 10L)
+      .orderBy("ts").rows.map(r => (r(1), r(2)))
+    exact shouldBe Seq((10L, 5.0), (20L, 7.0))
+  }
+
   // ── peak concurrency ───────────────────────────────────────────────
 
   test("peakConcurrency: sweep counts overlaps; half-open boundaries never double-count") {

@@ -46,4 +46,24 @@ class RetrievalSpec extends SparkSpec {
     out.head(2).asInstanceOf[Float].toDouble shouldBe (1.0 / 61 + 1.0 / 62) +- 1e-6
     out(1)(2).asInstanceOf[Float].toDouble shouldBe (1.0 / 61) +- 1e-6
   }
+
+  test("mmrDiversify: picks relevance first, then diversity over a redundant near-dup") {
+    // c2 is a near-copy of c1 (cosine ≈ 1) with almost its relevance;
+    // c3 is orthogonal but less relevant. Plain top-2 = {c1, c2};
+    // MMR λ=0.5 round 2: score(c2) = 0.5·0.94 − 0.5·~1 < 0,
+    // score(c3) = 0.5·0.5 − 0 = 0.25 → {c1, c3}.
+    val cand = Seq(
+      (9L, 1L, 0.95, Seq(1.0f, 0.0f)),
+      (9L, 2L, 0.94, Seq(0.999f, 0.01f)),
+      (9L, 3L, 0.50, Seq(0.0f, 1.0f))
+    ).toDF("query_id", "doc_id", "rel", "cv")
+    val out = Retrieval.mmrDiversify(cand, k = 2).orderBy("mmr_rank")
+      .rows.map(r => (r(1), r(3)))
+    out shouldBe Seq((1L, 1L), (3L, 2L))
+    // k beyond the candidate count just exhausts the list
+    Retrieval.mmrDiversify(cand, k = 5).count() shouldBe 3L
+    // a zero-norm vector fails loudly, not with an engine-dependent null
+    val bad = Seq((9L, 1L, 0.9, Seq(0.0f, 0.0f))).toDF("query_id", "doc_id", "rel", "cv")
+    an[Exception] should be thrownBy Retrieval.mmrDiversify(bad, k = 1).count()
+  }
 }

@@ -246,6 +246,17 @@ class TextMultimodalSpec extends SparkSpec {
     Multimodal.frameDHashDroppedBuckets(frames).rows shouldBe empty
   }
 
+  test("zipfFit: an exact 1/r frequency law fits slope −1, intercept ln C") {
+    // freqs 12, 6, 4, 3 = 12/r for ranks 1..4 → ln f = ln 12 − 1·ln r
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val out = TextAnalysis.zipfFit(Seq((1L, text)).toDF("doc_id", "text"),
+      topN = 100).rows.head
+    out.head shouldBe 4L
+    out(1).asInstanceOf[Float] shouldBe -1.0f +- 1e-5f
+    out(2).asInstanceOf[Float] shouldBe math.log(12.0).toFloat +- 1e-5f
+  }
+
   test("normalize folds accents, strips punctuation, collapses whitespace") {
     val df = Seq(
       (1L, "  Héllo,   Wörld! Ça va très bien — naïve façade №9  "),
