@@ -639,6 +639,30 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** SEMANTIC decontamination flags: for every corpus row, the max
+    * cosine to any probe (benchmark/test-set) vector and whether it
+    * crosses `threshold` — the embedding-space complement of the
+    * n-gram decontamination pass (a paraphrased test question shares
+    * no 8-gram but sits at cosine ≈ 1). One streamed corpus scan
+    * against the broadcast probe set (blocked fallback above
+    * `maxBroadcastQueries` — [[bruteForceTopK]]'s contract), one
+    * map-side-combined max per corpus row; nothing pair-sized
+    * shuffles. Corpus rows sharing an id with a probe are excluded
+    * from their own comparison (the product join's self-filter) —
+    * keep probe and corpus id spaces disjoint, as any decontamination
+    * pipeline does. */
+  def semanticContamination(corpus: DataFrame, probes: DataFrame,
+                            id: String, vec: String, threshold: Double,
+                            maxBroadcastQueries: Int = DefaultMaxBroadcastQueries): DataFrame = {
+    val q = probes.select(col(id).as("query_id"), col(vec).as("qv"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
+    queryProductJoin(c, q, maxBroadcastQueries)
+      .groupBy(col("neighbor_id"))
+      .agg(max(cosine(col("qv"), col("cv"))).as("max_probe_cosine"))
+      .select(col("neighbor_id").as(id), col("max_probe_cosine"),
+        (col("max_probe_cosine") >= threshold).as("contaminated"))
+  }
+
   // ── binary (sign) quantization ──────────────────────────────────────
 
   /** 1-bit sign quantization: the vector's sign pattern packed into

@@ -192,6 +192,50 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // SEMANTIC decontamination: max cosine from each corpus vector
+    // (vec_id ≥ 8) to the probe/test set (vec_id < 8), flagged at the
+    // semantic-dedup threshold — catches the paraphrased benchmark
+    // leakage the n-gram decontamination pass cannot see.
+    "emb_semantic_decontam" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticContamination(
+          corpus = emb.filter(col("vec_id") >= 8),
+          probes = emb.filter(col("vec_id") < 8),
+          id = "vec_id", vec = "embedding", threshold = 0.35)
+        .select(col("vec_id"),
+          col("max_probe_cosine").cast("float").as("max_probe_cosine"),
+          col("contaminated"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ANN QUALITY EVAL in-engine: recall@5 and top-1 coverage of the
+    // IVF probe path against the exact brute-force ranking, per query —
+    // the measurement loop that turns "approximate" from a shrug into a
+    // number (and, run per index build, the regression gate a 100 TB
+    // vector lake needs before swapping indexes).
+    "sim_recall_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").as("exact_rank"))
+      val cents = Similarity.dataCentroids(emb, "vec_id", "embedding", k = 16)
+      val approx = Similarity.ivfTopK(
+          queries = emb.filter(col("vec_id") < 8), candidates = emb,
+          id = "vec_id", vec = "embedding", dim = dim, k = 5,
+          nCentroids = 16, nprobe = 4, centroids = Some(cents))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").as("approx_rank"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("approx_rank")).as("n_found"),
+          (count(col("approx_rank")).cast("double") / lit(5.0))
+            .cast("float").as("recall_at_5"),
+          (max(when(col("exact_rank") === 1 && col("approx_rank").isNotNull,
+            1L).otherwise(0L)) === 1).as("top1_found"))
+        .orderBy(col("query_id"))
+    }),
+
     // MMR diversified re-rank: cosine top-10 shortlist per query, then
     // 5 greedy λ=0.5 rounds trading relevance against similarity to the
     // already-picked set — the near-dup-suppressing final ranker. The
@@ -885,6 +929,57 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "sim_cosine_topk" -> simCosineTopkSql,
+
+    "emb_semantic_decontam" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+        | q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id < 8),
+        | c AS (SELECT vec_id AS neighbor_id, dv AS cv FROM v WHERE vec_id >= 8)
+        |SELECT neighbor_id AS vec_id,
+        |  CAST(max(list_cosine_similarity(qv, cv)) AS REAL) AS max_probe_cosine,
+        |  max(list_cosine_similarity(qv, cv)) >= 0.35 AS contaminated
+        |FROM q JOIN c ON query_id <> neighbor_id
+        |GROUP BY 1 ORDER BY vec_id""".stripMargin,
+
+    // recall replay: the exact ranking (sim_cosine_topk's CTEs) left-
+    // joined against the IVF ranking (sim_ivf_data_topk's CTEs), both
+    // verbatim, folded to per-query hit counts
+    "sim_recall_eval" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+        | q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id < 8),
+        | ex AS (SELECT query_id, neighbor_id, rank FROM (
+        |     SELECT query_id, vec_id AS neighbor_id,
+        |       row_number() OVER (PARTITION BY query_id
+        |         ORDER BY list_cosine_similarity(qv, dv) DESC, vec_id) AS rank
+        |     FROM q JOIN v ON query_id <> vec_id) z WHERE rank <= 5),
+        | cent AS (SELECT vec_id AS centroid_id, dv AS cvec FROM v WHERE vec_id < 16),
+        | assign AS (SELECT vec_id, centroid_id, dv,
+        |     row_number() OVER (PARTITION BY vec_id ORDER BY
+        |       COALESCE(list_cosine_similarity(dv, cvec), -2) DESC,
+        |       centroid_id DESC) AS rn
+        |   FROM v CROSS JOIN cent),
+        | idx AS (SELECT vec_id AS neighbor_id, centroid_id, dv AS cv
+        |         FROM assign WHERE rn = 1),
+        | probes AS (SELECT query_id, qv, centroid_id,
+        |     row_number() OVER (PARTITION BY query_id ORDER BY
+        |       COALESCE(list_cosine_similarity(qv, cvec), -2) DESC,
+        |       centroid_id DESC) AS pr
+        |   FROM q CROSS JOIN cent),
+        | ap AS (SELECT query_id, neighbor_id FROM (
+        |     SELECT p.query_id, i.neighbor_id,
+        |       row_number() OVER (PARTITION BY p.query_id ORDER BY
+        |         list_cosine_similarity(p.qv, i.cv) DESC, i.neighbor_id) AS rank
+        |     FROM (SELECT query_id, qv, centroid_id FROM probes WHERE pr <= 4) p
+        |     JOIN idx i USING (centroid_id)
+        |     WHERE p.query_id <> i.neighbor_id) z WHERE rank <= 5)
+        |SELECT e.query_id,
+        |  CAST(count(a.neighbor_id) AS BIGINT) AS n_found,
+        |  CAST(CAST(count(a.neighbor_id) AS DOUBLE) / CAST(5.0 AS DOUBLE)
+        |    AS REAL) AS recall_at_5,
+        |  max(CASE WHEN e.rank = 1 AND a.neighbor_id IS NOT NULL
+        |      THEN 1 ELSE 0 END) = 1 AS top1_found
+        |FROM ex e LEFT JOIN ap a
+        |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        |GROUP BY 1 ORDER BY e.query_id""".stripMargin,
 
     // MMR replay: same top-10 shortlist, then the five greedy rounds
     // unrolled — each round's argmax is a row_number pick over

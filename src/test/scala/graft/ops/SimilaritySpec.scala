@@ -27,6 +27,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2) == null)
   }
 
+  test("semanticContamination: max probe cosine per corpus row; threshold flags") {
+    val probes = Seq((1L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.1f, 0.0f)),  // nearly the probe → flagged
+      (11L, Seq(0.0f, 1.0f, 0.0f))   // orthogonal → clean
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticContamination(corpus, probes,
+        "vec_id", "embedding", threshold = 0.9)
+      .orderBy("vec_id").rows
+      .map(r => (r.head, r(1).asInstanceOf[Double], r(2)))
+    out.map(_._1) shouldBe Seq(10L, 11L)
+    out.head._2 shouldBe (1.0 / math.sqrt(1.01)) +- 1e-9
+    out.map(_._3) shouldBe Seq(true, false)
+  }
+
   test("binarySignCode/Hamming: word packing, bit 63 reachable, distances exact") {
     // dim 3 → one word; signs (+,0,−) → only bit 0 set (0 is NOT positive)
     val df = Seq((1L, Seq(1.0f, 0.0f, -2.0f))).toDF("id", "v")
