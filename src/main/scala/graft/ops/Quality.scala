@@ -203,6 +203,46 @@ object Quality {
     * on every row via a DECIMAL(30,12)-quantized window sum (order-
     * independent, so the cross-engine equality survives the float
     * downcast). */
+  /** Exact two-sample Kolmogorov–Smirnov statistic between two
+    * snapshots of a NUMERIC column — the continuous complement of
+    * [[psiDrift]]'s categorical gate: ks = max_v |F₁(v) − F₂(v)| over
+    * the union of observed values, no binning choice to argue about.
+    * Evaluating the ECDF gap at observed values only is exact: between
+    * observations both ECDFs are constant, so the supremum is attained
+    * at a sample point.
+    *
+    * Scale shape: each side collapses to its DISTINCT-value histogram
+    * first (map-side combined), so the running-sum window ranges over
+    * distinct values, not rows — the [[graft.ops.Percentiles]]
+    * equi-depth contract, with the same caveat: a near-unique column at
+    * extreme scale should be quantized (e.g. round to cents) before the
+    * gate. The division is the only float step; comparisons and the max
+    * are order-free, so the statistic replays exactly. */
+  def ksDrift(base: DataFrame, current: DataFrame, value: String): DataFrame = {
+    def hist(df: DataFrame, out: String) =
+      df.filter(col(value).isNotNull)
+        .groupBy(col(value)).agg(count(lit(1)).as(out))
+    val j = hist(base, "__c1").join(hist(current, "__c2"), Seq(value), "full_outer")
+      .select(col(value),
+        coalesce(col("__c1"), lit(0L)).as("__c1"),
+        coalesce(col("__c2"), lit(0L)).as("__c2"))
+    val totals = j.agg(sum(col("__c1")).as("__n1"), sum(col("__c2")).as("__n2"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(value))
+      .rowsBetween(Long.MinValue, 0)
+    j.withColumn("__f1", sum(col("__c1")).over(w))
+      .withColumn("__f2", sum(col("__c2")).over(w))
+      .crossJoin(broadcast(totals))
+      // an ECDF over zero observations is undefined — surface a clear
+      // message instead of a bare ANSI divide-by-zero
+      .where(assert_true(col("__n1") > 0 && col("__n2") > 0,
+        lit("ksDrift: a snapshot has no non-null values")).isNull)
+      .agg(
+        max(abs(col("__f1").cast("double") / col("__n1").cast("double") -
+          col("__f2").cast("double") / col("__n2").cast("double")))
+          .cast("float").as("ks_stat"),
+        max(col("__n1")).as("n_base"), max(col("__n2")).as("n_cur"))
+  }
+
   def psiDrift(base: DataFrame, current: DataFrame, bucket: String): DataFrame = {
     def side(df: DataFrame, out: String) =
       df.filter(col(bucket).isNotNull)

@@ -97,6 +97,17 @@ object RelationalQueries {
             ("o_custkey_in_customer", Tables.customer(s, dir), "o_custkey", "c_custkey")))
         .orderBy(col("rule"))),
 
+    // ── Exact two-sample KS statistic: did the order-value distribution
+    // move across the 1998 boundary? The continuous drift gate beside
+    // dq_psi_drift's categorical one — max ECDF gap over the union of
+    // observed prices, distinct-value histograms first so the window
+    // ranges over values, never rows.
+    "dq_ks_drift" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      Quality.ksDrift(o.filter(col("o_orderdate") < "1998-01-01"),
+        o.filter(col("o_orderdate") >= "1998-01-01"), "o_totalprice")
+    }),
+
     // ── Window family (SURVEY §2.5) ─────────────────────────────────────
     // (l_orderkey, l_linenumber) is NOT unique in this lake — the window
     // order and the output order both carry the full identifying tuple so
@@ -639,6 +650,26 @@ object RelationalQueries {
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         | min(l_extendedprice) AS min_price
         |FROM lineitem""".stripMargin,
+
+    "dq_ks_drift" ->
+      """WITH b AS (SELECT o_totalprice AS v, count(*) AS c1 FROM orders
+        |     WHERE o_orderdate < DATE '1998-01-01' GROUP BY 1),
+        | c AS (SELECT o_totalprice AS v, count(*) AS c2 FROM orders
+        |     WHERE o_orderdate >= DATE '1998-01-01' GROUP BY 1),
+        | j AS (SELECT COALESCE(b.v, c.v) AS v, COALESCE(c1, 0) AS c1,
+        |         COALESCE(c2, 0) AS c2
+        |       FROM b FULL JOIN c ON b.v = c.v),
+        | t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM j),
+        | cum AS (SELECT v,
+        |     sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |       AND CURRENT ROW) AS f1,
+        |     sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |       AND CURRENT ROW) AS f2
+        |   FROM j)
+        |SELECT CAST(max(abs(CAST(f1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |    CAST(f2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS REAL) AS ks_stat,
+        |  CAST(max(n1) AS BIGINT) AS n_base, CAST(max(n2) AS BIGINT) AS n_cur
+        |FROM cum CROSS JOIN t""".stripMargin,
 
     // null predicates count as violations (coalesce TRUE) on both sides
     "dq_expectations" ->

@@ -136,6 +136,22 @@ class MergeQualitySpec extends SparkSpec {
         "r" -> (col("v") <= 0), "r" -> (col("v") > 1e9)))
   }
 
+  test("ksDrift: hand-computed ECDF gap; identical snapshots → 0") {
+    import org.apache.spark.sql.functions.col
+    val base = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val cur = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    // union {1..6}: F1 = .25,.5,.75,1,1,1; F2 = 0,0,.25,.5,.75,1 → max gap .5
+    val out = Quality.ksDrift(base, cur, "v").rows.head
+    out.head.asInstanceOf[Float] shouldBe 0.5f +- 1e-7f
+    out(1) shouldBe 4L
+    out(2) shouldBe 4L
+    Quality.ksDrift(base, base, "v").rows.head.head
+      .asInstanceOf[Float] shouldBe 0.0f
+    // nulls carry no mass on either side
+    val withNull = Seq(Some(1.0), None).toDF("v")
+    Quality.ksDrift(withNull, withNull, "v").rows.head(1) shouldBe 1L
+  }
+
   test("psiDrift: identical mixtures → 0; one-sided bucket contributes finitely") {
     import org.apache.spark.sql.functions.col
     val base = Seq("en", "en", "de", "fr").toDF("lang")
