@@ -71,4 +71,46 @@ object Reconcile {
       .filter(col("change").isNotNull)
       .drop("__present_b", "__present_a")
   }
+
+  /** Bucket-level checksum reconciliation — the data-diff pattern for
+    * tables too big to row-compare blindly: hash every row to an
+    * order-independent fingerprint term, fold terms per md5-derived
+    * key bucket, and compare |buckets| (count, checksum) pairs instead
+    * of 2×N rows. Matching buckets are PROVEN-equal-with-high-
+    * probability and skipped; only mismatched buckets go to the
+    * row-level [[snapshotDiff]] — which turns a cross-region 100 TB
+    * "are these copies identical?" into a |buckets|-row compare plus
+    * row work proportional to the actual damage.
+    *
+    * The fingerprint is md5 over the compare columns' string forms
+    * (nulls marked distinctly — concat_ws would silently collapse a
+    * null into an empty string), summed as the first-8-hex-digit int64
+    * of each row's digest: addition commutes, so partitioning and
+    * order cannot change a bucket's checksum, and every step is
+    * engine-portable. CONTRACT: compare columns must have engine-
+    * portable string forms (ints, strings, dates, decimals) — cast
+    * doubles to DECIMAL/cents first, or two engines' float formatting
+    * will disagree on identical data. */
+  def bucketChecksums(a: DataFrame, b: DataFrame, key: String,
+                      cols: Seq[String], buckets: Int = 256): DataFrame = {
+    require(cols.nonEmpty, "bucketChecksums needs compare columns")
+    require(buckets >= 1, s"need at least one bucket, got $buckets")
+    val fp = md5(concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002NULL"))): _*))
+    val term = conv(substring(fp, 1, 8), 16, 10).cast("long")
+    def side(df: DataFrame, suffix: String) =
+      df.withColumn("__bkt", Sampling.hashBucket(col(key), buckets, tag = "ck:"))
+        .withColumn("__t", term)
+        .groupBy(col("__bkt"))
+        .agg(count(lit(1)).as(s"n_$suffix"), sum(col("__t")).as(s"sum_$suffix"))
+    side(a, "a").join(side(b, "b"), Seq("__bkt"), "full_outer")
+      .select(col("__bkt").as("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("sum_a"), lit(0L)).as("checksum_a"),
+        coalesce(col("sum_b"), lit(0L)).as("checksum_b"),
+        (coalesce(col("n_a"), lit(0L)) === coalesce(col("n_b"), lit(0L)) &&
+          coalesce(col("sum_a"), lit(0L)) === coalesce(col("sum_b"), lit(0L)))
+          .as("bucket_match"))
+  }
 }

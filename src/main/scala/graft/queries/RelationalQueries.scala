@@ -108,6 +108,26 @@ object RelationalQueries {
         o.filter(col("o_orderdate") >= "1998-01-01"), "o_totalprice")
     }),
 
+    // ── Bucket-checksum reconciliation: orders vs a deterministically
+    // damaged copy (one key in 997 dropped, one price in 1000 bumped a
+    // cent) — the data-diff pattern localizes the damage to its md5 key
+    // buckets from |buckets| (count, checksum) rows; clean buckets are
+    // proven equal without row-level work. Doubles travel as integer
+    // cents per the op's engine-portable-string contract.
+    "reconcile_bucket_checksums" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("pc"),
+        col("o_orderdate").cast("date").as("d"))
+      val damaged = base.filter(col("o_orderkey") % 997 =!= 0)
+        .withColumn("pc", when(col("o_orderkey") % 1000 === 0,
+          col("pc") + 1).otherwise(col("pc")))
+      graft.ops.Reconcile.bucketChecksums(base, damaged,
+          key = "o_orderkey",
+          cols = Seq("o_orderkey", "o_orderstatus", "pc", "d"), buckets = 64)
+        .orderBy(col("bucket"))
+    }),
+
     // ── Window family (SURVEY §2.5) ─────────────────────────────────────
     // (l_orderkey, l_linenumber) is NOT unique in this lake — the window
     // order and the output order both carry the full identifying tuple so
@@ -128,6 +148,18 @@ object RelationalQueries {
           value = "value", window = 30, out = "rolling_vol")
         .select(col("user_id"), col("event_id"),
           col("rolling_vol").cast("float").as("rolling_vol"))
+        .orderBy(col("user_id"), col("event_id"))),
+
+    // ── Truncated EWMA (RiskMetrics smoother) per user series: 20
+    // explicit lags with literal α(1−α)^i weights, renormalized over
+    // the PRESENT lags — the scalable, engine-replayable form of the
+    // sequential recursion (see Volatility.ewma's scaladoc).
+    "w_ewma" -> ((s, dir) =>
+      Volatility.ewma(Tables.events(s, dir), partition = Seq("user_id"),
+          order = Seq("ts", "event_id"), value = "value",
+          alpha = 0.1, lags = 20)
+        .select(col("user_id"), col("event_id"),
+          col("ewma").cast("float").as("ewma"))
         .orderBy(col("user_id"), col("event_id"))),
 
     "w3_cum_return" -> ((s, dir) => {
@@ -651,6 +683,47 @@ object RelationalQueries {
         | min(l_extendedprice) AS min_price
         |FROM lineitem""".stripMargin,
 
+    // chr(1)/chr(2) replay the  field separator and NULL
+    // marker; all four columns are non-null in this lake so the null
+    // branch never fires on either engine
+    "reconcile_bucket_checksums" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+        |     CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |     CAST(o_orderdate AS DATE) AS d
+        |   FROM orders),
+        | bb AS (SELECT o_orderkey, o_orderstatus,
+        |     CASE WHEN o_orderkey % 1000 = 0 THEN pc + 1 ELSE pc END AS pc, d
+        |   FROM base WHERE o_orderkey % 997 <> 0),
+        | fa AS (SELECT
+        |     CAST(concat('0x', substr(md5(concat('ck:',
+        |       CAST(o_orderkey AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS bucket,
+        |     CAST(concat('0x', substr(md5(
+        |       CAST(o_orderkey AS VARCHAR) || chr(1) ||
+        |       CAST(o_orderstatus AS VARCHAR) || chr(1) ||
+        |       CAST(pc AS VARCHAR) || chr(1) ||
+        |       CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) AS t
+        |   FROM base),
+        | fb AS (SELECT
+        |     CAST(concat('0x', substr(md5(concat('ck:',
+        |       CAST(o_orderkey AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS bucket,
+        |     CAST(concat('0x', substr(md5(
+        |       CAST(o_orderkey AS VARCHAR) || chr(1) ||
+        |       CAST(o_orderstatus AS VARCHAR) || chr(1) ||
+        |       CAST(pc AS VARCHAR) || chr(1) ||
+        |       CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) AS t
+        |   FROM bb),
+        | ga AS (SELECT bucket, count(*) AS n_a, sum(t) AS sum_a FROM fa GROUP BY 1),
+        | gb AS (SELECT bucket, count(*) AS n_b, sum(t) AS sum_b FROM fb GROUP BY 1)
+        |SELECT COALESCE(ga.bucket, gb.bucket) AS bucket,
+        |  CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+        |  CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+        |  CAST(COALESCE(sum_a, 0) AS BIGINT) AS checksum_a,
+        |  CAST(COALESCE(sum_b, 0) AS BIGINT) AS checksum_b,
+        |  (COALESCE(n_a, 0) = COALESCE(n_b, 0) AND
+        |   COALESCE(sum_a, 0) = COALESCE(sum_b, 0)) AS bucket_match
+        |FROM ga FULL JOIN gb ON ga.bucket = gb.bucket
+        |ORDER BY bucket""".stripMargin,
+
     "dq_ks_drift" ->
       """WITH b AS (SELECT o_totalprice AS v, count(*) AS c1 FROM orders
         |     WHERE o_orderdate < DATE '1998-01-01' GROUP BY 1),
@@ -715,6 +788,24 @@ object RelationalQueries {
         | CAST(stddev_samp(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS REAL) AS rolling_vol
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    // weight literals are the Scala doubles' round-trip strings, cast
+    // DOUBLE explicitly (a bare decimal literal would land as DECIMAL);
+    // term order and left-assoc addition mirror the Spark fold exactly
+    "w_ewma" -> {
+      val weights = (0 until 20).map(i => 0.1 * math.pow(0.9, i))
+      def lagExpr(i: Int) = if (i == 0) "value" else s"lag(value, $i) OVER w"
+      val num = weights.zipWithIndex.map { case (wt, i) =>
+        s"(CASE WHEN ${lagExpr(i)} IS NOT NULL THEN CAST($wt AS DOUBLE) * ${lagExpr(i)} ELSE 0 END)"
+      }.mkString(" + ")
+      val den = weights.zipWithIndex.map { case (wt, i) =>
+        s"(CASE WHEN ${lagExpr(i)} IS NOT NULL THEN CAST($wt AS DOUBLE) ELSE 0 END)"
+      }.mkString(" + ")
+      s"""SELECT user_id, event_id,
+         | CAST(CASE WHEN value IS NOT NULL THEN ($num) / ($den) END AS REAL) AS ewma
+         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY user_id, event_id""".stripMargin
+    },
 
     // the CASE mirrors the Spark-side wipeout clamp (a factor <= 0 zeroes
     // everything after); the inner CASE keeps ln() off non-positive

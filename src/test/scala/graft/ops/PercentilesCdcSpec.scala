@@ -75,6 +75,25 @@ class PercentilesCdcSpec extends SparkSpec {
       Reconcile.snapshotDiff(dup, after, Seq("k"), Seq("v")).collect()
   }
 
+  test("bucketChecksums: clean copies match everywhere; a changed/dropped row flips only its bucket") {
+    import org.apache.spark.sql.functions.col
+    val a = (1L to 40L).map(i => (i, s"s$i", i * 100)).toDF("id", "s", "cents")
+    val clean = Reconcile.bucketChecksums(a, a, "id", Seq("id", "s", "cents"),
+      buckets = 8)
+    clean.count() shouldBe 8
+    clean.filter(!col("bucket_match")).count() shouldBe 0
+    // corrupt one value and drop one row: exactly their buckets flag
+    val b = a.filter(col("id") =!= 7L)
+      .withColumn("cents", org.apache.spark.sql.functions
+        .when(col("id") === 13L, col("cents") + 1).otherwise(col("cents")))
+    val diff = Reconcile.bucketChecksums(a, b, "id", Seq("id", "s", "cents"),
+      buckets = 8)
+    val bad = diff.filter(!col("bucket_match"))
+    bad.count() should (be >= 1L and be <= 2L) // ids 7 and 13 may share a bucket
+    // counts localize the drop: the dropped row's bucket shows n_a = n_b + 1
+    diff.rows.map(r => r(1).asInstanceOf[Long] - r(2).asInstanceOf[Long]).sum shouldBe 1L
+  }
+
   test("coalesce: overlaps and touches merge, gaps split, adjacentGap bridges") {
     val iv = Seq(
       ("a", 1L, 5L), ("a", 3L, 8L),   // overlap → one island [1,8]

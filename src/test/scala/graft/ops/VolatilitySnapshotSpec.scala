@@ -26,6 +26,24 @@ class VolatilitySnapshotSpec extends SparkSpec {
     out.drop(1).foreach(_.asInstanceOf[Double] shouldBe math.sqrt(0.5) +- 1e-12)
   }
 
+  test("ewma: renormalizes over present lags; nulls pass through; constants are fixed points") {
+    val df = Seq(("A", 1, Some(10.0)), ("A", 2, None), ("A", 3, Some(20.0)))
+      .toDF("k", "t", "v")
+    val out = Volatility.ewma(df, Seq("k"), Seq("t"), "v",
+        alpha = 0.1, lags = 20, out = "e")
+      .orderBy("t").select("e").rows.map(_.head)
+    // row 1: only lag 0 present → renormalized to the value itself
+    out(0).asInstanceOf[Double] shouldBe 10.0 +- 1e-12
+    assert(out(1) == null) // null value stays null, not smoothed over
+    // row 3: lags 0 and 2 present with weights 0.1 and 0.081
+    out(2).asInstanceOf[Double] shouldBe
+      ((0.1 * 20 + 0.081 * 10) / (0.1 + 0.081)) +- 1e-12
+    // a constant series is a fixed point at every prefix length
+    val const = (1 to 25).map(i => ("A", i, 7.0)).toDF("k", "t", "v")
+    Volatility.ewma(const, Seq("k"), Seq("t"), "v", out = "e")
+      .select("e").rows.foreach(_.head.asInstanceOf[Double] shouldBe 7.0 +- 1e-12)
+  }
+
   test("latestPerKey: picks the row maximal under order, deterministic on ties") {
     val df = Seq(("A", 3, "x"), ("A", 3, "y"), ("A", 1, "z"), ("B", 9, "w"))
       .toDF("k", "t", "tag")
