@@ -54,6 +54,45 @@ object Anomaly {
         coalesce(abs(col("z")) > threshold, lit(false)))
   }
 
+  /** Robust (median/MAD) z-score per key — the outlier-RESISTANT
+    * complement of [[rollingZ]]'s mean/stddev: a handful of extreme
+    * points inflate a stddev baseline until they mask each other
+    * (masking), while the median and the median absolute deviation
+    * have a 50% breakdown point. Scores the modified z of
+    * Iglewicz & Hoaglin (1993): M = 0.6745·(x − median)/MAD, with the
+    * conventional |M| > 3.5 cut (`threshold`).
+    *
+    * Medians are EXACT interpolated percentiles over each key group
+    * (two grouped aggregation passes — value median, then deviation
+    * median — plus the join-backs; nothing quadratic, nothing
+    * driver-side). A zero-MAD group (over half the values identical)
+    * scores null, not infinity. As in [[rollingZ]], the double score
+    * downcasts to FLOAT before the threshold compare, so a 1-ulp
+    * divergence in percentile interpolation cannot flip the flag. */
+  def robustZ(df: DataFrame, keys: Seq[String], value: String,
+              threshold: Double = 3.5): DataFrame = {
+    require(keys.nonEmpty, "robustZ needs at least one key column")
+    val reserved = Seq("__med", "__mad", "robust_z", "is_anomaly")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"robustZ appends columns ${reserved.mkString(", ")} — " +
+        s"the input already has: $clash; rename first")
+    val med = df.filter(col(value).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(expr(s"percentile(`$value`, 0.5)").as("__med"))
+    val withMed = df.join(med, keys, "left")
+    val mad = withMed.filter(col(value).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(expr(s"percentile(abs(`$value` - __med), 0.5)").as("__mad"))
+    withMed.join(mad, keys, "left")
+      .withColumn("robust_z",
+        (lit(0.6745) * (col(value) - col("__med")) /
+          nullif(col("__mad"), lit(0.0))).cast("float"))
+      .drop("__med", "__mad")
+      .withColumn("is_anomaly",
+        coalesce(abs(col("robust_z")) > threshold, lit(false)))
+  }
+
   /** One-sided CUSUM drift detection (Page's test) in EXACT integer
     * cents: alarm when the cumulative upward (or downward) deviation
     * from a target mean exceeds a decision threshold — the classic

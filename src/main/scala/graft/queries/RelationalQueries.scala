@@ -614,6 +614,19 @@ object RelationalQueries {
           value = "value", window = 20, minSamples = 5, threshold = 3.0)
         .filter(col("is_anomaly"))
         .select(col("user_id"), col("event_id"), col("value"), col("z"))
+        .orderBy(col("user_id"), col("event_id"))),
+
+    // ── Robust (median/MAD) anomalies per user: the outlier-resistant
+    // complement of anomaly_zscore — extreme points can't inflate the
+    // baseline they're judged against (50% breakdown vs stddev's 0).
+    // Iglewicz–Hoaglin modified z, |M| > 3.5 after the float downcast.
+    "anomaly_robust_z" -> ((s, dir) =>
+      Anomaly.robustZ(
+          Tables.events(s, dir).select(col("user_id"), col("event_id"),
+            col("value")),
+          keys = Seq("user_id"), value = "value")
+        .filter(col("is_anomaly"))
+        .select(col("user_id"), col("event_id"), col("value"), col("robust_z"))
         .orderBy(col("user_id"), col("event_id")))
   )
 
@@ -1169,6 +1182,20 @@ object RelationalQueries {
         |         CAST((value - mu) / nullif(sd, 0) AS REAL) AS z
         |       FROM s WHERE nh >= 5)
         |SELECT user_id, event_id, value, z FROM z
-        |WHERE abs(z) > 3.0 ORDER BY user_id, event_id""".stripMargin
+        |WHERE abs(z) > 3.0 ORDER BY user_id, event_id""".stripMargin,
+
+    "anomaly_robust_z" ->
+      """WITH m AS (SELECT user_id, quantile_cont(value, 0.5) AS med
+        |     FROM events WHERE value IS NOT NULL GROUP BY 1),
+        | d AS (SELECT e.user_id, e.event_id, e.value, m.med
+        |       FROM events e JOIN m USING (user_id)),
+        | md AS (SELECT user_id, quantile_cont(abs(value - med), 0.5) AS mad
+        |     FROM d WHERE value IS NOT NULL GROUP BY 1),
+        | z AS (SELECT d.user_id, d.event_id, d.value,
+        |     CAST(0.6745 * (d.value - d.med) / nullif(md.mad, 0) AS REAL)
+        |       AS robust_z
+        |   FROM d JOIN md USING (user_id))
+        |SELECT user_id, event_id, value, robust_z FROM z
+        |WHERE abs(robust_z) > 3.5 ORDER BY user_id, event_id""".stripMargin
   )
 }

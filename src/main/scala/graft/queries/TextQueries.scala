@@ -113,6 +113,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Weakly-connected components over the persisted edge frame — the
+    // SAME star-contraction engine the dedup tier uses on similarity
+    // pairs, aimed at the graph artifact: every doc labeled with its
+    // component's minimum id (the cluster identity question PageRank
+    // and LPA both presuppose).
+    "graph_components" -> ((s, dir) =>
+      Dedup.duplicateClusters(Graph.loadEdges(s, coocEdgeDir(s, dir)),
+          idA = "src", idB = "dst")
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy(col("doc_id"))),
+
     // Synchronous label-propagation communities, 5 rounds — template-
     // family detection on the co-occurrence graph with all-integer
     // deterministic arithmetic (most-frequent neighbor label, smallest
@@ -725,6 +736,17 @@ object TextQueries {
     "graph_degree_profile" -> graphDegreeProfileSql,
 
     "graph_ppr" -> graphPprSql,
+
+    "graph_components" ->
+      s"""WITH RECURSIVE $coocEdgeCtes,
+         | ue AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         | reach(a, b) AS (
+         |   SELECT src, dst FROM ue
+         |   UNION
+         |   SELECT r.a, ue.dst FROM reach r JOIN ue ON r.b = ue.src)
+         |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
+         |FROM reach GROUP BY a
+         |ORDER BY doc_id""".stripMargin,
 
     "graph_communities" -> graphCommunitiesSql,
 

@@ -100,6 +100,30 @@ class ScdCohortAnomalySpec extends SparkSpec {
         window = 2, minSamples = 3)
   }
 
+  test("robustZ: median/MAD resist the outlier that inflates a stddev baseline") {
+    // values 1..9 plus a 1000 spike: med = 5.5, MAD = 2.5 →
+    // M(1000) = 0.6745·994.5/2.5 ≈ 268 — flagged; the inliers stay
+    // unflagged BECAUSE the spike couldn't move the baseline
+    val df = ((1 to 9).map(i => ("u", i.toLong, i.toDouble)) :+ ("u", 10L, 1000.0))
+      .toDF("k", "id", "v")
+    val out = Anomaly.robustZ(df, Seq("k"), "v").orderBy("id")
+    out.filter(org.apache.spark.sql.functions.col("is_anomaly"))
+      .select("id").rows.map(_.head) shouldBe Seq(10L)
+    val m = out.filter(org.apache.spark.sql.functions.col("id") === 10L)
+      .select("robust_z").rows.head.head.asInstanceOf[Float]
+    m shouldBe (0.6745 * (1000.0 - 5.5) / 2.5).toFloat +- 1e-3f
+  }
+
+  test("robustZ: zero MAD scores null; null values pass unflagged") {
+    val df = Seq(("u", 1L, Some(5.0)), ("u", 2L, Some(5.0)),
+      ("u", 3L, Some(5.0)), ("u", 4L, Some(99.0)), ("u", 5L, None))
+      .toDF("k", "id", "v")
+    // median 5, deviations (0,0,0,94) → MAD 0 → all scores null
+    val out = Anomaly.robustZ(df, Seq("k"), "v")
+    out.filter(org.apache.spark.sql.functions.col("is_anomaly")).count() shouldBe 0
+    out.select("robust_z").rows.foreach(r => assert(r.head == null))
+  }
+
   test("cusum: closed form equals the textbook recursion, resets after dips") {
     // dollars 1,2,1,3,5 with target $2, no slack → up-devs (cents):
     // -100,0,-100,100,300. Recursion S+: 0,0,0,100,400.
