@@ -264,6 +264,50 @@ object PipelineQueries {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // LIVE DRIFT MONITOR: the streaming engine maintains hourly
+    // event-type counts (watermarked tumbling agg — the state the
+    // monitor needs is exactly the windowed mixture); the read-back
+    // scores each finalized window's mixture against the full-corpus
+    // reference with the dq_psi_drift formula (add-1 smoothing over the
+    // reference bucket spine, quantized per-window totals) — the
+    // training-data gate that catches a source going off-mix within an
+    // hour instead of at the next full-corpus audit.
+    "stream_drift_live" -> ((s, dir) => {
+      val (raw, tmp) = stageStream(s, dir, "events", "graft_sdrift")
+      val src = raw.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      awaitScoped(s)(EventStreams.toLake(EventStreams.tumblingAgg(src),
+        s"$tmp/sink", s"$tmp/ckpt", partitionCols = Seq.empty))
+      val bound = Tables.events(s, dir)
+        .agg((max(col("ts_utc")) - expr("INTERVAL 20 MINUTES")).as("bound"))
+      val win = LakeReader.read(s, s"$tmp/sink")
+        .crossJoin(broadcast(bound))
+        .filter(col("window_end") <= col("bound"))
+        .select(col("window_start"), col("event_type"), col("n_events"))
+      val ref = Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_ref"))
+      val spine = win.select(col("window_start")).distinct().crossJoin(ref)
+      val j = spine.join(win, Seq("window_start", "event_type"), "left")
+        .select(col("window_start"), col("event_type"),
+          coalesce(col("n_events"), lit(0L)).as("n_win"), col("n_ref"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("window_start"))
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      val withTotals = j
+        .withColumn("tw", sum(col("n_win")).over(wAll))
+        .withColumn("b", count(lit(1)).over(wAll))
+        .crossJoin(broadcast(ref.agg(sum(col("n_ref")).as("tr"))))
+      val p = (col("n_ref") + 1).cast("double") / (col("tr") + col("b"))
+      val q = (col("n_win") + 1).cast("double") / (col("tw") + col("b"))
+      withTotals.withColumn("contribution", (p - q) * log(p / q))
+        .withColumn("psi",
+          sum(col("contribution").cast("decimal(30,12)")).over(wAll)
+            .cast("double"))
+        .select(col("window_start"), col("event_type"), col("n_win"),
+          col("contribution").cast("float").as("contribution"),
+          col("psi").cast("float").as("window_psi"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // REAL-ENGINE daily OHLC candles: the order-dependent open/close
     // computed by an order-insensitive min_by/max_by accumulator over
     // the total (ts, event_id) order — arrival order cannot change a
@@ -730,6 +774,37 @@ object PipelineQueries {
 
     // the streaming sink holds hourly windows already finalized by the
     // watermark; the 20-min bound replicates the query-side restriction
+    "stream_drift_live" ->
+      """WITH b AS (SELECT max(ts) - INTERVAL '20 minutes' AS bound FROM events),
+        | h AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |         count(*) AS n
+        |       FROM events GROUP BY 1, 2),
+        | win AS (SELECT window_start, event_type, n FROM h, b
+        |         WHERE window_start + INTERVAL '1 hour' <= b.bound),
+        | ref AS (SELECT event_type, count(*) AS n_ref FROM events GROUP BY 1),
+        | tr AS (SELECT sum(n_ref) AS tr FROM ref),
+        | ws AS (SELECT DISTINCT window_start FROM win),
+        | spine AS (SELECT ws.window_start, ref.event_type, ref.n_ref
+        |           FROM ws CROSS JOIN ref),
+        | j AS (SELECT s.window_start, s.event_type,
+        |         COALESCE(w.n, 0) AS n_win, s.n_ref
+        |       FROM spine s LEFT JOIN win w
+        |         ON w.window_start = s.window_start
+        |         AND w.event_type = s.event_type),
+        | t AS (SELECT window_start, sum(n_win) AS tw, count(*) AS bb
+        |       FROM j GROUP BY 1),
+        | k AS (SELECT j.window_start, j.event_type, j.n_win,
+        |         CAST(j.n_ref + 1 AS DOUBLE) / (tr.tr + t.bb) AS p,
+        |         CAST(j.n_win + 1 AS DOUBLE) / (t.tw + t.bb) AS q
+        |       FROM j JOIN t USING (window_start) CROSS JOIN tr),
+        | k2 AS (SELECT window_start, event_type, n_win,
+        |         (p - q) * ln(p / q) AS contribution FROM k)
+        |SELECT window_start, event_type, CAST(n_win AS BIGINT) AS n_win,
+        |  CAST(contribution AS REAL) AS contribution,
+        |  CAST(CAST(sum(CAST(contribution AS DECIMAL(30,12)))
+        |    OVER (PARTITION BY window_start) AS DOUBLE) AS REAL) AS window_psi
+        |FROM k2 ORDER BY window_start, event_type""".stripMargin,
+
     "stream_tumbling_live" ->
       """WITH b AS (SELECT max(ts) - INTERVAL '20 minutes' AS bound FROM events),
         | h AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
