@@ -116,6 +116,57 @@ object Retrieval {
         col("rank"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio/RM-style): run
+    * the query, take its top-`kDocs` BM25 documents as the feedback
+    * set, and score every term in them by Σ tf(t,d)·idf(t) — the terms
+    * that characterize what the query FOUND, minus the terms the query
+    * already has. The classic recall lever for sparse retrieval (the
+    * expanded query matches documents sharing the feedback vocabulary
+    * even when they miss the original terms).
+    *
+    * Replay contract: each tf·idf product quantizes to DECIMAL(20,12)
+    * (the BM25 term-score pattern) and the per-(query, term) sums are
+    * exact decimal adds, so the ranking ORDER key is exact — no float
+    * comparison can flip a rank across engines. Scale shape: the
+    * feedback join touches |queries|·kDocs doc ids against the tf
+    * frame (inverted-index sized, df-capped upstream if needed),
+    * never the corpus². */
+  def prfExpansion(corpus: DataFrame, queries: DataFrame, kDocs: Int = 10,
+                   kTerms: Int = 5, id: String = "doc_id",
+                   text: String = "text", queryId: String = "query_id",
+                   queryText: String = "qtext"): DataFrame = {
+    require(kDocs >= 1 && kTerms >= 1, "kDocs and kTerms must be positive")
+    val fb = bm25TopK(corpus, queries, k = kDocs, id, text, queryId,
+        queryText, excludeSelf = true)
+      .select(col("query_id"), col(id))
+    val tf = corpus
+      .select(col(id), explode(TextAnalysis.tokens(col(text))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df_t"))
+    // docs with ≥1 token, matching the BM25 stats universe (an
+    // empty-text doc carries no retrieval mass on either engine)
+    val n = tf.select(col(id)).distinct().agg(count(lit(1)).as("n_docs"))
+    val idf = dfT.crossJoin(broadcast(n))
+      .select(col("token"),
+        log(col("n_docs").cast("double") / col("df_t")).as("idf"))
+    val qTerms = queries.select(col(queryId).as("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(queryText)))).as("token"))
+      .filter(length(col("token")) > 0)
+    val scored = fb.join(tf, Seq(id))
+      .join(idf, Seq("token"))
+      .groupBy(col("query_id"), col("token"))
+      .agg(sum((col("tf").cast("double") * col("idf"))
+        .cast("decimal(20,12)")).as("__s"))
+      .join(qTerms, Seq("query_id", "token"), "left_anti")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__s").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kTerms)
+      .select(col("query_id"), col("token").as("term"),
+        col("__s").cast("double").cast("float").as("score"), col("rank"))
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     * SIGIR 1998): greedily pick `k` results per query trading relevance
     * against redundancy — pick₁ = argmax rel; pickᵢ = argmax

@@ -200,6 +200,50 @@ object TextAnalysis {
       aggregate(codes, lit(0L), (acc, c) => (acc * lit(257L) + c) % lit(1000000007L)))
   }
 
+  /** Pointwise mutual information over within-document co-occurrence —
+    * the collocation/phrase-mining statistic (tokens whose joint
+    * document frequency beats independence are merge candidates for a
+    * tokenizer, boilerplate markers for a cleaner):
+    * pmi(a,b) = ln(df(a,b)·N / (df(a)·df(b))) over DOCUMENT frequencies.
+    *
+    * Scale bounds, explicitly: the pair self-join runs only over the
+    * `maxVocab` highest-df tokens (rank window over the |vocabulary|
+    * frame — the df-cap every corpus-statistics op here uses), so the
+    * per-doc expansion is ≤ C(maxVocab, 2) and in practice the doc's
+    * kept-token count squared; `minSupport` is an INTEGER filter, so no
+    * float threshold can flip membership across engines, and the output
+    * orders by the token pair, not the float pmi — the only float is
+    * the reported value itself (double ratio of exact counts, ln,
+    * float downcast). */
+  def pmiCollocations(df: DataFrame, id: String = "doc_id",
+                      text: String = "text", maxVocab: Int = 100,
+                      minSupport: Long = 30L): DataFrame = {
+    require(maxVocab >= 2, s"need at least two vocabulary slots, got $maxVocab")
+    require(minSupport >= 1, s"minSupport must be positive, got $minSupport")
+    val docTok = df
+      .select(col(id), explode(array_distinct(tokens(col(text)))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dfT = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.orderBy(col("df").desc, col("tok"))
+    val kept = dfT.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= maxVocab).drop("__r")
+    val kt = docTok.join(kept, Seq("tok"))
+    val pairs = kt.as("a")
+      .join(kt.as("b"),
+        col(s"a.$id") === col(s"b.$id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("df_ab"),
+        min(col("a.df")).as("df_a"), min(col("b.df")).as("df_b"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    pairs.filter(col("df_ab") >= minSupport)
+      .crossJoin(broadcast(n))
+      .withColumn("pmi",
+        log(col("df_ab").cast("double") * col("n_docs") /
+          (col("df_a").cast("double") * col("df_b"))).cast("float"))
+      .select(col("tok_a"), col("tok_b"), col("df_a"), col("df_b"),
+        col("df_ab"), col("pmi"))
+  }
+
   /** Zipf rank–frequency fit over the corpus vocabulary: least-squares
     * slope/intercept of ln(freq) against ln(rank) for the `topN` most
     * frequent tokens — the curation health check on any scraped corpus

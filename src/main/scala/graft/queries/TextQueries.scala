@@ -467,6 +467,28 @@ object TextQueries {
           col("k.frame_idx").as("keeper_frame_idx"))
         .orderBy(col("frame_hash"))),
 
+    // Pseudo-relevance-feedback expansion: top-10 BM25 feedback docs
+    // per probe, terms scored Σ tf·idf over the feedback set (decimal-
+    // quantized, so the rank ORDER key is exact), query's own terms
+    // excluded — the sparse-retrieval recall lever.
+    "retrieval_prf_expansion" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val probeIds = Seq(7L, 123L, 321L, 444L)
+      val probes = docs.filter(col("doc_id").isin(probeIds: _*))
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      Retrieval.prfExpansion(docs, probes, kDocs = 10, kTerms = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // PMI collocations over within-doc co-occurrence (document
+    // frequencies, df-capped vocabulary, integer support filter) — the
+    // phrase-mining statistic; output ordered by the pair, never by the
+    // float pmi, so no cross-engine ln ulp can reorder rows.
+    "text_pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(Tables.documents(s, dir),
+          maxVocab = 100, minSupport = 30L)
+        .orderBy(col("tok_a"), col("tok_b"))),
+
     // Zipf rank–frequency fit over the top-100 vocabulary: the corpus-
     // health regression (natural text ≈ slope −1; template/boilerplate
     // dominance bends it), every ln-sum decimal-quantized so both
@@ -749,6 +771,51 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "graph_communities" -> graphCommunitiesSql,
+
+    "retrieval_prf_expansion" ->
+      s"""WITH ${QuerySql.bm25Ctes("7, 123, 321, 444")},
+         | fb AS (SELECT query_id, doc_id FROM bm25r WHERE rank <= 10),
+         | idf AS (SELECT dfq.token, ln(CAST(n_docs AS DOUBLE) / df_t) AS idf
+         |         FROM dfq CROSS JOIN tot),
+         | sc AS (SELECT f.query_id, t.token,
+         |     sum(CAST(CAST(t.tf AS DOUBLE) * i.idf AS DECIMAL(20,12))) AS s
+         |   FROM fb f JOIN tf t ON t.doc_id = f.doc_id
+         |   JOIN idf i ON i.token = t.token
+         |   GROUP BY 1, 2),
+         | ex AS (SELECT sc.query_id, sc.token, sc.s FROM sc
+         |   WHERE NOT EXISTS (SELECT 1 FROM qt q
+         |     WHERE q.query_id = sc.query_id AND q.token = sc.token)),
+         | r AS (SELECT query_id, token AS term,
+         |     CAST(CAST(s AS DOUBLE) AS REAL) AS score,
+         |     row_number() OVER (PARTITION BY query_id
+         |       ORDER BY s DESC, token) AS rank
+         |   FROM ex)
+         |SELECT query_id, term, score, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "text_pmi_collocations" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, tok FROM (
+        |     SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        |     FROM documents) u
+        |   WHERE length(tok) > 0),
+        | dfc AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+        | kept AS (SELECT tok, df FROM (
+        |     SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok) AS r
+        |     FROM dfc) z
+        |   WHERE r <= 100),
+        | kt AS (SELECT dt.doc_id, dt.tok, k.df FROM dt JOIN kept k USING (tok)),
+        | p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS df_ab,
+        |         min(a.df) AS df_a, min(b.df) AS df_b
+        |       FROM kt a JOIN kt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |       GROUP BY 1, 2),
+        | nn AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tok_a, tok_b, CAST(df_a AS BIGINT) AS df_a,
+        |  CAST(df_b AS BIGINT) AS df_b, CAST(df_ab AS BIGINT) AS df_ab,
+        |  CAST(ln(CAST(df_ab AS DOUBLE) * n_docs /
+        |    (CAST(df_a AS DOUBLE) * df_b)) AS REAL) AS pmi
+        |FROM p CROSS JOIN nn
+        |WHERE df_ab >= 30
+        |ORDER BY tok_a, tok_b""".stripMargin,
 
     "text_zipf_fit" ->
       """WITH tok AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok

@@ -47,6 +47,16 @@ class RetrievalSpec extends SparkSpec {
     out(1)(2).asInstanceOf[Float].toDouble shouldBe (1.0 / 61) +- 1e-6
   }
 
+  test("prfExpansion: feedback terms scored tf·idf, query's own terms excluded") {
+    val corpus = Seq((1L, "x y z w"), (2L, "z q")).toDF("doc_id", "text")
+    val probe = Seq((9L, "x y")).toDF("query_id", "qtext")
+    // feedback (k=1) = doc 1; its terms minus {x, y} = {z, w};
+    // idf(w) = ln 2 > idf(z) = ln(2/2) = 0 → w ranks first
+    val out = Retrieval.prfExpansion(corpus, probe, kDocs = 1, kTerms = 2)
+      .orderBy("rank").rows.map(r => (r(1), r(3)))
+    out shouldBe Seq(("w", 1L), ("z", 2L))
+  }
+
   test("mmrDiversify: picks relevance first, then diversity over a redundant near-dup") {
     // c2 is a near-copy of c1 (cosine ≈ 1) with almost its relevance;
     // c3 is orthogonal but less relevant. Plain top-2 = {c1, c2};

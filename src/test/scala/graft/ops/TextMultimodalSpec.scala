@@ -246,6 +246,18 @@ class TextMultimodalSpec extends SparkSpec {
     Multimodal.frameDHashDroppedBuckets(frames).rows shouldBe empty
   }
 
+  test("pmiCollocations: document-frequency PMI, support filter, repeats in a doc count once") {
+    val docs = Seq((1L, "a b"), (2L, "a b b b"), (3L, "a c"), (4L, "b c"))
+      .toDF("doc_id", "text")
+    // df: a=3 b=3 c=2; pair doc-freqs: (a,b)=2 (a,c)=1 (b,c)=1; N=4
+    val out = TextAnalysis.pmiCollocations(docs, maxVocab = 10, minSupport = 2L)
+      .rows.map(r => (r.head, r(1), r(2), r(3), r(4), r(5).asInstanceOf[Float]))
+    out should have size 1
+    val (a, b, dfa, dfb, dfab, pmi) = out.head
+    (a, b, dfa, dfb, dfab) shouldBe ("a", "b", 3L, 3L, 2L)
+    pmi shouldBe math.log(2.0 * 4 / (3.0 * 3)).toFloat +- 1e-7f
+  }
+
   test("zipfFit: an exact 1/r frequency law fits slope −1, intercept ln C") {
     // freqs 12, 6, 4, 3 = 12/r for ranks 1..4 → ln f = ln 12 − 1·ln r
     val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
