@@ -78,6 +78,27 @@ class GraphSpec extends SparkSpec {
     hops(1L) shouldBe 0
   }
 
+  test("edge lifecycle: save/load round-trip, append lands in the recorded layout, meta guards") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_edges").toString
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 2L)) // duplicate collapses at save
+    Graph.saveEdges(base.toDF("src", "dst"), "src", "dst", tmp, buckets = 4)
+    Graph.edgeBuckets(spark, tmp) shouldBe 4
+    val loaded = Graph.loadEdges(spark, tmp)
+      .rows.map(r => (r.head, r(1))).toSet
+    loaded shouldBe Set((1L, 2L), (2L, 3L))
+    // append a disjoint delta: base files stand, combined set is the union
+    Graph.appendEdges(Seq((3L, 4L)).toDF("src", "dst"), "src", "dst", tmp)
+    Graph.loadEdges(spark, tmp).rows.map(r => (r.head, r(1))).toSet shouldBe
+      Set((1L, 2L), (2L, 3L), (3L, 4L))
+    // algorithms consume the persisted frame directly
+    Graph.degrees(Graph.loadEdges(spark, tmp))
+      .rows.map(r => (r.head, r(1), r(2))).toSet shouldBe
+      Set((1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 1L), (4L, 0L, 1L))
+    // a directory that is not an edge frame fails loudly, no silent default
+    an[Exception] should be thrownBy
+      Graph.edgeBuckets(spark, tmp + "/nonexistent")
+  }
+
   private def ppr(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int) =
     Graph.personalizedPageRank(edges.toDF("src", "dst"),
         seeds.toDF("id"), iters = iters)
