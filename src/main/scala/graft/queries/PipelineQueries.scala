@@ -169,6 +169,31 @@ object PipelineQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Versioned-lake COMPACTION: three partition-disjoint commits leave
+    // the manifest pointing at three version dirs (three scans per
+    // read); compact re-commits the live state into ONE owner and the
+    // read-back must be row-identical — any compaction loss or
+    // duplication flips the hash. Owner collapse + vacuum reclamation
+    // are pinned by VersionedLakeSpec.
+    "lake_compact_roundtrip" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      val root = tempDir("graft_vcompact") + "/t"
+      VersionedLake.commit(
+        o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+        root, Seq("o_orderpriority"))
+      VersionedLake.commit(
+        o.filter(col("o_orderpriority").isin("3-MEDIUM", "4-NOT SPECIFIED")),
+        root, Seq("o_orderpriority"))
+      VersionedLake.commit(o.filter(col("o_orderpriority") === "5-LOW"),
+        root, Seq("o_orderpriority"))
+      VersionedLake.compact(s, root)
+      VersionedLake.read(s, root)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Versioned-lake ADDITIVE SCHEMA EVOLUTION: commit 1 lands without
     // o_totalprice; commit 2's partition rewrite carries the new
     // column. An evolveSchema read nulls the column for
@@ -699,6 +724,10 @@ object PipelineQueries {
 
     // v1 = the pre-1997 state; v2 = urgent partition fully rewritten,
     // the rest carried over from v1
+    "lake_compact_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "lake_timetravel" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
         |                  o_orderpriority FROM orders)

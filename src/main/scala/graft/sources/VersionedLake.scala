@@ -201,6 +201,39 @@ object VersionedLake {
     }.reduce(_.unionByName(_, allowMissingColumns = evolveSchema))
   }
 
+  /** COMPACTION commit: re-commit the CURRENT table state as one fresh
+    * version, so every live partition's files land in a single commit
+    * directory — the versioned-lake counterpart of
+    * [[graft.ops.IvfIndex.compactPq]]. Sustained partial commits leave
+    * the manifest pointing at many historical version dirs (one scan
+    * per owning commit at read time, small files accumulating per
+    * partition); compaction collapses the owner spread to 1 and lets
+    * [[vacuum]] reclaim every superseded directory once old manifests
+    * are retired. History stays append-only: prior versions remain
+    * readable until vacuumed. Partition columns are recovered from the
+    * manifest's own Hive paths — the manifest is self-describing, no
+    * caller flag to get wrong. */
+  def compact(spark: SparkSession, root: String,
+              maxPartitions: Int = DefaultMaxPartitions): Int = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions under $root"))
+    val entries = readManifest(spark, root, v)
+    require(entries.nonEmpty, s"version $v has an empty manifest")
+    val partitionCols = entries.keys.head.split('/')
+      .map(_.takeWhile(_ != '=')).toSeq
+    commit(read(spark, root), root, partitionCols, maxPartitions)
+  }
+
+  /** Distinct owning commits in a version's manifest — the read
+    * amplification [[compact]] exists to collapse (each owner is one
+    * extra parquet scan in [[read]]). Driver-side manifest math. */
+  def ownerSpread(spark: SparkSession, root: String,
+                  version: Option[Int] = None): Int = {
+    val v = version.orElse(latestVersion(spark, root)).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions under $root"))
+    readManifest(spark, root, v).values.toSet.size
+  }
+
   /** Roll back by committing a PAST manifest as the new latest — history
     * stays linear and append-only (the Delta RESTORE shape): readers of
     * intermediate versions are unaffected, and the bad version remains

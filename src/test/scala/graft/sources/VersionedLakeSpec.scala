@@ -45,6 +45,26 @@ class VersionedLakeSpec extends SparkSpec {
     VersionedLake.commit(runaway, root, Seq("part"), maxPartitions = 6) shouldBe 1
   }
 
+  test("compact: owner spread collapses to 1, rows identical, vacuum reclaims old dirs") {
+    val root = freshRoot()
+    VersionedLake.commit(Seq((1L, "a", 1.0)).toDF("k", "part", "v"), root, Seq("part"))
+    VersionedLake.commit(Seq((2L, "b", 2.0)).toDF("k", "part", "v"), root, Seq("part"))
+    VersionedLake.commit(Seq((3L, "c", 3.0)).toDF("k", "part", "v"), root, Seq("part"))
+    VersionedLake.ownerSpread(spark, root) shouldBe 3
+    val before = VersionedLake.read(spark, root).orderBy("k")
+      .select("k", "part", "v").rows
+    val cv = VersionedLake.compact(spark, root)
+    cv shouldBe 4
+    VersionedLake.ownerSpread(spark, root) shouldBe 1
+    VersionedLake.read(spark, root).orderBy("k")
+      .select("k", "part", "v").rows shouldBe before
+    // retiring the pre-compaction manifests frees every old commit dir
+    val removed = VersionedLake.vacuum(spark, root, keepVersions = Some(Seq(cv)))
+    removed.size shouldBe 3
+    VersionedLake.read(spark, root).orderBy("k")
+      .select("k", "part", "v").rows shouldBe before
+  }
+
   test("rollback commits the past manifest as a NEW version; history stays linear") {
     val root = freshRoot()
     VersionedLake.commit(Seq((1L, "a")).toDF("k", "part"), root, Seq("part"))
