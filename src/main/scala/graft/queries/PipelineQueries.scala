@@ -333,6 +333,29 @@ object PipelineQueries {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // LIVE TRENDING: top-3 event types per finalized hourly window —
+    // the streaming engine maintains the windowed counts, the read-back
+    // ranks them (integer counts, type tie-break: the cut is exact).
+    "stream_topk_live" -> ((s, dir) => {
+      val (raw, tmp) = stageStream(s, dir, "events", "graft_stopk")
+      val src = raw.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      awaitScoped(s)(EventStreams.toLake(EventStreams.tumblingAgg(src),
+        s"$tmp/sink", s"$tmp/ckpt", partitionCols = Seq.empty))
+      val bound = Tables.events(s, dir)
+        .agg((max(col("ts_utc")) - expr("INTERVAL 20 MINUTES")).as("bound"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("window_start"))
+        .orderBy(col("n_events").desc, col("event_type"))
+      LakeReader.read(s, s"$tmp/sink")
+        .crossJoin(broadcast(bound))
+        .filter(col("window_end") <= col("bound"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("window_start"), col("rank"), col("event_type"),
+          col("n_events"))
+        .orderBy(col("window_start"), col("rank"))
+    }),
+
     // REAL-ENGINE daily OHLC candles: the order-dependent open/close
     // computed by an order-insensitive min_by/max_by accumulator over
     // the total (ts, event_id) order — arrival order cannot change a
@@ -803,6 +826,21 @@ object PipelineQueries {
 
     // the streaming sink holds hourly windows already finalized by the
     // watermark; the 20-min bound replicates the query-side restriction
+    "stream_topk_live" ->
+      """WITH b AS (SELECT max(ts) - INTERVAL '20 minutes' AS bound FROM events),
+        | h AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |         count(*) AS n_events
+        |       FROM events GROUP BY 1, 2),
+        | fin AS (SELECT window_start, event_type, n_events FROM h, b
+        |         WHERE window_start + INTERVAL '1 hour' <= b.bound),
+        | r AS (SELECT window_start, event_type, n_events,
+        |         row_number() OVER (PARTITION BY window_start
+        |           ORDER BY n_events DESC, event_type) AS rank
+        |       FROM fin)
+        |SELECT window_start, CAST(rank AS BIGINT) AS rank, event_type, n_events
+        |FROM r WHERE rank <= 3
+        |ORDER BY window_start, rank""".stripMargin,
+
     "stream_drift_live" ->
       """WITH b AS (SELECT max(ts) - INTERVAL '20 minutes' AS bound FROM events),
         | h AS (SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -236,6 +236,39 @@ object SimilarityQueries {
         .orderBy(col("query_id"))
     }),
 
+    // nDCG@5 of the IVF path against the exact ranking — the graded
+    // companion of sim_recall_eval (recall says WHETHER the true
+    // neighbors surfaced; nDCG says how well their ORDER survived).
+    // Gains are the integer 6−exact_rank; each DCG term quantizes to
+    // DECIMAL(20,12) so the per-query sums are order-free and exact.
+    "sim_ndcg_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").as("exact_rank"))
+      val cents = Similarity.dataCentroids(emb, "vec_id", "embedding", k = 16)
+      val approx = Similarity.ivfTopK(
+          queries = emb.filter(col("vec_id") < 8), candidates = emb,
+          id = "vec_id", vec = "embedding", dim = dim, k = 5,
+          nCentroids = 16, nprobe = 4, centroids = Some(cents))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").as("approx_rank"))
+      val gain = (lit(6) - col("exact_rank")).cast("double")
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("term", when(col("approx_rank").isNotNull,
+            (gain / log2(col("approx_rank") + 1)).cast("decimal(20,12)"))
+          .otherwise(lit(0).cast("decimal(20,12)")))
+        .withColumn("ideal",
+          (gain / log2(col("exact_rank") + 1)).cast("decimal(20,12)"))
+        .groupBy(col("query_id"))
+        .agg(sum(col("term")).as("dcg"), sum(col("ideal")).as("idcg"))
+        .select(col("query_id"),
+          (col("dcg").cast("double") / col("idcg").cast("double"))
+            .cast("float").as("ndcg_at_5"))
+        .orderBy(col("query_id"))
+    }),
+
     // MMR diversified re-rank: cosine top-10 shortlist per query, then
     // 5 greedy λ=0.5 rounds trading relevance against similarity to the
     // already-picked set — the near-dup-suppressing final ranker. The
@@ -977,6 +1010,47 @@ object SimilarityQueries {
         |    AS REAL) AS recall_at_5,
         |  max(CASE WHEN e.rank = 1 AND a.neighbor_id IS NOT NULL
         |      THEN 1 ELSE 0 END) = 1 AS top1_found
+        |FROM ex e LEFT JOIN ap a
+        |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        |GROUP BY 1 ORDER BY e.query_id""".stripMargin,
+
+    // nDCG replay: the recall-eval CTEs with the approx rank kept,
+    // integer gains, quantized DCG terms
+    "sim_ndcg_eval" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+        | q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id < 8),
+        | ex AS (SELECT query_id, neighbor_id, rank FROM (
+        |     SELECT query_id, vec_id AS neighbor_id,
+        |       row_number() OVER (PARTITION BY query_id
+        |         ORDER BY list_cosine_similarity(qv, dv) DESC, vec_id) AS rank
+        |     FROM q JOIN v ON query_id <> vec_id) z WHERE rank <= 5),
+        | cent AS (SELECT vec_id AS centroid_id, dv AS cvec FROM v WHERE vec_id < 16),
+        | assign AS (SELECT vec_id, centroid_id, dv,
+        |     row_number() OVER (PARTITION BY vec_id ORDER BY
+        |       COALESCE(list_cosine_similarity(dv, cvec), -2) DESC,
+        |       centroid_id DESC) AS rn
+        |   FROM v CROSS JOIN cent),
+        | idx AS (SELECT vec_id AS neighbor_id, centroid_id, dv AS cv
+        |         FROM assign WHERE rn = 1),
+        | probes AS (SELECT query_id, qv, centroid_id,
+        |     row_number() OVER (PARTITION BY query_id ORDER BY
+        |       COALESCE(list_cosine_similarity(qv, cvec), -2) DESC,
+        |       centroid_id DESC) AS pr
+        |   FROM q CROSS JOIN cent),
+        | ap AS (SELECT query_id, neighbor_id, rank AS arank FROM (
+        |     SELECT p.query_id, i.neighbor_id,
+        |       row_number() OVER (PARTITION BY p.query_id ORDER BY
+        |         list_cosine_similarity(p.qv, i.cv) DESC, i.neighbor_id) AS rank
+        |     FROM (SELECT query_id, qv, centroid_id FROM probes WHERE pr <= 4) p
+        |     JOIN idx i USING (centroid_id)
+        |     WHERE p.query_id <> i.neighbor_id) z WHERE rank <= 5)
+        |SELECT e.query_id,
+        |  CAST(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+        |      THEN CAST(CAST(6 - e.rank AS DOUBLE) / log2(a.arank + 1)
+        |        AS DECIMAL(20,12))
+        |      ELSE CAST(0 AS DECIMAL(20,12)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(CAST(6 - e.rank AS DOUBLE) / log2(e.rank + 1)
+        |      AS DECIMAL(20,12))) AS DOUBLE) AS REAL) AS ndcg_at_5
         |FROM ex e LEFT JOIN ap a
         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
         |GROUP BY 1 ORDER BY e.query_id""".stripMargin,
