@@ -270,6 +270,16 @@ object Graph {
   def labelPropagation(edges: DataFrame, src: String = "src",
                        dst: String = "dst", iters: Int = 5): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
+    // the smallest-label tie-break below negates the label, which only
+    // orders correctly for numeric ids (string ids would cast to null
+    // non-ANSI / throw under ANSI, leaving the tie order undefined)
+    Seq(src, dst).foreach { c =>
+      val dt = edges.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"labelPropagation needs numeric node ids; '$c' is $dt — " +
+          "densely re-key string ids to longs first (e.g. via xxhash64 " +
+          "or a dictionary join)")
+    }
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint()

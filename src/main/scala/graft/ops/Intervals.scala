@@ -75,7 +75,10 @@ object Intervals {
     * still live — keeping only in-bucket openings would underreport
     * such a bucket (e.g. [0,12),[0,13),[15,16) with bucket 10: the
     * level 2 carried into [10,20) exceeds anything opened there). The
-    * carry-in is the lag(level) of the bucket's first boundary row.
+    * carry-in is the lag(level) of the bucket's first boundary row —
+    * EXCEPT when that first row is a close sitting exactly on the
+    * bucket start: those intervals' last live instant is in the
+    * previous bucket, so the carry-in is that row's post-close level.
     * Buckets containing NO boundary at all stay absent: their level is
     * constant, equal to the previous emitted bucket's closing level.
     *
@@ -102,13 +105,22 @@ object Intervals {
       // first row this is the concurrency the bucket opens at
       .withColumn("prev_level",
         functions.coalesce(lag(col("level"), 1).over(ord), lit(0L)))
+      // carry-in candidate: when the bucket's first boundary row is a
+      // CLOSE sitting exactly on the bucket start, the intervals it
+      // closes were never live inside this bucket (half-open [s, e)
+      // means their last live instant is e−1, in the previous bucket) —
+      // the level that actually carries in is this row's POST-close
+      // level, not prev_level, which would overreport the peak
+      .withColumn("carry_in",
+        when(col("t") % bucket === 0L && col("d") === -1L, col("level"))
+          .otherwise(col("prev_level")))
       .groupBy(expr(s"t div ${bucket}L").as("bucket"))
       .agg(greatest(
         // highest level attained at an in-bucket opening (closes only
         // lower the step function, so they never set the max) ...
         functions.coalesce(max(when(col("d") === 1, col("level"))), lit(0L)),
         // ... vs the level carried in at the bucket's first boundary
-        min_by(col("prev_level"), struct(col("t"), col("d"))))
+        min_by(col("carry_in"), struct(col("t"), col("d"))))
         .as("peak_concurrency"))
   }
 }

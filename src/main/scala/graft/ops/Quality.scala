@@ -186,23 +186,6 @@ object Quality {
           (col("total") * col("expected_share"))).cast("float").as("chi2_term"))
   }
 
-  /** Population Stability Index between two snapshots of a categorical
-    * column — THE drift gate for training-data mixtures (did the lang /
-    * domain / source distribution move between yesterday's corpus and
-    * today's?): psi = Σ_buckets (p − q)·ln(p/q), with the usual call
-    * thresholds (< 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
-    *
-    * Shares use add-1 smoothing over the UNION of observed buckets
-    * (p = (c+1)/(n+B)): a bucket present in only one snapshot —
-    * exactly the event a drift monitor must catch — contributes a
-    * finite term instead of ln(0), and the smoothing rule is integer
-    * arithmetic both engines replay. One aggregation per side on the
-    * bucket key, one |buckets|-sized outer join, broadcast totals —
-    * nothing corpus-sized shuffles twice. Per-bucket contributions
-    * surface (the actionable part: WHICH bucket moved), with the total
-    * on every row via a DECIMAL(30,12)-quantized window sum (order-
-    * independent, so the cross-engine equality survives the float
-    * downcast). */
   /** Exact two-sample Kolmogorov–Smirnov statistic between two
     * snapshots of a NUMERIC column — the continuous complement of
     * [[psiDrift]]'s categorical gate: ks = max_v |F₁(v) − F₂(v)| over
@@ -243,6 +226,23 @@ object Quality {
         max(col("__n1")).as("n_base"), max(col("__n2")).as("n_cur"))
   }
 
+  /** Population Stability Index between two snapshots of a categorical
+    * column — THE drift gate for training-data mixtures (did the lang /
+    * domain / source distribution move between yesterday's corpus and
+    * today's?): psi = Σ_buckets (p − q)·ln(p/q), with the usual call
+    * thresholds (< 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
+    *
+    * Shares use add-1 smoothing over the UNION of observed buckets
+    * (p = (c+1)/(n+B)): a bucket present in only one snapshot —
+    * exactly the event a drift monitor must catch — contributes a
+    * finite term instead of ln(0), and the smoothing rule is integer
+    * arithmetic both engines replay. One aggregation per side on the
+    * bucket key, one |buckets|-sized outer join, broadcast totals —
+    * nothing corpus-sized shuffles twice. Per-bucket contributions
+    * surface (the actionable part: WHICH bucket moved), with the total
+    * on every row via a DECIMAL(30,12)-quantized window sum (order-
+    * independent, so the cross-engine equality survives the float
+    * downcast). */
   def psiDrift(base: DataFrame, current: DataFrame, bucket: String): DataFrame = {
     def side(df: DataFrame, out: String) =
       df.filter(col(bucket).isNotNull)

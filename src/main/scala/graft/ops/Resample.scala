@@ -111,4 +111,66 @@ object Resample {
         valueCols = Seq("__gv"), direction = "backward")
       .select(col(key), col(tsNanos), col("asof___gv").as(value))
   }
+
+  /** Classical additive seasonal decomposition of a regular integer-
+    * indexed series: value = trend + seasonal + residual — the
+    * visibility primitive behind "is this metric's drop real or just
+    * the weekend?" (and the input anomaly detectors should z-score
+    * instead of the raw series).
+    *
+    *  - trend: centered moving average over `trendWindow` consecutive
+    *    index values (RANGE frame, so a GAP in the series suppresses
+    *    the trend instead of silently averaging the wrong span) — null
+    *    until the full window exists;
+    *  - seasonal: per (key, t mod `period`) mean of the detrended
+    *    values, re-centered so the period's seasonal terms sum to 0
+    *    (the classical identifiability constraint);
+    *  - residual: value − trend − seasonal, null wherever trend is.
+    *
+    * Exactness contract: `value` must be exact (integer counts or
+    * decimal sums). The trend is one double division of a
+    * DECIMAL(30,12)-quantized window sum; detrended values quantize to
+    * DECIMAL(20,12) before every order-sensitive reduction; each output
+    * is then a short chain of identical double ops both engines replay
+    * bit-for-bit.
+    *
+    * Scale shape: one hash exchange on key feeds the trend window; the
+    * seasonal aggregation is map-side combined down to period×keys
+    * rows; the join back broadcasts (it is tiny by construction). No
+    * collects, nothing quadratic. */
+  def seasonalDecompose(df: DataFrame, key: String, t: String,
+                        value: String, period: Int = 7,
+                        trendWindow: Int = 7): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(trendWindow >= 3 && trendWindow % 2 == 1,
+      s"trendWindow must be odd and >= 3, got $trendWindow")
+    val h = trendWindow / 2
+    val d30 = (c: Column) => c.cast("decimal(30,12)")
+    val d12 = (c: Column) => c.cast("decimal(20,12)")
+    val w = Window.partitionBy(col(key)).orderBy(col(t).cast("long"))
+      .rangeBetween(-h, h)
+    val tr = df
+      .select(col(key), col(t).cast("long").as(t), col(value))
+      .withColumn("__trend",
+        when(count(lit(1)).over(w) === trendWindow,
+          sum(d30(col(value))).over(w).cast("double") /
+            lit(trendWindow.toDouble)))
+      .withColumn("__det", col(value).cast("double") - col("__trend"))
+    val wk = Window.partitionBy(col("__k"))
+    val seasonal = tr.filter(col("__det").isNotNull)
+      .groupBy(col(key).as("__k"), pmod(col(t), lit(period.toLong)).as("__pos"))
+      .agg((sum(d12(col("__det"))).cast("double") /
+        count(lit(1)).cast("double")).as("__srw"))
+      .withColumn("__m",
+        sum(d12(col("__srw"))).over(wk).cast("double") /
+          count(lit(1)).over(wk).cast("double"))
+      .select(col("__k"), col("__pos"),
+        (col("__srw") - col("__m")).as("__seasonal"))
+    tr.join(broadcast(seasonal),
+        col(key) === col("__k") &&
+          pmod(col(t), lit(period.toLong)) === col("__pos"), "left")
+      .select(col(key), col(t), col(value),
+        col("__trend").as("trend"), col("__seasonal").as("seasonal"),
+        (col("__det") - col("__seasonal")).as("residual"))
+  }
 }

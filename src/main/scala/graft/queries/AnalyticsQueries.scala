@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Anomaly, Cdc, CrossSeries, FuzzyJoin, Indicators, Intervals, Moments, Percentiles, Quality, Reconcile, Resample, Skyline}
+import graft.ops.{Anomaly, Cdc, CrossSeries, FuzzyJoin, Indicators, Intervals, Market, Moments, Percentiles, Quality, Reconcile, Resample, Skyline}
 
 /** OLAP / warehouse-analytics extensions: grouping sets, event-path
   * transitions, exact nearest-rank quantiles, batch CDC apply, and
@@ -221,6 +221,24 @@ object AnalyticsQueries {
         .orderBy(col("bucket"))
     }),
 
+    // ── Market-basket association rules: which part BRANDS co-occur in
+    // the same order more often than independence predicts. Baskets are
+    // orders, items are brands (a broadcast dim join collapses partkey
+    // to its 25-value brand before any pair work), Apriori support
+    // pruning before the per-basket pair expansion — support /
+    // confidence / lift each one double op over exact counts.
+    "basket_brand_rules" -> ((s, dir) => {
+      val baskets = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("brand"))
+      Market.pairRules(baskets, basket = "basket", item = "brand",
+          minSupport = 50L, minPairSupport = 5L)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
     // ── TWAP per event type: duration-weighted mean value, integer
     // cents × nano-durations in DECIMAL(38,0), right-open holds.
     "ts_twap" -> ((s, dir) =>
@@ -381,6 +399,26 @@ object AnalyticsQueries {
         .withColumn("is_gap", col("day_val").isNull)
         .select(col("user_id"), col("day"), col("filled"), col("is_gap"))
         .orderBy(col("user_id"), col("day"))
+    }),
+
+    // ── Classical additive seasonal decomposition of the per-type
+    // daily event-count series: value = trend (centered 7-day MA over a
+    // RANGE frame — gaps suppress the trend rather than average the
+    // wrong span) + weekly seasonal (re-centered to sum 0) + residual.
+    // The "is the drop real or just the weekend?" primitive; residual
+    // is what an anomaly detector should score.
+    "ts_seasonal_decompose" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_events"))
+      Resample.seasonalDecompose(daily, key = "event_type", t = "day",
+          value = "n_events", period = 7, trendWindow = 7)
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("trend").cast("float").as("trend"),
+          col("seasonal").cast("float").as("seasonal"),
+          col("residual").cast("float").as("residual"))
+        .orderBy(col("event_type"), col("day"))
     }),
 
     // ── Grouped collect: per-customer sorted distinct order years as a
@@ -1023,6 +1061,35 @@ object AnalyticsQueries {
         | count(*) AS n_years
         |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "ts_seasonal_decompose" ->
+      """WITH e AS (SELECT event_type AS k,
+        |     epoch_ns(ts) // 86400000000000 AS t FROM events),
+        | d AS (SELECT k, t, count(*) AS v FROM e GROUP BY 1, 2),
+        | tr AS (SELECT k, t, v,
+        |     CASE WHEN count(*) OVER w = 7
+        |          THEN CAST(sum(CAST(v AS DECIMAL(30,12))) OVER w AS DOUBLE) / 7
+        |     END AS trend
+        |   FROM d WINDOW w AS (PARTITION BY k ORDER BY t
+        |     RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        | dt AS (SELECT k, t, v, trend, CAST(v AS DOUBLE) - trend AS det
+        |   FROM tr),
+        | sr AS (SELECT k, t % 7 AS pos,
+        |     CAST(sum(CAST(det AS DECIMAL(20,12))) AS DOUBLE) /
+        |       CAST(count(*) AS DOUBLE) AS srw
+        |   FROM dt WHERE det IS NOT NULL GROUP BY 1, 2),
+        | se AS (SELECT k, pos, srw -
+        |     CAST(sum(CAST(srw AS DECIMAL(20,12))) OVER (PARTITION BY k)
+        |       AS DOUBLE) /
+        |     CAST(count(*) OVER (PARTITION BY k) AS DOUBLE) AS seasonal
+        |   FROM sr)
+        |SELECT dt.k AS event_type, CAST(dt.t AS BIGINT) AS day,
+        | CAST(dt.v AS BIGINT) AS n_events,
+        | CAST(dt.trend AS REAL) AS trend,
+        | CAST(se.seasonal AS REAL) AS seasonal,
+        | CAST(dt.det - se.seasonal AS REAL) AS residual
+        |FROM dt LEFT JOIN se ON se.k = dt.k AND se.pos = dt.t % 7
+        |ORDER BY event_type, day""".stripMargin,
+
     "w_range_trailing" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
         |            CAST(round(value * 100) AS BIGINT) AS cents FROM events)
@@ -1233,12 +1300,41 @@ object AnalyticsQueries {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS level
         |   FROM dl),
         | pv AS (SELECT t, d, level,
-        |     COALESCE(lag(level) OVER (ORDER BY t, d), 0) AS prev_level
+        |     CASE WHEN t % 604800 = 0 AND d = -1 THEN level
+        |          ELSE COALESCE(lag(level) OVER (ORDER BY t, d), 0)
+        |     END AS carry_in
         |   FROM lv)
         |SELECT t // 604800 AS bucket,
         | CAST(greatest(COALESCE(max(CASE WHEN d = 1 THEN level END), 0),
-        |   first(prev_level ORDER BY t, d)) AS BIGINT) AS peak_concurrency
+        |   first(carry_in ORDER BY t, d)) AS BIGINT) AS peak_concurrency
         |FROM pv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "basket_brand_rules" ->
+      """WITH bi AS (SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+        |     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        | ic AS (SELECT i, count(*) AS n_i FROM bi GROUP BY 1),
+        | nb AS (SELECT count(DISTINCT b) AS n_baskets FROM bi),
+        | keep AS (SELECT bi.b, bi.i FROM bi
+        |   JOIN ic ON ic.i = bi.i WHERE ic.n_i >= 50),
+        | sized AS (SELECT b FROM keep GROUP BY b HAVING count(*) <= 10000),
+        | ip AS (SELECT k.b, k.i FROM keep k JOIN sized s ON s.b = k.b),
+        | pr AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_ab
+        |   FROM ip a JOIN ip c ON a.b = c.b AND a.i < c.i
+        |   GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT item_a, item_b,
+        | CAST(ia.n_i AS BIGINT) AS n_a, CAST(ib.n_i AS BIGINT) AS n_b,
+        | CAST(pr.n_ab AS BIGINT) AS n_ab,
+        | CAST(CAST(pr.n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS REAL)
+        |   AS support,
+        | CAST(CAST(pr.n_ab AS DOUBLE) / CAST(ia.n_i AS DOUBLE) AS REAL)
+        |   AS conf_a_to_b,
+        | CAST(CAST(pr.n_ab AS DOUBLE) / CAST(ib.n_i AS DOUBLE) AS REAL)
+        |   AS conf_b_to_a,
+        | CAST(CAST(pr.n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE) /
+        |   (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)) AS REAL) AS lift
+        |FROM pr JOIN ic ia ON ia.i = pr.item_a
+        | JOIN ic ib ON ib.i = pr.item_b CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
 
     "ts_resample_ffill" ->
       """WITH obs AS (SELECT event_type, epoch_ns(ts) AS t, max(value) AS v

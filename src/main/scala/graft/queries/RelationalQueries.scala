@@ -512,6 +512,38 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // ── INCREMENTAL sessionization: the same 30-min rollup produced by
+    // folding the post-cutoff batch's session frame into the standing
+    // pre-cutoff rollup — session-granular merge arithmetic, no event
+    // history rescan. Shares sessionize_events' full-recompute oracle:
+    // the equality IS the claim. sum_value stays DECIMAL through the
+    // merge (part-wise double adds would diverge from the recompute)
+    // and casts at the surface.
+    "sessionize_incremental" -> ((s, dir) => {
+      val gap = 30L * 60L * 1000000L
+      val cutoff = 1705400000000000L // 2024-01-16, mid-range of events
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts_utc")).as("t_us"),
+          col("event_id"), col("value"))
+      def roll(df: DataFrame) =
+        Sessionize.assign(df, "user_id", "t_us", "event_id", gap)
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            min(col("t_us")).as("session_start"),
+            max(col("t_us")).as("session_end"),
+            count(lit(1)).as("n_events"),
+            sum(d2(col("value"))).as("sum_value"))
+      Sessionize.mergeSessions(
+          roll(ev.filter(col("t_us") <= cutoff)),
+          roll(ev.filter(col("t_us") > cutoff)),
+          key = "user_id", gap = gap, sums = Seq("sum_value"))
+        .select(col("user_id"), col("session_id"),
+          col("session_start").as("session_start_us"),
+          col("session_end").as("session_end_us"),
+          col("n_events"), col("sum_value").cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // ── Max drawdown per series: running peak (order-free max) then the
     // worst value/peak ratio. Each ratio divides the SAME two doubles in
     // both engines (total order via event_id tiebreak), so min() over
@@ -646,6 +678,23 @@ object RelationalQueries {
       | r AS (SELECT o_custkey, version, min(o_orderpriority) AS o_orderpriority,
       |         min(o_orderdate) AS valid_from, count(*) AS n_obs
       |       FROM v GROUP BY 1, 2)""".stripMargin
+
+  /** Shared by sessionize_events and sessionize_incremental: the
+    * incremental session merge claims exact equality with this
+    * from-scratch sessionization, so both take the same oracle. */
+  private val sessionizeFullRecomputeSql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, value FROM events),
+      | s AS (SELECT *, CASE WHEN t - lag(t) OVER
+      |         (PARTITION BY user_id ORDER BY t, event_id) > 1800000000
+      |         THEN 1 ELSE 0 END AS brk FROM e),
+      | g AS (SELECT user_id, t, value,
+      |        CAST(1 + sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |       FROM s)
+      |SELECT user_id, session_id, min(t) AS session_start_us,
+      | max(t) AS session_end_us, count(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1094,19 +1143,10 @@ object RelationalQueries {
         |FROM e JOIN iv ON e.t_us >= iv.lo AND e.t_us <= iv.hi
         |GROUP BY iv_user ORDER BY iv_user""".stripMargin,
 
-    "sessionize_events" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, value FROM events),
-        | s AS (SELECT *, CASE WHEN t - lag(t) OVER
-        |         (PARTITION BY user_id ORDER BY t, event_id) > 1800000000
-        |         THEN 1 ELSE 0 END AS brk FROM e),
-        | g AS (SELECT user_id, t, value,
-        |        CAST(1 + sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
-        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        |       FROM s)
-        |SELECT user_id, session_id, min(t) AS session_start_us,
-        | max(t) AS session_end_us, count(*) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sessionize_events" -> sessionizeFullRecomputeSql,
+
+    // the incremental merge must equal the full recompute — same oracle
+    "sessionize_incremental" -> sessionizeFullRecomputeSql,
 
     "w_drawdown" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, value

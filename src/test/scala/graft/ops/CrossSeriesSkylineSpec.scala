@@ -161,6 +161,40 @@ class CrossSeriesSkylineSpec extends SparkSpec {
     exact shouldBe Seq((10L, 5.0), (20L, 7.0))
   }
 
+  test("seasonalDecompose: pure weekly pattern decomposes exactly — zero residual") {
+    // v(t) = 14 on pos 0, 7 elsewhere; weekly mean m = 8, so any full
+    // 7-day centered window's trend is exactly 8, seasonal(0) = +6,
+    // seasonal(1..6) = −1, residual 0 wherever the trend exists
+    val s = (0L to 13L).map(t => ("k", t, if (t % 7 == 0) 14L else 7L))
+      .toDF("k0", "t", "v")
+    val out = Resample.seasonalDecompose(s, "k0", "t", "v")
+      .orderBy("t")
+      .rows.map(r => (r(1).asInstanceOf[Long], r(3), r(4), r(5)))
+    out.foreach { case (t, trend, seasonal, residual) =>
+      val pos = t % 7
+      seasonal shouldBe (if (pos == 0) 6.0 else -1.0)
+      if (t >= 3 && t <= 10) {
+        trend shouldBe 8.0
+        residual shouldBe 0.0
+      } else {
+        assert(trend == null)
+        assert(residual == null)
+      }
+    }
+  }
+
+  test("seasonalDecompose: a gap in the series suppresses the trend, never mis-averages") {
+    // t=7 missing: every centered RANGE window that should contain it
+    // has only 6 rows → trend null there; windows clear of the gap
+    // (t=3 needs 0..6) still produce one
+    val s = ((0L to 13L).filterNot(_ == 7L))
+      .map(t => ("k", t, 7L)).toDF("k0", "t", "v")
+    val trends = Resample.seasonalDecompose(s, "k0", "t", "v")
+      .rows.map(r => r(1).asInstanceOf[Long] -> r(3)).toMap
+    trends(3L) shouldBe 7.0
+    (4L to 10L).filterNot(_ == 7L).foreach(t => assert(trends(t) == null))
+  }
+
   // ── peak concurrency ───────────────────────────────────────────────
 
   test("peakConcurrency: sweep counts overlaps; half-open boundaries never double-count") {
@@ -199,6 +233,24 @@ class CrossSeriesSkylineSpec extends SparkSpec {
     val out = Intervals.peakConcurrency(iv, "s", "e", bucket = 10L)
       .rows.map(r => r.head -> r(1)).toMap
     out shouldBe Map(0L -> 1L, 2L -> 1L)
+  }
+
+  test("peakConcurrency: close landing exactly on a bucket boundary does not carry in") {
+    // [0,10) [0,10) close exactly at bucket 1's start; [15,16) is the
+    // only interval ever live inside bucket 1 — the bucket's first
+    // boundary row is the collapsed close at t=10, whose PRE-close
+    // level (2) was never in force inside [10,20) under the half-open
+    // convention. Peak must be 1, not 2.
+    val iv = Seq((0L, 10L), (0L, 10L), (15L, 16L)).toDF("s", "e")
+    val out = Intervals.peakConcurrency(iv, "s", "e", bucket = 10L)
+      .rows.map(r => r.head -> r(1)).toMap
+    out shouldBe Map(0L -> 2L, 1L -> 1L)
+    // ...and when something DOES survive the boundary close, the
+    // post-close level carries in: [0,10) closes at 10, [5,25) lives on
+    val mixed = Seq((0L, 10L), (5L, 25L)).toDF("s", "e")
+    val got = Intervals.peakConcurrency(mixed, "s", "e", bucket = 10L)
+      .rows.map(r => r.head -> r(1)).toMap
+    got shouldBe Map(0L -> 2L, 1L -> 1L, 2L -> 1L)
   }
 
   // ── equi-depth histogram ───────────────────────────────────────────

@@ -157,4 +157,11 @@ class GraphSpec extends SparkSpec {
     lpa(Seq((2L, 1L), (3L, 1L)), iters = 1) shouldBe
       Map(1L -> 2L, 2L -> 2L, 3L -> 3L)
   }
+
+  test("labelPropagation: string node ids are rejected loudly (tie-break needs numeric)") {
+    val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val ex = the[IllegalArgumentException] thrownBy
+      Graph.labelPropagation(e)
+    ex.getMessage should include("numeric node ids")
+  }
 }

@@ -54,6 +54,62 @@ class SessionizeSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  // ── incremental merge ──────────────────────────────────────────────
+
+  private def roll(df: org.apache.spark.sql.DataFrame) =
+    Sessionize.sessions(df, "user", "t", "eid", gap = 100L)
+
+  test("mergeSessions: bridge fuses last prior with first delta; later deltas renumber") {
+    // key 1 prior: s1 [0,100] n2, s2 [250,250] n1; delta events at 300
+    // (bridges s2: 300-250 ≤ 100) and 600 (new session)
+    val prior = roll(events)
+    val delta = roll(Seq((1L, 300L, 13L), (1L, 600L, 14L)).toDF("user", "t", "eid"))
+    val out = Sessionize.mergeSessions(prior, delta, "user", gap = 100L)
+      .filter($"user" === 1L).orderBy("session_id")
+      .rows.map(r => (r(1), r(2), r(3), r(4)))
+    out shouldBe Seq(
+      (1L, 0L, 100L, 2L),
+      (2L, 250L, 300L, 2L), // fused: end extended, count folded
+      (3L, 600L, 600L, 1L)) // delta session 2 → last_id + 1
+  }
+
+  test("mergeSessions: no bridge appends; unseen and untouched keys pass through") {
+    val prior = roll(events)
+    // key 2 delta far beyond the gap; key 9 unseen before
+    val delta = roll(Seq((2L, 1000L, 21L), (9L, 5L, 90L)).toDF("user", "t", "eid"))
+    val out = Sessionize.mergeSessions(prior, delta, "user", gap = 100L)
+      .orderBy("user", "session_id")
+      .rows.map(r => (r(0), r(1), r(2), r(3), r(4)))
+    out shouldBe Seq(
+      (1L, 1L, 0L, 100L, 2L), (1L, 2L, 250L, 250L, 1L),
+      (2L, 1L, 500L, 500L, 1L), (2L, 2L, 1000L, 1000L, 1L),
+      (3L, 1L, 0L, 100L, 2L),
+      (9L, 1L, 5L, 5L, 1L))
+  }
+
+  test("mergeSessions: equals the from-scratch sessionization of the union") {
+    val all = Seq(
+      (1L, 0L, 1L), (1L, 90L, 2L), (1L, 400L, 3L), (1L, 450L, 4L),
+      (2L, 100L, 5L), (2L, 390L, 6L), (2L, 391L, 7L),
+      (4L, 395L, 8L), (4L, 900L, 9L)
+    ).toDF("user", "t", "eid")
+    val cutoff = 392L
+    val merged = Sessionize.mergeSessions(
+        roll(all.filter($"t" <= cutoff)), roll(all.filter($"t" > cutoff)),
+        "user", gap = 100L)
+      .orderBy("user", "session_id").rows
+    merged shouldBe roll(all).orderBy("user", "session_id").rows
+  }
+
+  test("mergeSessions: a delta that does not partition time fails loudly") {
+    val prior = roll(events)
+    val delta = roll(Seq((1L, 50L, 99L)).toDF("user", "t", "eid"))
+    val ex = intercept[Exception] {
+      Sessionize.mergeSessions(prior, delta, "user", gap = 100L).collect()
+    }
+    ex.getMessage should include("partition time")
+  }
+
   test("one exchange, one sort: both window passes share the plan prefix") {
     val plan = Sessionize.assign(events, "user", "t", "eid", gap = 100L)
       .queryExecution.executedPlan.toString
