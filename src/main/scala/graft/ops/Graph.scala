@@ -127,10 +127,7 @@ object Graph {
     * orientation is a unique DAG path a→b→c plus the chord a→c).
     * Plan: three shuffles on node keys, no window, no driver state. */
   def triangles(edges: DataFrame, src: String = "src", dst: String = "dst"): DataFrame = {
-    val und = edges
-      .filter(col(src).isNotNull && col(dst).isNotNull && col(src) =!= col(dst))
-      .select(least(col(src), col(dst)).as("u"), greatest(col(src), col(dst)).as("v"))
-      .distinct()
+    val und = undirected(edges, src, dst)
     val deg = und.select(col("u").as("id"))
       .union(und.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -300,6 +297,115 @@ object Graph {
     }
     lFinal.select(col("id"), col("lbl").as("community"))
   }
+
+  /** Adamic–Adar link prediction over the undirected simple graph:
+    * for node pairs NOT already linked, score(u,v) =
+    * Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) — common neighbors, discounted by
+    * how promiscuous each one is (a shared rare neighbor says far more
+    * than a shared hub; Adamic & Adar 2003). The "which documents are
+    * probably the same family even though no edge was derived" query —
+    * the candidate generator for a second, cheaper verification pass.
+    *
+    * Scale shape: the wedge join through each common neighbor
+    * generates Σ_w deg(w)² candidates — a hub makes that quadratic, so
+    * centers with deg > `maxDegree` are EXCLUDED from wedge
+    * generation. That cap is declared semantics, mirrored by the
+    * oracle, and never silent: [[adamicAdarDroppedHubs]] reports the
+    * excluded centers (their 1/ln(deg) terms are the smallest in the
+    * sum, which is why the cap is the standard production trade).
+    * Degrees come from the FULL graph either way. Top-k surfaces via
+    * orderBy+limit (TakeOrderedAndProject — per-partition heaps, no
+    * single-partition window over the pair set), ranked on the EXACT
+    * DECIMAL(20,12)-quantized term sum (ties broken by (u,v)), so
+    * rank order never hangs on a double's last bit. */
+  def adamicAdar(edges: DataFrame, src: String = "src", dst: String = "dst",
+                 k: Int = 50, maxDegree: Long = 10000L): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val und = undirected(edges, src, dst).localCheckpoint()
+    val adj = und.select(col("u").as("c"), col("v").as("x"))
+      .unionAll(und.select(col("v").as("c"), col("u").as("x")))
+    val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+    val centers = adj.join(deg.filter(col("deg") <= maxDegree), "c")
+    val scored = centers.as("a").join(centers.as("b"),
+        col("a.c") === col("b.c") && col("a.x") < col("b.x"))
+      .select(col("a.x").as("u"), col("b.x").as("v"),
+        (lit(1.0) / log(col("a.deg").cast("double"))).as("__term"))
+      .groupBy(col("u"), col("v"))
+      .agg(sum(col("__term").cast("decimal(20,12)")).as("__s"))
+      .join(und, Seq("u", "v"), "left_anti")
+    val top = scored.orderBy(col("__s").desc, col("u"), col("v")).limit(k)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__s").desc, col("u"), col("v"))).cast("long"))
+      .select(col("u"), col("v"),
+        col("__s").cast("double").as("aa_score"), col("rank"))
+  }
+
+  /** [[adamicAdar]]'s cap observer: the wedge centers the degree cap
+    * excluded, with their degrees — empty proves the scores are
+    * cap-free. */
+  def adamicAdarDroppedHubs(edges: DataFrame, src: String = "src",
+                            dst: String = "dst",
+                            maxDegree: Long = 10000L): DataFrame = {
+    val und = undirected(edges, src, dst)
+    und.select(col("u").as("id")).unionAll(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > maxDegree)
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999), `iters` synchronous
+    * rounds over the DIRECTED edge set: a(v) = Σ_{u→v} h(u) then
+    * h(u) = Σ_{u→v} a(v) (the fresh a, the classic update order), each
+    * vector L1-normalized per round — the centrality pair that
+    * separates "points at good things" from "is pointed at", where
+    * PageRank fuses them. L1 (not the textbook L2) keeps the
+    * normalization engine-exact: a DECIMAL(30,12)-quantized sum and
+    * one double division per value, no square roots — same replay
+    * contract as [[pageRank]], fixed-round output pinned by spec.
+    * Per round: two rank⋈edges shuffles, two map-side-combined
+    * aggregations, two broadcast one-row totals; frames
+    * localCheckpoint so the plan never deepens with `iters`. */
+  def hits(edges: DataFrame, src: String = "src", dst: String = "dst",
+           iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val init = nodes.withColumn("a", lit(1.0)).withColumn("h", lit(1.0))
+      .localCheckpoint()
+    val res = (1 to iters).foldLeft(init) { (st, _) =>
+      val aRaw = st.join(e, col("id") === col("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(d30(col("h"))).cast("double").as("__ar"))
+      val aTot = aRaw.agg(sum(d30(col("__ar"))).cast("double").as("__at"))
+      val aN = st.select(col("id")).join(aRaw, Seq("id"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(col("id"),
+          (coalesce(col("__ar"), lit(0.0)) / col("__at")).as("a"))
+      val hRaw = aN.join(e, col("id") === col("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(sum(d30(col("a"))).cast("double").as("__hr"))
+      val hTot = hRaw.agg(sum(d30(col("__hr"))).cast("double").as("__ht"))
+      aN.join(hRaw, Seq("id"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(col("id"), col("a"),
+          (coalesce(col("__hr"), lit(0.0)) / col("__ht")).as("h"))
+        .localCheckpoint()
+    }
+    res.select(col("id"), col("a").as("authority"), col("h").as("hub"))
+  }
+
+  /** Unique undirected edge set (u < v), self-loops dropped — shared
+    * by [[triangles]] and [[adamicAdar]]. */
+  private def undirected(edges: DataFrame, src: String, dst: String) =
+    edges
+      .filter(col(src).isNotNull && col(dst).isNotNull && col(src) =!= col(dst))
+      .select(least(col(src), col(dst)).as("u"),
+        greatest(col(src), col(dst)).as("v"))
+      .distinct()
 
   private def pageRankImpl(edges: DataFrame, src: String, dst: String,
                            damping: Double, iters: Int): DataFrame = {

@@ -268,4 +268,48 @@ object Quality {
         col("contribution").cast("float").as("contribution"),
         col("psi_total").cast("float").as("psi_total"))
   }
+
+  /** Shannon entropy of `bucket`'s distribution within each `key`
+    * group, H = −Σ p·ln p (nats) — the single-snapshot mixture health
+    * number beside [[psiDrift]]'s two-snapshot comparison: a language
+    * whose source entropy collapses toward 0 is being fed by one
+    * domain (mixture collapse, the classic silent curation failure);
+    * ln(n_buckets) is its maximum, so the pair reads as "how even, out
+    * of how many". Each p·ln p is a short double chain on exact
+    * integer ratios, DECIMAL(20,12)-quantized before the group sum —
+    * order-free, FLOAT at the surface. One (key, bucket) aggregation,
+    * one key-partitioned window over the bucket-granular frame. */
+  def groupEntropy(df: DataFrame, key: String, bucket: String): DataFrame = {
+    val counts = df.filter(col(bucket).isNotNull)
+      .groupBy(col(key), col(bucket)).agg(count(lit(1)).as("__c"))
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    counts.withColumn("__n", sum(col("__c")).over(wk))
+      .withColumn("__p", col("__c").cast("double") / col("__n").cast("double"))
+      .groupBy(col(key))
+      .agg(
+        (-sum((col("__p") * log(col("__p"))).cast("decimal(20,12)")))
+          .cast("double").cast("float").as("entropy"),
+        count(lit(1)).as("n_buckets"),
+        max(col("__n")).as("n_rows"))
+  }
+
+  /** Referential-integrity audit: how many child rows point at a
+    * parent key that does not exist — the foreign-key orphan count a
+    * lake without enforced constraints must MEASURE instead of assume
+    * (a partial parent-side backfill silently orphans children; joins
+    * downstream then drop them without a trace). One distinct on the
+    * parent key + one anti join, both hashed on the key — the scale
+    * shape of any equi-join. Null child keys are excluded from both
+    * counts (they are [[nullAudit]]'s finding, not an orphan). */
+  def referentialOrphans(child: DataFrame, childKey: String,
+                         parent: DataFrame, parentKey: String,
+                         name: String): DataFrame = {
+    val c = child.filter(col(childKey).isNotNull)
+    val orphan = c.join(
+      parent.select(col(parentKey).as(childKey)).distinct(),
+      Seq(childKey), "left_anti")
+    c.agg(count(lit(1)).as("n_child"))
+      .crossJoin(orphan.agg(count(lit(1)).as("n_orphans")))
+      .select(lit(name).as("fk"), col("n_child"), col("n_orphans"))
+  }
 }

@@ -244,6 +244,81 @@ object TextAnalysis {
         col("df_ab"), col("pmi"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010): split each document
+    * into candidate phrases at stopword boundaries, score every
+    * in-phrase word by deg/freq WITHIN its document (deg = Σ lengths
+    * of the doc's phrases containing the word — co-occurrence mass;
+    * freq = its in-phrase occurrence count), a phrase's score is the
+    * sum of its word scores, and the top-`k` phrases per document
+    * surface. The cheap unsupervised "what is this document about"
+    * tagger a curation pipeline runs before any clustering by topic.
+    *
+    * Stopwords are CORPUS-DERIVED, not a hardcoded language list: the
+    * `nStopwords` highest-document-frequency tokens (ties by token) —
+    * the [[pmiCollocations]] kept-set pattern, language-agnostic by
+    * construction. Degenerate documents (all stopwords) simply emit
+    * nothing.
+    *
+    * Exactness: phrase segmentation and deg/freq are all-integer; each
+    * word score is ONE double division quantized to DECIMAL(20,12);
+    * phrase scores are exact decimal sums and RANK on the decimal
+    * (ties by phrase string), so ordering never hangs on a double bit.
+    *
+    * Scale shape: one corpus pass to token rows; the stopword set is a
+    * top-N over the token-df aggregate (TakeOrdered, then broadcast);
+    * islands need one (doc)-partitioned window; word stats and phrase
+    * scores are doc-local joins on (doc, token)/(doc, island) — raw
+    * text is never shuffled twice, and every frame after the token
+    * explode is token- or phrase-granular. */
+  def rakeKeywords(df: DataFrame, id: String = "doc_id",
+                   text: String = "text", nStopwords: Int = 10,
+                   k: Int = 3): DataFrame = {
+    require(nStopwords >= 1, s"need at least one stopword, got $nStopwords")
+    require(k >= 1, s"need k >= 1, got $k")
+    val tok = df
+      .select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val dfT = tok.select(col(id), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stops = dfT.orderBy(col("df").desc, col("tok")).limit(nStopwords)
+      .select(col("tok"), lit(true).as("__stop"))
+    val wDoc = Window.partitionBy(col(id)).orderBy(col("pos"))
+    // the island frame feeds three consumers (phrases, word stats,
+    // phrase scores): EAGER, like every multi-consumer op here —
+    // re-deriving the corpus token explode per consumer is the rescan
+    // this avoids
+    val isl = tok.join(broadcast(stops), Seq("tok"), "left")
+      .withColumn("__island",
+        sum(when(col("__stop"), 1L).otherwise(0L)).over(wDoc))
+      .filter(col("__stop").isNull)
+      .select(col(id), col("__island"), col("pos"), col("tok"))
+      .localCheckpoint()
+    val phrases = isl.groupBy(col(id), col("__island"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("phrase"),
+        count(lit(1)).as("__len"))
+    val wordStats = isl.join(phrases, Seq(id, "__island"))
+      .groupBy(col(id), col("tok"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .withColumn("__ws",
+        d12(col("__deg").cast("double") / col("__freq").cast("double")))
+    val scored = isl.join(wordStats, Seq(id, "tok"))
+      .groupBy(col(id), col("__island"))
+      .agg(sum(col("__ws")).as("__s"))
+    val perPhrase = phrases.join(scored, Seq(id, "__island"))
+      .groupBy(col(id), col("phrase"))
+      .agg(max(col("__s")).as("__s"), count(lit(1)).as("n_occurrences"))
+    val wRank = Window.partitionBy(col(id))
+      .orderBy(col("__s").desc, col("phrase"))
+    perPhrase.withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(id), col("phrase"),
+        col("__s").cast("double").as("rake_score"),
+        col("n_occurrences"), col("rank"))
+  }
+
   /** Zipf rank–frequency fit over the corpus vocabulary: least-squares
     * slope/intercept of ln(freq) against ln(rank) for the `topN` most
     * frequent tokens — the curation health check on any scraped corpus

@@ -512,6 +512,22 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // ── Referential-integrity audit: orphan counts across the lake's
+    // three foreign keys — what a warehouse without enforced
+    // constraints must MEASURE (a partial parent backfill silently
+    // orphans children; downstream joins then drop them traceless).
+    "dq_referential" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      Quality.referentialOrphans(li, "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey", "lineitem.orderkey->orders")
+        .unionByName(Quality.referentialOrphans(li, "l_partkey",
+          Tables.part(s, dir), "p_partkey", "lineitem.partkey->part"))
+        .unionByName(Quality.referentialOrphans(Tables.orders(s, dir),
+          "o_custkey", Tables.customer(s, dir), "c_custkey",
+          "orders.custkey->customer"))
+        .orderBy(col("fk"))
+    }),
+
     // ── INCREMENTAL sessionization: the same 30-min rollup produced by
     // folding the post-cutoff batch's session frame into the standing
     // pre-cutoff rollup — session-granular merge arithmetic, no event
@@ -1142,6 +1158,27 @@ object RelationalQueries {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM e JOIN iv ON e.t_us >= iv.lo AND e.t_us <= iv.hi
         |GROUP BY iv_user ORDER BY iv_user""".stripMargin,
+
+    "dq_referential" ->
+      """SELECT 'lineitem.orderkey->orders' AS fk,
+        | (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)
+        |   AS n_child,
+        | (SELECT count(*) FROM lineitem l WHERE l_orderkey IS NOT NULL
+        |   AND NOT EXISTS (SELECT 1 FROM orders o
+        |     WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem.partkey->part',
+        | (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL),
+        | (SELECT count(*) FROM lineitem l WHERE l_partkey IS NOT NULL
+        |   AND NOT EXISTS (SELECT 1 FROM part p
+        |     WHERE p.p_partkey = l.l_partkey))
+        |UNION ALL
+        |SELECT 'orders.custkey->customer',
+        | (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL),
+        | (SELECT count(*) FROM orders o WHERE o_custkey IS NOT NULL
+        |   AND NOT EXISTS (SELECT 1 FROM customer c
+        |     WHERE c.c_custkey = o.o_custkey))
+        |ORDER BY fk""".stripMargin,
 
     "sessionize_events" -> sessionizeFullRecomputeSql,
 

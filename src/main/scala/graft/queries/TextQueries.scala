@@ -133,6 +133,31 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("community"))
         .orderBy(col("doc_id"))),
 
+    // Adamic–Adar link prediction over the persisted edge frame:
+    // unlinked doc pairs scored by Σ 1/ln(deg) over common neighbors
+    // (a shared RARE neighbor outweighs a shared hub) — the "probably
+    // the same family, though no edge was derived" candidate list.
+    // Degree-capped wedge centers (cap mirrored by the oracle, dropped
+    // hubs observable), ranked on the exact decimal sum.
+    "graph_adamic_adar" -> ((s, dir) =>
+      Graph.adamicAdar(Graph.loadEdges(s, coocEdgeDir(s, dir)),
+          k = 50, maxDegree = 200L)
+        .select(col("u").as("doc_a"), col("v").as("doc_b"),
+          col("aa_score").cast("float").as("aa_score"), col("rank"))
+        .orderBy(col("rank"))),
+
+    // HITS hubs & authorities, 8 L1-normalized rounds — the centrality
+    // pair PageRank fuses: "points at good things" vs "is pointed at".
+    // On this symmetric co-occurrence graph the two columns coincide,
+    // which the oracle replays round-for-round (and is itself the
+    // sanity check a directed corpus graph would break).
+    "graph_hits" -> ((s, dir) =>
+      Graph.hits(Graph.loadEdges(s, coocEdgeDir(s, dir)), iters = 8)
+        .select(col("id").as("doc_id"),
+          col("authority").cast("float").as("authority"),
+          col("hub").cast("float").as("hub"))
+        .orderBy(col("doc_id"))),
+
     // EDGE LIFECYCLE derivation leg: a FRESH shingle-co-occurrence
     // derivation + partitioned persist + load-back per invocation (no
     // cache — this entry IS the edge-build timing, the cost the other
@@ -199,6 +224,18 @@ object TextQueries {
       Retrieval.bm25TopK(docs, probes, k = 10, excludeSelf = true)
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    // RAKE keyword extraction: phrases split at corpus-derived
+    // stopwords (top-10 df tokens), words scored deg/freq within their
+    // document, phrases ranked on the exact decimal word-score sum —
+    // the unsupervised "what is this doc about" tagger.
+    "text_rake_keywords" -> ((s, dir) =>
+      TextAnalysis.rakeKeywords(Tables.documents(s, dir),
+          nStopwords = 10, k = 3)
+        .select(col("doc_id"), col("phrase"),
+          col("rake_score").cast("float").as("rake_score"),
+          col("n_occurrences"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))),
 
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir))
@@ -510,6 +547,15 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // Single-snapshot mixture health: Shannon entropy of each
+    // language's SOURCE distribution — a lang whose source entropy
+    // collapses toward 0 is being fed by one domain; the n_buckets
+    // column gives the ln(B) ceiling to read it against.
+    "dq_mixture_entropy" -> ((s, dir) =>
+      Quality.groupEntropy(Tables.documents(s, dir),
+          key = "lang", bucket = "source")
+        .orderBy(col("lang"))),
+
     // PERCEPTUAL frame near-dup: dHash (33-cell average-gradient sign,
     // all integer arithmetic) over each sampled frame's raw bytes,
     // 4-chunk Hamming bucketing, bit_count verify — catches the
@@ -731,6 +777,63 @@ object TextQueries {
        |${lpaIterCtes(5)}
        |SELECT id AS doc_id, lbl AS community FROM l5 ORDER BY doc_id""".stripMargin
 
+  private val graphAdamicAdarSql =
+    s"""WITH $coocEdgeCtes,
+       | und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |   FROM e WHERE src <> dst),
+       | adj AS (SELECT u AS c, v AS x FROM und
+       |   UNION ALL SELECT v, u FROM und),
+       | dg AS (SELECT c, count(*) AS deg FROM adj GROUP BY 1),
+       | ct AS (SELECT a.c, a.x, d.deg FROM adj a
+       |   JOIN dg d ON d.c = a.c WHERE d.deg <= 200),
+       | w AS (SELECT a.x AS u, b.x AS v,
+       |     CAST(1.0 / ln(CAST(a.deg AS DOUBLE)) AS DECIMAL(20,12)) AS term
+       |   FROM ct a JOIN ct b ON a.c = b.c AND a.x < b.x),
+       | sc AS (SELECT u, v, sum(term) AS s FROM w GROUP BY 1, 2),
+       | nw AS (SELECT sc.u, sc.v, sc.s FROM sc
+       |   LEFT JOIN und ON und.u = sc.u AND und.v = sc.v
+       |   WHERE und.u IS NULL),
+       | r AS (SELECT u, v, s,
+       |     row_number() OVER (ORDER BY s DESC, u, v) AS rank FROM nw)
+       |SELECT u AS doc_a, v AS doc_b,
+       | CAST(CAST(s AS DOUBLE) AS REAL) AS aa_score,
+       | CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin
+
+  /** HITS replay: per round, authority sums h over in-edges then hub
+    * sums the FRESH a over out-edges, each L1-normalized — quantized
+    * sums and one double division per value, the Spark side's exact
+    * arithmetic. */
+  private def hitsIterCtes(iters: Int): String = (1 to iters).map { k =>
+    // every multiply-referenced round frame is MATERIALIZED: inlined,
+    // the 4 references per round would expand 4^k times
+    s""" ar$k AS MATERIALIZED (SELECT e.dst AS id,
+       |     CAST(sum(CAST(s.h AS DECIMAL(30,12))) AS DOUBLE) AS ar
+       |   FROM s${k - 1} s JOIN e ON s.id = e.src GROUP BY 1),
+       | at$k AS (SELECT CAST(sum(CAST(ar AS DECIMAL(30,12))) AS DOUBLE) AS t
+       |   FROM ar$k),
+       | an$k AS MATERIALIZED (SELECT s.id, COALESCE(r.ar, 0) / at$k.t AS a
+       |   FROM s${k - 1} s LEFT JOIN ar$k r ON r.id = s.id CROSS JOIN at$k),
+       | hr$k AS MATERIALIZED (SELECT e.src AS id,
+       |     CAST(sum(CAST(an.a AS DECIMAL(30,12))) AS DOUBLE) AS hr
+       |   FROM an$k an JOIN e ON an.id = e.dst GROUP BY 1),
+       | ht$k AS (SELECT CAST(sum(CAST(hr AS DECIMAL(30,12))) AS DOUBLE) AS t
+       |   FROM hr$k),
+       | s$k AS MATERIALIZED (SELECT an.id, an.a,
+       |     COALESCE(r.hr, 0) / ht$k.t AS h
+       |   FROM an$k an LEFT JOIN hr$k r ON r.id = an.id CROSS JOIN ht$k)""".stripMargin
+  }.mkString(",\n")
+
+  private val graphHitsSql =
+    s"""WITH $coocEdgeCtes,
+       | nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       | s0 AS (SELECT id, CAST(1 AS DOUBLE) AS a, CAST(1 AS DOUBLE) AS h
+       |   FROM nodes),
+       |${hitsIterCtes(8)}
+       |SELECT id AS doc_id, CAST(a AS REAL) AS authority,
+       | CAST(h AS REAL) AS hub
+       |FROM s8 ORDER BY doc_id""".stripMargin
+
   /** Shared by graph_degree_profile and graph_edges_append: the append
     * path's base ∪ delta is exactly the full edge set (partition-
     * disjoint split), so both must reproduce this full recompute. */
@@ -771,6 +874,53 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "graph_communities" -> graphCommunitiesSql,
+
+    "graph_adamic_adar" -> graphAdamicAdarSql,
+
+    "text_rake_keywords" ->
+      """WITH tkk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+        |   FROM documents),
+        | tok AS (SELECT doc_id, p AS pos, t[p] AS tok FROM (
+        |     SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM tkk) z
+        |   WHERE length(t[p]) > 0),
+        | dfc AS (SELECT tok, count(*) AS df FROM (
+        |     SELECT DISTINCT doc_id, tok FROM tok) u GROUP BY 1),
+        | stw AS (SELECT tok FROM (
+        |     SELECT tok, row_number() OVER (ORDER BY df DESC, tok) AS r
+        |     FROM dfc) z WHERE r <= 10),
+        | isl0 AS (SELECT t.doc_id, t.pos, t.tok,
+        |     (s.tok IS NOT NULL) AS is_stop,
+        |     sum(CASE WHEN s.tok IS NOT NULL THEN 1 ELSE 0 END)
+        |       OVER (PARTITION BY t.doc_id ORDER BY t.pos
+        |         ROWS UNBOUNDED PRECEDING) AS island
+        |   FROM tok t LEFT JOIN stw s ON s.tok = t.tok),
+        | pw AS MATERIALIZED (SELECT doc_id, island, pos, tok FROM isl0
+        |   WHERE NOT is_stop),
+        | ph AS MATERIALIZED (SELECT doc_id, island,
+        |     string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |     count(*) AS len
+        |   FROM pw GROUP BY 1, 2),
+        | ws AS (SELECT pw.doc_id, pw.tok,
+        |     CAST(CAST(sum(ph.len) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |       AS DECIMAL(20,12)) AS wscore
+        |   FROM pw JOIN ph ON ph.doc_id = pw.doc_id AND ph.island = pw.island
+        |   GROUP BY 1, 2),
+        | sc AS (SELECT pw.doc_id, pw.island, sum(ws.wscore) AS s
+        |   FROM pw JOIN ws ON ws.doc_id = pw.doc_id AND ws.tok = pw.tok
+        |   GROUP BY 1, 2),
+        | pd AS (SELECT ph.doc_id, ph.phrase, max(sc.s) AS s,
+        |     count(*) AS n_occurrences
+        |   FROM ph JOIN sc ON sc.doc_id = ph.doc_id AND sc.island = ph.island
+        |   GROUP BY 1, 2),
+        | r AS (SELECT doc_id, phrase, s, n_occurrences,
+        |     row_number() OVER (PARTITION BY doc_id
+        |       ORDER BY s DESC, phrase) AS rank FROM pd)
+        |SELECT doc_id, phrase, CAST(CAST(s AS DOUBLE) AS REAL) AS rake_score,
+        | CAST(n_occurrences AS BIGINT) AS n_occurrences,
+        | CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "graph_hits" -> graphHitsSql,
 
     "retrieval_prf_expansion" ->
       s"""WITH ${QuerySql.bm25Ctes("7, 123, 321, 444")},
@@ -860,6 +1010,20 @@ object TextQueries {
         |  CAST(CAST(sum(CAST(contribution AS DECIMAL(30,12))) OVER ()
         |    AS DOUBLE) AS REAL) AS psi_total
         |FROM k2 ORDER BY lang""".stripMargin,
+
+    "dq_mixture_entropy" ->
+      """WITH c AS (SELECT lang, source, count(*) AS c FROM documents
+        |     WHERE source IS NOT NULL GROUP BY 1, 2),
+        | p AS (SELECT lang, c,
+        |     sum(c) OVER (PARTITION BY lang) AS n,
+        |     CAST(c AS DOUBLE) /
+        |       CAST(sum(c) OVER (PARTITION BY lang) AS DOUBLE) AS p
+        |   FROM c)
+        |SELECT lang,
+        | CAST(CAST(-sum(CAST(p * ln(p) AS DECIMAL(20,12))) AS DOUBLE)
+        |   AS REAL) AS entropy,
+        | count(*) AS n_buckets, CAST(max(n) AS BIGINT) AS n_rows
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "graph_edges_append" -> graphDegreeProfileSql,
 

@@ -158,6 +158,43 @@ class GraphSpec extends SparkSpec {
       Map(1L -> 2L, 2L -> 2L, 3L -> 3L)
   }
 
+  test("adamicAdar: unlinked pair scores 1/ln(deg) per common neighbor; edges excluded") {
+    // path 1—2—3: the only unlinked pair is (1,3), via center 2 with
+    // degree 2 → score 1/ln 2; the linked pairs never appear
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val out = Graph.adamicAdar(e).rows.map(r => (r.head, r(1), r(2), r(3)))
+    out.size shouldBe 1
+    val (u, v, s, rank) = out.head
+    (u, v, rank) shouldBe ((1L, 3L, 1L))
+    s.asInstanceOf[Double] shouldBe (1.0 / math.log(2.0)) +- 1e-9
+  }
+
+  test("adamicAdar: degree cap silences hub wedges; observer reports the hub") {
+    // star: center 9 joined to 1..4 (deg 4). Cap 3 → no wedge centers
+    // survive → no candidates; the dropped hub surfaces with its degree
+    val e = (1L to 4L).flatMap(l => Seq((9L, l), (l, 9L))).toDF("src", "dst")
+    Graph.adamicAdar(e, maxDegree = 3L).count() shouldBe 0L
+    Graph.adamicAdarDroppedHubs(e, maxDegree = 3L)
+      .rows.map(r => (r.head, r(1))) shouldBe Seq((9L, 4L))
+    // cap clear of the hub: leaves pair through the center, C(4,2) rows
+    Graph.adamicAdar(e, maxDegree = 4L).count() shouldBe 6L
+  }
+
+  test("hits: one L1-normalized round by hand on a directed hub/authority split") {
+    // 1→3, 1→4, 2→3: after round 1, a = (0, 0, 2/3, 1/3) and, scored
+    // against the FRESH a, h = (1, 2/3, 0, 0)/ (5/3) = (0.6, 0.4, 0, 0)
+    val e = Seq((1L, 3L), (1L, 4L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.hits(e, iters = 1)
+      .rows.map(r => r.head.asInstanceOf[Long] ->
+        (r(1).asInstanceOf[Double], r(2).asInstanceOf[Double])).toMap
+    out(3L)._1 shouldBe (2.0 / 3.0) +- 1e-9
+    out(4L)._1 shouldBe (1.0 / 3.0) +- 1e-9
+    out(1L)._2 shouldBe 0.6 +- 1e-9
+    out(2L)._2 shouldBe 0.4 +- 1e-9
+    out(1L)._1 shouldBe 0.0
+    out(3L)._2 shouldBe 0.0
+  }
+
   test("labelPropagation: string node ids are rejected loudly (tie-break needs numeric)") {
     val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
     val ex = the[IllegalArgumentException] thrownBy

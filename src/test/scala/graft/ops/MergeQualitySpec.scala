@@ -176,4 +176,26 @@ class MergeQualitySpec extends SparkSpec {
     val withNull = Seq(Some("en"), None, Some("de")).toDF("lang")
     Quality.psiDrift(withNull, withNull, "lang").rows.length shouldBe 2
   }
+
+  test("groupEntropy: uniform mixture hits ln(B); single-source group is 0; nulls drop") {
+    val df = Seq(
+      ("en", Some("web")), ("en", Some("книги")), // uniform over 2 → ln 2
+      ("de", Some("web")), ("de", Some("web")),   // one bucket → 0
+      ("fr", Some("web")), ("fr", None)           // null bucket excluded
+    ).toDF("lang", "source")
+    val out = Quality.groupEntropy(df, "lang", "source")
+      .rows.map(r => r.head -> (r(1).asInstanceOf[Float], r(2), r(3))).toMap
+    out("en")._1 shouldBe math.log(2.0).toFloat +- 1e-7f
+    out("en")._2 shouldBe 2L
+    out("de") shouldBe ((0.0f, 1L, 2L))
+    out("fr") shouldBe ((0.0f, 1L, 1L)) // the null row never counted
+  }
+
+  test("referentialOrphans: counts children pointing at missing parents; null keys excluded") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(7L), None).toDF("pk")
+    val parent = Seq(1L, 2L, 3L).toDF("id")
+    val out = Quality.referentialOrphans(child, "pk", parent, "id", "c->p")
+      .rows.head
+    out shouldBe Seq("c->p", 4L, 1L)
+  }
 }

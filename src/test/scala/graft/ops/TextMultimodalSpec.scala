@@ -258,6 +258,31 @@ class TextMultimodalSpec extends SparkSpec {
     pmi shouldBe math.log(2.0 * 4 / (3.0 * 3)).toFloat +- 1e-7f
   }
 
+  test("rakeKeywords: stopword split, deg/freq word scores, decimal phrase ranking") {
+    // df: x=3, a=2, b=2, c=2 → top-1 stopword is x. Doc 1 phrases:
+    // "a b" (len 2) and "c" (len 1); scores a=b=deg2/freq1=2, c=1 →
+    // phrase scores 4 and 1
+    val docs = Seq((1L, "x a b x c"), (2L, "x a b"), (3L, "x c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeywords(docs, nStopwords = 1, k = 3)
+      .orderBy("doc_id", "rank")
+      .rows.map(r => (r.head, r(1), r(2), r(3), r(4)))
+    out shouldBe Seq(
+      (1L, "a b", 4.0, 1L, 1L), (1L, "c", 1.0, 1L, 2L),
+      (2L, "a b", 4.0, 1L, 1L),
+      (3L, "c", 1.0, 1L, 1L))
+  }
+
+  test("rakeKeywords: repeated phrase folds to one row with its occurrence count") {
+    // "a b" twice in one doc: a and b each have freq 2, deg 4 → word
+    // scores still 2, phrase score 4, n_occurrences 2; an all-stopword
+    // doc emits nothing
+    val docs = Seq((1L, "x a b x a b"), (2L, "x x x")).toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeywords(docs, nStopwords = 1, k = 3)
+      .rows.map(r => (r.head, r(1), r(2), r(3), r(4)))
+    out shouldBe Seq((1L, "a b", 4.0, 2L, 1L))
+  }
+
   test("zipfFit: an exact 1/r frequency law fits slope −1, intercept ln C") {
     // freqs 12, 6, 4, 3 = 12/r for ranks 1..4 → ln f = ln 12 − 1·ln r
     val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
