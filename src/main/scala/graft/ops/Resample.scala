@@ -149,8 +149,19 @@ object Resample {
     val d12 = (c: Column) => c.cast("decimal(20,12)")
     val w = Window.partitionBy(col(key)).orderBy(col(t).cast("long"))
       .rangeBetween(-h, h)
+    // duplicate (key, t) rows would make the RANGE-frame count exceed
+    // trendWindow and silently NULL the trend — fail loudly instead.
+    // The lag check rides the same key-hash partitioning as the trend
+    // window, so the assertion costs no extra exchange.
+    val wOrd = Window.partitionBy(col(key)).orderBy(col(t).cast("long"))
     val tr = df
       .select(col(key), col(t).cast("long").as(t), col(value))
+      .withColumn("__prev_t", lag(col(t), 1).over(wOrd))
+      .where(assert_true(
+        col("__prev_t").isNull || col("__prev_t") =!= col(t),
+        lit("seasonalDecompose: duplicate t within a key — the series " +
+          "must be regular (one row per (key, t))")).isNull)
+      .drop("__prev_t")
       .withColumn("__trend",
         when(count(lit(1)).over(w) === trendWindow,
           sum(d30(col(value))).over(w).cast("double") /

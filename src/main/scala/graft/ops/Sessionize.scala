@@ -123,8 +123,15 @@ object Sessionize {
       .withColumn("n_events",
         when(col("__fold"), col("n_events") + col("__d1_n"))
           .otherwise(col("n_events")))
+    // null-safe fold: SUM over a bridged session ignores NULLs, so a
+    // leg whose values are all NULL contributes nothing (not NULL-
+    // poisoning) — and two all-NULL legs stay NULL, matching SUM's
+    // empty-input result
     val priorFolded = sums.foldLeft(priorOut) { (df, c) =>
-      df.withColumn(c, when(col("__fold"), col(c) + col(s"__d1_$c"))
+      val d1c = col(s"__d1_$c")
+      df.withColumn(c, when(col("__fold"),
+          when(col(c).isNull && d1c.isNull, lit(null))
+            .otherwise(coalesce(col(c), lit(0)) + coalesce(d1c, lit(0))))
         .otherwise(col(c)))
     }.select(outCols: _*)
     val deltaOut = delta.join(

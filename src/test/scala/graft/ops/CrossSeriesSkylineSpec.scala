@@ -195,6 +195,15 @@ class CrossSeriesSkylineSpec extends SparkSpec {
     (4L to 10L).filterNot(_ == 7L).foreach(t => assert(trends(t) == null))
   }
 
+  test("seasonalDecompose: duplicate t within a key fails loudly") {
+    val s = Seq(("k", 0L, 7L), ("k", 0L, 8L), ("k", 1L, 7L))
+      .toDF("k0", "t", "v")
+    val ex = intercept[Exception] {
+      Resample.seasonalDecompose(s, "k0", "t", "v").collect()
+    }
+    ex.getMessage should include("duplicate t")
+  }
+
   // ── peak concurrency ───────────────────────────────────────────────
 
   test("peakConcurrency: sweep counts overlaps; half-open boundaries never double-count") {

@@ -110,6 +110,28 @@ class SessionizeSpec extends SparkSpec {
     ex.getMessage should include("partition time")
   }
 
+  test("mergeSessions: null-safe sum fold — all-NULL legs match the recompute") {
+    import org.apache.spark.sql.functions._
+    // user 1: prior leg all-NULL values, delta leg non-null → SUM keeps
+    // the non-null leg; user 2: both legs all-NULL → stays NULL
+    val all = Seq(
+      (1L, 0L, 1L, None: Option[Double]), (1L, 90L, 2L, None),
+      (1L, 150L, 3L, Some(2.5)),
+      (2L, 80L, 4L, None), (2L, 150L, 5L, None)
+    ).toDF("user", "t", "eid", "v")
+    def rollV(df: org.apache.spark.sql.DataFrame) =
+      Sessionize.assign(df, "user", "t", "eid", gap = 100L)
+        .groupBy($"user", $"session_id")
+        .agg(min($"t").as("session_start"), max($"t").as("session_end"),
+          count(lit(1)).as("n_events"), sum($"v").as("sum_v"))
+    val merged = Sessionize.mergeSessions(
+        rollV(all.filter($"t" <= 100L)), rollV(all.filter($"t" > 100L)),
+        "user", gap = 100L, sums = Seq("sum_v"))
+      .orderBy("user", "session_id").rows
+    merged shouldBe rollV(all).orderBy("user", "session_id").rows
+    merged.map(r => (r(0), r(5))) shouldBe Seq((1L, 2.5), (2L, null))
+  }
+
   test("one exchange, one sort: both window passes share the plan prefix") {
     val plan = Sessionize.assign(events, "user", "t", "eid", gap = 100L)
       .queryExecution.executedPlan.toString
