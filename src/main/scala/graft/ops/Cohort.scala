@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cohort retention: bucket each key by its first-activity period and count,
@@ -55,5 +56,56 @@ object Cohort {
       .groupBy(col("cohort_period"),
         (col("active_period") - col("cohort_period")).as("period_offset"))
       .agg(count(lit(1)).as("n_active"))
+  }
+
+  /** Kaplan–Meier survival curve per cohort — retention's right-censored
+    * sibling: [[retention]] counts who was active at each offset;
+    * this estimates P(lifetime > t) when the observation window cuts
+    * some lifetimes short (a user still active at the lake's edge is
+    * CENSORED, not churned, and treating them as churned biases every
+    * curve down — the mistake the estimator exists to avoid).
+    *
+    * Input: one row per subject — (`cohort`, `duration` ≥ 0 integral,
+    * `observed` 1 = the terminal event happened / 0 = censored).
+    * Output: one row per (cohort, distinct duration) with the risk set
+    * `n_risk`, terminal events `n_event`, censored exits `n_censored`,
+    * and `survival` = Π_{u ≤ t} (1 − d_u/n_u).
+    *
+    * Exactness: each factor is one double division of two exact counts;
+    * the running product multiplies them in duration order via the
+    * exact [[graft.agg.ProductAgg]] window aggregate — the same
+    * sequential fold DuckDB's windowed `product()` performs, so both
+    * engines replay the curve bit-for-bit (surface FLOAT per the
+    * ratio-chain convention).
+    *
+    * Plan shape: one groupBy to the (cohort, duration) grid — bounded
+    * by horizon length × cohorts, NOT subjects — then two window passes
+    * over that tiny grid (a reverse cumulative sum for the risk set and
+    * the product). Subject-granular data shuffles once. */
+  def kaplanMeier(subjects: DataFrame, cohort: String, duration: String,
+                  observed: String): DataFrame = {
+    val grid = subjects
+      .groupBy(col(cohort).as("cohort"), col(duration).cast("long").as("t"))
+      .agg(sum(col(observed).cast("long")).as("n_event"),
+        sum(lit(1L) - col(observed).cast("long")).as("n_censored"))
+    val wAsc = Window.partitionBy(col("cohort")).orderBy(col("t"))
+    // risk set at t = subjects whose duration ≥ t = total minus the
+    // strictly-earlier exits: a reverse-cumulative count needs only the
+    // ascending cumsum and the cohort total (no second ordered pass)
+    val wAll = Window.partitionBy(col("cohort"))
+    grid
+      .withColumn("__exited_before",
+        coalesce(sum(col("n_event") + col("n_censored"))
+          .over(wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_risk",
+        sum(col("n_event") + col("n_censored")).over(wAll) - col("__exited_before"))
+      .withColumn("__factor",
+        lit(1.0) - col("n_event").cast("double") / col("n_risk").cast("double"))
+      .withColumn("survival",
+        graft.agg.ProductAgg.product(col("__factor"))
+          .over(wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("float"))
+      .select(col("cohort"), col("t"), col("n_risk"), col("n_event"),
+        col("n_censored"), col("survival"))
   }
 }

@@ -138,4 +138,127 @@ object CrossSeries {
         (col("cov_n").cast("double") /
           nullif(col("var_m").cast("double"), lit(0.0))).cast("float").as("beta"))
   }
+
+  /** Sample autocorrelation of each series at lags 1..`maxLag` — the
+    * seasonality detector behind "pick `period` for
+    * [[Resample.seasonalDecompose]] from the data, don't guess": a
+    * weekly cycle shows as a spike at lag 7.
+    *
+    * r(ℓ) = Σ_pairs (x_t − x̄)(x_{t+ℓ} − x̄) / Σ_t (x_t − x̄)², with x̄
+    * the FULL-series mean and the numerator over every pair at bucket
+    * distance exactly ℓ (a gap simply contributes no pair — the
+    * pairwise-complete convention, same as [[corrPairs]]). Multiplying
+    * both sides by n² clears the rational mean, so everything up to the
+    * final division is integer DECIMAL(38,0) arithmetic on cents:
+    *   n²·num = n²·Σxy − n·S·(Σx_a + Σx_b) + m·S²
+    *   n²·den = n²·Σx² − n·S²
+    * Headroom contract: |cents|·n must stay under ~10¹⁹ so the n²-
+    * scaled co-moments fit DECIMAL(38,0) (same budget as [[corrPairs]];
+    * a century of daily buckets against trillion-cent sums still
+    * clears it by two orders).
+    *
+    * Plan: the lag fan-out explodes the REDUCED series frame (maxLag
+    * copies of |keys|·|buckets| rows, megabytes at any SF), one
+    * self-join on (k, b+ℓ), one grouped pass, and a broadcast join of
+    * the per-key totals. Raw events never move twice. */
+  def acf(series: DataFrame, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val tot = series.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(d38(col("v"))).as("s"),
+        sum(d38(col("v")) * d38(col("v"))).as("sxx"))
+    val a = series.select(col("k"), col("b"), col("v").as("x"))
+      .withColumn("lag", explode(sequence(lit(1L), lit(maxLag.toLong))))
+    val bf = series.select(col("k"), col("b").as("b2"), col("v").as("y"))
+    a.join(bf, a("k") === bf("k") && col("b2") === col("b") + col("lag"))
+      .drop(bf("k"))
+      .groupBy(col("k"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(d38(col("x")) * d38(col("y"))).as("sxy"),
+        sum(d38(col("x"))).as("sa"), sum(d38(col("y"))).as("sb"))
+      .join(broadcast(tot), Seq("k"))
+      .withColumn("num",
+        d38(col("n")) * d38(col("n")) * col("sxy") -
+          d38(col("n")) * col("s") * (col("sa") + col("sb")) +
+          d38(col("n_pairs")) * col("s") * col("s"))
+      .withColumn("den",
+        d38(col("n")) * d38(col("n")) * col("sxx") -
+          d38(col("n")) * col("s") * col("s"))
+      .select(col("k"), col("lag"), col("n_pairs"),
+        (col("num").cast("double") /
+          nullif(col("den").cast("double"), lit(0.0))).cast("float").as("acf"))
+  }
+
+  /** Theil–Sen robust trend slope per series: the MEDIAN of the
+    * pairwise slopes (v_j − v_i)/(b_j − b_i) over all bucket pairs
+    * i < j — a 29%-breakdown estimator a single outlier bucket cannot
+    * drag, unlike the OLS slope inside [[betaVsMarket]].
+    *
+    * Median convention: sort the slopes, average the lower and upper
+    * nearest-rank elements ((n+1) div 2 and (n+2) div 2 — equal when n
+    * is odd). Each slope is ONE double division of exact integers and
+    * the average sums at most two doubles, so both engines replay the
+    * value bit-for-bit.
+    *
+    * Scale contract: the pair fan-out is |buckets|² per key — the
+    * operator is for REDUCED series (thousands of buckets at most,
+    * millions of pairs per key), never raw events; the reduction to
+    * [[bucketSeries]] is what keeps it tractable at 100 TB. */
+  def theilSen(series: DataFrame): DataFrame = {
+    val a = series.select(col("k"), col("b").as("b1"), col("v").as("v1"))
+    val b2 = series.select(col("k"), col("b").as("b2"), col("v").as("v2"))
+    val slopes = a.join(b2, Seq("k")).filter(col("b2") > col("b1"))
+      .select(col("k"),
+        ((col("v2") - col("v1")).cast("double") /
+          (col("b2") - col("b1")).cast("double")).as("slope"))
+    val w = Window.partitionBy(col("k")).orderBy(col("slope"))
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .filter(col("rn") === expr("(np + 1) div 2") ||
+        col("rn") === expr("(np + 2) div 2"))
+      .groupBy(col("k"))
+      .agg(max(col("np")).as("n_pairs"), avg(col("slope")).as("slope"))
+  }
+
+  /** Single changepoint per series by binary segmentation: the split
+    * that removes the most within-segment variance. For every
+    * candidate boundary i (1 ≤ i < n in bucket order) the SSE reduction
+    * is gain(i) = s₁²/n₁ + s₂²/n₂ − S²/n (the Σx² term cancels), where
+    * s₁ is the exact DECIMAL prefix-sum of cents — so each candidate's
+    * gain is the same three-term double chain in both engines, and the
+    * argmax (ties → smallest bucket) is engine-portable. Emits one row
+    * per key with ≥ 2 buckets: the last bucket of the left segment,
+    * both segment means, and the gain.
+    *
+    * Plan: ONE key-partitioned ordered window produces every prefix
+    * sum; the argmax is a second tiny window over |keys|·|buckets|
+    * candidate rows. Nothing quadratic, nothing collected. */
+  def changepoint(series: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("k")).orderBy(col("b"))
+    val wAll = Window.partitionBy(col("k"))
+    val cand = series
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("s1", sum(d38(col("v")))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(d38(col("v"))).over(wAll))
+      .filter(col("i") < col("n"))
+      .withColumn("s2", col("s") - col("s1"))
+      .withColumn("n2", col("n") - col("i"))
+      .withColumn("gain",
+        (col("s1").cast("double") * col("s1").cast("double")) /
+          col("i").cast("double") +
+          (col("s2").cast("double") * col("s2").cast("double")) /
+            col("n2").cast("double") -
+          (col("s").cast("double") * col("s").cast("double")) /
+            col("n").cast("double"))
+    cand
+      .withColumn("pick", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("gain").desc, col("b"))))
+      .filter(col("pick") === 1)
+      .select(col("k"), col("b").as("split_b"), col("n"),
+        (col("s1").cast("double") / col("i").cast("double")).as("mean_left"),
+        (col("s2").cast("double") / col("n2").cast("double")).as("mean_right"),
+        col("gain").cast("float").as("gain"))
+  }
 }

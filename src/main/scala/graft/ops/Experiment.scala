@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A/B experiment readout: Welch's unequal-variance two-sample t-test
+  * per metric group — the decision layer on top of the engine's
+  * deterministic hash splits ([[Sampling]]): once traffic is split,
+  * "did variant B move the metric?" is this one aggregation.
+  *
+  * Welch (not pooled Student): real experiment arms almost never share
+  * a variance, and the pooled test silently inflates significance when
+  * the bigger arm is also the noisier one. t = (m_a − m_b) / √(s²_a/n_a
+  * + s²_b/n_b), with the Welch–Satterthwaite degrees of freedom.
+  *
+  * Exactness contract: per-arm sums quantize to DECIMAL(18,2) and the
+  * squared values to DECIMAL(30,12) BEFORE summing, so each arm's
+  * (n, Σx, Σx²) is reduction-order-exact; mean and variance are then a
+  * fixed chain of double ops both engines replay bit-for-bit, and the
+  * t statistic / df surface as FLOAT per the ratio-chain convention.
+  * Sample variance uses the n−1 denominator via the co-moment form
+  * s² = (Σx² − (Σx)²/n)/(n−1) — one subtraction of exact-decimal-
+  * derived doubles, not a two-pass mean-centered sum.
+  *
+  * Plan shape: ONE map-side-combinable groupBy over (group, variant) —
+  * the full fact table reduces to 2 rows per metric group before the
+  * pivot join; nothing event-granular shuffles twice. At 100 TB this
+  * is the cheapest shape a significance test can have.
+  */
+object Experiment {
+
+  private def d2(c: Column) = c.cast("decimal(18,2)")
+  private def d30(c: Column) = c.cast("decimal(30,12)")
+
+  /** One row per `group` with both arms' (n, mean), the Welch t
+    * statistic and degrees of freedom. `variant` must carry exactly the
+    * two values `armA`/`armB`; other rows are ignored. Groups missing
+    * an arm, or with an arm of n < 2, are dropped (no t-test exists). */
+  def welchTTest(df: DataFrame, group: String, variant: String,
+                 value: String, armA: String = "A", armB: String = "B"): DataFrame = {
+    val byArm = df
+      .filter(col(variant).isin(armA, armB) && col(value).isNotNull)
+      .groupBy(col(group), col(variant))
+      .agg(count(lit(1)).as("__n"),
+        sum(d2(col(value))).as("__s"),
+        sum(d30(col(value) * col(value))).as("__ss"))
+    def arm(tag: String, v: String) = byArm.filter(col(variant) === v)
+      .select(col(group), col("__n").as(s"n_$tag"),
+        col("__s").as(s"__s_$tag"), col("__ss").as(s"__ss_$tag"))
+    def mean(tag: String) =
+      col(s"__s_$tag").cast("double") / col(s"n_$tag").cast("double")
+    // s² = (Σx² − (Σx)²/n) / (n−1): the decimals cast to double first,
+    // then one fixed subtraction/division chain — identical both engines
+    def variance(tag: String) =
+      (col(s"__ss_$tag").cast("double") -
+        (col(s"__s_$tag").cast("double") * col(s"__s_$tag").cast("double")) /
+          col(s"n_$tag").cast("double")) /
+        (col(s"n_$tag").cast("double") - lit(1.0))
+    arm("a", armA).join(arm("b", armB), Seq(group))
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+      .withColumn("mean_a", mean("a"))
+      .withColumn("mean_b", mean("b"))
+      .withColumn("__va", variance("a") / col("n_a").cast("double"))
+      .withColumn("__vb", variance("b") / col("n_b").cast("double"))
+      .withColumn("t_stat",
+        ((col("mean_a") - col("mean_b")) /
+          sqrt(col("__va") + col("__vb"))).cast("float"))
+      // Welch–Satterthwaite: df = (va+vb)² / (va²/(na−1) + vb²/(nb−1))
+      .withColumn("df",
+        (((col("__va") + col("__vb")) * (col("__va") + col("__vb"))) /
+          ((col("__va") * col("__va")) / (col("n_a").cast("double") - lit(1.0)) +
+            (col("__vb") * col("__vb")) / (col("n_b").cast("double") - lit(1.0))))
+          .cast("float"))
+      .select(col(group), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("t_stat"), col("df"))
+  }
+}

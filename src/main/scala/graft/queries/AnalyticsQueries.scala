@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Anomaly, Cdc, CrossSeries, FuzzyJoin, Indicators, Intervals, Market, Moments, Percentiles, Quality, Reconcile, Resample, Skyline}
+import graft.ops.{Anomaly, Cdc, CrossSeries, Experiment, FuzzyJoin, Indicators, Intervals, Market, Moments, Percentiles, Quality, Reconcile, Resample, Skyline}
 
 /** OLAP / warehouse-analytics extensions: grouping sets, event-path
   * transitions, exact nearest-rank quantiles, batch CDC apply, and
@@ -378,6 +378,81 @@ object AnalyticsQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // ── Q8-shape national market share: the nation table plays TWO
+    // roles (customer's region gate, supplier's share bucket), so it is
+    // broadcast twice under different aliases. Part/supplier/nation/
+    // region all broadcast; the only shuffles are the two fact joins
+    // (lineitem⋈orders keyed on orderkey, then custkey) — at 100 TB the
+    // dim-filter on part (1/6 selectivity) rides the broadcast into the
+    // scan as a runtime filter. Share = two exact DECIMAL volume sums
+    // divided once in double, so both engines replay it bit-for-bit.
+    "j8_market_share" -> ((s, dir) => {
+      val vol = d2(col("l_extendedprice")) * d2(lit(1) - col("l_discount"))
+      val econPart = Tables.part(s, dir)
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val amerNations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val suppNation = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(econPart), col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(amerNations), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_1", vol)
+            .otherwise(lit(0))).cast("double").as("nation_volume"),
+          sum(vol).cast("double").as("total_volume"))
+        .withColumn("mkt_share",
+          col("nation_volume") / col("total_volume"))
+        .orderBy(col("o_year"))
+    }),
+
+    // ── Herfindahl–Hirschman concentration of supplier revenue within
+    // each nation: Σ share² over a nation's suppliers. Revenue sums are
+    // exact DECIMAL per (nation, supplier) — one fact shuffle keyed on
+    // suppkey, then the per-nation rollup moves only |suppliers| rows.
+    // Each share divides the same two decimals in both engines; squares
+    // quantize to DECIMAL(20,12) before the final sum so reduction
+    // order cannot smear the last bit.
+    "agg_hhi" -> ((s, dir) => {
+      val supRev = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"),
+          (d2(col("l_extendedprice")) * d2(lit(1) - col("l_discount"))).as("__v"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("__v")).as("__rev"))
+        .join(broadcast(Tables.supplier(s, dir)
+            .join(broadcast(Tables.nation(s, dir)
+                .select(col("n_nationkey"), col("n_name"))),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("n_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+      val w = Window.partitionBy(col("n_name"))
+      supRev
+        .withColumn("__share",
+          col("__rev").cast("double") / sum(col("__rev")).over(w).cast("double"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_suppliers"),
+          sum((col("__share") * col("__share")).cast("decimal(20,12)"))
+            .cast("double").as("hhi"))
+        .orderBy(col("n_name"))
+    }),
+
     // ── Daily gap fill with forward fill: build each key's full day
     // grid (sequence+explode — no driver loop), left-join actuals, and
     // carry the last non-null value forward. The grid explode is
@@ -595,6 +670,61 @@ object AnalyticsQueries {
       CrossSeries.corrPairs(series)
         .select(col("k1"), col("k2"), col("n"), col("corr"))
         .orderBy(col("k1"), col("k2"))
+    }),
+
+    // ── Welch two-sample t-test per event_type: arms split by user_id
+    // parity (the deterministic, engine-portable stand-in for the hash
+    // split the Sampling family provides). One map-side-combinable
+    // groupBy reduces the fact table to 2 rows per group; the t/df
+    // chain is fixed-order double math over exact decimal sums.
+    "ab_ttest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")
+            .as("variant"),
+          col("value"))
+      Experiment.welchTTest(ev, group = "event_type", variant = "variant",
+          value = "value")
+        .orderBy(col("event_type"))
+    }),
+
+    // ── Sample ACF at lags 1..7 per series — the data-driven way to
+    // pick seasonalDecompose's period. Integer co-moments scaled by n²
+    // (DECIMAL(38,0) ↔ HUGEINT), one double division, float out.
+    "ts_acf" -> ((s, dir) => {
+      val series = CrossSeries.bucketSeries(Tables.events(s, dir),
+        key = "event_type", tsNanos = "ts", value = "value",
+        bucketNanos = 86400000000000L)
+      CrossSeries.acf(series, maxLag = 7)
+        .select(col("k").as("event_type"), col("lag"), col("n_pairs"), col("acf"))
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
+    // ── Theil–Sen robust slope per series: median of all pairwise
+    // slopes on the REDUCED daily frame (30 buckets → 435 pairs/key;
+    // the quadratic step never touches raw events). Each slope and the
+    // two-element median average are bit-exact double chains.
+    "ts_theil_sen" -> ((s, dir) => {
+      val series = CrossSeries.bucketSeries(Tables.events(s, dir),
+        key = "event_type", tsNanos = "ts", value = "value",
+        bucketNanos = 86400000000000L)
+      CrossSeries.theilSen(series)
+        .select(col("k").as("event_type"), col("n_pairs"), col("slope"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── Single changepoint by binary segmentation: argmax SSE-reduction
+    // split of each daily series. Prefix sums exact (DECIMAL ↔ HUGEINT);
+    // each candidate gain is the same 3-term double chain both engines;
+    // ties pinned to the earliest bucket.
+    "ts_changepoint" -> ((s, dir) => {
+      val series = CrossSeries.bucketSeries(Tables.events(s, dir),
+        key = "event_type", tsNanos = "ts", value = "value",
+        bucketNanos = 86400000000000L)
+      CrossSeries.changepoint(series)
+        .select(col("k").as("event_type"), col("split_b"), col("n"),
+          col("mean_left"), col("mean_right"), col("gain"))
+        .orderBy(col("event_type"))
     }),
 
     "w_rolling_corr_market" -> ((s, dir) => {
@@ -1037,6 +1167,45 @@ object AnalyticsQueries {
         |GROUP BY 1
         |ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "j8_market_share" ->
+      """WITH v AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |     n2.n_name AS supp_nation,
+        |     CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |       CAST(1 - l.l_discount AS DECIMAL(18,2)) AS vol
+        |   FROM lineitem l
+        |   JOIN part p ON l.l_partkey = p.p_partkey
+        |   JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |   JOIN customer c ON o.o_custkey = c.c_custkey
+        |   JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |   JOIN region r ON n1.n_regionkey = r.r_regionkey
+        |   JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |   JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |   WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        |     AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        |     AND o.o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT o_year,
+        | CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE 0 END)
+        |   AS DOUBLE) AS nation_volume,
+        | CAST(SUM(vol) AS DOUBLE) AS total_volume,
+        | CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE 0 END)
+        |   AS DOUBLE) / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_hhi" ->
+      """WITH sr AS (SELECT l_suppkey,
+        |     SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         CAST(1 - l_discount AS DECIMAL(18,2))) AS rev
+        |   FROM lineitem GROUP BY 1),
+        | sn AS (SELECT sr.l_suppkey, n.n_name, sr.rev,
+        |     SUM(sr.rev) OVER (PARTITION BY n.n_name) AS nat_rev
+        |   FROM sr JOIN supplier s ON sr.l_suppkey = s.s_suppkey
+        |   JOIN nation n ON s.s_nationkey = n.n_nationkey)
+        |SELECT n_name, COUNT(*) AS n_suppliers,
+        | CAST(SUM(CAST((CAST(rev AS DOUBLE) / CAST(nat_rev AS DOUBLE)) *
+        |   (CAST(rev AS DOUBLE) / CAST(nat_rev AS DOUBLE))
+        |   AS DECIMAL(20,12))) AS DOUBLE) AS hhi
+        |FROM sn GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "ts_gap_fill" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, value
         |           FROM events),
@@ -1073,7 +1242,7 @@ object AnalyticsQueries {
         |     RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
         | dt AS (SELECT k, t, v, trend, CAST(v AS DOUBLE) - trend AS det
         |   FROM tr),
-        | sr AS (SELECT k, t % 7 AS pos,
+        | sr AS (SELECT k, ((t % 7) + 7) % 7 AS pos,
         |     CAST(sum(CAST(det AS DECIMAL(20,12))) AS DOUBLE) /
         |       CAST(count(*) AS DOUBLE) AS srw
         |   FROM dt WHERE det IS NOT NULL GROUP BY 1, 2),
@@ -1087,7 +1256,7 @@ object AnalyticsQueries {
         | CAST(dt.trend AS REAL) AS trend,
         | CAST(se.seasonal AS REAL) AS seasonal,
         | CAST(dt.det - se.seasonal AS REAL) AS residual
-        |FROM dt LEFT JOIN se ON se.k = dt.k AND se.pos = dt.t % 7
+        |FROM dt LEFT JOIN se ON se.k = dt.k AND se.pos = ((dt.t % 7) + 7) % 7
         |ORDER BY event_type, day""".stripMargin,
 
     "w_range_trailing" ->
@@ -1204,6 +1373,97 @@ object AnalyticsQueries {
         |SELECT k1, k2, n, CAST(CAST(cov_n AS DOUBLE) /
         |   nullif(sqrt(CAST(var_x AS DOUBLE) * CAST(var_y AS DOUBLE)), 0) AS REAL) AS corr
         |FROM c ORDER BY k1, k2""".stripMargin,
+
+    "ab_ttest" ->
+      """WITH e AS (SELECT event_type,
+        |        CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |        value
+        |       FROM events WHERE value IS NOT NULL),
+        | arm AS (SELECT event_type, variant, count(*) AS n,
+        |        sum(CAST(value AS DECIMAL(18,2))) AS s,
+        |        sum(CAST(value * value AS DECIMAL(30,12))) AS ss
+        |       FROM e GROUP BY 1, 2),
+        | j AS (SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+        |        CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS mean_a,
+        |        CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mean_b,
+        |        ((CAST(a.ss AS DOUBLE) - (CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE))
+        |            / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1.0))
+        |          / CAST(a.n AS DOUBLE) AS va,
+        |        ((CAST(b.ss AS DOUBLE) - (CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE))
+        |            / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1.0))
+        |          / CAST(b.n AS DOUBLE) AS vb
+        |       FROM arm a JOIN arm b USING (event_type)
+        |       WHERE a.variant = 'A' AND b.variant = 'B'
+        |         AND a.n >= 2 AND b.n >= 2)
+        |SELECT event_type, n_a, n_b, mean_a, mean_b,
+        | CAST((mean_a - mean_b) / sqrt(va + vb) AS REAL) AS t_stat,
+        | CAST(((va + vb) * (va + vb)) /
+        |   ((va * va) / (CAST(n_a AS DOUBLE) - 1.0) +
+        |    (vb * vb) / (CAST(n_b AS DOUBLE) - 1.0)) AS REAL) AS df
+        |FROM j ORDER BY event_type""".stripMargin,
+
+    "ts_acf" ->
+      """WITH s AS (SELECT event_type AS k, epoch_ns(ts) // 86400000000000 AS b,
+        |        sum(CAST(round(value * 100) AS BIGINT)) AS v
+        |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        | tot AS (SELECT k, count(*) AS n, sum(CAST(v AS HUGEINT)) AS s,
+        |        sum(CAST(v AS HUGEINT) * v) AS sxx FROM s GROUP BY 1),
+        | lags AS (SELECT unnest(range(1, 8)) AS lag),
+        | p AS (SELECT a.k, l.lag, count(*) AS n_pairs,
+        |        sum(CAST(a.v AS HUGEINT) * b2.v) AS sxy,
+        |        sum(CAST(a.v AS HUGEINT)) AS sa,
+        |        sum(CAST(b2.v AS HUGEINT)) AS sb
+        |       FROM s a CROSS JOIN lags l
+        |       JOIN s b2 ON b2.k = a.k AND b2.b = a.b + l.lag
+        |       GROUP BY 1, 2),
+        | c AS (SELECT p.k, p.lag, p.n_pairs,
+        |        n*n*sxy - n*s*(sa + sb) + n_pairs*s*s AS num,
+        |        n*n*sxx - n*s*s AS den
+        |       FROM p JOIN tot USING (k))
+        |SELECT k AS event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+        | CAST(CAST(num AS DOUBLE) / nullif(CAST(den AS DOUBLE), 0) AS REAL) AS acf
+        |FROM c ORDER BY event_type, lag""".stripMargin,
+
+    "ts_theil_sen" ->
+      """WITH s AS (SELECT event_type AS k, epoch_ns(ts) // 86400000000000 AS b,
+        |        sum(CAST(round(value * 100) AS BIGINT)) AS v
+        |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        | sl AS (SELECT a.k,
+        |        CAST(b2.v - a.v AS DOUBLE) / CAST(b2.b - a.b AS DOUBLE) AS slope
+        |       FROM s a JOIN s b2 ON b2.k = a.k AND b2.b > a.b),
+        | r AS (SELECT k, slope,
+        |        row_number() OVER (PARTITION BY k ORDER BY slope) AS rn,
+        |        count(*) OVER (PARTITION BY k) AS np
+        |       FROM sl)
+        |SELECT k AS event_type, max(np) AS n_pairs, avg(slope) AS slope
+        |FROM r WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ts_changepoint" ->
+      """WITH s AS (SELECT event_type AS k, epoch_ns(ts) // 86400000000000 AS b,
+        |        sum(CAST(round(value * 100) AS BIGINT)) AS v
+        |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        | pre AS (SELECT k, b,
+        |        row_number() OVER w AS i,
+        |        sum(CAST(v AS HUGEINT)) OVER w AS s1,
+        |        count(*) OVER (PARTITION BY k) AS n,
+        |        sum(CAST(v AS HUGEINT)) OVER (PARTITION BY k) AS s
+        |       FROM s WINDOW w AS (PARTITION BY k ORDER BY b
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        | cand AS (SELECT k, b, i, n, s1, s - s1 AS s2, n - i AS n2,
+        |        (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(i AS DOUBLE)
+        |          + (CAST(s - s1 AS DOUBLE) * CAST(s - s1 AS DOUBLE))
+        |            / CAST(n - i AS DOUBLE)
+        |          - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)
+        |          AS gain
+        |       FROM pre WHERE i < n),
+        | pick AS (SELECT *, row_number() OVER (PARTITION BY k
+        |         ORDER BY gain DESC, b) AS rk FROM cand)
+        |SELECT k AS event_type, b AS split_b, n,
+        | CAST(s1 AS DOUBLE) / CAST(i AS DOUBLE) AS mean_left,
+        | CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean_right,
+        | CAST(gain AS REAL) AS gain
+        |FROM pick WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     "w_rolling_corr_market" ->
       """WITH s AS (SELECT event_type AS k, epoch_ns(ts) // 86400000000000 AS b,

@@ -651,6 +651,31 @@ object RelationalQueries {
           periodLen = 86400L * 1000000000L)
         .orderBy(col("cohort_period"), col("period_offset"))),
 
+    // ── Kaplan–Meier survival per signup-week cohort: lifetime = days
+    // between a user's first and last event; users still active in the
+    // lake's final week are right-CENSORED, not churned — the curve the
+    // retention triangle cannot give you without bias. Factors are
+    // count ratios; the running product is the exact ProductAgg window
+    // fold, mirrored by DuckDB's windowed product().
+    "cohort_survival" -> ((s, dir) => {
+      val day = 86400000000000L
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("__first"), max(col("ts")).as("__last"))
+      val bounds = Tables.events(s, dir).agg(max(col("ts")).as("__edge"))
+      val subjects = perUser.crossJoin(broadcast(bounds))
+        .select(
+          expr(s"__first div ${7 * day}L").as("cohort_week"),
+          expr(s"(__last - __first) div ${day}L").as("duration_days"),
+          (col("__last") <= col("__edge") - lit(7 * day)).cast("long")
+            .as("observed"))
+      Cohort.kaplanMeier(subjects, cohort = "cohort_week",
+          duration = "duration_days", observed = "observed")
+        .select(col("cohort").as("cohort_week"), col("t").as("duration_days"),
+          col("n_risk"), col("n_event"), col("n_censored"), col("survival"))
+        .orderBy(col("cohort_week"), col("duration_days"))
+    }),
+
     // ── Rolling z-score anomalies: each point vs its own trailing-20
     // baseline (strictly before it), flagged at |z| > 3 after the FLOAT
     // downcast so a 1-ulp double divergence cannot flip the cut.
@@ -1246,6 +1271,34 @@ object RelationalQueries {
         |SELECT cohort AS cohort_period, p - cohort AS period_offset,
         | count(*) AS n_active
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cohort_survival" ->
+      """WITH u AS (SELECT user_id, min(epoch_ns(ts)) AS f, max(epoch_ns(ts)) AS l
+        |           FROM events GROUP BY 1),
+        | edge AS (SELECT max(epoch_ns(ts)) AS e FROM events),
+        | subj AS (SELECT f // 604800000000000 AS cohort_week,
+        |        (l - f) // 86400000000000 AS t,
+        |        CASE WHEN l <= e - 604800000000000 THEN 1 ELSE 0 END AS obs
+        |       FROM u CROSS JOIN edge),
+        | grid AS (SELECT cohort_week, t, CAST(sum(obs) AS BIGINT) AS n_event,
+        |        CAST(sum(1 - obs) AS BIGINT) AS n_censored
+        |       FROM subj GROUP BY 1, 2),
+        | r AS (SELECT *,
+        |        sum(n_event + n_censored) OVER (PARTITION BY cohort_week)
+        |          - coalesce(sum(n_event + n_censored) OVER (PARTITION BY
+        |              cohort_week ORDER BY t
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS n_risk
+        |       FROM grid),
+        | km AS (SELECT *,
+        |        product(1.0 - CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |          OVER (PARTITION BY cohort_week ORDER BY t
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS surv
+        |       FROM r)
+        |SELECT cohort_week, t AS duration_days,
+        | CAST(n_risk AS BIGINT) AS n_risk, n_event, n_censored,
+        | CAST(surv AS REAL) AS survival
+        |FROM km ORDER BY cohort_week, duration_days""".stripMargin,
 
     "anomaly_zscore" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id, value FROM events),

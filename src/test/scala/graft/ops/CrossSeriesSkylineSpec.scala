@@ -195,6 +195,54 @@ class CrossSeriesSkylineSpec extends SparkSpec {
     (4L to 10L).filterNot(_ == 7L).foreach(t => assert(trends(t) == null))
   }
 
+  test("acf: matches the hand-computed sample autocorrelation") {
+    // series 1,2,3,4: mean 2.5, den Σdev² = 5; lag1 num 1.25 → 0.25,
+    // lag2 num −1.5 → −0.3
+    val s = Seq(("a", 0L, 1L), ("a", 1L, 2L), ("a", 2L, 3L), ("a", 3L, 4L))
+      .toDF("k", "b", "v")
+    val out = CrossSeries.acf(s, maxLag = 2)
+      .orderBy("lag").rows.map(r => (r(1), r(2), r(3)))
+    out shouldBe Seq((1L, 3L, 0.25f), (2L, 2L, -0.3f))
+  }
+
+  test("acf: a gap contributes no pair at the bridged lag") {
+    // buckets 0,1,3: lag 1 pairs (0,1) only; lag 2 pairs (1,3) only
+    val s = Seq(("a", 0L, 1L), ("a", 1L, 2L), ("a", 3L, 4L)).toDF("k", "b", "v")
+    val n = CrossSeries.acf(s, maxLag = 2)
+      .orderBy("lag").rows.map(r => (r(1), r(2)))
+    n shouldBe Seq((1L, 1L), (2L, 1L))
+  }
+
+  test("theilSen: median slope shrugs off a single outlier bucket") {
+    // 10/bucket trend with one wild endpoint; 6 of 10 pairwise slopes
+    // are exactly 10 → median 10, where OLS would be dragged far off
+    val s = Seq(("a", 0L, 0L), ("a", 1L, 10L), ("a", 2L, 20L),
+      ("a", 3L, 30L), ("a", 4L, 1000L)).toDF("k", "b", "v")
+    val out = CrossSeries.theilSen(s).rows.map(r => (r(0), r(1), r(2)))
+    out shouldBe Seq(("a", 10L, 10.0))
+  }
+
+  test("theilSen: even pair count averages the two middle slopes") {
+    // slopes of 1,3,5 (b=0,1,2): pairs → 2, 2, 2? no: (0,1)=2,(1,2)=2,
+    // (0,2)=2 — use 1,3,9: slopes 2, 6, 4 → sorted 2,4,6, odd → 4
+    val odd = Seq(("a", 0L, 1L), ("a", 1L, 3L), ("a", 2L, 9L)).toDF("k", "b", "v")
+    CrossSeries.theilSen(odd).rows.head(2) shouldBe 4.0
+    // two buckets → single slope
+    val two = Seq(("a", 0L, 1L), ("a", 2L, 5L)).toDF("k", "b", "v")
+    CrossSeries.theilSen(two).rows.head(2) shouldBe 2.0
+  }
+
+  test("changepoint: level shift found at the boundary, ties go earliest") {
+    val s = Seq(("a", 0L, 0L), ("a", 1L, 0L), ("a", 2L, 0L),
+      ("a", 3L, 10L), ("a", 4L, 10L)).toDF("k", "b", "v")
+    val out = CrossSeries.changepoint(s).rows.map(r =>
+      (r(0), r(1), r(2), r(3), r(4), r(5)))
+    out shouldBe Seq(("a", 2L, 5L, 0.0, 10.0, 120.0f))
+    // constant series: every split gains 0 → earliest bucket wins
+    val flat = Seq(("a", 0L, 5L), ("a", 1L, 5L), ("a", 2L, 5L)).toDF("k", "b", "v")
+    CrossSeries.changepoint(flat).rows.head(1) shouldBe 0L
+  }
+
   test("seasonalDecompose: duplicate t within a key fails loudly") {
     val s = Seq(("k", 0L, 7L), ("k", 0L, 8L), ("k", 1L, 7L))
       .toDF("k0", "t", "v")

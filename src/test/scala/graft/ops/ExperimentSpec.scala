@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ExperimentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("welchTTest: matches the hand-computed unequal-variance statistic") {
+    // A = [1,2,3]: mean 2, s² 1; B = [2,4,6,8]: mean 5, s² 20/3
+    // va = 1/3, vb = 5/3 → t = −3/√2; df = 4 / (1/18 + 25/27)
+    val df = Seq(
+      ("g", "A", 1.0), ("g", "A", 2.0), ("g", "A", 3.0),
+      ("g", "B", 2.0), ("g", "B", 4.0), ("g", "B", 6.0), ("g", "B", 8.0)
+    ).toDF("grp", "variant", "v")
+    val r = Experiment.welchTTest(df, "grp", "variant", "v").rows.head
+    r(1) shouldBe 3L
+    r(2) shouldBe 4L
+    r(3) shouldBe 2.0
+    r(4) shouldBe 5.0
+    r(5).asInstanceOf[Float].toDouble shouldBe (-3.0 / math.sqrt(2.0) +- 1e-6)
+    r(6).asInstanceOf[Float].toDouble shouldBe
+      (4.0 / (1.0 / 18.0 + 25.0 / 27.0) +- 1e-5)
+  }
+
+  test("welchTTest: null metric values drop; a one-sided or tiny arm drops the group") {
+    val df = Seq(
+      ("only_a", "A", Some(1.0)), ("only_a", "A", Some(2.0)),
+      ("tiny_b", "A", Some(1.0)), ("tiny_b", "A", Some(2.0)),
+      ("tiny_b", "B", Some(9.0)),
+      ("ok", "A", Some(1.0)), ("ok", "A", Some(2.0)), ("ok", "A", None),
+      ("ok", "B", Some(1.0)), ("ok", "B", Some(3.0))
+    ).toDF("grp", "variant", "v")
+    val out = Experiment.welchTTest(df, "grp", "variant", "v")
+      .orderBy("grp").rows
+    out.map(_.head) shouldBe Seq("ok")
+    out.head(1) shouldBe 2L // the NULL A-value did not count
+  }
+
+  test("welchTTest: variants outside the two arms are ignored") {
+    val df = Seq(
+      ("g", "A", 1.0), ("g", "A", 2.0),
+      ("g", "B", 1.0), ("g", "B", 2.0),
+      ("g", "HOLDOUT", 99.0)
+    ).toDF("grp", "variant", "v")
+    val r = Experiment.welchTTest(df, "grp", "variant", "v").rows.head
+    (r(1), r(2)) shouldBe ((2L, 2L))
+  }
+}

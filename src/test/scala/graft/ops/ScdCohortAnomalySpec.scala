@@ -72,6 +72,26 @@ class ScdCohortAnomalySpec extends SparkSpec {
       Cohort.retention(ev, "u", "t", periodLen = 0L)
   }
 
+  test("kaplanMeier: textbook curve — censoring shrinks the risk set, not survival") {
+    // durations (t, observed): 1†, 2†, 2c, 3c, 4† over one cohort
+    val subj = Seq(("c", 1L, 1L), ("c", 2L, 1L), ("c", 2L, 0L),
+      ("c", 3L, 0L), ("c", 4L, 1L)).toDF("co", "d", "obs")
+    val out = Cohort.kaplanMeier(subj, "co", "d", "obs")
+      .orderBy("t").rows.map(r => (r(1), r(2), r(3), r(4), r(5)))
+    out shouldBe Seq(
+      (1L, 5L, 1L, 0L, 0.8f),  // 4/5
+      (2L, 4L, 1L, 1L, 0.6f),  // × 3/4
+      (3L, 2L, 0L, 1L, 0.6f),  // pure censoring: curve flat
+      (4L, 1L, 1L, 0L, 0.0f))  // last subject dies
+  }
+
+  test("kaplanMeier: all-censored cohort stays at survival 1") {
+    val subj = Seq(("c", 3L, 0L), ("c", 5L, 0L)).toDF("co", "d", "obs")
+    val out = Cohort.kaplanMeier(subj, "co", "d", "obs")
+      .orderBy("t").rows.map(r => (r(1), r(2), r(5)))
+    out shouldBe Seq((3L, 2L, 1.0f), (5L, 1L, 1.0f))
+  }
+
   // ── Anomaly.rollingZ ───────────────────────────────────────────────
 
   test("rollingZ: spike flagged against trailing baseline, warm-up null") {
