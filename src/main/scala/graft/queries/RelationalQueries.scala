@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Anomaly, AsOfJoin, Cohort, Funnel, Merge, Quality, RangeJoin, Reshape, Returns, RuntimeFilter, Scd, Sessionize, Skew, Snapshot, Volatility}
+import graft.ops.{Anomaly, AsOfJoin, Attribution, Cohort, Funnel, Merge, Quality, RangeJoin, Reshape, Returns, RuntimeFilter, Scd, Sessionize, Skew, Snapshot, Volatility}
 
 /** Core relational operator inventory (SURVEY.md §2.2–§2.9) expressed over
   * the driver's TPC-H-ish lake, each with a DuckDB oracle.
@@ -651,6 +651,18 @@ object RelationalQueries {
           periodLen = 86400L * 1000000000L)
         .orderBy(col("cohort_period"), col("period_offset"))),
 
+    // ── Multi-touch attribution: click/view touches credit the user's
+    // next purchase within 2 days under first/last/linear models in one
+    // pass. One user-hash window finds each touch's conversion; ties
+    // pinned by (ts, event_id); the linear split re-quantizes to
+    // DECIMAL(20,12) before the channel rollup.
+    "attribution_multitouch" -> ((s, dir) =>
+      Attribution.multiTouch(Tables.events(s, dir), key = "user_id",
+          tsCol = "ts", tieCol = "event_id", typeCol = "event_type",
+          valueCol = "value", touchTypes = Seq("click", "view"),
+          convType = "purchase", windowTicks = 2L * 86400000000000L)
+        .orderBy(col("channel"))),
+
     // ── Kaplan–Meier survival per signup-week cohort: lifetime = days
     // between a user's first and last event; users still active in the
     // lake's final week are right-CENSORED, not churned — the curve the
@@ -1271,6 +1283,33 @@ object RelationalQueries {
         |SELECT cohort AS cohort_period, p - cohort AS period_offset,
         | count(*) AS n_active
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "attribution_multitouch" ->
+      """WITH e AS (SELECT user_id AS k, epoch_ns(ts) AS t, event_id AS tie,
+        |        event_type AS ch, value AS v FROM events
+        |       WHERE event_type IN ('click', 'view', 'purchase')),
+        | wn AS (SELECT *, min(CASE WHEN ch = 'purchase' THEN t END)
+        |        OVER (PARTITION BY k ORDER BY t DESC
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_t
+        |       FROM e),
+        | tou AS (SELECT * FROM wn WHERE ch <> 'purchase'
+        |        AND conv_t IS NOT NULL AND conv_t - t <= 172800000000000),
+        | cv AS (SELECT k, t AS conv_t, sum(CAST(v AS DECIMAL(18,2))) AS cv
+        |       FROM e WHERE ch = 'purchase' GROUP BY 1, 2),
+        | tr AS (SELECT tou.k, tou.conv_t, tou.ch,
+        |        row_number() OVER (PARTITION BY tou.k, tou.conv_t
+        |          ORDER BY tou.t, tou.tie) AS rnf,
+        |        row_number() OVER (PARTITION BY tou.k, tou.conv_t
+        |          ORDER BY tou.t DESC, tou.tie DESC) AS rnl,
+        |        count(*) OVER (PARTITION BY tou.k, tou.conv_t) AS n,
+        |        cv.cv
+        |       FROM tou JOIN cv USING (k, conv_t))
+        |SELECT ch AS channel, count(*) AS n_touches,
+        | CAST(sum(CASE WHEN rnf = 1 THEN cv ELSE 0 END) AS DOUBLE) AS first_rev,
+        | CAST(sum(CASE WHEN rnl = 1 THEN cv ELSE 0 END) AS DOUBLE) AS last_rev,
+        | CAST(sum(CAST(CAST(cv AS DOUBLE) / CAST(n AS DOUBLE)
+        |   AS DECIMAL(20,12))) AS DOUBLE) AS linear_rev
+        |FROM tr GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cohort_survival" ->
       """WITH u AS (SELECT user_id, min(epoch_ns(ts)) AS f, max(epoch_ns(ts)) AS l
