@@ -342,6 +342,48 @@ object Graph {
         col("__s").cast("double").as("aa_score"), col("rank"))
   }
 
+  /** Neighborhood-Jaccard link prediction: unlinked pairs scored by
+    * |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)| — [[adamicAdar]]'s scale-free sibling
+    * that normalizes by BOTH endpoints' degrees, so a pair of
+    * low-degree nodes sharing most of their few neighbors outranks a
+    * hub pair sharing many. Same wedge-join shape and the same
+    * `maxDegree` cap on wedge CENTERS (common neighbors routed through
+    * a super-hub are skipped — observable via
+    * [[adamicAdarDroppedHubs]]); union degrees stay UNCAPPED full
+    * degrees, so the score's denominator is exact.
+    *
+    * Exactness: common and union counts are integers; the score is one
+    * double division, ranked after a FLOAT downcast cannot reorder it
+    * (ties pinned by (u, v)). Output: (u, v, common, jaccard, rank),
+    * top `k` pairs. */
+  def neighborJaccard(edges: DataFrame, src: String = "src",
+                      dst: String = "dst", k: Int = 50,
+                      maxDegree: Long = 10000L): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val und = undirected(edges, src, dst).localCheckpoint()
+    val adj = und.select(col("u").as("c"), col("v").as("x"))
+      .unionAll(und.select(col("v").as("c"), col("u").as("x")))
+    val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+    val centers = adj.join(deg.filter(col("deg") <= maxDegree), "c")
+    val common = centers.as("a").join(centers.as("b"),
+        col("a.c") === col("b.c") && col("a.x") < col("b.x"))
+      .groupBy(col("a.x").as("u"), col("b.x").as("v"))
+      .agg(count(lit(1)).as("common"))
+      .join(und, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("c").as("u"), col("deg").as("__du")), Seq("u"))
+      .join(deg.select(col("c").as("v"), col("deg").as("__dv")), Seq("v"))
+      .withColumn("jaccard",
+        (col("common").cast("double") /
+          (col("__du") + col("__dv") - col("common")).cast("double"))
+          .cast("float"))
+    common.orderBy(col("jaccard").desc, col("u"), col("v")).limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("jaccard").desc, col("u"), col("v"))).cast("long"))
+      .select(col("u"), col("v"), col("common"), col("jaccard"), col("rank"))
+  }
+
   /** [[adamicAdar]]'s cap observer: the wedge centers the degree cap
     * excluded, with their degrees — empty proves the scores are
     * cap-free. */

@@ -116,6 +116,52 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Contrastive-pair mining for embedding-model training data: for
+    * each anchor, the hardest POSITIVE (same label, highest cosine —
+    * the in-class example the model most needs to pull closer) and the
+    * hardest NEGATIVE (different label, highest cosine — the impostor
+    * it most needs to push away), plus the margin between them. Anchors
+    * with negative margin are the mislabeled-or-hard cases a curator
+    * reviews first.
+    *
+    * Determinism: cosine via the codegen [[cosine]] expression (the
+    * same double chain DuckDB's list_cosine_similarity replays); the
+    * per-side pick is max(struct(cosine, −cand_id)) — highest cosine,
+    * ties to the SMALLEST candidate id — a map-side-combinable
+    * aggregate, no window over the full score frame. Anchors missing a
+    * side (no same-label or no other-label candidate) drop out.
+    *
+    * Scale shape: anchors broadcast (or block-replicate past the cap,
+    * same as [[bruteForceTopK]]); candidates stream through one
+    * scan; the aggregate reduces |anchors|·|candidates| scores to
+    * 2·|anchors| rows before any shuffle. */
+  def hardExamples(anchors: DataFrame, candidates: DataFrame,
+                   id: String, vec: String, labelCol: String,
+                   maxBroadcastQueries: Int = DefaultMaxBroadcastQueries): DataFrame = {
+    val q = anchors.select(col(id).as("query_id"), col(vec).as("qv"),
+      col(labelCol).as("__al"))
+    val c = candidates.select(col(id).as("neighbor_id"), col(vec).as("cv"),
+      col(labelCol).as("__cl"))
+    val best = queryProductJoin(c, q, maxBroadcastQueries)
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("__is_pos", col("__cl") === col("__al"))
+      .groupBy(col("query_id").as("anchor_id"), col("__is_pos"))
+      .agg(max(struct(col("cosine"), (-col("neighbor_id")).as("__nid"))).as("__b"))
+      .select(col("anchor_id"), col("__is_pos"),
+        col("__b.cosine").as("__cos"), (-col("__b.__nid")).as("__cand"))
+    val pos = best.filter(col("__is_pos"))
+      .select(col("anchor_id"), col("__cand").as("pos_id"), col("__cos").as("__pc"))
+    val neg = best.filter(!col("__is_pos"))
+      .select(col("anchor_id"), col("__cand").as("neg_id"), col("__cos").as("__nc"))
+    // both sides are |anchors| rows — broadcast beats the sort-merge
+    // the planner would pick from the post-aggregate stats
+    pos.join(broadcast(neg), Seq("anchor_id"))
+      .select(col("anchor_id"), col("pos_id"),
+        col("__pc").cast("float").as("pos_cos"),
+        col("neg_id"), col("__nc").cast("float").as("neg_cos"),
+        (col("__pc") - col("__nc")).cast("float").as("margin"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: `bits` planes × `dim`
     * components in [-1, 1), seeded — reproducible across executors. */
   def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {

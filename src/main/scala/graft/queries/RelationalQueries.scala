@@ -456,6 +456,29 @@ object RelationalQueries {
           col("latency").as("latency_us"))
         .orderBy(col("user_id"))),
 
+    // ── Time-to-convert distribution: exact nearest-rank p50/p90/p99
+    // of the signup→purchase latency, per signup-week cohort — the
+    // funnel's "how fast", composed from the same Funnel.twoStep pass
+    // plus Percentiles.nearestRank (integral micros, so the ranked
+    // values are engine-exact).
+    "funnel_time_to_convert" -> ((s, dir) => {
+      val lat = Funnel.twoStep(
+          Tables.events(s, dir)
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts_utc")).as("t_us")),
+          key = "user_id", typeCol = "event_type", tsCol = "t_us",
+          stepA = "signup", stepB = "purchase",
+          horizon = 7L * 24 * 3600 * 1000000L)
+        .filter(col("converted"))
+        .select(expr("first_a div 604800000000L").as("cohort_week"),
+          col("latency"))
+      graft.ops.Percentiles.nearestRank(lat, keys = Seq("cohort_week"),
+          value = "latency", ps = Seq(0.5, 0.9, 0.99))
+        .select(col("cohort_week"), col("p"),
+          col("pct_value").as("latency_us"))
+        .orderBy(col("cohort_week"), col("p"))
+    }),
+
     // N-step ordered funnel: signup → view → click → purchase, each
     // step within 48 hours of the previous (greedy earliest-completion
     // chain — n−1 conditional-min windows over ONE key exchange, no
@@ -1160,6 +1183,27 @@ object RelationalQueries {
         |  b.first_b - a.first_a AS latency_us
         |FROM a LEFT JOIN b USING (user_id)
         |ORDER BY a.user_id""".stripMargin,
+
+    "funnel_time_to_convert" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        | a AS (SELECT user_id, min(t) AS first_a FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        | b AS (SELECT e.user_id, min(e.t) AS first_b
+        |       FROM e JOIN a USING (user_id)
+        |       WHERE e.event_type = 'purchase'
+        |         AND e.t >= a.first_a AND e.t <= a.first_a + 604800000000
+        |       GROUP BY 1),
+        | conv AS (SELECT a.first_a // 604800000000 AS cohort_week,
+        |        b.first_b - a.first_a AS lat
+        |       FROM a JOIN b USING (user_id)),
+        | r AS (SELECT cohort_week, lat,
+        |        row_number() OVER (PARTITION BY cohort_week ORDER BY lat) AS rn,
+        |        count(*) OVER (PARTITION BY cohort_week) AS n
+        |       FROM conv),
+        | ps AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+        |SELECT cohort_week, p, lat AS latency_us
+        |FROM r CROSS JOIN ps WHERE rn = ceil(p * n)
+        |ORDER BY cohort_week, p""".stripMargin,
 
     // greedy earliest-completion chain, strict progress (t > prev),
     // per-step 48-hour gap — each tᵢ CTE is the conditional min the

@@ -91,6 +91,21 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Contrastive-pair mining: per anchor, the hardest same-label
+    // positive and hardest other-label negative by exact cosine, plus
+    // the margin — the triplet-curation pass of embedding-model
+    // training (negative margins = the label-review queue). The pick is
+    // a map-side max(struct(cosine, −id)) aggregate, not a window over
+    // the full score frame.
+    "emb_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardExamples(
+          anchors = emb.filter(col("vec_id") < 16),
+          candidates = emb, id = "vec_id", vec = "embedding",
+          labelCol = "label")
+        .orderBy(col("anchor_id"))
+    }),
+
     // Exact sample covariance of the embedding space (upper triangle,
     // 0-based cells) — the statistics pass under whitening/PCA, its
     // shuffle bounded at d² cells by map-side partial aggregation
@@ -1136,6 +1151,28 @@ object SimilarityQueries {
         |SELECT query_id, neighbor_id, CAST(cos AS REAL) AS cosine,
         |  CAST(rank AS BIGINT) AS rank
         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "emb_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv, label
+        |           FROM embeddings),
+        | q AS (SELECT vec_id AS anchor_id, dv AS qv, label AS al FROM v
+        |       WHERE vec_id < 16),
+        | s AS (SELECT q.anchor_id, c.vec_id AS cand_id,
+        |        list_cosine_similarity(q.qv, c.dv) AS cos,
+        |        (c.label = q.al) AS is_pos
+        |       FROM q JOIN v c ON c.vec_id <> q.anchor_id),
+        | b AS (SELECT anchor_id, is_pos, cand_id, cos,
+        |        row_number() OVER (PARTITION BY anchor_id, is_pos
+        |          ORDER BY cos DESC, cand_id) AS rn
+        |       FROM s),
+        | p AS (SELECT anchor_id, cand_id AS pos_id, cos AS pc
+        |       FROM b WHERE is_pos AND rn = 1),
+        | n AS (SELECT anchor_id, cand_id AS neg_id, cos AS nc
+        |       FROM b WHERE NOT is_pos AND rn = 1)
+        |SELECT p.anchor_id, pos_id, CAST(pc AS REAL) AS pos_cos,
+        | neg_id, CAST(nc AS REAL) AS neg_cos,
+        | CAST(pc - nc AS REAL) AS margin
+        |FROM p JOIN n USING (anchor_id) ORDER BY anchor_id""".stripMargin,
 
     "emb_covariance" ->
       s"""WITH $pcaCovCtes

@@ -146,6 +146,18 @@ object TextQueries {
           col("aa_score").cast("float").as("aa_score"), col("rank"))
         .orderBy(col("rank"))),
 
+    // Neighborhood-Jaccard link prediction — Adamic–Adar's
+    // degree-normalized sibling: |Γ∩|/|Γ∪| rewards small tight
+    // neighborhoods over shared hubs. Wedge centers share AA's degree
+    // cap (mirrored by the oracle); union degrees stay exact. Score is
+    // one double division of integers, ranked after the FLOAT downcast.
+    "graph_neighbor_jaccard" -> ((s, dir) =>
+      Graph.neighborJaccard(Graph.loadEdges(s, coocEdgeDir(s, dir)),
+          k = 50, maxDegree = 200L)
+        .select(col("u").as("doc_a"), col("v").as("doc_b"),
+          col("common"), col("jaccard"), col("rank"))
+        .orderBy(col("rank"))),
+
     // HITS hubs & authorities, 8 L1-normalized rounds — the centrality
     // pair PageRank fuses: "points at good things" vs "is pointed at".
     // On this symmetric co-occurrence graph the two columns coincide,
@@ -876,6 +888,30 @@ object TextQueries {
     "graph_communities" -> graphCommunitiesSql,
 
     "graph_adamic_adar" -> graphAdamicAdarSql,
+
+    "graph_neighbor_jaccard" ->
+      s"""WITH $coocEdgeCtes,
+         | und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |   FROM e WHERE src <> dst),
+         | adj AS (SELECT u AS c, v AS x FROM und
+         |   UNION ALL SELECT v, u FROM und),
+         | dg AS (SELECT c, count(*) AS deg FROM adj GROUP BY 1),
+         | ct AS (SELECT a.c, a.x FROM adj a
+         |   JOIN dg d ON d.c = a.c WHERE d.deg <= 200),
+         | cm AS (SELECT a.x AS u, b.x AS v, count(*) AS common
+         |   FROM ct a JOIN ct b ON a.c = b.c AND a.x < b.x GROUP BY 1, 2),
+         | nw AS (SELECT cm.u, cm.v, cm.common FROM cm
+         |   LEFT JOIN und ON und.u = cm.u AND und.v = cm.v
+         |   WHERE und.u IS NULL),
+         | sc AS (SELECT nw.u, nw.v, nw.common,
+         |     CAST(CAST(nw.common AS DOUBLE) /
+         |       CAST(du.deg + dv.deg - nw.common AS DOUBLE) AS REAL) AS jaccard
+         |   FROM nw JOIN dg du ON du.c = nw.u JOIN dg dv ON dv.c = nw.v),
+         | r AS (SELECT u, v, common, jaccard,
+         |     row_number() OVER (ORDER BY jaccard DESC, u, v) AS rank FROM sc)
+         |SELECT u AS doc_a, v AS doc_b, common, jaccard,
+         | CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     "text_rake_keywords" ->
       """WITH tkk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t

@@ -180,6 +180,36 @@ class GraphSpec extends SparkSpec {
     Graph.adamicAdar(e, maxDegree = 4L).count() shouldBe 6L
   }
 
+  test("neighborJaccard: common-over-union with full degrees; edges excluded") {
+    // path 1—2—3 plus 3—4: pair (1,3) via center 2: common 1,
+    // deg(1)=1, deg(3)=2 → 1/(1+2−1)=0.5; (2,4) via 3: 1/(2+1−1)=0.5;
+    // (1,4) shares nothing → absent. Ties rank by (u, v).
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.neighborJaccard(e)
+      .rows.map(r => (r.head, r(1), r(2), r(3), r(4)))
+    out shouldBe Seq(
+      (1L, 3L, 1L, 0.5f, 1L),
+      (2L, 4L, 1L, 0.5f, 2L))
+  }
+
+  test("neighborJaccard: capped hub drops its wedges; union degrees stay full") {
+    // star 9—{1,2,3} (deg 9 = 3) + 1—5, 2—5. Cap 2 silences center 9,
+    // so (5,9) is seen only via centers 1 and 2 → common 2, and the
+    // denominator still uses 9's FULL degree 3: 2/(2+3−2) = 2/3;
+    // (1,2) via center 5 → 1/(2+2−1) = 1/3. Uncapped, center 9's
+    // wedges reappear: (1,2) common 2 → jaccard 1.0 tops the list.
+    val e = Seq((9L, 1L), (9L, 2L), (9L, 3L), (1L, 5L), (2L, 5L))
+      .toDF("src", "dst")
+    val capped = Graph.neighborJaccard(e, maxDegree = 2L)
+      .rows.map(r => (r.head, r(1), r(2), r(3), r(4)))
+    capped shouldBe Seq(
+      (5L, 9L, 2L, (2.0 / 3.0).toFloat, 1L),
+      (1L, 2L, 1L, (1.0 / 3.0).toFloat, 2L))
+    val full = Graph.neighborJaccard(e)
+      .rows.map(r => (r.head, r(1), r(3)))
+    full.head shouldBe ((1L, 2L, 1.0f))
+  }
+
   test("hits: one L1-normalized round by hand on a directed hub/authority split") {
     // 1→3, 1→4, 2→3: after round 1, a = (0, 0, 2/3, 1/3) and, scored
     // against the FRESH a, h = (1, 2/3, 0, 0)/ (5/3) = (0.6, 0.4, 0, 0)

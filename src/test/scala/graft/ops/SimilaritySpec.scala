@@ -27,6 +27,38 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2) == null)
   }
 
+  test("hardExamples: hardest positive/negative per anchor, ties to smaller id") {
+    // anchor 1 (label A, x-axis): positives 2 and 5 both parallel
+    // (cosine 1 tie → smaller id 2); hardest negative is 4 (45°, B)
+    // over 3 (orthogonal, B). margin = 1 − cos 45°.
+    val vs = Seq(
+      (1L, Seq(1.0f, 0.0f), "A"),
+      (2L, Seq(2.0f, 0.0f), "A"),
+      (5L, Seq(3.0f, 0.0f), "A"),
+      (3L, Seq(0.0f, 1.0f), "B"),
+      (4L, Seq(1.0f, 1.0f), "B")
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardExamples(
+        anchors = vs.filter(col("vec_id") === 1L), candidates = vs,
+        id = "vec_id", vec = "embedding", labelCol = "label")
+      .rows.map(r => (r.head, r(1), r(2), r(3), r(5)))
+    out.size shouldBe 1
+    val (a, pos, pc, neg, margin) = out.head
+    (a, pos, neg) shouldBe ((1L, 2L, 4L))
+    pc.asInstanceOf[Float].toDouble shouldBe 1.0 +- 1e-6
+    margin.asInstanceOf[Float].toDouble shouldBe (1.0 - 1.0 / math.sqrt(2.0)) +- 1e-6
+  }
+
+  test("hardExamples: an anchor missing a side drops out") {
+    // only one label present → no negatives exist → empty output
+    val vs = Seq(
+      (1L, Seq(1.0f, 0.0f), "A"),
+      (2L, Seq(0.0f, 1.0f), "A")
+    ).toDF("vec_id", "embedding", "label")
+    Similarity.hardExamples(vs.filter(col("vec_id") === 1L), vs,
+      "vec_id", "embedding", "label").count() shouldBe 0L
+  }
+
   test("semanticContamination: max probe cosine per corpus row; threshold flags") {
     val probes = Seq((1L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val corpus = Seq(
