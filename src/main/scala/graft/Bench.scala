@@ -162,8 +162,14 @@ object Bench {
     // the END of output so a bounded tail capture always shows WHERE the
     // file landed — a bench launched from a different cwd must not leave
     // a committed artifact silently stale.
+    // A FILTERED run (SPARK_GRAFT_BENCH_ONLY) must never clobber the
+    // committed full-suite snapshot: with no explicit out path, partial
+    // results land in BENCH_partial.json instead (round-11 advice — the
+    // full history was once lost to a 4-query iteration run).
+    val defaultOut =
+      if (only.isDefined) "BENCH_partial.json" else "BENCH_local.json"
     val outPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
       .toAbsolutePath
     // the env-supplied path goes inside a JSON string — escape it, or a
     // quote/backslash in the path corrupts the very line meant to make a
