@@ -223,6 +223,72 @@ object PipelineQueries {
     // would just re-commit the same partitions, idempotent at the
     // read-latest level). One staged file ⇒ one commit holding every
     // partition; the read-back equals the batch projection.
+    // STREAMING INCREMENTAL SESSIONIZATION: each micro-batch's session
+    // rollup folds into the standing rollup via Sessionize.mergeSessions
+    // — session-granular state, no event-history rescan, the versioned
+    // form of the daily incremental pipeline run live. Two staged
+    // time-partitioned source files + maxFilesPerTrigger=1 make the fold
+    // genuinely cross micro-batches (a bridge-fuse and a renumber both
+    // occur); mergeSessions' time-partition assert fails loudly if the
+    // file source ever reordered them. Oracle = the from-scratch
+    // sessionization of ALL events — cross-formulation equality, the
+    // same claim sessionize_incremental makes for the batch fold.
+    "stream_sessionize_merge_live" -> ((s, dir) => {
+      val gap = 30L * 60L * 1000000L
+      val cutoff = 1705400000000000L // 2024-01-16, mid-range of events
+      val tmp = tempDir("graft_ssm")
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts_utc")).as("t_us"),
+          col("event_id"), col("value"))
+      def stage(df: DataFrame, name: String): Unit = {
+        val staging = s"$tmp/stage_$name"
+        df.coalesce(1).write.parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$tmp/src"))
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$tmp/src/$name.parquet")); ()
+      }
+      stage(ev.filter(col("t_us") <= cutoff), "0_head")
+      stage(ev.filter(col("t_us") > cutoff), "1_tail")
+      val statePath = s"$tmp/state"
+      val schema = s.read.parquet(s"$tmp/src").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src")
+      def roll(df: DataFrame) =
+        graft.ops.Sessionize.assign(df, "user_id", "t_us", "event_id", gap)
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("t_us")).as("session_start"),
+            max(col("t_us")).as("session_end"),
+            count(lit(1)).as("n_events"),
+            sum(d2(col("value"))).as("sum_value"))
+      awaitScoped(s)(src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val delta = roll(batch)
+          val merged =
+            if (java.nio.file.Files.exists(
+                java.nio.file.Paths.get(statePath)))
+              graft.ops.Sessionize.mergeSessions(
+                batch.sparkSession.read.parquet(statePath), delta,
+                key = "user_id", gap = gap, sums = Seq("sum_value"))
+            else delta
+          // state is session-granular (tiny): cut lineage eagerly so the
+          // overwrite never reads under its own write
+          merged.localCheckpoint(eager = true)
+            .write.mode("overwrite").parquet(statePath); ()
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+      s.read.parquet(statePath)
+        .select(col("user_id"), col("session_id"),
+          col("session_start").as("session_start_us"),
+          col("session_end").as("session_end_us"),
+          col("n_events"), col("sum_value").cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     "stream_versioned_ingest_live" -> ((s, dir) => {
       val (raw, tmp) = stageStream(s, dir, "events", "graft_svl")
       val root = s"$tmp/vlake"
@@ -811,6 +877,9 @@ object PipelineQueries {
     "stream_versioned_ingest_live" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
+
+    "stream_sessionize_merge_live" ->
+      RelationalQueries.sessionizeFullRecomputeSql,
 
     // layout is not data, compaction edition: identical row set after
     // the rewrite

@@ -755,10 +755,11 @@ object RelationalQueries {
       |         min(o_orderdate) AS valid_from, count(*) AS n_obs
       |       FROM v GROUP BY 1, 2)""".stripMargin
 
-  /** Shared by sessionize_events and sessionize_incremental: the
-    * incremental session merge claims exact equality with this
-    * from-scratch sessionization, so both take the same oracle. */
-  private val sessionizeFullRecomputeSql =
+  /** Shared by sessionize_events, sessionize_incremental and the
+    * streaming stream_sessionize_merge_live: every incremental/streaming
+    * session fold claims exact equality with this from-scratch
+    * sessionization, so all take the same oracle. */
+  private[queries] val sessionizeFullRecomputeSql =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, value FROM events),
       | s AS (SELECT *, CASE WHEN t - lag(t) OVER
       |         (PARTITION BY user_id ORDER BY t, event_id) > 1800000000
