@@ -396,6 +396,42 @@ object Graph {
       .filter(col("deg") > maxDegree)
   }
 
+  /** k-core extraction by synchronous peeling, `rounds` fixed rounds:
+    * each round recomputes degrees over the surviving undirected edge
+    * set and drops every edge with an endpoint of degree < `k` — the
+    * density filter that isolates the graph's cohesive core (dedup
+    * families and citation cores survive; tendrils and stars peel
+    * away). A fixed round count (not run-to-fixpoint) keeps the output
+    * engine-replayable round-for-round, the [[hits]]/[[pageRank]]
+    * contract; on real graphs peeling converges in far fewer rounds
+    * than the default 8, and both engines emit the same rows either
+    * way because they replay the same rounds.
+    *
+    * All-integer arithmetic — counts and comparisons only, nothing to
+    * quantize. Output: (id, deg) over the final edge set, deg ≥ k.
+    *
+    * Plan: per round one map-side-combined degree aggregation and two
+    * hash joins against the shrinking keep-set; frames localCheckpoint
+    * so the plan never deepens with `rounds`. */
+  def kCore(edges: DataFrame, src: String = "src", dst: String = "dst",
+            k: Int = 3, rounds: Int = 8): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    def degreesOf(e: DataFrame) =
+      e.select(col("u").as("c")).unionAll(e.select(col("v").as("c")))
+        .groupBy(col("c")).agg(count(lit(1)).as("deg"))
+    var e = undirected(edges, src, dst).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = degreesOf(e).filter(col("deg") >= k).select(col("c"))
+      e = e.join(keep.select(col("c").as("u")), Seq("u"))
+        .join(keep.select(col("c").as("v")), Seq("v"))
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+    degreesOf(e).filter(col("deg") >= k)
+      .select(col("c").as("id"), col("deg"))
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999), `iters` synchronous
     * rounds over the DIRECTED edge set: a(v) = Σ_{u→v} h(u) then
     * h(u) = Σ_{u→v} a(v) (the fresh a, the classic update order), each

@@ -146,6 +146,15 @@ object TextQueries {
           col("aa_score").cast("float").as("aa_score"), col("rank"))
         .orderBy(col("rank"))),
 
+    // k-core extraction (k=30, 8 synchronous peel rounds): the cohesive
+    // core of the co-occurrence graph after tendrils and stars peel
+    // away — all-integer, round-for-round replayed by the oracle, the
+    // fixed-round contract HITS/PageRank use.
+    "graph_kcore" -> ((s, dir) =>
+      Graph.kCore(Graph.loadEdges(s, coocEdgeDir(s, dir)), k = 30, rounds = 8)
+        .select(col("id").as("doc_id"), col("deg"))
+        .orderBy(col("doc_id"))),
+
     // Neighborhood-Jaccard link prediction — Adamic–Adar's
     // degree-normalized sibling: |Γ∩|/|Γ∪| rewards small tight
     // neighborhoods over shared hubs. Wedge centers share AA's degree
@@ -836,6 +845,28 @@ object TextQueries {
        |   FROM an$k an LEFT JOIN hr$k r ON r.id = an.id CROSS JOIN ht$k)""".stripMargin
   }.mkString(",\n")
 
+  /** k-core peel replay: per round, degrees over the surviving
+    * undirected edge set, then edges with any endpoint under `k` drop —
+    * all-integer, round-for-round the Spark loop. */
+  private def kCoreCtes(k: Int, rounds: Int): String = (1 to rounds).map { r =>
+    s""" dg${r - 1} AS MATERIALIZED (SELECT c, count(*) AS deg FROM (
+       |     SELECT u AS c FROM ke${r - 1} UNION ALL SELECT v FROM ke${r - 1}) z
+       |   GROUP BY 1),
+       | ke$r AS MATERIALIZED (SELECT e.u, e.v FROM ke${r - 1} e
+       |   JOIN dg${r - 1} a ON a.c = e.u AND a.deg >= $k
+       |   JOIN dg${r - 1} b ON b.c = e.v AND b.deg >= $k)""".stripMargin
+  }.mkString(",\n")
+
+  private val graphKCoreSql =
+    s"""WITH $coocEdgeCtes,
+       | ke0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |   FROM e WHERE src <> dst),
+       |${kCoreCtes(30, 8)}
+       |SELECT c AS doc_id, deg FROM (
+       |  SELECT c, count(*) AS deg FROM (
+       |    SELECT u AS c FROM ke8 UNION ALL SELECT v FROM ke8) z GROUP BY 1) f
+       |WHERE deg >= 30 ORDER BY doc_id""".stripMargin
+
   private val graphHitsSql =
     s"""WITH $coocEdgeCtes,
        | nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
@@ -888,6 +919,8 @@ object TextQueries {
     "graph_communities" -> graphCommunitiesSql,
 
     "graph_adamic_adar" -> graphAdamicAdarSql,
+
+    "graph_kcore" -> graphKCoreSql,
 
     "graph_neighbor_jaccard" ->
       s"""WITH $coocEdgeCtes,

@@ -180,6 +180,28 @@ class GraphSpec extends SparkSpec {
     Graph.adamicAdar(e, maxDegree = 4L).count() shouldBe 6L
   }
 
+  test("kCore: pendant peels away, cascade empties below the core's k") {
+    // triangle 1-2-3 with pendant 4—1: the 2-core is the triangle
+    // (round 1 drops 4, degrees re-settle at 2); a k=3 demand
+    // cascades to empty — the triangle's degrees are only 2
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val core2 = Graph.kCore(e, k = 2)
+      .orderBy("id").rows.map(r => (r.head, r(1)))
+    core2 shouldBe Seq((1L, 2L), (2L, 2L), (3L, 2L))
+    Graph.kCore(e, k = 3).count() shouldBe 0L
+  }
+
+  test("kCore: cascading peel crosses rounds — a chain dies one link per round") {
+    // path 1—2—3—4—5: every k=2 peel removes only the current endpoints,
+    // so the chain needs multiple rounds to vanish; after rounds = 1 the
+    // surviving edges are (2,3),(3,4) and the deg ≥ k output filter
+    // keeps just the middle node — a later round empties it entirely
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    Graph.kCore(path, k = 2, rounds = 8).count() shouldBe 0L
+    Graph.kCore(path, k = 2, rounds = 1)
+      .orderBy("id").rows.map(_.head) shouldBe Seq(3L)
+  }
+
   test("neighborJaccard: common-over-union with full degrees; edges excluded") {
     // path 1—2—3 plus 3—4: pair (1,3) via center 2: common 1,
     // deg(1)=1, deg(3)=2 → 1/(1+2−1)=0.5; (2,4) via 3: 1/(2+1−1)=0.5;
