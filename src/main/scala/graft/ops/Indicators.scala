@@ -156,6 +156,36 @@ object Indicators {
         toCents(col(value)).cast("double")).over(frame).cast("float"))
   }
 
+  /** MACD (Appel): fast EMA − slow EMA, a signal EMA of that
+    * difference, and the histogram between them — the momentum
+    * crossover indicator, composed from three passes of the exact
+    * recursive-EMA fold ([[graft.agg.RecursiveAgg.emaRecursive]]).
+    * Standard smoothing α = 2/(n+1); the α doubles are computed
+    * identically by both engines (one IEEE division), and every
+    * recursion step is the same `α·x + (1−α)·ema` chain the
+    * recursive-CTE oracle replays row-for-row, so the FLOAT-downcast
+    * surface is engine-exact.
+    *
+    * Plan: all three UDAF folds share ONE key-hash exchange and sort
+    * (the signal fold windows over the macd column the first pass
+    * computed — same partitioning, no new shuffle). */
+  def macd(df: DataFrame, key: String, order: Seq[String], value: String,
+           nFast: Int = 12, nSlow: Int = 26, nSignal: Int = 9): DataFrame = {
+    require(nFast >= 1 && nSlow > nFast && nSignal >= 1,
+      s"need 1 <= nFast < nSlow and nSignal >= 1, got $nFast/$nSlow/$nSignal")
+    val frame = Window.partitionBy(col(key)).orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cents = toCents(col(value)).cast("double")
+    def ema(n: Int, c: Column) =
+      graft.agg.RecursiveAgg.emaRecursive(2.0 / (n + 1))(c).over(frame)
+    df.withColumn("__macd", ema(nFast, cents) - ema(nSlow, cents))
+      .withColumn("__sig", ema(nSignal, col("__macd")))
+      .withColumn("macd", col("__macd").cast("float"))
+      .withColumn("signal", col("__sig").cast("float"))
+      .withColumn("histogram", (col("__macd") - col("__sig")).cast("float"))
+      .drop("__macd", "__sig")
+  }
+
   /** Cutler's RSI over the trailing `n` deltas:
     * 100·ΣG/(ΣG+ΣL), where G/L are positive/negative integer cent moves
     * against the previous row. Emits `rsi` (float), null while no move

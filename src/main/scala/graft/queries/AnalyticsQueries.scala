@@ -192,6 +192,19 @@ object AnalyticsQueries {
         .select(col("user_id"), col("event_id"), col("ema_rec_cents"))
         .orderBy(col("user_id"), col("event_id"))),
 
+    // MACD momentum crossover (12/26/9): three recursive-EMA folds over
+    // one key exchange; α = 2/(n+1) doubles computed by one IEEE
+    // division in both engines, recursion replayed row-for-row by the
+    // oracle's recursive CTEs.
+    "w_macd" -> ((s, dir) =>
+      Indicators.macd(
+          Tables.events(s, dir).filter(col("value").isNotNull),
+          key = "user_id", order = Seq("ts", "event_id"),
+          value = "value")
+        .select(col("user_id"), col("event_id"),
+          col("macd"), col("signal"), col("histogram"))
+        .orderBy(col("user_id"), col("event_id"))),
+
     // ── Interval coalescing: each order opens a 30-day active window;
     // overlapping windows per customer merge into coverage islands
     // (running-max-of-ends, one key-partitioned window + one agg).
@@ -1018,6 +1031,46 @@ object AnalyticsQueries {
         |     ON e2.user_id = r.user_id AND e2.rn = r.rn + 1)
         |SELECT e.user_id, e.event_id, CAST(r.ema AS REAL) AS ema_rec_cents
         |FROM e JOIN rec r ON r.user_id = e.user_id AND r.rn = e.rn
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
+
+    "w_macd" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        | rf(user_id, rn, ema) AS (
+        |   SELECT user_id, rn, CAST(c AS DOUBLE) FROM e WHERE rn = 1
+        |   UNION ALL
+        |   SELECT e2.user_id, e2.rn,
+        |     (CAST(2 AS DOUBLE) / 13) * e2.c
+        |       + (1 - (CAST(2 AS DOUBLE) / 13)) * r.ema
+        |   FROM rf r JOIN e e2
+        |     ON e2.user_id = r.user_id AND e2.rn = r.rn + 1),
+        | rs(user_id, rn, ema) AS (
+        |   SELECT user_id, rn, CAST(c AS DOUBLE) FROM e WHERE rn = 1
+        |   UNION ALL
+        |   SELECT e2.user_id, e2.rn,
+        |     (CAST(2 AS DOUBLE) / 27) * e2.c
+        |       + (1 - (CAST(2 AS DOUBLE) / 27)) * r.ema
+        |   FROM rs r JOIN e e2
+        |     ON e2.user_id = r.user_id AND e2.rn = r.rn + 1),
+        | m AS (SELECT rf.user_id, rf.rn, rf.ema - rs.ema AS macd
+        |   FROM rf JOIN rs ON rs.user_id = rf.user_id AND rs.rn = rf.rn),
+        | rg(user_id, rn, sig) AS (
+        |   SELECT user_id, rn, macd FROM m WHERE rn = 1
+        |   UNION ALL
+        |   SELECT m2.user_id, m2.rn,
+        |     (CAST(2 AS DOUBLE) / 10) * m2.macd
+        |       + (1 - (CAST(2 AS DOUBLE) / 10)) * r.sig
+        |   FROM rg r JOIN m m2
+        |     ON m2.user_id = r.user_id AND m2.rn = r.rn + 1)
+        |SELECT e.user_id, e.event_id,
+        | CAST(m.macd AS REAL) AS macd,
+        | CAST(rg.sig AS REAL) AS signal,
+        | CAST(m.macd - rg.sig AS REAL) AS histogram
+        |FROM e JOIN m ON m.user_id = e.user_id AND m.rn = e.rn
+        |JOIN rg ON rg.user_id = e.user_id AND rg.rn = e.rn
         |ORDER BY e.user_id, e.event_id""".stripMargin,
 
     // islands replay: same running-max / flag / running-sum chain;

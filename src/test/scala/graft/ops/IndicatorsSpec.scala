@@ -146,4 +146,34 @@ class IndicatorsSpec extends SparkSpec {
     Indicators.emaRecursive(series(2.0, 2.0, 2.0), "key", Seq("ord"), "price")
       .select("ema_rec_cents").rows.map(_.head).toSet shouldBe Set(200.0f)
   }
+
+  test("macd: hand-computed two-point crossover; naive triple fold on a random series") {
+    // cents 100, 200 with α_f=1/2, α_s=1/4, α_sig=1/2:
+    // fast 100,150; slow 100,125; macd 0,25; signal 0,12.5; hist 0,12.5
+    val out = Indicators.macd(series(1.0, 2.0), "key", Seq("ord"), "price",
+        nFast = 3, nSlow = 7, nSignal = 3)
+      .orderBy("ord").rows.map(r => (r(3), r(4), r(5)))
+    out shouldBe Seq((0.0f, 0.0f, 0.0f), (25.0f, 12.5f, 12.5f))
+    // naive scan replay on a seeded random series, default 12/26/9
+    val rnd = new scala.util.Random(11)
+    val vals = (0 until 30).map(_ => (rnd.nextInt(100000) + 1) / 100.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("key", "ord", "price")
+    val cents = vals.map(v => math.round(v * 100).toDouble)
+    def emaScan(a: Double, xs: Seq[Double]) =
+      xs.tail.scanLeft(xs.head)((e, x) => a * x + (1 - a) * e)
+    val m = emaScan(2.0 / 13, cents).zip(emaScan(2.0 / 27, cents))
+      .map { case (f, s) => f - s }
+    val sig = emaScan(2.0 / 10, m)
+    val expected = m.zip(sig).map { case (mm, ss) =>
+      (mm.toFloat, ss.toFloat, (mm - ss).toFloat) }
+    Indicators.macd(df, "key", Seq("ord"), "price")
+      .orderBy("ord").rows.map(r => (r(3), r(4), r(5))) shouldBe expected
+  }
+
+  test("macd: all three folds share one exchange and one sort") {
+    val plan = Indicators.macd(series(1.0, 2.0, 3.0), "key", Seq("ord"), "price")
+      .queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+  }
 }
