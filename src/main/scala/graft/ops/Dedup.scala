@@ -619,6 +619,58 @@ object Dedup {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
   }
 
+  /** Exact threshold-CONTAINMENT pairs: score = |A∩B| / min(|A|,|B|) —
+    * the asymmetric near-dup measure [[jaccardPairsPrefix]] cannot see.
+    * A short document pasted verbatim inside a long one has containment
+    * 1.0 but Jaccard |A|/|B| (arbitrarily low), so union-normalized
+    * dedup keeps BOTH copies; containment is the standard fix for
+    * boilerplate-wrapper and quote-expansion duplicates.
+    *
+    * Prefix bound, adapted: a pair with overlap ≥ t·min(|A|,|B|) must
+    * collide inside the SMALLER side's ⌊(1−t)·|S|⌋+1 rarest tokens, but
+    * the matching token may sit anywhere in the larger side — so the
+    * candidate join is prefix(X) ⋈ FULL postings (both orientations via
+    * the unordered normalize), still pruned to rare-token postings on
+    * the prefix side, never the full |corpus|² pairing. Candidates then
+    * verify exactly on distinct-token sets; score is one integer-ratio
+    * double division, FLOAT at the surface. */
+  def containmentPairsPrefix(df: DataFrame, id: String, text: String,
+                             threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must lie in (0, 1], got $threshold")
+    val tokSets = df.select(col(id),
+      array_distinct(TextAnalysis.tokens(col(text))).as("toks"))
+    val inv = tokSets.select(col(id), explode(col("toks")).as("tok"))
+    val freq = inv.groupBy(col("tok")).agg(count(lit(1)).as("tok_freq"))
+    val ranked = inv.join(freq, Seq("tok"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(id)).orderBy(col("tok_freq"), col("tok"))))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(id))))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col(id).as("__pid"), col("tok"))
+    val cand = prefix.join(inv.select(col(id).as("__fid"), col("tok")), Seq("tok"))
+      .filter(col("__pid") =!= col("__fid"))
+      .select(least(col("__pid"), col("__fid")).as("id_a"),
+        greatest(col("__pid"), col("__fid")).as("id_b"))
+      .distinct()
+    cand
+      .join(tokSets.select(col(id).as("id_a"), col("toks").as("__ta")), Seq("id_a"))
+      .join(tokSets.select(col(id).as("id_b"), col("toks").as("__tb")), Seq("id_b"))
+      .withColumn("overlap",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      // threshold applies to the DOUBLE ratio (bit-identical in both
+      // engines); downcasting first would drop exact-boundary pairs —
+      // (float) t < t for thresholds like 0.7 that round down in float
+      .withColumn("__c",
+        col("overlap").cast("double") /
+          least(size(col("__ta")), size(col("__tb"))).cast("double"))
+      .filter(col("__c") >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("overlap"), col("__c").cast("float").as("containment"))
+  }
+
   /** Positioned word n-grams: one (id, pos, gram) row per n-token
     * window, pos 1-BASED (matches SQL `generate_subscripts`, so the
     * whole span pipeline is oracle-replayable). Docs shorter than `n`

@@ -313,6 +313,18 @@ object TextQueries {
         .select(col("doc_a"), col("doc_b"), col("jaccard").cast("float").as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // Asymmetric CONTAINMENT pairs (|A∩B|/min): the doc-inside-doc
+    // duplicates union-normalized Jaccard structurally misses (a short
+    // doc pasted into a long one scores 1.0 here, |A|/|B| there). The
+    // smaller side's rare-token prefix joins FULL postings — complete by
+    // the adapted AllPairs bound, still never |corpus|²; exact verify,
+    // threshold applied on the FLOAT surface both engines compare.
+    "dedup_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairsPrefix(
+          Tables.documents(s, dir).filter(col("doc_id") < 300),
+          id = "doc_id", text = "text", threshold = 0.7)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // exact dedup-survivors: drop docs with a >= 0.6-jaccard partner of
     // smaller id (inverted-index candidates → exact verify → anti-join)
     "dedup_survivors" -> ((s, dir) => {
@@ -1283,6 +1295,22 @@ object TextQueries {
         |SELECT doc_a, doc_b, CAST(shared / (sa.n + sb.n - shared) AS REAL) AS jaccard
         |FROM p JOIN s sa ON p.doc_a = sa.doc_id JOIN s sb ON p.doc_b = sb.doc_id
         |WHERE shared / (sa.n + sb.n - shared) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_containment_pairs" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+        |           FROM documents WHERE doc_id < 300),
+        | t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
+        |       FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        | s AS (SELECT doc_id, len(toks) AS n FROM d),
+        | c AS (SELECT doc_a, doc_b, overlap,
+        |        CAST(overlap AS DOUBLE) / least(sa.n, sb.n) AS cd
+        |       FROM p JOIN s sa ON p.doc_a = sa.doc_id
+        |       JOIN s sb ON p.doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, overlap, CAST(cd AS REAL) AS containment
+        |FROM c WHERE cd >= CAST(0.7 AS DOUBLE)
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Portable MinHash-LSH replay: 3-token shingles (short docs collapse

@@ -92,6 +92,69 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairsPrefix: doc-inside-doc scores 1.0 where jaccard sees 0.5") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j k l m n o p q r s t"), // contains doc 1
+      (3L, "z y x w")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairsPrefix(docs, "doc_id", "text", 0.9)
+      .rows.map(r => (r.head, r(1), r(2), r(3)))
+    out shouldBe Seq((1L, 2L, 10L, 1.0f))
+    // union-normalized jaccard on the same pair: 10/20 — under any
+    // dedup threshold, which is exactly the gap containment closes
+    Dedup.jaccardPairs(docs, "doc_id", "text", 0.9).count() shouldBe 0L
+  }
+
+  test("containmentPairsPrefix: exact-boundary pair survives the threshold") {
+    // overlap 7, min size 10 → ratio 14/20 = 0.7 exactly the double the
+    // threshold literal parses to; a float-side compare would drop it
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "t1 t2 t3 t4 t5 t6 t7 u8 u9 u10")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairsPrefix(docs, "doc_id", "text", 0.7)
+      .rows.map(r => (r.head, r(1), r(2), r(3)))
+    out shouldBe Seq((1L, 2L, 7L, 0.7f))
+    Dedup.containmentPairsPrefix(docs, "doc_id", "text", 0.71)
+      .count() shouldBe 0L
+  }
+
+  test("containmentPairsPrefix: matches the brute-force form on a random corpus") {
+    val rng = new scala.util.Random(9)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "the", "and", "of")
+    val corpus = (1L to 60L).map { i =>
+      (i, Seq.fill(6 + rng.nextInt(6))(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.{col => c}
+    for (t <- Seq(0.5, 0.8)) {
+      // brute force: all pairs, exact sets
+      val ts = corpus.select(c("doc_id"),
+        org.apache.spark.sql.functions.array_distinct(
+          graft.ops.TextAnalysis.tokens(c("text"))).as("toks"))
+      val brute = ts.as("a").join(ts.as("b"), c("a.doc_id") < c("b.doc_id"))
+        .select(c("a.doc_id").as("doc_a"), c("b.doc_id").as("doc_b"),
+          org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.array_intersect(c("a.toks"), c("b.toks")))
+            .cast("long").as("overlap"),
+          (org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.array_intersect(c("a.toks"), c("b.toks")))
+            .cast("double") /
+            org.apache.spark.sql.functions.least(
+              org.apache.spark.sql.functions.size(c("a.toks")),
+              org.apache.spark.sql.functions.size(c("b.toks"))).cast("double"))
+            .as("cd"))
+        .filter(c("cd") >= t)
+        .select(c("doc_a"), c("doc_b"), c("overlap"),
+          c("cd").cast("float").as("containment"))
+        .orderBy("doc_a", "doc_b").rows
+      val pref = Dedup.containmentPairsPrefix(corpus, "doc_id", "text", t)
+        .orderBy("doc_a", "doc_b").rows
+      withClue(s"threshold $t: ") { pref shouldBe brute }
+    }
+  }
+
   test("simhashNearDup: exact dup pair at hamming 0; unrelated docs filtered") {
     val out = Dedup.simhashNearDup(docs, "doc_id", "text", maxBits = 10)
     val pairs = out.select("id_a", "id_b", "hamming").rows
