@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Anomaly, Cdc, CrossSeries, Experiment, FuzzyJoin, Indicators, Intervals, Market, Moments, Percentiles, Quality, Reconcile, Resample, Skyline}
+import graft.ops.{Anomaly, Cdc, CrossSeries, Experiment, FuzzyJoin, Indicators, Intervals, Market, Markov, Moments, Percentiles, Quality, Reconcile, Resample, Skyline}
 
 /** OLAP / warehouse-analytics extensions: grouping sets, event-path
   * transitions, exact nearest-rank quantiles, batch CDC apply, and
@@ -85,6 +85,25 @@ object AnalyticsQueries {
         .groupBy(col("event_type"), col("next_type"))
         .agg(count(lit(1)).as("n_steps"))
         .orderBy(col("event_type"), col("next_type"))
+    }),
+
+    // ── Stationary distribution of the event-type Markov chain — where
+    // users spend their time in the long run, given the observed hop
+    // counts. 8 quantized power iterations from uniform (the PageRank
+    // replay contract); sink states fail loudly instead of leaking mass.
+    "event_markov_stationary" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n_steps"))
+      Markov.stationary(trans, cur = "event_type", nxt = "next_type",
+          n = "n_steps", iters = 8)
+        .select(col("state").as("event_type"), col("prob"))
+        .orderBy(col("event_type"))
     }),
 
     // ── Exact nearest-rank quantiles of value per event type: rank
@@ -840,6 +859,18 @@ object AnalyticsQueries {
         .orderBy(col("event_type")))
   )
 
+  /** Markov power-iteration replay: per round, mass products quantize
+    * to DECIMAL(30,12) before the per-state sum, states with no inbound
+    * mass re-enter at 0 — token-for-token [[graft.ops.Markov.stationary]]. */
+  private def markovIterCtes(iters: Int): String = (1 to iters).map { k =>
+    s""" v$k AS MATERIALIZED (SELECT s.state, COALESCE(r.np, 0) AS prob
+       |   FROM states s LEFT JOIN (
+       |     SELECT p.nxt AS state,
+       |       CAST(sum(CAST(v.prob * p.pr AS DECIMAL(30,12))) AS DOUBLE) AS np
+       |     FROM v${k - 1} v JOIN p ON p.cur = v.state GROUP BY 1) r
+       |   ON r.state = s.state)""".stripMargin
+  }.mkString(",\n")
+
   val oracle: Map[String, String] = Map(
 
     "agg_rollup" ->
@@ -868,6 +899,27 @@ object AnalyticsQueries {
         |SELECT event_type, next_type, count(*) AS n_steps
         |FROM s WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "event_markov_stationary" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_id,
+         |        event_type FROM events),
+         | st AS (SELECT event_type, lead(event_type) OVER
+         |         (PARTITION BY user_id ORDER BY t, event_id) AS next_type
+         |       FROM e),
+         | tr AS (SELECT event_type AS cur, next_type AS nxt,
+         |        count(*) AS n FROM st WHERE next_type IS NOT NULL
+         |       GROUP BY 1, 2),
+         | tot AS (SELECT cur, sum(n) AS t FROM tr GROUP BY 1),
+         | p AS MATERIALIZED (SELECT tr.cur, tr.nxt,
+         |     CAST(tr.n AS DOUBLE) / CAST(tot.t AS DOUBLE) AS pr
+         |   FROM tr JOIN tot USING (cur)),
+         | states AS MATERIALIZED (SELECT DISTINCT cur AS state FROM p),
+         | v0 AS (SELECT state, CAST(1 AS DOUBLE) /
+         |     CAST((SELECT count(*) FROM states) AS DOUBLE) AS prob
+         |   FROM states),
+         |${markovIterCtes(8)}
+         |SELECT state AS event_type, CAST(prob AS REAL) AS prob
+         |FROM v8 ORDER BY event_type""".stripMargin,
 
     // nearest-rank: value at row_number ceil(p·n) in value order. The ps
     // are cast to DOUBLE so the rank arithmetic is the SAME IEEE math as
