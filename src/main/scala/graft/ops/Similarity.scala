@@ -162,6 +162,59 @@ object Similarity {
         (col("__pc") - col("__nc")).cast("float").as("margin"))
   }
 
+  /** Local Outlier Factor (Breunig 2000) over cosine distance — the
+    * density-aware outlier score for embedding-space data cleaning: a
+    * point in a sparse region scores ≫ 1 even when a global distance
+    * cutoff would pass it, and a point deep inside a tight cluster
+    * scores ≈ 1 even near another cluster's edge. The curation queue
+    * for mislabeled/junk vectors that [[semanticDedup]] (too similar)
+    * and [[semanticContamination]] (too similar to a probe) don't see.
+    *
+    * Determinism: distance = 1 − [[cosine]] (the codegen kernel DuckDB
+    * replays); kNN membership is EXACTLY k by (dist, id) rank (the
+    * common tie-pinned simplification of N_k); reach-distances and the
+    * lrd-ratio terms quantize to DECIMAL(20,12) before their sums, so
+    * each score is a fixed double chain both engines replay. Duplicate
+    * points can zero a reach-sum — lrd guards with nullif and the NULL
+    * propagates honestly instead of fabricating an infinity.
+    *
+    * Scale shape: the pair scoring reuses [[queryProductJoin]] (blocked
+    * past the broadcast cap); everything after operates on the k·|n|
+    * ranked frame, localCheckpointed because three branches reuse it.
+    * Brute-force pairing is the EXACT baseline — at 100 TB swap the
+    * scorer for an IVF shortlist ([[ivfTopK]]) and keep the identical
+    * reach/lrd/ratio tail. */
+  def lofOutliers(df: DataFrame, id: String, vec: String, k: Int,
+                  maxBroadcastQueries: Int = DefaultMaxBroadcastQueries): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val q = df.select(col(id).as("query_id"), col(vec).as("qv"))
+    val c = df.select(col(id).as("neighbor_id"), col(vec).as("cv"))
+    val scored = queryProductJoin(c, q, maxBroadcastQueries)
+      .withColumn("dist", lit(1.0) - cosine(col("qv"), col("cv")))
+      .select(col("query_id").as("p"), col("neighbor_id").as("o"), col("dist"))
+    val w = Window.partitionBy(col("p")).orderBy(col("dist"), col("o"))
+    val ranked = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .localCheckpoint() // three consumers: N_k, d_k, the lrd joins
+    val dk = ranked.filter(col("rn") === k)
+      .select(col("p").as("__dkp"), col("dist").as("__dk"))
+    val reach = ranked
+      .join(dk.select(col("__dkp").as("o"), col("__dk").as("__dk_o")), Seq("o"))
+      .withColumn("__reach", greatest(col("__dk_o"), col("dist")))
+    val lrd = reach.groupBy(col("p"))
+      .agg((lit(k.toDouble) /
+        nullif(sum(col("__reach").cast("decimal(20,12)")).cast("double"),
+          lit(0.0))).as("__lrd"))
+    ranked
+      .join(lrd.select(col("p").as("o"), col("__lrd").as("__lrd_o")), Seq("o"))
+      .join(lrd, Seq("p"))
+      .groupBy(col("p"), col("__lrd"))
+      .agg(sum((col("__lrd_o") / col("__lrd")).cast("decimal(20,12)"))
+        .cast("double").as("__s"))
+      .select(col("p").as(id),
+        (col("__s") / lit(k.toDouble)).cast("float").as("lof"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: `bits` planes × `dim`
     * components in [-1, 1), seeded — reproducible across executors. */
   def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {

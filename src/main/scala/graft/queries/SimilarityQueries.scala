@@ -91,6 +91,16 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // LOF density outliers over cosine distance (k=10): the
+    // embedding-space cleaning queue a global cutoff misses — scores
+    // ≫ 1 flag points whose neighborhood is far sparser than their
+    // neighbors'. Exact brute-force baseline; the reach/lrd/ratio tail
+    // is IVF-swappable at scale.
+    "emb_lof_outliers" -> ((s, dir) =>
+      Similarity.lofOutliers(Tables.embeddings(s, dir),
+          id = "vec_id", vec = "embedding", k = 10)
+        .orderBy(col("vec_id"))),
+
     // Contrastive-pair mining: per anchor, the hardest same-label
     // positive and hardest other-label negative by exact cosine, plus
     // the margin — the triplet-curation pass of embedding-model
@@ -1151,6 +1161,31 @@ object SimilarityQueries {
         |SELECT query_id, neighbor_id, CAST(cos AS REAL) AS cosine,
         |  CAST(rank AS BIGINT) AS rank
         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "emb_lof_outliers" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+        |           FROM embeddings),
+        | s AS (SELECT a.vec_id AS p, b.vec_id AS o,
+        |        CAST(1 AS DOUBLE) - list_cosine_similarity(a.dv, b.dv) AS dist
+        |       FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY p
+        |          ORDER BY dist, o) AS rn FROM s),
+        | nk AS MATERIALIZED (SELECT p, o, dist FROM r WHERE rn <= 10),
+        | dk AS MATERIALIZED (SELECT p, dist AS dkv FROM r WHERE rn = 10),
+        | rc AS (SELECT nk.p, nk.o, greatest(d2.dkv, nk.dist) AS reach
+        |       FROM nk JOIN dk d2 ON d2.p = nk.o),
+        | lrd AS MATERIALIZED (SELECT p, CAST(10 AS DOUBLE) /
+        |        nullif(CAST(sum(CAST(reach AS DECIMAL(20,12))) AS DOUBLE), 0)
+        |          AS lrdv
+        |       FROM rc GROUP BY 1),
+        | lf AS (SELECT nk.p,
+        |        CAST(sum(CAST(lo.lrdv / lp.lrdv AS DECIMAL(20,12))) AS DOUBLE)
+        |          / CAST(10 AS DOUBLE) AS lof
+        |       FROM nk JOIN lrd lo ON lo.p = nk.o
+        |       JOIN lrd lp ON lp.p = nk.p
+        |       GROUP BY 1)
+        |SELECT p AS vec_id, CAST(lof AS REAL) AS lof
+        |FROM lf ORDER BY vec_id""".stripMargin,
 
     "emb_hard_negatives" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv, label

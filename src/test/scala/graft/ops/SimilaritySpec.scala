@@ -27,6 +27,35 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2) == null)
   }
 
+  test("lofOutliers: the lone far point scores highest; cluster members sit near 1") {
+    // four near-parallel vectors (a tight cosine cluster) + one
+    // orthogonal outlier; k = 2
+    val vs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.01f)),
+      (3L, Seq(1.0f, 0.02f)), (4L, Seq(1.0f, 0.03f)),
+      (5L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.lofOutliers(vs, "vec_id", "embedding", k = 2)
+      .rows.map(r => r.head.asInstanceOf[Long] -> r(1).asInstanceOf[Float]).toMap
+    out.size shouldBe 5
+    val top = out.maxBy(_._2)
+    top._1 shouldBe 5L
+    top._2 should be > 1.5f
+    (1L to 4L).foreach(i => out(i) should be < 1.3f)
+  }
+
+  test("lofOutliers: duplicate points zero the reach sum — NULL, not infinity") {
+    // 1 and 2 are parallel (cosine distance 0): with k = 1 their reach
+    // sums are exactly 0 → lrd NULL propagates into every score that
+    // touches them instead of fabricating an infinite density
+    val vs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)), (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.lofOutliers(vs, "vec_id", "embedding", k = 1)
+      .rows.map(r => r.head -> r(1)).toMap
+    assert(out(1L) == null && out(2L) == null && out(3L) == null)
+  }
+
   test("hardExamples: hardest positive/negative per anchor, ties to smaller id") {
     // anchor 1 (label A, x-axis): positives 2 and 5 both parallel
     // (cosine 1 tie → smaller id 2); hardest negative is 4 (45°, B)
