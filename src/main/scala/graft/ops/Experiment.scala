@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A/B experiment readout: Welch's unequal-variance two-sample t-test
@@ -73,5 +74,60 @@ object Experiment {
           .cast("float"))
       .select(col(group), col("n_a"), col("n_b"),
         col("mean_a"), col("mean_b"), col("t_stat"), col("df"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) per metric group — the
+    * nonparametric complement of [[welchTTest]]: rank-based, so a
+    * heavy-tailed or skewed metric (latency, spend) cannot fake or mask
+    * a shift the way it can with means. Normal approximation with the
+    * standard tie correction.
+    *
+    * Exactness: everything up to the final z is INTEGER — ranks are
+    * handled in DOUBLED form (average rank ×2 = 2·cumulative − tiecount
+    * + 1, an integer even for .5 ties), so U×2, the tie term Σ(t³−t)
+    * and all counts are exact BIGINTs, and z is one fixed double chain
+    * both engines replay:
+    *   z = (2U − n₁n₂) / (2·√((n₁n₂/12)·((n+1) − Σ(t³−t)/(n·(n−1)))))
+    *
+    * Plan: one groupBy to the (group, value) tie frame, one
+    * group-partitioned window for cumulative counts, one final rollup —
+    * the fact table reduces before anything wide. Groups with an empty
+    * arm or fewer than 2 total observations drop. */
+  def mannWhitneyU(df: DataFrame, group: String, variant: String,
+                   value: String, armA: String = "A", armB: String = "B"): DataFrame = {
+    val tie = df
+      .filter(col(variant).isin(armA, armB) && col(value).isNotNull)
+      .groupBy(col(group), col(value).as("__v"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col(variant) === armA, 1L).otherwise(0L)).as("__ca"))
+    val w = Window.partitionBy(col(group)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agg = tie
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .groupBy(col(group))
+      .agg(
+        sum(col("__ca")).as("n_a"),
+        sum(col("__c") - col("__ca")).as("n_b"),
+        // Σ over A-rows of doubled average rank — integer-exact
+        sum(col("__ca") * (lit(2L) * col("__cum") - col("__c") + 1L)).as("__r1x2"),
+        sum(col("__c") * col("__c") * col("__c") - col("__c")).as("__ties"))
+      .filter(col("n_a") >= 1 && col("n_b") >= 1 &&
+        col("n_a") + col("n_b") >= 2)
+    agg
+      .withColumn("__u1x2",
+        lit(2L) * col("n_a") * col("n_b") +
+          col("n_a") * (col("n_a") + 1L) - col("__r1x2"))
+      .withColumn("u_stat", col("__u1x2").cast("double") / lit(2.0))
+      .withColumn("__n", col("n_a") + col("n_b"))
+      .withColumn("z", {
+        val nD = col("__n").cast("double")
+        val sigma2 =
+          (col("n_a").cast("double") * col("n_b").cast("double") / lit(12.0)) *
+            ((nD + lit(1.0)) -
+              col("__ties").cast("double") / (nD * (nD - lit(1.0))))
+        ((col("__u1x2") - col("n_a") * col("n_b")).cast("double") /
+          nullif(lit(2.0) * sqrt(sigma2), lit(0.0))).cast("float")
+      })
+      .select(col(group), col("n_a"), col("n_b"), col("u_stat"), col("z"))
   }
 }

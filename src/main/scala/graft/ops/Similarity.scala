@@ -215,6 +215,57 @@ object Similarity {
         (col("__s") / lit(k.toDouble)).cast("float").as("lof"))
   }
 
+  /** Greedy k-center coreset (Gonzalez farthest-point traversal) over
+    * cosine distance — diversity-first data selection: each round picks
+    * the point FARTHEST from every center chosen so far, so k rounds
+    * cover the embedding space's extremes where random sampling
+    * oversamples the dense middle. The 2-approximation to the optimal
+    * k-center cover, and the standard seed set for coreset-based
+    * training-data selection.
+    *
+    * Fully deterministic: the first center is the smallest id; each
+    * round's argmax of (min-distance-to-centers) breaks ties toward the
+    * smallest id; distances are the codegen [[cosine]] chain and the
+    * per-point min over centers is an order-free double min — so the
+    * oracle replays the trajectory center-for-center (same contract as
+    * [[Retrieval.mmrDiversify]]'s greedy argmax).
+    *
+    * Output: one row per center — (id, pick_order 1..k, radius = its
+    * min-distance to the prior centers at pick time; the first center's
+    * radius is NULL). `radius` is nonincreasing in exact arithmetic —
+    * the classic coverage curve.
+    *
+    * Scale shape: k linear scans, each joining the corpus against a
+    * BROADCAST ≤ k-row center frame and reducing map-side to one argmax
+    * row. No |corpus|² step anywhere; the driver holds only the k
+    * picked rows. */
+  def kCenterCoreset(df: DataFrame, id: String, vec: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val pts = df.select(col(id).as("__pid"), col(vec).as("__pv"))
+      .localCheckpoint()
+    val seed = pts.orderBy(col("__pid")).limit(1)
+      .select(col("__pid"), col("__pv"), lit(1L).as("pick_order"),
+        lit(null).cast("double").as("__radius"))
+    var centers = seed.localCheckpoint()
+    for (r <- 2 to k) {
+      val scoredMin = pts
+        .join(broadcast(centers.select(col("__pid").as("__cid"),
+          col("__pv").as("__cv"))), col("__pid") =!= col("__cid"))
+        .withColumn("__d", lit(1.0) - cosine(col("__pv"), col("__cv")))
+        .groupBy(col("__pid"))
+        .agg(min(col("__d")).as("__mind"), first(col("__pv")).as("__pv2"))
+        .join(centers.select(col("__pid")), Seq("__pid"), "left_anti")
+      val next = scoredMin
+        .orderBy(col("__mind").desc, col("__pid")).limit(1)
+        .select(col("__pid"), col("__pv2").as("__pv"),
+          lit(r.toLong).as("pick_order"), col("__mind").as("__radius"))
+      centers = centers.unionByName(next).localCheckpoint()
+    }
+    centers.select(col("__pid").as(id), col("pick_order"),
+      col("__radius").cast("float").as("radius"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: `bits` planes × `dim`
     * components in [-1, 1), seeded — reproducible across executors. */
   def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {

@@ -720,6 +720,20 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // ── Mann–Whitney U per event_type, same parity arms as ab_ttest:
+    // the rank-based readout a heavy-tailed metric can't fool. All
+    // integer arithmetic (doubled ranks) up to one final double chain.
+    "ab_mannwhitney" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")
+            .as("variant"),
+          col("value"))
+      Experiment.mannWhitneyU(ev, group = "event_type",
+          variant = "variant", value = "value")
+        .orderBy(col("event_type"))
+    }),
+
     // ── Sample ACF at lags 1..7 per series — the data-driven way to
     // pick seasonalDecompose's period. Integer co-moments scaled by n²
     // (DECIMAL(38,0) ↔ HUGEINT), one double division, float out.
@@ -1506,6 +1520,38 @@ object AnalyticsQueries {
         |   ((va * va) / (CAST(n_a AS DOUBLE) - 1.0) +
         |    (vb * vb) / (CAST(n_b AS DOUBLE) - 1.0)) AS REAL) AS df
         |FROM j ORDER BY event_type""".stripMargin,
+
+    "ab_mannwhitney" ->
+      """WITH e AS (SELECT event_type,
+        |        CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |        value
+        |       FROM events WHERE value IS NOT NULL),
+        | tie AS (SELECT event_type, value AS v, count(*) AS c,
+        |        sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS ca
+        |       FROM e GROUP BY 1, 2),
+        | cw AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM tie),
+        | g AS (SELECT event_type,
+        |        CAST(sum(ca) AS BIGINT) AS n_a,
+        |        CAST(sum(c - ca) AS BIGINT) AS n_b,
+        |        CAST(sum(ca * (2 * cum - c + 1)) AS BIGINT) AS r1x2,
+        |        CAST(sum(c * c * c - c) AS BIGINT) AS ties
+        |       FROM cw GROUP BY 1
+        |       HAVING sum(ca) >= 1 AND sum(c - ca) >= 1
+        |          AND sum(c) >= 2),
+        | u AS (SELECT *, 2 * n_a * n_b + n_a * (n_a + 1) - r1x2 AS u1x2,
+        |        n_a + n_b AS n FROM g)
+        |SELECT event_type, n_a, n_b,
+        | CAST(u1x2 AS DOUBLE) / 2.0 AS u_stat,
+        | CAST(CAST(u1x2 - n_a * n_b AS DOUBLE) /
+        |   nullif(2.0 * sqrt(
+        |     (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0) *
+        |       ((CAST(n AS DOUBLE) + 1.0) -
+        |         CAST(ties AS DOUBLE) /
+        |           (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))), 0)
+        |   AS REAL) AS z
+        |FROM u ORDER BY event_type""".stripMargin,
 
     "ts_acf" ->
       """WITH s AS (SELECT event_type AS k, epoch_ns(ts) // 86400000000000 AS b,

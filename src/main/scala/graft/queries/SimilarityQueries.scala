@@ -91,6 +91,15 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Greedy k-center coreset (k=8): farthest-point diversity selection
+    // over cosine distance — the seed set for coreset-based training-
+    // data selection; the trajectory (and its nonincreasing coverage
+    // radius) replays center-for-center in the oracle.
+    "emb_kcenter_coreset" -> ((s, dir) =>
+      Similarity.kCenterCoreset(Tables.embeddings(s, dir),
+          id = "vec_id", vec = "embedding", k = 8)
+        .orderBy(col("pick_order"))),
+
     // LOF density outliers over cosine distance (k=10): the
     // embedding-space cleaning queue a global cutoff misses — scores
     // ≫ 1 flag points whose neighborhood is far sparser than their
@@ -937,6 +946,33 @@ object SimilarityQueries {
        |SELECT vec_id, CAST(pc1 AS REAL) AS pc1
        |FROM proj ORDER BY vec_id""".stripMargin
 
+  /** k-center greedy replay: per round, every non-center's min cosine
+    * distance to the standing center set, argmax with ties to the
+    * smaller id — center-for-center [[graft.ops.Similarity.kCenterCoreset]]. */
+  private def kCenterCtes(k: Int): String = (2 to k).map { r =>
+    s""" m$r AS (SELECT p.vec_id,
+       |     min(CAST(1 AS DOUBLE) - list_cosine_similarity(p.dv, c.dv)) AS mind
+       |   FROM v p CROSS JOIN ctr${r - 1} c
+       |   WHERE p.vec_id NOT IN (SELECT vec_id FROM ctr${r - 1})
+       |   GROUP BY 1),
+       | c$r AS MATERIALIZED (SELECT v.vec_id, v.dv,
+       |     CAST($r AS BIGINT) AS pick_order, m$r.mind AS radius
+       |   FROM m$r JOIN v USING (vec_id)
+       |   ORDER BY m$r.mind DESC, m$r.vec_id LIMIT 1),
+       | ctr$r AS MATERIALIZED (SELECT * FROM ctr${r - 1}
+       |   UNION ALL SELECT * FROM c$r)""".stripMargin
+  }.mkString(",\n")
+
+  private val embKCenterSql =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+       |           FROM embeddings),
+       | ctr1 AS (SELECT vec_id, dv, CAST(1 AS BIGINT) AS pick_order,
+       |     CAST(NULL AS DOUBLE) AS radius
+       |   FROM v ORDER BY vec_id LIMIT 1),
+       |${kCenterCtes(8)}
+       |SELECT vec_id, pick_order, CAST(radius AS REAL) AS radius
+       |FROM ctr8 ORDER BY pick_order""".stripMargin
+
   private val simCosineTopkSql =
     """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
       |           FROM embeddings WHERE vec_id < 8),
@@ -1161,6 +1197,8 @@ object SimilarityQueries {
         |SELECT query_id, neighbor_id, CAST(cos AS REAL) AS cosine,
         |  CAST(rank AS BIGINT) AS rank
         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "emb_kcenter_coreset" -> embKCenterSql,
 
     "emb_lof_outliers" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv

@@ -36,6 +36,34 @@ class ExperimentSpec extends SparkSpec {
     out.head(1) shouldBe 2L // the NULL A-value did not count
   }
 
+  test("mannWhitneyU: textbook no-tie case") {
+    // A = {1,2}, B = {3,4}: R1 = 3 → U = 4; σ² = 5/3 → z = 2/√(5/3)
+    val df = Seq(("g", "A", 1.0), ("g", "A", 2.0),
+      ("g", "B", 3.0), ("g", "B", 4.0)).toDF("grp", "variant", "v")
+    val r = Experiment.mannWhitneyU(df, "grp", "variant", "v").rows.head
+    (r(1), r(2), r(3)) shouldBe ((2L, 2L, 4.0))
+    r(4).asInstanceOf[Float].toDouble shouldBe
+      (2.0 / math.sqrt(5.0 / 3.0) +- 1e-6)
+  }
+
+  test("mannWhitneyU: ties take average ranks with the variance correction") {
+    // A = {1,1}, B = {1,2}: tied trio at rank 2 → R1 = 4, U = 3;
+    // Σ(t³−t) = 24 → σ² = 1 → z = (2U − n₁n₂)/2 = 1
+    val df = Seq(("g", "A", 1.0), ("g", "A", 1.0),
+      ("g", "B", 1.0), ("g", "B", 2.0)).toDF("grp", "variant", "v")
+    val r = Experiment.mannWhitneyU(df, "grp", "variant", "v").rows.head
+    (r(3), r(4)) shouldBe ((3.0, 1.0f))
+  }
+
+  test("mannWhitneyU: all-tied group yields NULL z, not infinity; empty arm drops") {
+    val df = Seq(("t", "A", 5.0), ("t", "B", 5.0), ("t", "B", 5.0),
+      ("solo", "A", 1.0), ("solo", "A", 2.0)).toDF("grp", "variant", "v")
+    val out = Experiment.mannWhitneyU(df, "grp", "variant", "v")
+      .rows.map(r => r.head -> r(4)).toMap
+    out.keySet shouldBe Set("t")
+    assert(out("t") == null)
+  }
+
   test("welchTTest: variants outside the two arms are ignored") {
     val df = Seq(
       ("g", "A", 1.0), ("g", "A", 2.0),

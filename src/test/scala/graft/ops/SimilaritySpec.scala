@@ -27,6 +27,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2) == null)
   }
 
+  test("kCenterCoreset: farthest-point trajectory by hand; radius nonincreasing") {
+    // seed = min id (1, x-axis). Farthest by cosine distance: 3
+    // (opposite, d=2), then 2 (orthogonal to both, d=1), then 4
+    val vs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(-1.0f, 0.0f)), (4L, Seq(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kCenterCoreset(vs, "vec_id", "embedding", k = 4)
+      .orderBy("pick_order").rows.map(r => (r.head, r(1), r(2)))
+    out.map(_._1) shouldBe Seq(1L, 3L, 2L, 4L)
+    assert(out.head._3 == null)
+    out(1)._3 shouldBe 2.0f
+    out(2)._3 shouldBe 1.0f
+    val radii = out.tail.map(_._3.asInstanceOf[Float])
+    radii.sliding(2).foreach { case Seq(a, b) => b should be <= a }
+  }
+
   test("lofOutliers: the lone far point scores highest; cluster members sit near 1") {
     // four near-parallel vectors (a tight cosine cluster) + one
     // orthogonal outlier; k = 2
