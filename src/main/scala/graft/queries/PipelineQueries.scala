@@ -174,8 +174,10 @@ object PipelineQueries {
     // read); compact re-commits the live state into ONE owner and the
     // read-back must be row-identical — any compaction loss or
     // duplication flips the hash. Owner collapse + vacuum reclamation
-    // are pinned by VersionedLakeSpec.
-    "lake_compact_roundtrip" -> ((s, dir) => {
+    // are pinned by VersionedLakeSpec. (Was shadowed by the partitioned-
+    // lake compaction entry of the same name until round 12 — duplicate
+    // Map keys resolve last-wins, silently.)
+    "lake_vcompact_roundtrip" -> ((s, dir) => {
       val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice"), col("o_orderpriority"))
       val root = tempDir("graft_vcompact") + "/t"
@@ -811,9 +813,9 @@ object PipelineQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
-    // v1 = the pre-1997 state; v2 = urgent partition fully rewritten,
-    // the rest carried over from v1
-    "lake_compact_roundtrip" ->
+    // compaction is layout, not data: identical row set after the
+    // versioned owner collapse
+    "lake_vcompact_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 

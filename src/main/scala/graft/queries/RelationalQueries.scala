@@ -154,7 +154,7 @@ object RelationalQueries {
     // explicit lags with literal α(1−α)^i weights, renormalized over
     // the PRESENT lags — the scalable, engine-replayable form of the
     // sequential recursion (see Volatility.ewma's scaladoc).
-    "w_ewma" -> ((s, dir) =>
+    "w_ewma_riskmetrics" -> ((s, dir) =>
       Volatility.ewma(Tables.events(s, dir), partition = Seq("user_id"),
           order = Seq("ts", "event_id"), value = "value",
           alpha = 0.1, lags = 20)
@@ -931,7 +931,7 @@ object RelationalQueries {
     // weight literals are the Scala doubles' round-trip strings, cast
     // DOUBLE explicitly (a bare decimal literal would land as DECIMAL);
     // term order and left-assoc addition mirror the Spark fold exactly
-    "w_ewma" -> {
+    "w_ewma_riskmetrics" -> {
       val weights = (0 until 20).map(i => 0.1 * math.pow(0.9, i))
       def lagExpr(i: Int) = if (i == 0) "value" else s"lag(value, $i) OVER w"
       val num = weights.zipWithIndex.map { case (wt, i) =>
