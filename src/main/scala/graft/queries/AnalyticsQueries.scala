@@ -528,6 +528,49 @@ object AnalyticsQueries {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // ── Seasonality-aware anomaly detection: the loop
+    // seasonalDecompose's scaladoc promises — z-score the RESIDUAL, not
+    // the raw series, so a weekend dip stops masquerading as an
+    // incident. Median/MAD are exact nearest-rank picks (lower median,
+    // no interpolation — element selection is engine-exact on the
+    // bit-identical residual doubles); the Iglewicz–Hoaglin modified z
+    // surfaces FLOAT, with the flag cut on the double chain.
+    "ts_seasonal_anomaly" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val dec = Resample.seasonalDecompose(daily, key = "event_type",
+          t = "day", value = "n_events", period = 7, trendWindow = 7)
+        .filter(col("residual").isNotNull)
+      val wMed = Window.partitionBy(col("event_type"))
+        .orderBy(col("residual"), col("day"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val med = dec
+        .withColumn("__rn", row_number().over(wMed))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .select(col("event_type"), col("residual").as("__med"))
+      val withMed = dec.join(med, Seq("event_type"))
+        .withColumn("__ad", abs(col("residual") - col("__med")))
+      val wMad = Window.partitionBy(col("event_type"))
+        .orderBy(col("__ad"), col("day"))
+      val mad = withMed
+        .withColumn("__rn", row_number().over(wMad))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .select(col("event_type"), col("__ad").as("__mad"))
+      withMed.join(mad, Seq("event_type"))
+        .withColumn("__z",
+          lit(0.6745) * (col("residual") - col("__med")) /
+            nullif(col("__mad"), lit(0.0)))
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("residual").cast("float").as("residual"),
+          col("__z").cast("float").as("robust_z"),
+          coalesce(abs(col("__z")) > 3.5, lit(false)).as("is_anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // ── Grouped collect: per-customer sorted distinct order years as a
     // joined string (arrays stay engine-internal; the string surface is
     // hash-comparable everywhere).
@@ -1376,6 +1419,56 @@ object AnalyticsQueries {
         | CAST(se.seasonal AS REAL) AS seasonal,
         | CAST(dt.det - se.seasonal AS REAL) AS residual
         |FROM dt LEFT JOIN se ON se.k = dt.k AND se.pos = ((dt.t % 7) + 7) % 7
+        |ORDER BY event_type, day""".stripMargin,
+
+    "ts_seasonal_anomaly" ->
+      """WITH e AS (SELECT event_type AS k,
+        |     epoch_ns(ts) // 86400000000000 AS t FROM events),
+        | d AS (SELECT k, t, count(*) AS v FROM e GROUP BY 1, 2),
+        | tr AS (SELECT k, t, v,
+        |     CASE WHEN count(*) OVER w = 7
+        |          THEN CAST(sum(CAST(v AS DECIMAL(30,12))) OVER w AS DOUBLE) / 7
+        |     END AS trend
+        |   FROM d WINDOW w AS (PARTITION BY k ORDER BY t
+        |     RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        | dt AS (SELECT k, t, v, trend, CAST(v AS DOUBLE) - trend AS det
+        |   FROM tr),
+        | sr AS (SELECT k, ((t % 7) + 7) % 7 AS pos,
+        |     CAST(sum(CAST(det AS DECIMAL(20,12))) AS DOUBLE) /
+        |       CAST(count(*) AS DOUBLE) AS srw
+        |   FROM dt WHERE det IS NOT NULL GROUP BY 1, 2),
+        | se AS (SELECT k, pos, srw -
+        |     CAST(sum(CAST(srw AS DECIMAL(20,12))) OVER (PARTITION BY k)
+        |       AS DOUBLE) /
+        |     CAST(count(*) OVER (PARTITION BY k) AS DOUBLE) AS seasonal
+        |   FROM sr),
+        | r AS (SELECT dt.k AS event_type, dt.t AS day, dt.v AS n_events,
+        |        dt.det - se.seasonal AS resid
+        |       FROM dt LEFT JOIN se ON se.k = dt.k
+        |         AND se.pos = ((dt.t % 7) + 7) % 7
+        |       WHERE dt.det - se.seasonal IS NOT NULL),
+        | medp AS (SELECT event_type, resid AS med FROM (
+        |     SELECT event_type, resid, day,
+        |       row_number() OVER (PARTITION BY event_type
+        |         ORDER BY resid, day) AS rn,
+        |       count(*) OVER (PARTITION BY event_type) AS n FROM r) z
+        |   WHERE rn = (n + 1) // 2),
+        | wm AS (SELECT r.*, m.med, abs(r.resid - m.med) AS ad
+        |       FROM r JOIN medp m USING (event_type)),
+        | madp AS (SELECT event_type, ad AS mad FROM (
+        |     SELECT event_type, ad, day,
+        |       row_number() OVER (PARTITION BY event_type
+        |         ORDER BY ad, day) AS rn,
+        |       count(*) OVER (PARTITION BY event_type) AS n FROM wm) z
+        |   WHERE rn = (n + 1) // 2)
+        |SELECT wm.event_type, CAST(wm.day AS BIGINT) AS day,
+        | CAST(wm.n_events AS BIGINT) AS n_events,
+        | CAST(wm.resid AS REAL) AS residual,
+        | CAST(CAST(0.6745 AS DOUBLE) * (wm.resid - wm.med)
+        |   / nullif(madp.mad, 0) AS REAL) AS robust_z,
+        | COALESCE(abs(CAST(0.6745 AS DOUBLE) * (wm.resid - wm.med)
+        |   / nullif(madp.mad, 0)) > 3.5, FALSE) AS is_anomaly
+        |FROM wm JOIN madp USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
 
     "w_range_trailing" ->
