@@ -269,6 +269,33 @@ object Multimodal {
         col("cb.chunk").as("chunk"), col("cb.bucket").as("bucket"))
   }
 
+  /** Scene-cut detection: a cut lands wherever CONSECUTIVE frames'
+    * perceptual signatures diverge — Hamming([[frameDHash]]ᵢ₋₁,
+    * dHashᵢ) ≥ `minBits` — the shot-boundary primitive behind
+    * keyframe selection ("sample one frame per scene" beats "every
+    * Nth frame" for training-data coverage of a video's content).
+    *
+    * All-integer: dHash, XOR, popcount, an integer threshold — nothing
+    * to quantize, replayed bit-for-bit by the oracle's SQL dHash.
+    * One key-hash window over the per-frame signature frame (the
+    * signatures themselves are map-only); emits (id, cut_at, hamming)
+    * where `cut_at` is the first frame index of the new scene. */
+  def sceneCuts(frames: DataFrame, id: String = "doc_id",
+                idxCol: String = "frame_idx", bin: String = "frame_bytes",
+                bits: Int = 32, minBits: Int = 8): DataFrame = {
+    require(minBits >= 1 && minBits <= bits,
+      s"minBits must lie in [1, $bits], got $minBits")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col(idxCol))
+    frameDHashes(frames, id, idxCol, bin, bits)
+      .withColumn("__prev", lag(col("dhash"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("hamming",
+        bit_count(col("dhash").bitwiseXOR(col("__prev"))).cast("long"))
+      .filter(col("hamming") >= minBits)
+      .select(col(id), col(idxCol).as("cut_at"), col("hamming"))
+  }
+
   /** The chunk buckets [[framePerceptualNearDup]]'s `maxBucket` cap
     * EXCLUDES — the no-silent-caps observer (the
     * [[Dedup.simhashDroppedBuckets]] pattern): a capped run surfaces

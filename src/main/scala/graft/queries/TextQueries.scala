@@ -605,6 +605,19 @@ object TextQueries {
         .orderBy(col("doc_id_a"), col("frame_idx_a"),
           col("doc_id_b"), col("frame_idx_b"))),
 
+    // SCENE CUTS: Hamming distance between CONSECUTIVE frames' dHash
+    // signatures ≥ 8 marks a shot boundary — the keyframe-selection
+    // primitive ("one frame per scene"). Stride 1 (every frame), pure
+    // integer pipeline end-to-end.
+    "multimodal_scene_cuts" -> ((s, dir) =>
+      Multimodal.sceneCuts(
+          Multimodal.sampleFrames(
+            Multimodal.withBinaryPayload(
+              Tables.documents(s, dir).filter(col("doc_id") < 100)),
+            frameSize = 64, stride = 1),
+          bits = 32, minBits = 8)
+        .orderBy(col("doc_id"), col("cut_at"))),
+
     // model-based quality gate: fit naive-Bayes log-odds weights on the
     // deterministic train half (labels = the heuristic quality score at
     // the 0.5 cut), score the held-out half by broadcast join — the
@@ -1565,6 +1578,52 @@ object TextQueries {
         |  CAST(hamming AS BIGINT) AS hamming
         |FROM pr WHERE hamming <= 3
         |ORDER BY doc_id_a, frame_idx_a, doc_id_b, frame_idx_b""".stripMargin,
+
+    // dHash replay at stride 1, then one lag per video stream: cuts
+    // where consecutive signatures differ by >= 8 bits — same integer
+    // dHash CTEs as multimodal_frame_neardup
+    "multimodal_scene_cuts" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+        |           FROM documents WHERE doc_id < 100),
+        | f AS (SELECT doc_id, idx,
+        |         substring(text, CAST(idx * 64 + 1 AS BIGINT), 64) AS fr
+        |       FROM (SELECT doc_id, text, n,
+        |               unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS idx
+        |             FROM d)),
+        | fl AS (SELECT doc_id, idx, fr, length(fr) AS m
+        |        FROM f WHERE length(fr) > 0),
+        | pos AS (SELECT doc_id, idx, p,
+        |           ord(substring(fr, CAST(p + 1 AS BIGINT), 1)) AS v
+        |         FROM (SELECT doc_id, idx, fr, unnest(range(0, m)) AS p FROM fl)),
+        | cl AS (SELECT doc_id, idx, m, k,
+        |          (k * m) // 33 AS lo, ((k + 1) * m) // 33 AS hi
+        |        FROM fl CROSS JOIN (SELECT unnest(range(0, 33)) AS k)),
+        | csum AS (
+        |   SELECT c.doc_id, c.idx, c.k, sum(p.v) AS s, count(*) AS len
+        |   FROM cl c JOIN pos p ON p.doc_id = c.doc_id AND p.idx = c.idx
+        |     AND p.p >= c.lo AND p.p < c.hi
+        |   WHERE c.hi > c.lo GROUP BY 1, 2, 3
+        |   UNION ALL
+        |   SELECT c.doc_id, c.idx, c.k, p.v, 1
+        |   FROM cl c JOIN pos p ON p.doc_id = c.doc_id AND p.idx = c.idx
+        |     AND p.p = least(c.lo, c.m - 1)
+        |   WHERE c.hi <= c.lo),
+        | hb AS (SELECT a.doc_id, a.idx,
+        |     CASE WHEN b.s * a.len > a.s * b.len
+        |          THEN CAST(1 AS BIGINT) << a.k ELSE 0 END AS bv
+        |   FROM csum a JOIN csum b ON b.doc_id = a.doc_id AND b.idx = a.idx
+        |     AND b.k = a.k + 1
+        |   WHERE a.k < 32),
+        | hs AS (SELECT doc_id, idx, CAST(sum(bv) AS BIGINT) AS dhash
+        |        FROM hb GROUP BY 1, 2),
+        | lg AS (SELECT doc_id, idx, dhash,
+        |          lag(dhash) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
+        |        FROM hs)
+        |SELECT doc_id, CAST(idx AS BIGINT) AS cut_at,
+        | CAST(bit_count(xor(dhash, prev)) AS BIGINT) AS hamming
+        |FROM lg WHERE prev IS NOT NULL
+        |  AND bit_count(xor(dhash, prev)) >= 8
+        |ORDER BY doc_id, cut_at""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,

@@ -232,6 +232,22 @@ class TextMultimodalSpec extends SparkSpec {
     Multimodal.frameDHash(Array[Byte](7), 32) shouldBe 0L // constant frame: no gradients
   }
 
+  test("sceneCuts: a cut lands only where consecutive signatures diverge") {
+    // frames 0,1 constant (dhash 0 — no gradients), frame 2 an
+    // ascending ramp (every gradient positive → all 32 bits set):
+    // the only cut is at frame 2, Hamming 32. A shifted near-copy at
+    // frame 3 stays within 3 bits of the ramp — below the threshold.
+    val flat = Array.fill[Byte](64)(50)
+    val ramp = Array.tabulate(64)(i => (i * 4).toByte)
+    val shifted = (ramp.last +: ramp.init.toSeq).toArray
+    val frames = Seq(
+      (1L, 0L, flat), (1L, 1L, flat), (1L, 2L, ramp), (1L, 3L, shifted)
+    ).toDF("doc_id", "frame_idx", "frame_bytes")
+    val out = Multimodal.sceneCuts(frames, minBits = 8)
+      .rows.map(r => (r.head, r(1), r(2)))
+    out shouldBe Seq((1L, 2L, 32L))
+  }
+
   test("framePerceptualNearDup pairs shifted frames md5 dedup misses; observer stays empty") {
     val base = Array.tabulate(64)(i => (40 + i * 3 % 180).toByte)
     val shifted = (base.last +: base.init.toSeq).toArray
