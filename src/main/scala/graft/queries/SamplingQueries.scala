@@ -201,6 +201,36 @@ object SamplingQueries {
     // Every stage is an already-verified operator; this entry verifies
     // that they compose (each stage's input is the previous stage's
     // output, replayed stage-for-stage by the oracle).
+    // ── Stage-loss report for the curation pipeline: one row per stage
+    // with the surviving doc count — "which gate ate my corpus" is THE
+    // production curation question, and silent stage loss is exactly
+    // what the no-silent-caps rule exists for. Same stage definitions
+    // as pipeline_curation_e2e (the oracles share one CTE block).
+    "pipeline_curation_report" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      val bench = all.filter(col("doc_id") % 97 === 0)
+      val corpus = all.filter(col("doc_id") % 97 =!= 0)
+      val q = TextAnalysis.qualityScore(corpus)
+        .filter(col("quality_score") >= 0.45)
+      val keepers = Dedup.exactByContent(q, "doc_id", "text")
+        .select(col("keeper_id").as("doc_id"))
+      val deduped = q.join(keepers, Seq("doc_id"), "left_semi")
+      val clean = Dedup.decontaminate(deduped, "doc_id", "text", bench,
+        "text", shingleSize = 8)
+      val train = Sampling.hashSplit(clean, "doc_id")
+        .filter(col("split") === "train")
+      def stage(o: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(o.toLong).as("stage_order"), lit(name).as("stage"),
+            col("n_docs"))
+      stage(1, "input", corpus)
+        .unionByName(stage(2, "quality_gate", q))
+        .unionByName(stage(3, "exact_dedup", deduped))
+        .unionByName(stage(4, "decontaminate", clean))
+        .unionByName(stage(5, "train_split", train))
+        .orderBy(col("stage_order"))
+    }),
+
     "pipeline_curation_e2e" -> ((s, dir) => {
       val all = Tables.documents(s, dir)
       val bench = all.filter(col("doc_id") % 97 === 0)
@@ -346,6 +376,40 @@ object SamplingQueries {
        |FROM per JOIN documents d USING (doc_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The curation pipeline's stage CTEs (bench holdout → quality gate →
+    * exact dedup → 8-gram decontamination → train split), shared by the
+    * pipeline_curation_e2e and pipeline_curation_report oracles so the
+    * two replays cannot drift from each other. */
+  private val curationCtes: String =
+    s"""t0 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 97 <> 0),
+       | qs AS (SELECT doc_id, text, lang,
+       |     0.4 * least(CAST(1 AS DOUBLE), CAST(len(toks) AS DOUBLE) / CAST(100 AS DOUBLE))
+       |     + 0.3 * (CAST(len(list_filter(toks, x -> x IN (${QuerySql.stopListEn}))) AS DOUBLE) / nullif(len(toks), 0))
+       |     + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0)) AS q
+       |   FROM (SELECT doc_id, text, lang,
+       |           string_split(lower(trim(text)), ' ') AS toks FROM t0) z),
+       | q AS (SELECT doc_id, text, lang FROM qs WHERE q >= 0.45),
+       | keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+       | d AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+       | dtk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM d),
+       | dsh AS (SELECT DISTINCT doc_id, sh FROM (
+       |     SELECT doc_id, array_to_string(list_slice(t, p, p + 7), ' ') AS sh
+       |     FROM (SELECT doc_id, t,
+       |             unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS p FROM dtk) z
+       |     UNION ALL SELECT doc_id, array_to_string(t, ' ') FROM dtk WHERE len(t) < 8) u),
+       | btk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+       |         FROM documents WHERE doc_id % 97 = 0),
+       | bg AS (SELECT DISTINCT sh FROM (
+       |     SELECT array_to_string(list_slice(t, p, p + 7), ' ') AS sh
+       |     FROM (SELECT doc_id, t,
+       |             unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS p FROM btk) z
+       |     UNION ALL SELECT array_to_string(t, ' ') FROM btk WHERE len(t) < 8) u),
+       | contaminated AS (SELECT DISTINCT s.doc_id FROM dsh s JOIN bg USING (sh)),
+       | clean AS (SELECT d.* FROM d
+       |           WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       | train AS (SELECT * FROM clean
+       |   WHERE CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 90)""".stripMargin
+
   val oracle: Map[String, String] = Map(
 
     "text_bpe_train" -> bpeTrainSql(nMerges = 8, maxWords = 500),
@@ -356,35 +420,19 @@ object SamplingQueries {
 
     // stage-for-stage replay of the curation pipeline; each fragment is
     // the already-verified oracle of its standalone operator
+    "pipeline_curation_report" ->
+      s"""WITH $curationCtes
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage_order, 'input' AS stage,
+         |    count(*) AS n_docs FROM t0
+         |  UNION ALL SELECT 2, 'quality_gate', count(*) FROM q
+         |  UNION ALL SELECT 3, 'exact_dedup', count(*) FROM d
+         |  UNION ALL SELECT 4, 'decontaminate', count(*) FROM clean
+         |  UNION ALL SELECT 5, 'train_split', count(*) FROM train) z
+         |ORDER BY stage_order""".stripMargin,
+
     "pipeline_curation_e2e" ->
-      s"""WITH t0 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 97 <> 0),
-         | qs AS (SELECT doc_id, text, lang,
-         |     0.4 * least(CAST(1 AS DOUBLE), CAST(len(toks) AS DOUBLE) / CAST(100 AS DOUBLE))
-         |     + 0.3 * (CAST(len(list_filter(toks, x -> x IN (${QuerySql.stopListEn}))) AS DOUBLE) / nullif(len(toks), 0))
-         |     + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0)) AS q
-         |   FROM (SELECT doc_id, text, lang,
-         |           string_split(lower(trim(text)), ' ') AS toks FROM t0) z),
-         | q AS (SELECT doc_id, text, lang FROM qs WHERE q >= 0.45),
-         | keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
-         | d AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
-         | dtk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM d),
-         | dsh AS (SELECT DISTINCT doc_id, sh FROM (
-         |     SELECT doc_id, array_to_string(list_slice(t, p, p + 7), ' ') AS sh
-         |     FROM (SELECT doc_id, t,
-         |             unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS p FROM dtk) z
-         |     UNION ALL SELECT doc_id, array_to_string(t, ' ') FROM dtk WHERE len(t) < 8) u),
-         | btk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
-         |         FROM documents WHERE doc_id % 97 = 0),
-         | bg AS (SELECT DISTINCT sh FROM (
-         |     SELECT array_to_string(list_slice(t, p, p + 7), ' ') AS sh
-         |     FROM (SELECT doc_id, t,
-         |             unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS p FROM btk) z
-         |     UNION ALL SELECT array_to_string(t, ' ') FROM btk WHERE len(t) < 8) u),
-         | contaminated AS (SELECT DISTINCT s.doc_id FROM dsh s JOIN bg USING (sh)),
-         | clean AS (SELECT d.* FROM d
-         |           WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-         | train AS (SELECT * FROM clean
-         |   WHERE CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 90),
+      s"""WITH $curationCtes,
          | b AS (SELECT doc_id, lang,
          |     CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
          |   FROM train)
