@@ -747,6 +747,70 @@ object AnalyticsQueries {
         .orderBy(col("k1"), col("k2"))
     }),
 
+    // ── Q19-shape disjunctive-predicate revenue: an OR-of-ANDs across
+    // BOTH join sides — the planner must keep the per-side conjuncts
+    // pushable (brand/size prune the broadcast part build; the quantity
+    // bounds reach the lineitem scan) while the cross-side disjunction
+    // evaluates post-join. DECIMAL-exact revenue, one broadcast join.
+    "j19_disjunctive_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        .filter(col("p_size") >= 1 && col("p_size") <= 15 &&
+          col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size") <= 5 &&
+            col("l_quantity") <= 11) ||
+          (col("p_brand") === "Brand#2" && col("p_size") <= 10 &&
+            col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+          (col("p_brand") === "Brand#3" &&
+            col("l_quantity") >= 20))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(d2(col("l_extendedprice")) * d2(lit(1) - col("l_discount")))
+            .cast("double").as("revenue"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // ── RFM customer scoring: recency (days since last order at the
+    // lake's watermark), frequency (order count), monetary (exact
+    // DECIMAL spend) → per-dimension quintiles via ntile over a total
+    // tie-broken order, concatenated into the classic 3-digit segment
+    // code. One groupBy + three windows over the customer-grain frame.
+    "rfm_scores" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val base = o
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("__last"),
+          count(lit(1)).as("frequency"),
+          sum(d2(col("o_totalprice"))).as("__mon"))
+      val edge = o.agg(max(col("o_orderdate")).as("__edge"))
+      val rfm = base.crossJoin(broadcast(edge))
+        .withColumn("recency_days",
+          datediff(col("__edge"), col("__last")).cast("long"))
+      // quintile orderings carry the custkey tiebreak so ntile's
+      // bucket-boundary assignment is total and engine-portable;
+      // recency ASCENDS (most recent = best = 5 after the flip below)
+      def nt(orderCols: Seq[org.apache.spark.sql.Column]) =
+        ntile(5).over(Window.orderBy(orderCols: _*))
+      rfm
+        .withColumn("r_score",
+          (lit(6) - nt(Seq(col("recency_days"), col("o_custkey")))).cast("long"))
+        .withColumn("f_score",
+          nt(Seq(col("frequency"), col("o_custkey"))).cast("long"))
+        .withColumn("m_score",
+          nt(Seq(col("__mon"), col("o_custkey"))).cast("long"))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("__mon").cast("double").as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"),
+          concat(col("r_score"), col("f_score"), col("m_score")).as("rfm"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // ── Welch two-sample t-test per event_type: arms split by user_id
     // parity (the deterministic, engine-portable stand-in for the hash
     // split the Sampling family provides). One map-side-combinable
@@ -1613,6 +1677,43 @@ object AnalyticsQueries {
         |   ((va * va) / (CAST(n_a AS DOUBLE) - 1.0) +
         |    (vb * vb) / (CAST(n_b AS DOUBLE) - 1.0)) AS REAL) AS df
         |FROM j ORDER BY event_type""".stripMargin,
+
+    "j19_disjunctive_revenue" ->
+      """SELECT p.p_brand, count(*) AS n_items,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |   CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_quantity BETWEEN 1 AND 30
+        |  AND p.p_size BETWEEN 1 AND 15
+        |  AND p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND ((p.p_brand = 'Brand#1' AND p.p_size <= 5
+        |          AND l.l_quantity <= 11)
+        |    OR (p.p_brand = 'Brand#2' AND p.p_size <= 10
+        |          AND l.l_quantity BETWEEN 10 AND 20)
+        |    OR (p.p_brand = 'Brand#3' AND l.l_quantity >= 20))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rfm_scores" ->
+      """WITH b AS (SELECT o_custkey, max(o_orderdate) AS last_o,
+        |        count(*) AS frequency,
+        |        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+        |       FROM orders GROUP BY 1),
+        | e AS (SELECT max(o_orderdate) AS edge FROM orders),
+        | r AS (SELECT b.*, CAST(date_diff('day', last_o, edge) AS BIGINT)
+        |          AS recency_days
+        |       FROM b CROSS JOIN e),
+        | s AS (SELECT *,
+        |        6 - ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+        |        ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+        |        ntile(5) OVER (ORDER BY mon, o_custkey) AS m_score
+        |       FROM r)
+        |SELECT o_custkey, recency_days, frequency,
+        | CAST(mon AS DOUBLE) AS monetary,
+        | CAST(r_score AS BIGINT) AS r_score,
+        | CAST(f_score AS BIGINT) AS f_score,
+        | CAST(m_score AS BIGINT) AS m_score,
+        | concat(r_score, f_score, m_score) AS rfm
+        |FROM s ORDER BY o_custkey""".stripMargin,
 
     "ab_mannwhitney" ->
       """WITH e AS (SELECT event_type,
