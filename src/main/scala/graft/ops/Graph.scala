@@ -342,6 +342,47 @@ object Graph {
         col("__s").cast("double").as("aa_score"), col("rank"))
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over every edge, both orientations — one number
+    * that says whether hubs attach to hubs (r > 0, social-network
+    * shape) or to leaves (r < 0, hub-and-spoke/star shape). The
+    * single-scan structural health check run before committing to a
+    * partitioning or sampling strategy for a graph pipeline.
+    *
+    * Exactness contract ([[graft.ops.CrossSeries.corrPairs]]'s):
+    * degrees are exact integers, all five co-moments accumulate in
+    * DECIMAL(38,0) (HUGEINT in the oracle), and only the final ratio
+    * divides in IEEE double — FLOAT out. Output: one row
+    * (n_edges, assortativity).
+    *
+    * Plan: the degree aggregate, two broadcast-joins of the |nodes|
+    * degree frame onto the edge list, one global co-moment reduce —
+    * map-side combined, nothing quadratic. */
+  def assortativity(edges: DataFrame, src: String = "src",
+                    dst: String = "dst"): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val und = undirected(edges, src, dst)
+    val adj = und.select(col("u").as("c"), col("v").as("x"))
+      .unionAll(und.select(col("v").as("c"), col("u").as("x")))
+    val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+    // both orientations of every edge, so the correlation is symmetric
+    adj
+      .join(deg.select(col("c"), col("deg").as("__du")), Seq("c"))
+      .join(deg.select(col("c").as("x"), col("deg").as("__dv")), Seq("x"))
+      .agg(count(lit(1)).as("n_ends"),
+        sum(d38(col("__du"))).as("sx"), sum(d38(col("__dv"))).as("sy"),
+        sum(d38(col("__du")) * d38(col("__dv"))).as("sxy"),
+        sum(d38(col("__du")) * d38(col("__du"))).as("sxx"),
+        sum(d38(col("__dv")) * d38(col("__dv"))).as("syy"))
+      .withColumn("cov_n", d38(col("n_ends")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("var_x", d38(col("n_ends")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("var_y", d38(col("n_ends")) * col("syy") - col("sy") * col("sy"))
+      .select((col("n_ends") / 2).cast("long").as("n_edges"),
+        (col("cov_n").cast("double") /
+          nullif(sqrt(col("var_x").cast("double") * col("var_y").cast("double")),
+            lit(0.0))).cast("float").as("assortativity"))
+  }
+
   /** Neighborhood-Jaccard link prediction: unlinked pairs scored by
     * |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)| — [[adamicAdar]]'s scale-free sibling
     * that normalizes by BOTH endpoints' degrees, so a pair of

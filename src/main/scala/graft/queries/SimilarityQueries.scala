@@ -91,6 +91,50 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Per-dimension embedding drift: standardized mean difference
+    // between two vector batches (parity split as the deterministic
+    // stand-in for old-vs-new) — the ML-ops gate that catches a
+    // re-embedded or renormalized dimension before it poisons an index;
+    // the vector complement of dq_psi_drift/dq_ks_drift. Decimal-exact
+    // per-dim sums, one Welch-style double chain, FLOAT out.
+    "emb_drift_smd" -> ((s, dir) => {
+      // floor-quantize to integer nanos: floor has no round-half tie to
+      // break, so both engines quantize every float-origin value
+      // identically (decimal CAST rounding modes differ at exact .5
+      // boundaries — the mismatch this op originally hit)
+      val pos = Tables.embeddings(s, dir)
+        .select(pmod(col("vec_id"), lit(2)).as("grp"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("grp"), col("dim").cast("long").as("dim"),
+          floor(col("x").cast("double") * lit(1e9)).cast("long").as("xn"))
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val byGrp = pos.groupBy(col("grp"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(d38(col("xn"))).as("s"),
+          sum(d38(col("xn")) * d38(col("xn"))).as("ss"))
+      def side(g: Int, tag: String) = byGrp.filter(col("grp") === g)
+        .select(col("dim"), col("n").as(s"n_$tag"),
+          col("s").as(s"__s_$tag"), col("ss").as(s"__ss_$tag"))
+      // nano-unit means/variances: the scale cancels inside smd, and the
+      // surfaced means divide by 1e9 as the last step of a fixed chain
+      def meanN(t: String) =
+        col(s"__s_$t").cast("double") / col(s"n_$t").cast("double")
+      def varianceN(t: String) =
+        (col(s"__ss_$t").cast("double") -
+          (col(s"__s_$t").cast("double") * col(s"__s_$t").cast("double")) /
+            col(s"n_$t").cast("double")) /
+          (col(s"n_$t").cast("double") - lit(1.0))
+      side(0, "a").join(side(1, "b"), Seq("dim"))
+        .withColumn("__ma", meanN("a")).withColumn("__mb", meanN("b"))
+        .withColumn("smd",
+          ((col("__ma") - col("__mb")) /
+            nullif(sqrt((varianceN("a") + varianceN("b")) / lit(2.0)),
+              lit(0.0))).cast("float"))
+        .select(col("dim"), col("n_a"), col("n_b"),
+          (col("__ma") / lit(1e9)).as("mean_a"),
+          (col("__mb") / lit(1e9)).as("mean_b"), col("smd"))
+        .orderBy(col("dim"))
+    }),
+
     // Greedy k-center coreset (k=8): farthest-point diversity selection
     // over cosine distance — the seed set for coreset-based training-
     // data selection; the trajectory (and its nonincreasing coverage
@@ -1197,6 +1241,30 @@ object SimilarityQueries {
         |SELECT query_id, neighbor_id, CAST(cos AS REAL) AS cosine,
         |  CAST(rank AS BIGINT) AS rank
         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "emb_drift_smd" ->
+      """WITH pos AS (SELECT vec_id % 2 AS grp, p - 1 AS dim,
+        |          CAST(floor(dv[p] * 1e9) AS BIGINT) AS xn
+        |       FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+        |               unnest(range(1, len(embedding) + 1)) AS p
+        |             FROM embeddings) z),
+        | g AS (SELECT grp, dim, count(*) AS n,
+        |        sum(CAST(xn AS HUGEINT)) AS s,
+        |        sum(CAST(xn AS HUGEINT) * xn) AS ss
+        |       FROM pos GROUP BY 1, 2),
+        | j AS (SELECT a.dim, a.n AS n_a, b.n AS n_b,
+        |        CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+        |        CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
+        |        (CAST(a.ss AS DOUBLE) - (CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE))
+        |            / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1.0) AS va,
+        |        (CAST(b.ss AS DOUBLE) - (CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE))
+        |            / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1.0) AS vb
+        |       FROM g a JOIN g b USING (dim)
+        |       WHERE a.grp = 0 AND b.grp = 1)
+        |SELECT CAST(dim AS BIGINT) AS dim, n_a, n_b,
+        | ma / 1e9 AS mean_a, mb / 1e9 AS mean_b,
+        | CAST((ma - mb) / nullif(sqrt((va + vb) / 2.0), 0) AS REAL) AS smd
+        |FROM j ORDER BY dim""".stripMargin,
 
     "emb_kcenter_coreset" -> embKCenterSql,
 

@@ -146,6 +146,13 @@ object TextQueries {
           col("aa_score").cast("float").as("aa_score"), col("rank"))
         .orderBy(col("rank"))),
 
+    // Degree assortativity: do hub documents co-occur with hubs
+    // (r > 0) or with leaves (r < 0)? One number from exact integer
+    // co-moments over both edge orientations — the structural health
+    // check before picking a graph partitioning strategy.
+    "graph_assortativity" -> ((s, dir) =>
+      Graph.assortativity(Graph.loadEdges(s, coocEdgeDir(s, dir)))),
+
     // k-core extraction (k=30, 8 synchronous peel rounds): the cohesive
     // core of the co-occurrence graph after tendrils and stars peel
     // away — all-integer, round-for-round replayed by the oracle, the
@@ -946,6 +953,28 @@ object TextQueries {
     "graph_adamic_adar" -> graphAdamicAdarSql,
 
     "graph_kcore" -> graphKCoreSql,
+
+    "graph_assortativity" ->
+      s"""WITH $coocEdgeCtes,
+         | und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |   FROM e WHERE src <> dst),
+         | adj AS (SELECT u AS c, v AS x FROM und
+         |   UNION ALL SELECT v, u FROM und),
+         | dg AS (SELECT c, count(*) AS deg FROM adj GROUP BY 1),
+         | j AS (SELECT du.deg AS a, dv.deg AS b
+         |   FROM adj JOIN dg du ON du.c = adj.c JOIN dg dv ON dv.c = adj.x),
+         | m AS (SELECT count(*) AS n_ends,
+         |        sum(CAST(a AS HUGEINT)) AS sx, sum(CAST(b AS HUGEINT)) AS sy,
+         |        sum(CAST(a AS HUGEINT) * b) AS sxy,
+         |        sum(CAST(a AS HUGEINT) * a) AS sxx,
+         |        sum(CAST(b AS HUGEINT) * b) AS syy
+         |       FROM j)
+         |SELECT CAST(n_ends / 2 AS BIGINT) AS n_edges,
+         | CAST(CAST(n_ends * sxy - sx * sy AS DOUBLE) /
+         |   nullif(sqrt(CAST(n_ends * sxx - sx * sx AS DOUBLE) *
+         |               CAST(n_ends * syy - sy * sy AS DOUBLE)), 0)
+         |   AS REAL) AS assortativity
+         |FROM m""".stripMargin,
 
     "graph_neighbor_jaccard" ->
       s"""WITH $coocEdgeCtes,

@@ -180,6 +180,19 @@ class GraphSpec extends SparkSpec {
     Graph.adamicAdar(e, maxDegree = 4L).count() shouldBe 6L
   }
 
+  test("assortativity: a 3-path is perfectly disassortative; regular graphs are undefined") {
+    // path 1—2—3: every edge joins a degree-1 leaf to the degree-2
+    // middle → r = −1 exactly (hand-checked co-moments)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.assortativity(path).rows.head
+    (r.head, r(1)) shouldBe ((2L, -1.0f))
+    // 4-cycle: all degrees equal → zero variance → NULL, not NaN
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val c = Graph.assortativity(cyc).rows.head
+    c.head shouldBe 4L
+    assert(c(1) == null)
+  }
+
   test("kCore: pendant peels away, cascade empties below the core's k") {
     // triangle 1-2-3 with pendant 4—1: the 2-core is the triangle
     // (round 1 drops 4, degrees re-settle at 2); a k=3 demand
