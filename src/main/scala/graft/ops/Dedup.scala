@@ -115,6 +115,16 @@ object Dedup {
     * cores and the extra shuffle would be pure waste. */
   private def spread(df: DataFrame): DataFrame = Skew.spread(df)
 
+  /** ⌈threshold·sz⌉ in EXACT decimal arithmetic. The IEEE double
+    * product t·sz can land 1 ulp above a mathematically integral value
+    * (e.g. 0.7·10), and ceil then overshoots by one — shortening a
+    * prefix by one token and silently dropping an exact-boundary pair
+    * the brute-force oracle keeps. A decimal literal built from the
+    * threshold's shortest decimal representation multiplies a BIGINT
+    * exactly, so the ceiling is the true mathematical one. */
+  private def ceilThresholdTimes(threshold: Double, sz: Column): Column =
+    ceil(lit(new java.math.BigDecimal(threshold.toString)) * sz)
+
   /** (id, sig array, band, bucket) rows: ONE projection computes the
     * signature array AND the band buckets, carried together through the
     * explode — consumers read signatures straight off the bucket rows
@@ -610,7 +620,7 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(id)).orderBy(col("tok_freq"), col("tok"))))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(id))))
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .filter(col("rn") <= col("sz") - ceilThresholdTimes(threshold, col("sz")) + 1)
     val cand = ranked.as("a").join(ranked.as("b"),
         col("a.tok") === col("b.tok") && col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b")).distinct()
@@ -648,7 +658,7 @@ object Dedup {
         Window.partitionBy(col(id)).orderBy(col("tok_freq"), col("tok"))))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(id))))
     val prefix = ranked
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .filter(col("rn") <= col("sz") - ceilThresholdTimes(threshold, col("sz")) + 1)
       .select(col(id).as("__pid"), col("tok"))
     val cand = prefix.join(inv.select(col(id).as("__fid"), col("tok")), Seq("tok"))
       .filter(col("__pid") =!= col("__fid"))

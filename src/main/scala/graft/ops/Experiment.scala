@@ -89,6 +89,12 @@ object Experiment {
     * both engines replay:
     *   z = (2U − n₁n₂) / (2·√((n₁n₂/12)·((n+1) − Σ(t³−t)/(n·(n−1)))))
     *
+    * Direction: `u_stat` is U_A = R_A − n_a(n_a+1)/2 — the U of arm A,
+    * the value scipy's `mannwhitneyu(A, B)` returns — so **z > 0 means
+    * arm A is stochastically larger**, the same sign convention as
+    * [[welchTTest]]'s t_stat (positive = arm A's mean larger); the two
+    * readouts agree in direction on the same data.
+    *
     * Plan: one groupBy to the (group, value) tie frame, one
     * group-partitioned window for cumulative counts, one final rollup —
     * the fact table reduces before anything wide. Groups with an empty
@@ -115,8 +121,7 @@ object Experiment {
         col("n_a") + col("n_b") >= 2)
     agg
       .withColumn("__u1x2",
-        lit(2L) * col("n_a") * col("n_b") +
-          col("n_a") * (col("n_a") + 1L) - col("__r1x2"))
+        col("__r1x2") - col("n_a") * (col("n_a") + 1L))
       .withColumn("u_stat", col("__u1x2").cast("double") / lit(2.0))
       .withColumn("__n", col("n_a") + col("n_b"))
       .withColumn("z", {

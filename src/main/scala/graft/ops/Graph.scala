@@ -446,7 +446,10 @@ object Graph {
     * engine-replayable round-for-round, the [[hits]]/[[pageRank]]
     * contract; on real graphs peeling converges in far fewer rounds
     * than the default 8, and both engines emit the same rows either
-    * way because they replay the same rounds.
+    * way because they replay the same rounds. Convergence is OBSERVED,
+    * not assumed: a graph still peelable after `rounds` rounds fails
+    * loudly (the fixed-round output would otherwise be a silent
+    * superset of the true core) — raise `rounds` for deep graphs.
     *
     * All-integer arithmetic — counts and comparisons only, nothing to
     * quantize. Output: (id, deg) over the final edge set, deg ≥ k.
@@ -469,6 +472,17 @@ object Graph {
         .select(col("u"), col("v"))
         .localCheckpoint()
     }
+    // convergence observer (the no-silent-caps contract): if a further
+    // round would STILL peel — some surviving endpoint sits below k —
+    // the fixed-round output would be a silent SUPERSET of the true
+    // k-core. One bounded probe (limit(1).count(), never a full scan)
+    // makes the approximation loud instead.
+    val wouldStillPeel =
+      degreesOf(e).filter(col("deg") < k).limit(1).count() > 0
+    if (wouldStillPeel) throw new IllegalStateException(
+      s"kCore: $rounds rounds did not reach the $k-core fixed point — " +
+        "another round would still peel, so the result would be a " +
+        "superset of the true core; raise `rounds`")
     degreesOf(e).filter(col("deg") >= k)
       .select(col("c").as("id"), col("deg"))
   }

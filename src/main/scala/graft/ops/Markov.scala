@@ -41,9 +41,14 @@ object Markov {
     val curs = p.select(col("__from")).distinct()
     val sinks = p.select(col("__to").as("__from")).distinct()
       .join(curs, Seq("__from"), "left_anti")
-    require(sinks.isEmpty,
+    // one bounded action on the failure path: collect the first few ids
+    // as strings (take(5) of Rows would both run a second job and
+    // render as '[x]' Row syntax in the message)
+    val sinkIds = sinks.select(col("__from").cast("string"))
+      .limit(5).collect().map(_.getString(0))
+    require(sinkIds.isEmpty,
       "stationary: transition frame has sink states (appear as next but " +
-        s"never as current) — mass would leak: ${sinks.take(5).mkString(", ")}")
+        s"never as current) — mass would leak: ${sinkIds.mkString(", ")}")
     val states = curs.select(col("__from").as("state")).localCheckpoint()
     val nStates = states.count()
     var v = states.withColumn("prob", lit(1.0) / lit(nStates.toDouble))

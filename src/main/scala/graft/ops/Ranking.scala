@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact GLOBAL ranking without the single-task funnel: Spark's
+  * `row_number().over(Window.orderBy(…))` (and `ntile` over the same
+  * unpartitioned window) moves the entire frame through ONE partition
+  * — the "No Partition Defined for Window operation" plan that is fine
+  * at 1,500 rows and a stall at a warehouse's customer table. This is
+  * the distributed replacement: identical ranks, no global window.
+  *
+  * Mechanics (the classic two-phase rank):
+  *   1. `repartitionByRange` on the order columns — a range exchange
+  *      whose sampled boundaries affect only balance, never the result
+  *      — then `localCheckpoint()` so both passes below see the SAME
+  *      partitioning (range boundaries are sampled, hence otherwise
+  *      nondeterministic across re-evaluations);
+  *   2. per-partition row counts (one map-side-combined agg to ≤P
+  *      rows) → each partition's global offset via a tiny P×P
+  *      triangular self-join — NO window at all, so no plan node ever
+  *      funnels the data frame into one task;
+  *   3. per-partition `row_number` (partitioned window — parallel) +
+  *      broadcast the offsets back: global rank = offset + local rank.
+  *
+  * Exactness: ranks are pure integer positions in the caller's total
+  * order — the caller must make the order total (tie-break with a key
+  * column) or ranks are nondeterministic, exactly as with window
+  * `row_number`. [[withGlobalNtile]] reproduces SQL `ntile(k)`
+  * bit-for-bit from the rank by the standard first-buckets-larger
+  * formula, so an existing ntile oracle replays unchanged.
+  */
+object Ranking {
+
+  private val Reserved = Seq("__pid", "__lr", "__off", "__n")
+
+  private def checkCols(df: DataFrame, out: String): Unit = {
+    val clash = df.columns.toSet.intersect((Reserved :+ out).toSet)
+    require(clash.isEmpty,
+      s"Ranking appends working columns ${Reserved.mkString(", ")} and " +
+        s"'$out' — the input already has: $clash; rename first")
+  }
+
+  /** The checkpointed range-partitioned frame plus its per-partition
+    * (pid, count, offset) ledger. P = current shuffle parallelism. */
+  private def rangedWithOffsets(df: DataFrame, order: Seq[Column])
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ranged = df.repartitionByRange(order: _*).localCheckpoint()
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+    // offsets via a triangular self-join over ≤P ledger rows (P = the
+    // shuffle-partition setting, config-bounded — never data-sized):
+    // deliberately NOT a cumulative window, so the whole plan is free
+    // of unpartitioned Window nodes.
+    val offs = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
+    (ranged, counts, offs)
+  }
+
+  /** Appends `out` = the 1-based global rank of each row in the total
+    * order `order`. Same ranks as `row_number().over(Window.orderBy(
+    * order…))`, distributed. */
+  def withGlobalRank(df: DataFrame, order: Seq[Column],
+                     out: String = "global_rank"): DataFrame = {
+    checkCols(df, out)
+    val (ranged, _, offs) = rangedWithOffsets(df, order)
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    ranged.withColumn("__lr", row_number().over(w).cast("long"))
+      .join(broadcast(offs), Seq("__pid"))
+      .withColumn(out, col("__off") + col("__lr"))
+      .drop("__pid", "__lr", "__off")
+  }
+
+  /** Appends `out` = SQL `ntile(k)` over the total order `order`,
+    * distributed. ntile's contract: with n rows, q = n div k and
+    * r = n mod k, the first r buckets hold q+1 rows and the rest q —
+    * bucket(i) = ⌈i/(q+1)⌉ while i ≤ r·(q+1), else r + ⌈(i−r·(q+1))/q⌉.
+    * All-integer arithmetic (⌈a/b⌉ = (a+b−1) div b), so any engine
+    * replays it exactly. */
+  def withGlobalNtile(df: DataFrame, order: Seq[Column], k: Int,
+                      out: String): DataFrame = {
+    require(k >= 1, s"ntile bucket count must be >= 1, got $k")
+    checkCols(df, out)
+    val (ranged, counts, offs) = rangedWithOffsets(df, order)
+    // total n = sum of the ledger's per-partition counts (one tiny agg)
+    val total = counts.agg(coalesce(sum(col("__c")), lit(0L)).as("__n"))
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    ranged.withColumn("__lr", row_number().over(w).cast("long"))
+      .join(broadcast(offs), Seq("__pid"))
+      .crossJoin(broadcast(total))
+      .withColumn(out, expr(
+        s"""CASE WHEN (__off + __lr) <= ((__n div ${k}L) + 1L) * (__n % ${k}L)
+           |THEN ((__off + __lr) + (__n div ${k}L)) div ((__n div ${k}L) + 1L)
+           |ELSE (__n % ${k}L) +
+           |  ((__off + __lr) - (__n % ${k}L) * ((__n div ${k}L) + 1L)
+           |    + (__n div ${k}L) - 1L) div (__n div ${k}L)
+           |END""".stripMargin))
+      .drop("__pid", "__lr", "__off", "__n")
+  }
+}

@@ -136,11 +136,17 @@ object Resample {
     *
     * Scale shape: one hash exchange on key feeds the trend window; the
     * seasonal aggregation is map-side combined down to period×keys
-    * rows; the join back broadcasts (it is tiny by construction). No
-    * collects, nothing quadratic. */
+    * rows; the join back BROADCASTS only while that frame is provably
+    * small — a bounded `limit(n+1).count()` probe (never a full count)
+    * checks it against `maxBroadcastSeasonal`, and above the threshold
+    * the join falls back to a plain hash join on (key, pos) so millions
+    * of series never force a driver-sized broadcast. Same rows out
+    * either way; only the join strategy changes. No collects, nothing
+    * quadratic. */
   def seasonalDecompose(df: DataFrame, key: String, t: String,
                         value: String, period: Int = 7,
-                        trendWindow: Int = 7): DataFrame = {
+                        trendWindow: Int = 7,
+                        maxBroadcastSeasonal: Int = 1000000): DataFrame = {
     require(period >= 2, s"period must be >= 2, got $period")
     require(trendWindow >= 3 && trendWindow % 2 == 1,
       s"trendWindow must be odd and >= 3, got $trendWindow")
@@ -177,7 +183,15 @@ object Resample {
           count(lit(1)).over(wk).cast("double"))
       .select(col("__k"), col("__pos"),
         (col("__srw") - col("__m")).as("__seasonal"))
-    tr.join(broadcast(seasonal),
+    // keys×period rows: broadcast while a bounded probe proves it fits,
+    // plain hash join past the threshold (the queryProductJoin guard
+    // pattern — an unconditional hint here is a driver OOM at millions
+    // of series). The probe re-runs the aggregation once, but only ever
+    // scans maxBroadcastSeasonal+1 of its rows.
+    val over =
+      seasonal.limit(maxBroadcastSeasonal + 1).count() > maxBroadcastSeasonal
+    val seasonalSide = if (over) seasonal else broadcast(seasonal)
+    tr.join(seasonalSide,
         col(key) === col("__k") &&
           pmod(col(t), lit(period.toLong)) === col("__pos"), "left")
       .select(col(key), col(t), col(value),

@@ -126,10 +126,13 @@ object Similarity {
     *
     * Determinism: cosine via the codegen [[cosine]] expression (the
     * same double chain DuckDB's list_cosine_similarity replays); the
-    * per-side pick is max(struct(cosine, −cand_id)) — highest cosine,
-    * ties to the SMALLEST candidate id — a map-side-combinable
-    * aggregate, no window over the full score frame. Anchors missing a
-    * side (no same-label or no other-label candidate) drop out.
+    * per-side pick is min(struct(−cosine, cand_id)) — highest cosine,
+    * ties to the SMALLEST candidate id under the id's own ordering (so
+    * string, long or any orderable id type works; negating the id
+    * would NULL non-numerics and overflow Long.MinValue) — a
+    * map-side-combinable aggregate, no window over the full score
+    * frame. Anchors missing a side (no same-label or no other-label
+    * candidate) drop out.
     *
     * Scale shape: anchors broadcast (or block-replicate past the cap,
     * same as [[bruteForceTopK]]); candidates stream through one
@@ -146,9 +149,10 @@ object Similarity {
       .withColumn("cosine", cosine(col("qv"), col("cv")))
       .withColumn("__is_pos", col("__cl") === col("__al"))
       .groupBy(col("query_id").as("anchor_id"), col("__is_pos"))
-      .agg(max(struct(col("cosine"), (-col("neighbor_id")).as("__nid"))).as("__b"))
+      .agg(min(struct((-col("cosine")).as("__negc"),
+        col("neighbor_id").as("__nid"))).as("__b"))
       .select(col("anchor_id"), col("__is_pos"),
-        col("__b.cosine").as("__cos"), (-col("__b.__nid")).as("__cand"))
+        (-col("__b.__negc")).as("__cos"), col("__b.__nid").as("__cand"))
     val pos = best.filter(col("__is_pos"))
       .select(col("anchor_id"), col("__cand").as("pos_id"), col("__cos").as("__pc"))
     val neg = best.filter(!col("__is_pos"))

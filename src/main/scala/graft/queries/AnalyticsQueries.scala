@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Anomaly, Cdc, CrossSeries, Experiment, FuzzyJoin, Indicators, Intervals, Market, Markov, Moments, Percentiles, Quality, Reconcile, Resample, Skyline}
+import graft.ops.{Anomaly, Cdc, CrossSeries, Experiment, FuzzyJoin, Indicators, Intervals, Market, Markov, Moments, Percentiles, Quality, Ranking, Reconcile, Resample, Skyline}
 
 /** OLAP / warehouse-analytics extensions: grouping sets, event-path
   * transitions, exact nearest-rank quantiles, batch CDC apply, and
@@ -778,9 +778,12 @@ object AnalyticsQueries {
 
     // ── RFM customer scoring: recency (days since last order at the
     // lake's watermark), frequency (order count), monetary (exact
-    // DECIMAL spend) → per-dimension quintiles via ntile over a total
+    // DECIMAL spend) → per-dimension quintiles over a total
     // tie-broken order, concatenated into the classic 3-digit segment
-    // code. One groupBy + three windows over the customer-grain frame.
+    // code. Quintiles via Ranking.withGlobalNtile — bit-identical to
+    // SQL ntile(5) but range-partitioned two-phase, so no dimension
+    // ever funnels the whole customer frame through one task (the
+    // un-partitioned-Window plan this replaced).
     "rfm_scores" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       val base = o
@@ -792,18 +795,18 @@ object AnalyticsQueries {
       val rfm = base.crossJoin(broadcast(edge))
         .withColumn("recency_days",
           datediff(col("__edge"), col("__last")).cast("long"))
-      // quintile orderings carry the custkey tiebreak so ntile's
+      // quintile orderings carry the custkey tiebreak so the
       // bucket-boundary assignment is total and engine-portable;
       // recency ASCENDS (most recent = best = 5 after the flip below)
-      def nt(orderCols: Seq[org.apache.spark.sql.Column]) =
-        ntile(5).over(Window.orderBy(orderCols: _*))
-      rfm
-        .withColumn("r_score",
-          (lit(6) - nt(Seq(col("recency_days"), col("o_custkey")))).cast("long"))
-        .withColumn("f_score",
-          nt(Seq(col("frequency"), col("o_custkey"))).cast("long"))
-        .withColumn("m_score",
-          nt(Seq(col("__mon"), col("o_custkey"))).cast("long"))
+      def nt(df: org.apache.spark.sql.DataFrame,
+             orderCols: Seq[org.apache.spark.sql.Column], out: String) =
+        Ranking.withGlobalNtile(df, orderCols, k = 5, out = out)
+      val scored = nt(nt(nt(rfm,
+          Seq(col("recency_days"), col("o_custkey")), "__rq"),
+          Seq(col("frequency"), col("o_custkey")), "f_score"),
+          Seq(col("__mon"), col("o_custkey")), "m_score")
+      scored
+        .withColumn("r_score", lit(6L) - col("__rq"))
         .select(col("o_custkey"), col("recency_days"), col("frequency"),
           col("__mon").cast("double").as("monetary"),
           col("r_score"), col("f_score"), col("m_score"),
@@ -1734,7 +1737,7 @@ object AnalyticsQueries {
         |       FROM cw GROUP BY 1
         |       HAVING sum(ca) >= 1 AND sum(c - ca) >= 1
         |          AND sum(c) >= 2),
-        | u AS (SELECT *, 2 * n_a * n_b + n_a * (n_a + 1) - r1x2 AS u1x2,
+        | u AS (SELECT *, r1x2 - n_a * (n_a + 1) AS u1x2,
         |        n_a + n_b AS n FROM g)
         |SELECT event_type, n_a, n_b,
         | CAST(u1x2 AS DOUBLE) / 2.0 AS u_stat,

@@ -157,8 +157,13 @@ object TextQueries {
     // core of the co-occurrence graph after tendrils and stars peel
     // away — all-integer, round-for-round replayed by the oracle, the
     // fixed-round contract HITS/PageRank use.
+    // 16 rounds: the sf0.01 corpus needs 12 peel rounds to reach the
+    // 30-core fixed point (measured; 8 left it an unconverged superset
+    // that the round-13 convergence observer now rejects loudly) —
+    // converged extra rounds are idempotent in BOTH engines, so the
+    // margin costs little and the oracle replays the same 16.
     "graph_kcore" -> ((s, dir) =>
-      Graph.kCore(Graph.loadEdges(s, coocEdgeDir(s, dir)), k = 30, rounds = 8)
+      Graph.kCore(Graph.loadEdges(s, coocEdgeDir(s, dir)), k = 30, rounds = 16)
         .select(col("id").as("doc_id"), col("deg"))
         .orderBy(col("doc_id"))),
 
@@ -185,6 +190,27 @@ object TextQueries {
           col("authority").cast("float").as("authority"),
           col("hub").cast("float").as("hub"))
         .orderBy(col("doc_id"))),
+
+    // HITS over a GENUINELY DIRECTED graph — the user→event_type
+    // bipartite edges, where authority and hub are structurally
+    // disjoint (users only point, types are only pointed at): a
+    // swapped a/h update or a src/dst transposition in the operator
+    // would flip which side carries the zeros and fail the hash, the
+    // check the symmetric co-occurrence fixture above cannot make.
+    // Node ids are prefixed ('u'/'t') so the two vertex sets cannot
+    // collide.
+    "graph_hits_directed" -> ((s, dir) => {
+      val edges = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(concat(lit("u"), col("user_id").cast("string")).as("src"),
+          concat(lit("t"), col("event_type")).as("dst"))
+        .distinct()
+      Graph.hits(edges, iters = 8)
+        .select(col("id").as("node_id"),
+          col("authority").cast("float").as("authority"),
+          col("hub").cast("float").as("hub"))
+        .orderBy(col("node_id"))
+    }),
 
     // EDGE LIFECYCLE derivation leg: a FRESH shingle-co-occurrence
     // derivation + partitioned persist + load-back per invocation (no
@@ -893,10 +919,10 @@ object TextQueries {
     s"""WITH $coocEdgeCtes,
        | ke0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
        |   FROM e WHERE src <> dst),
-       |${kCoreCtes(30, 8)}
+       |${kCoreCtes(30, 16)}
        |SELECT c AS doc_id, deg FROM (
        |  SELECT c, count(*) AS deg FROM (
-       |    SELECT u AS c FROM ke8 UNION ALL SELECT v FROM ke8) z GROUP BY 1) f
+       |    SELECT u AS c FROM ke16 UNION ALL SELECT v FROM ke16) z GROUP BY 1) f
        |WHERE deg >= 30 ORDER BY doc_id""".stripMargin
 
   private val graphHitsSql =
@@ -1044,6 +1070,19 @@ object TextQueries {
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "graph_hits" -> graphHitsSql,
+
+    "graph_hits_directed" ->
+      s"""WITH e AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+         |     't' || event_type AS dst
+         |   FROM events
+         |   WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         | nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         | s0 AS (SELECT id, CAST(1 AS DOUBLE) AS a, CAST(1 AS DOUBLE) AS h
+         |   FROM nodes),
+         |${hitsIterCtes(8)}
+         |SELECT id AS node_id, CAST(a AS REAL) AS authority,
+         | CAST(h AS REAL) AS hub
+         |FROM s8 ORDER BY node_id""".stripMargin,
 
     "retrieval_prf_expansion" ->
       s"""WITH ${QuerySql.bm25Ctes("7, 123, 321, 444")},

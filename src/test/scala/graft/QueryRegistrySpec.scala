@@ -15,12 +15,25 @@ class QueryRegistrySpec extends AnyFunSuite with Matchers {
 
   private val entryPattern = """"([a-z0-9_]+)" -> \(\(s, dir\)""".r
 
+  /** Drop line comments so a commented-out entry can't inflate the
+    * source-side count. The strip is textual (it also truncates oracle
+    * SQL lines containing DuckDB's `//` integer division), which is
+    * harmless: only the `"name" -> ((s, dir)` entry literal is counted
+    * afterwards, and no string content can form one. Block comments are
+    * stripped too, non-greedily. */
+  private def stripComments(src: String): String =
+    src.replaceAll("(?s)/\\*.*?\\*/", "")
+      .linesIterator.map { l =>
+        val i = l.indexOf("//")
+        if (i >= 0) l.substring(0, i) else l
+      }.mkString("\n")
+
   test("every source-level query entry survives into SparkEntry.queries") {
     val dir = new java.io.File("src/main/scala/graft/queries")
     val names = dir.listFiles().filter(_.getName.endsWith(".scala")).toSeq
       .flatMap { f =>
-        val src = new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val src = stripComments(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
         entryPattern.findAllMatchIn(src).map(_.group(1)).toSeq
       }
     val dupes = names.groupBy(identity).filter(_._2.size > 1).keys.toSeq

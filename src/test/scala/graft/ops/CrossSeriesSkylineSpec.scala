@@ -252,6 +252,28 @@ class CrossSeriesSkylineSpec extends SparkSpec {
     ex.getMessage should include("duplicate t")
   }
 
+  test("seasonalDecompose: over-threshold seasonal frame joins WITHOUT a broadcast hint, rows identical") {
+    val s = (0L to 13L).flatMap(t => Seq(("a", t, if (t % 7 == 0) 14L else 7L),
+      ("b", t, if (t % 7 == 3) 21L else 7L))).toDF("k0", "t", "v")
+    def rws(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k0", "t").rows.map(_.toString)
+    val hinted = Resample.seasonalDecompose(s, "k0", "t", "v")
+    val guarded = Resample.seasonalDecompose(s, "k0", "t", "v",
+      maxBroadcastSeasonal = 1) // 2 keys × 7 positions = 14 rows ≫ 1
+    rws(guarded) shouldBe rws(hinted)
+    rws(guarded) should not be empty
+    // the scale contract: past the probe threshold the logical plan
+    // carries NO broadcast hint — the join may still broadcast if AQE
+    // measures it tiny at runtime, but nothing FORCES a driver-sized
+    // build at millions of series
+    val optimized = guarded.queryExecution.optimizedPlan.toString
+    withClue(optimized.take(2000)) {
+      optimized should not include "strategy=broadcast"
+    }
+    // and the below-threshold path still pins the hint (tiny-by-probe)
+    hinted.queryExecution.optimizedPlan.toString should include("strategy=broadcast")
+  }
+
   // ── peak concurrency ───────────────────────────────────────────────
 
   test("peakConcurrency: sweep counts overlaps; half-open boundaries never double-count") {

@@ -37,22 +37,24 @@ class ExperimentSpec extends SparkSpec {
   }
 
   test("mannWhitneyU: textbook no-tie case") {
-    // A = {1,2}, B = {3,4}: R1 = 3 → U = 4; σ² = 5/3 → z = 2/√(5/3)
+    // A = {1,2}, B = {3,4}: R1 = 3 → U_A = R1 − n_a(n_a+1)/2 = 0;
+    // σ² = 5/3 → z = −2/√(5/3) — NEGATIVE: arm A is smaller, matching
+    // welchTTest's sign on the same data (and scipy's mannwhitneyu(A,B))
     val df = Seq(("g", "A", 1.0), ("g", "A", 2.0),
       ("g", "B", 3.0), ("g", "B", 4.0)).toDF("grp", "variant", "v")
     val r = Experiment.mannWhitneyU(df, "grp", "variant", "v").rows.head
-    (r(1), r(2), r(3)) shouldBe ((2L, 2L, 4.0))
+    (r(1), r(2), r(3)) shouldBe ((2L, 2L, 0.0))
     r(4).asInstanceOf[Float].toDouble shouldBe
-      (2.0 / math.sqrt(5.0 / 3.0) +- 1e-6)
+      (-2.0 / math.sqrt(5.0 / 3.0) +- 1e-6)
   }
 
   test("mannWhitneyU: ties take average ranks with the variance correction") {
-    // A = {1,1}, B = {1,2}: tied trio at rank 2 → R1 = 4, U = 3;
-    // Σ(t³−t) = 24 → σ² = 1 → z = (2U − n₁n₂)/2 = 1
+    // A = {1,1}, B = {1,2}: tied trio at rank 2 → R1 = 4, U_A = 1;
+    // Σ(t³−t) = 24 → σ² = 1 → z = (2U_A − n₁n₂)/2 = −1 (A smaller)
     val df = Seq(("g", "A", 1.0), ("g", "A", 1.0),
       ("g", "B", 1.0), ("g", "B", 2.0)).toDF("grp", "variant", "v")
     val r = Experiment.mannWhitneyU(df, "grp", "variant", "v").rows.head
-    (r(3), r(4)) shouldBe ((3.0, 1.0f))
+    (r(3), r(4)) shouldBe ((1.0, -1.0f))
   }
 
   test("mannWhitneyU: all-tied group yields NULL z, not infinity; empty arm drops") {

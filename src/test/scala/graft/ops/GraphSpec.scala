@@ -206,13 +206,35 @@ class GraphSpec extends SparkSpec {
 
   test("kCore: cascading peel crosses rounds — a chain dies one link per round") {
     // path 1—2—3—4—5: every k=2 peel removes only the current endpoints,
-    // so the chain needs multiple rounds to vanish; after rounds = 1 the
-    // surviving edges are (2,3),(3,4) and the deg ≥ k output filter
-    // keeps just the middle node — a later round empties it entirely
+    // so the chain needs multiple rounds to vanish; truncating at
+    // rounds = 1 leaves (2,3),(3,4) still peelable — the convergence
+    // observer must refuse to ship that superset
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
     Graph.kCore(path, k = 2, rounds = 8).count() shouldBe 0L
-    Graph.kCore(path, k = 2, rounds = 1)
-      .orderBy("id").rows.map(_.head) shouldBe Seq(3L)
+    intercept[IllegalStateException] {
+      Graph.kCore(path, k = 2, rounds = 1).count()
+    }.getMessage should include("superset")
+  }
+
+  test("kCore: a graph needing a 9th peel round fails loudly at the default 8") {
+    // path of 18 edges: each k=2 round peels only the two end links, so
+    // emptying needs ⌈18/2⌉ = 9 rounds — at the default 8 one edge
+    // still peels and the observer throws; at 9 it converges to empty
+    val long = (1L to 18L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Graph.kCore(long, k = 2).count()
+    }.getMessage should include("8 rounds")
+    Graph.kCore(long, k = 2, rounds = 9).count() shouldBe 0L
+  }
+
+  test("hits: directed bipartite graph splits authority and hub exactly") {
+    // 1→3, 2→3: node 3 is pure authority (a=1, h=0), nodes 1 and 2 are
+    // pure hubs (h=0.5 each, a=0) — the fixture a src/dst transposition
+    // or a swapped a/h update cannot pass
+    val e = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.hits(e, iters = 8)
+      .orderBy("id").rows.map(r => (r.head, r(1), r(2)))
+    out shouldBe Seq((1L, 0.0, 0.5), (2L, 0.0, 0.5), (3L, 1.0, 0.0))
   }
 
   test("neighborJaccard: common-over-union with full degrees; edges excluded") {
