@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Market-basket association-rule mining: which items co-occur in the
@@ -57,22 +57,9 @@ object Market {
       s"minPairSupport must be >= 1, got $minPairSupport")
     require(maxBasketItems >= 2,
       s"maxBasketItems must be >= 2, got $maxBasketItems")
-    val bi = presence(df, basket, item).localCheckpoint()
-    val itemCounts = bi.groupBy(col("__item")).agg(count(lit(1)).as("n_i"))
-    val nBaskets = bi.select(col("__basket")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    val kept = bi.join(itemCounts.filter(col("n_i") >= minSupport), "__item")
-    val sized = kept.groupBy(col("__basket"))
-      .agg(count(lit(1)).as("__k"))
-      .filter(col("__k") <= maxBasketItems)
-      .select(col("__basket"))
-    val inPlay = kept.join(sized, "__basket")
-    val pairs = inPlay.as("a").join(inPlay.as("b"),
-        col("a.__basket") === col("b.__basket") &&
-          col("a.__item") < col("b.__item"))
-      .groupBy(col("a.__item").as("item_a"), col("b.__item").as("item_b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minPairSupport)
+    val (itemCounts, nBaskets, inPlay) =
+      frequentPresence(df, basket, item, minSupport, maxBasketItems)
+    val pairs = pairCounts(inPlay, minPairSupport)
     pairs
       .join(itemCounts.select(col("__item").as("item_a"),
         col("n_i").as("n_a")), "item_a")
@@ -106,6 +93,109 @@ object Market {
       .agg(count(lit(1)).as("n_frequent_items"))
       .filter(col("n_frequent_items") > maxBasketItems)
   }
+
+  /** Apriori level 3: frequent TRIPLES, candidates generated ONLY from
+    * frequent pairs (the monotonicity prune — a triple can never be
+    * more frequent than its rarest sub-pair, so per basket the
+    * expansion is |frequent pairs in basket| × k_b, never k_b³).
+    * `minTripleSupport >= minPairSupport` is required: it makes every
+    * surviving triple's three sub-pairs frequent BY monotonicity, so
+    * the inner joins that fetch n_ab/n_ac/n_bc are provably lossless.
+    *
+    * Output: one row per unordered frequent triple (item_a < item_b <
+    * item_c) with its pair counts, the three rule confidences
+    * conf({x,y} → z) = n_abc / n_xy, and the independence lift
+    * n_abc·N² / (n_a·n_b·n_c). Same exactness and cap-with-observer
+    * contract as [[pairRules]] ([[oversizeBaskets]] is the shared
+    * observer — the prune frames are identical). */
+  def tripleRules(df: DataFrame, basket: String, item: String,
+                  minSupport: Long, minPairSupport: Long,
+                  minTripleSupport: Long,
+                  maxBasketItems: Int = 10000): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(minPairSupport >= 1,
+      s"minPairSupport must be >= 1, got $minPairSupport")
+    require(minTripleSupport >= minPairSupport,
+      s"minTripleSupport ($minTripleSupport) must be >= minPairSupport " +
+        s"($minPairSupport) so every surviving triple's sub-pairs are " +
+        "frequent by monotonicity")
+    require(maxBasketItems >= 3,
+      s"maxBasketItems must be >= 3, got $maxBasketItems")
+    val (itemCounts, nBaskets, inPlay) =
+      frequentPresence(df, basket, item, minSupport, maxBasketItems)
+    // four consumers (candidate gen + three count joins) — cut once
+    val fp = pairCounts(inPlay, minPairSupport).localCheckpoint()
+    val pb = inPlay.as("a").join(inPlay.as("b"),
+        col("a.__basket") === col("b.__basket") &&
+          col("a.__item") < col("b.__item"))
+      .select(col("a.__basket").as("__basket"),
+        col("a.__item").as("item_a"), col("b.__item").as("item_b"))
+      .join(fp.select(col("item_a"), col("item_b")), Seq("item_a", "item_b"))
+    val tri = pb
+      .join(inPlay.select(col("__basket"), col("__item").as("item_c")),
+        Seq("__basket"))
+      .filter(col("item_c") > col("item_b"))
+      .groupBy(col("item_a"), col("item_b"), col("item_c"))
+      .agg(count(lit(1)).as("n_abc"))
+      .filter(col("n_abc") >= minTripleSupport)
+    val dbl = (c: Column) => c.cast("double")
+    tri
+      .join(fp.select(col("item_a"), col("item_b"), col("n_ab")),
+        Seq("item_a", "item_b"))
+      .join(fp.select(col("item_a"), col("item_b").as("item_c"),
+        col("n_ab").as("n_ac")), Seq("item_a", "item_c"))
+      .join(fp.select(col("item_a").as("item_b"), col("item_b").as("item_c"),
+        col("n_ab").as("n_bc")), Seq("item_b", "item_c"))
+      .join(itemCounts.select(col("__item").as("item_a"),
+        col("n_i").as("n_a")), "item_a")
+      .join(itemCounts.select(col("__item").as("item_b"),
+        col("n_i").as("n_b")), "item_b")
+      .join(itemCounts.select(col("__item").as("item_c"),
+        col("n_i").as("n_c")), "item_c")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("item_c"),
+        col("n_ab"), col("n_ac"), col("n_bc"), col("n_abc"),
+        (dbl(col("n_abc")) / dbl(col("n_baskets")))
+          .cast("float").as("support"),
+        (dbl(col("n_abc")) / dbl(col("n_ab")))
+          .cast("float").as("conf_ab_to_c"),
+        (dbl(col("n_abc")) / dbl(col("n_ac")))
+          .cast("float").as("conf_ac_to_b"),
+        (dbl(col("n_abc")) / dbl(col("n_bc")))
+          .cast("float").as("conf_bc_to_a"),
+        (dbl(col("n_abc")) * dbl(col("n_baskets")) * dbl(col("n_baskets")) /
+          (dbl(col("n_a")) * dbl(col("n_b")) * dbl(col("n_c"))))
+          .cast("float").as("lift"))
+  }
+
+  /** The shared Apriori prelude: per-item basket counts, the basket
+    * total, and the support-pruned + cap-filtered presence frame
+    * (localCheckpointed — it feeds several consumers in every rule
+    * pass). */
+  private def frequentPresence(df: DataFrame, basket: String, item: String,
+                               minSupport: Long, maxBasketItems: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val bi = presence(df, basket, item).localCheckpoint()
+    val itemCounts = bi.groupBy(col("__item")).agg(count(lit(1)).as("n_i"))
+    val nBaskets = bi.select(col("__basket")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val kept = bi.join(itemCounts.filter(col("n_i") >= minSupport), "__item")
+    val sized = kept.groupBy(col("__basket"))
+      .agg(count(lit(1)).as("__k"))
+      .filter(col("__k") <= maxBasketItems)
+      .select(col("__basket"))
+    (itemCounts, nBaskets, kept.join(sized, "__basket"))
+  }
+
+  /** Per-basket unordered pair expansion + support prune: one row per
+    * frequent pair (item_a < item_b, n_ab). */
+  private def pairCounts(inPlay: DataFrame, minPairSupport: Long): DataFrame =
+    inPlay.as("a").join(inPlay.as("b"),
+        col("a.__basket") === col("b.__basket") &&
+          col("a.__item") < col("b.__item"))
+      .groupBy(col("a.__item").as("item_a"), col("b.__item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairSupport)
 
   private def presence(df: DataFrame, basket: String, item: String) =
     df.filter(col(basket).isNotNull && col(item).isNotNull)

@@ -185,9 +185,9 @@ object Similarity {
     * Scale shape: the pair scoring reuses [[queryProductJoin]] (blocked
     * past the broadcast cap); everything after operates on the k·|n|
     * ranked frame, localCheckpointed because three branches reuse it.
-    * Brute-force pairing is the EXACT baseline — at 100 TB swap the
-    * scorer for an IVF shortlist ([[ivfTopK]]) and keep the identical
-    * reach/lrd/ratio tail. */
+    * Brute-force pairing is the EXACT baseline — at 100 TB use
+    * [[lofOutliersIvf]], which swaps the scorer for the [[ivfTopK]]
+    * shortlist and keeps THIS tail ([[lofFromKnn]]) verbatim. */
   def lofOutliers(df: DataFrame, id: String, vec: String, k: Int,
                   maxBroadcastQueries: Int = DefaultMaxBroadcastQueries): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
@@ -200,6 +200,17 @@ object Similarity {
     val ranked = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .localCheckpoint() // three consumers: N_k, d_k, the lrd joins
+    lofFromKnn(ranked, id, k)
+  }
+
+  /** The reach/lrd/ratio tail of LOF, shared verbatim by the exact
+    * ([[lofOutliers]]) and IVF ([[lofOutliersIvf]]) variants — only
+    * the kNN scorer differs between them. Input: one row per
+    * (point p, neighbor o) with `dist` and the per-p rank `rn`,
+    * EXACTLY k rows per p (the caller guarantees it — a short
+    * neighbor list would silently bias the k-divided lrd sums). */
+  private[ops] def lofFromKnn(ranked: DataFrame, id: String,
+                              k: Int): DataFrame = {
     val dk = ranked.filter(col("rn") === k)
       .select(col("p").as("__dkp"), col("dist").as("__dk"))
     val reach = ranked
@@ -217,6 +228,40 @@ object Similarity {
         .cast("double").as("__s"))
       .select(col("p").as(id),
         (col("__s") / lit(k.toDouble)).cast("float").as("lof"))
+  }
+
+  /** The SCALABLE Local Outlier Factor: the kNN graph comes from the
+    * [[ivfTopK]] shortlist (each point scores only against its nprobe
+    * probed posting lists — k·n candidate rows at IVF cost, never the
+    * |n|² product), then the exact [[lofFromKnn]] reach/lrd/ratio tail
+    * runs unchanged. With data-derived `centroids`
+    * ([[dataCentroids]]) the whole pipeline is deterministic and
+    * engine-replayable — approximation lives ONLY in the shortlist
+    * cut, exactly like [[binaryTopK]]'s refine contract.
+    *
+    * Starvation is LOUD, not silent: LOF's tail divides by k, so a
+    * point whose probed lists held fewer than k neighbors would bias
+    * its lrd quietly. One bounded probe rejects the run instead —
+    * raise nprobe (or nCentroids) until every point fills its list;
+    * probing ALL lists (nprobe = nCentroids) reproduces
+    * [[lofOutliers]] bit-for-bit. */
+  def lofOutliersIvf(df: DataFrame, id: String, vec: String, k: Int,
+                     dim: Int, nCentroids: Int = 16, nprobe: Int = 4,
+                     centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val knn = ivfTopK(df, df, id, vec, dim, k, nCentroids, nprobe,
+        centroids = centroids)
+      .select(col("query_id").as("p"), col("neighbor_id").as("o"),
+        (lit(1.0) - col("cosine")).as("dist"), col("rank").as("rn"))
+      .localCheckpoint() // starvation probe + the tail's three branches
+    val starved =
+      knn.groupBy(col("p")).agg(max(col("rn")).as("__m"))
+        .filter(col("__m") < k).limit(1).count() > 0
+    if (starved) throw new IllegalStateException(
+      s"lofOutliersIvf: some points found fewer than $k neighbors " +
+        s"inside their $nprobe probed lists — the lrd tail would be " +
+        "silently biased; raise nprobe or lower nCentroids")
+    lofFromKnn(knn, id, k)
   }
 
   /** Greedy k-center coreset (Gonzalez farthest-point traversal) over

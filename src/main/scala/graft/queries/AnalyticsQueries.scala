@@ -271,6 +271,24 @@ object AnalyticsQueries {
         .orderBy(col("item_a"), col("item_b"))
     }),
 
+    // ── Apriori level 3: frequent brand TRIPLES, candidates generated
+    // only from the frequent pairs (monotonicity prune — never a k³
+    // per-basket expansion); minTripleSupport ≥ minPairSupport makes
+    // the sub-pair count joins provably lossless. Three rule
+    // confidences conf({x,y}→z) plus the independence lift over exact
+    // integer counts.
+    "basket_brand_triples" -> ((s, dir) => {
+      val baskets = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("brand"))
+      Market.tripleRules(baskets, basket = "basket", item = "brand",
+          minSupport = 50L, minPairSupport = 5L, minTripleSupport = 5L)
+        .orderBy(col("item_a"), col("item_b"), col("item_c"))
+    }),
+
     // ── TWAP per event type: duration-weighted mean value, integer
     // cents × nano-durations in DECIMAL(38,0), right-open holds.
     "ts_twap" -> ((s, dir) =>
@@ -1943,6 +1961,52 @@ object AnalyticsQueries {
         |FROM pr JOIN ic ia ON ia.i = pr.item_a
         | JOIN ic ib ON ib.i = pr.item_b CROSS JOIN nb
         |ORDER BY item_a, item_b""".stripMargin,
+
+    "basket_brand_triples" ->
+      """WITH bi AS (SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+        |     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        | ic AS (SELECT i, count(*) AS n_i FROM bi GROUP BY 1),
+        | nb AS (SELECT count(DISTINCT b) AS n_baskets FROM bi),
+        | keep AS (SELECT bi.b, bi.i FROM bi
+        |   JOIN ic ON ic.i = bi.i WHERE ic.n_i >= 50),
+        | sized AS (SELECT b FROM keep GROUP BY b HAVING count(*) <= 10000),
+        | ip AS MATERIALIZED (SELECT k.b, k.i FROM keep k
+        |   JOIN sized s ON s.b = k.b),
+        | fp AS MATERIALIZED (SELECT a.i AS item_a, c.i AS item_b,
+        |     count(*) AS n_ab
+        |   FROM ip a JOIN ip c ON a.b = c.b AND a.i < c.i
+        |   GROUP BY 1, 2 HAVING count(*) >= 5),
+        | pb AS (SELECT a.b, a.i AS item_a, c.i AS item_b
+        |   FROM ip a JOIN ip c ON a.b = c.b AND a.i < c.i
+        |   JOIN fp ON fp.item_a = a.i AND fp.item_b = c.i),
+        | tr AS (SELECT pb.item_a, pb.item_b, z.i AS item_c,
+        |     count(*) AS n_abc
+        |   FROM pb JOIN ip z ON z.b = pb.b AND z.i > pb.item_b
+        |   GROUP BY 1, 2, 3 HAVING count(*) >= 5)
+        |SELECT tr.item_a, tr.item_b, tr.item_c,
+        | CAST(ab.n_ab AS BIGINT) AS n_ab, CAST(ac.n_ab AS BIGINT) AS n_ac,
+        | CAST(bc.n_ab AS BIGINT) AS n_bc, CAST(tr.n_abc AS BIGINT) AS n_abc,
+        | CAST(CAST(tr.n_abc AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS REAL)
+        |   AS support,
+        | CAST(CAST(tr.n_abc AS DOUBLE) / CAST(ab.n_ab AS DOUBLE) AS REAL)
+        |   AS conf_ab_to_c,
+        | CAST(CAST(tr.n_abc AS DOUBLE) / CAST(ac.n_ab AS DOUBLE) AS REAL)
+        |   AS conf_ac_to_b,
+        | CAST(CAST(tr.n_abc AS DOUBLE) / CAST(bc.n_ab AS DOUBLE) AS REAL)
+        |   AS conf_bc_to_a,
+        | CAST(CAST(tr.n_abc AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+        |     * CAST(n_baskets AS DOUBLE) /
+        |   (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)
+        |     * CAST(icc.n_i AS DOUBLE)) AS REAL) AS lift
+        |FROM tr
+        | JOIN fp ab ON ab.item_a = tr.item_a AND ab.item_b = tr.item_b
+        | JOIN fp ac ON ac.item_a = tr.item_a AND ac.item_b = tr.item_c
+        | JOIN fp bc ON bc.item_a = tr.item_b AND bc.item_b = tr.item_c
+        | JOIN ic ia ON ia.i = tr.item_a
+        | JOIN ic ib ON ib.i = tr.item_b
+        | JOIN ic icc ON icc.i = tr.item_c
+        | CROSS JOIN nb
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "ts_resample_ffill" ->
       """WITH obs AS (SELECT event_type, epoch_ns(ts) AS t, max(value) AS v

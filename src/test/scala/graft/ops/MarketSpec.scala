@@ -55,4 +55,36 @@ class MarketSpec extends SparkSpec {
       .rows.map(r => (r.head, r(2))).toMap
     full("i0") shouldBe 3L
   }
+
+  test("tripleRules: hand-computed triple with its three confidences and lift") {
+    // x in 5 baskets, y in 4, z in 4, w in 1 (pruned at minSupport 2);
+    // pairs xy/xz/yz each in 3 baskets; {x,y,z} together in baskets 1,2
+    // → support 2/6, each conf({·,·}→·) = 2/3, lift = 2·36/(5·4·4) = 0.9
+    val b = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"), (2L, "z"),
+      (3L, "x"), (3L, "y"),
+      (4L, "x"), (4L, "z"),
+      (5L, "y"), (5L, "z"),
+      (6L, "x"), (6L, "w")).toDF("basket", "item")
+    val out = Market.tripleRules(b, "basket", "item",
+        minSupport = 2L, minPairSupport = 2L, minTripleSupport = 2L)
+      .rows.map(_.toSeq)
+    out.size shouldBe 1
+    val r = out.head
+    (r.head, r(1), r(2)) shouldBe (("x", "y", "z"))
+    (r(3), r(4), r(5), r(6)) shouldBe ((3L, 3L, 3L, 2L))
+    r(7) shouldBe (2.0 / 6.0).toFloat // support
+    Seq(r(8), r(9), r(10)).foreach(_ shouldBe (2.0 / 3.0).toFloat)
+    r(11) shouldBe 0.9f // lift
+    // a triple below minTripleSupport drops even when its pairs survive
+    Market.tripleRules(b, "basket", "item",
+      minSupport = 2L, minPairSupport = 2L, minTripleSupport = 3L)
+      .count() shouldBe 0L
+    // monotonicity precondition is enforced, not assumed
+    intercept[IllegalArgumentException] {
+      Market.tripleRules(b, "basket", "item",
+        minSupport = 2L, minPairSupport = 3L, minTripleSupport = 2L)
+    }.getMessage should include("monotonicity")
+  }
 }

@@ -73,6 +73,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) == null && out(2L) == null && out(3L) == null)
   }
 
+  test("lofOutliersIvf: probing all lists reproduces the exact LOF bit-for-bit; starvation is loud") {
+    val rng = new scala.util.Random(31)
+    val emb = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val cents = Similarity.dataCentroids(emb, "vec_id", "embedding", k = 4)
+    val exact = Similarity.lofOutliers(emb, "vec_id", "embedding", k = 5)
+      .rows.map(_.toString).sorted
+    // nprobe = nCentroids: every candidate scores → the shared tail is
+    // the ONLY thing between the variants, and the outputs must agree
+    // exactly
+    val ivf = Similarity.lofOutliersIvf(emb, "vec_id", "embedding", k = 5,
+        dim = 8, nCentroids = 4, nprobe = 4, centroids = Some(cents))
+      .rows.map(_.toString).sorted
+    ivf shouldBe exact
+    ivf should not be empty
+    // 6 points over 2 nonempty lists (each data centroid lives in its
+    // own list), k = 5, nprobe = 1: every point's single probed list
+    // holds < 5 others — the biased-lrd case must throw, not ship
+    val tiny = emb.filter(col("vec_id") < 6)
+    val c2 = Similarity.dataCentroids(tiny, "vec_id", "embedding", k = 2)
+    intercept[IllegalStateException] {
+      Similarity.lofOutliersIvf(tiny, "vec_id", "embedding", k = 5,
+        dim = 8, nCentroids = 2, nprobe = 1, centroids = Some(c2)).collect()
+    }.getMessage should include("probed lists")
+  }
+
   test("hardExamples: hardest positive/negative per anchor, ties to smaller id") {
     // anchor 1 (label A, x-axis): positives 2 and 5 both parallel
     // (cosine 1 tie → smaller id 2); hardest negative is 4 (45°, B)
