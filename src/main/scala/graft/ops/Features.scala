@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Feature-store primitives: per-entity aggregates with recency
+  * semantics, computed at the frame's own watermark so a backfill and
+  * a live run produce the same rows for the same data (no wall-clock
+  * anywhere — the [[graft.pipeline.StockPipeline]] literal-ingest-ts
+  * contract applied to features).
+  */
+object Features {
+
+  private val d12 = (c: Column) => c.cast("decimal(20,12)")
+
+  /** Exponentially time-decayed count and value-sum per key — THE
+    * standard recency-weighted engagement feature (a click yesterday
+    * is worth more than one last month): each event contributes
+    * 0.5^((T − t) / halfLife), where T is the frame's max timestamp
+    * (the watermark — a pure function of the data, so replays are
+    * deterministic).
+    *
+    * Exactness: the weight is one fixed chain exp(−ln2 · Δt / h) —
+    * Δt in integer nanos (≤ 2^53, exact as a double), ln 2 a shared
+    * IEEE literal, exp the libm both engines already agree on for the
+    * w3 exp∘sum∘ln contract — and every term quantizes to
+    * DECIMAL(20,12) BEFORE its sum, so accumulation order cannot leak
+    * into the result. Output weights/sums downcast to FLOAT.
+    *
+    * Plan: one broadcast one-row watermark, one map-side-combined
+    * aggregation — scales as a plain groupBy. Null timestamps drop
+    * (not an observation); null values contribute to the count but
+    * not the sum, matching aggregate semantics. */
+  def decayedCounts(df: DataFrame, key: String, tsNanos: String,
+                    value: String, halfLifeNanos: Long): DataFrame = {
+    require(halfLifeNanos > 0,
+      s"halfLifeNanos must be positive, got $halfLifeNanos")
+    val wm = df.filter(col(tsNanos).isNotNull)
+      .agg(max(col(tsNanos)).as("__wm"))
+    val w = exp(lit(-math.log(2.0)) *
+      (col("__wm") - col(tsNanos)).cast("double") /
+      lit(halfLifeNanos.toDouble))
+    df.filter(col(tsNanos).isNotNull)
+      .crossJoin(broadcast(wm))
+      .withColumn("__w", w)
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col(tsNanos)).as("last_ts"),
+        sum(d12(col("__w"))).cast("double").cast("float")
+          .as("decayed_count"),
+        sum(d12(col("__w") * col(value))).cast("double").cast("float")
+          .as("decayed_sum"))
+  }
+}

@@ -172,7 +172,7 @@ object Market {
     * total, and the support-pruned + cap-filtered presence frame
     * (localCheckpointed — it feeds several consumers in every rule
     * pass). */
-  private def frequentPresence(df: DataFrame, basket: String, item: String,
+  private[ops] def frequentPresence(df: DataFrame, basket: String, item: String,
                                minSupport: Long, maxBasketItems: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     val bi = presence(df, basket, item).localCheckpoint()
@@ -189,7 +189,7 @@ object Market {
 
   /** Per-basket unordered pair expansion + support prune: one row per
     * frequent pair (item_a < item_b, n_ab). */
-  private def pairCounts(inPlay: DataFrame, minPairSupport: Long): DataFrame =
+  private[ops] def pairCounts(inPlay: DataFrame, minPairSupport: Long): DataFrame =
     inPlay.as("a").join(inPlay.as("b"),
         col("a.__basket") === col("b.__basket") &&
           col("a.__item") < col("b.__item"))
@@ -197,7 +197,7 @@ object Market {
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairSupport)
 
-  private def presence(df: DataFrame, basket: String, item: String) =
+  private[ops] def presence(df: DataFrame, basket: String, item: String) =
     df.filter(col(basket).isNotNull && col(item).isNotNull)
       .select(col(basket).as("__basket"), col(item).as("__item"))
       .distinct()

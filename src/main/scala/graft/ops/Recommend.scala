@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Item-item collaborative filtering over implicit feedback — the
+  * classic neighborhood recommender (Sarwar 2001; Amazon's item-to-item
+  * shape): items are similar when the same users touch both, and a
+  * user's recommendations are the items most similar to what they
+  * already have, excluding what they already have.
+  *
+  * Shares [[Market]]'s Apriori machinery verbatim — a user here IS a
+  * basket — so the co-touch counting inherits the support prune, the
+  * `maxUserItems` mega-user cap, and the [[Market.oversizeBaskets]]
+  * observer (run it with the same parameters to see exactly which
+  * users were excluded from pair generation). At catalog scale the
+  * per-user pair expansion is the standard hazard; the cap is the
+  * declared, observable bound.
+  *
+  * Exactness: co-touch counts are exact BIGINTs; cosine = n_ij /
+  * √(n_i·n_j) is ONE double chain per pair; recommendation scores sum
+  * per-path cosines QUANTIZED to DECIMAL(20,12) (order-free), and the
+  * per-user ranking orders by that exact decimal (never a raw double)
+  * with the item id as tie-break — total order, engine-portable.
+  */
+object Recommend {
+
+  /** One row per unordered item pair (item_a < item_b) with co-touch
+    * count and cosine similarity over binary user-presence vectors:
+    * cos(i,j) = n_ij / √(n_i·n_j). Support-pruned at `minUsers` per
+    * item and `minPairUsers` per pair. */
+  def itemSims(df: DataFrame, user: String, item: String,
+               minUsers: Long, minPairUsers: Long,
+               maxUserItems: Int = 10000): DataFrame = {
+    require(minUsers >= 1, s"minUsers must be >= 1, got $minUsers")
+    require(minPairUsers >= 1,
+      s"minPairUsers must be >= 1, got $minPairUsers")
+    val (itemCounts, _, inPlay) =
+      Market.frequentPresence(df, user, item, minUsers, maxUserItems)
+    Market.pairCounts(inPlay, minPairUsers)
+      .join(itemCounts.select(col("__item").as("item_a"),
+        col("n_i").as("n_a")), "item_a")
+      .join(itemCounts.select(col("__item").as("item_b"),
+        col("n_i").as("n_b")), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        (col("n_ab").cast("double") /
+          sqrt(col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("cosine"))
+  }
+
+  /** Top-`n` recommendations per user: score(u, j) = Σ over the user's
+    * items i of cos(i, j), for unseen j reachable through at least one
+    * similar item. Output: (user, item, score FLOAT, n_paths, rank).
+    *
+    * Plan: the directional sim frame is 2·|frequent pairs| rows
+    * (catalog-sized, usually broadcastable — the planner decides from
+    * stats); candidates are Σ_u k_u·deg(i) rows, reduced map-side by
+    * the score aggregation; ranking is a WINDOW PARTITIONED BY USER —
+    * parallel, never a global sort. */
+  def recommendTopN(df: DataFrame, user: String, item: String, n: Int,
+                    minUsers: Long, minPairUsers: Long,
+                    maxUserItems: Int = 10000): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val sims = itemSims(df, user, item, minUsers, minPairUsers,
+      maxUserItems).localCheckpoint() // feeds both join orientations
+    val dir = sims.select(col("item_a").as("__i"), col("item_b").as("__j"),
+        col("cosine"))
+      .unionByName(sims.select(col("item_b").as("__i"),
+        col("item_a").as("__j"), col("cosine")))
+    val seen = Market.presence(df, user, item)
+    val scored = seen
+      .join(dir, col("__item") === col("__i"))
+      .join(seen.select(col("__basket"), col("__item").as("__j")),
+        Seq("__basket", "__j"), "left_anti")
+      .groupBy(col("__basket"), col("__j"))
+      .agg(sum(col("cosine").cast("decimal(20,12)")).as("__score"),
+        count(lit(1)).as("n_paths"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__basket"))
+      .orderBy(col("__score").desc, col("__j"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .select(col("__basket").as(user), col("__j").as(item),
+        col("__score").cast("double").cast("float").as("score"),
+        col("n_paths"), col("rank"))
+  }
+}

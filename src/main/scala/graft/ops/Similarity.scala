@@ -451,6 +451,75 @@ object Similarity {
         count(lit(1)).as("n"))
   }
 
+  /** Confusion matrix of the NEAREST-CENTROID classifier against the
+    * gold labels: each vector is predicted as the label whose
+    * [[labelCentroids]] prototype it is most cosine-similar to (ties
+    * to the smallest label under its own ordering), then counted per
+    * (gold, pred) cell. The label-quality audit for embedding
+    * curation: off-diagonal mass = label/embedding disagreement, the
+    * review queue.
+    *
+    * Determinism: centroids are the FLOAT prototypes the
+    * emb_label_centroids oracle already replays bit-for-bit, assembled
+    * into ordered arrays by a sorted (j, c) struct list; cosine is the
+    * codegen kernel; the argmax is min(struct(−cos, label)) — a
+    * map-side aggregate, no window. Null labels are excluded on both
+    * the training and scoring side.
+    *
+    * Plan: the centroid frame is |labels| rows — broadcast; scoring is
+    * one streamed corpus scan reduced map-side to one row per vector,
+    * then a |labels|²-bounded count. */
+  def centroidLabelConfusion(df: DataFrame, id: String, vec: String,
+                             label: String): DataFrame = {
+    val in = df.filter(col(label).isNotNull)
+    val cents = labelCentroids(in, label, vec)
+      .groupBy(col(label).as("__pl"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
+        x => x.getField("c")).as("__cv"))
+    in.select(col(id), col(label).as("gold"), col(vec).as("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos", cosine(col("__v"), col("__cv")))
+      .groupBy(col(id), col("gold"))
+      .agg(min(struct((-col("__cos")).as("__nc"), col("__pl").as("__l")))
+        .as("__b"))
+      .select(col("gold"), col("__b.__l").as("pred"))
+      .groupBy(col("gold"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Cohen's kappa (and raw accuracy) from a (gold, pred, n) confusion
+    * frame — chance-corrected agreement: κ = (p_o − p_e)/(1 − p_e)
+    * with p_e from the row/column marginals. All marginal products
+    * accumulate in DECIMAL(38,0) (N² clears int64 only at ~3×10⁹
+    * rows — decimal removes the cliff), then one double chain:
+    * κ = (agree·N − Σ r_l·c_l) / (N² − Σ r_l·c_l). Output: one row
+    * (n, n_agree, accuracy FLOAT, kappa FLOAT); κ is NULL for the
+    * degenerate single-label case (p_e = 1). */
+  def cohenKappa(confusion: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val tot = confusion.agg(
+      sum(col("n")).as("__N"),
+      coalesce(sum(when(col("gold") === col("pred"), col("n"))), lit(0L))
+        .as("__agree"))
+    val rows = confusion.groupBy(col("gold").as("__l"))
+      .agg(sum(col("n")).as("__r"))
+    val cols = confusion.groupBy(col("pred").as("__l"))
+      .agg(sum(col("n")).as("__c"))
+    val pe = rows.join(cols, Seq("__l"), "full")
+      .agg(coalesce(sum(d38(coalesce(col("__r"), lit(0L))) *
+        d38(coalesce(col("__c"), lit(0L)))), lit(0).cast("decimal(38,0)"))
+        .as("__penum"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("__N").as("n"), col("__agree").as("n_agree"),
+        (col("__agree").cast("double") / col("__N").cast("double"))
+          .cast("float").as("accuracy"),
+        ((d38(col("__agree")) * d38(col("__N")) - col("__penum"))
+          .cast("double") /
+          nullif((d38(col("__N")) * d38(col("__N")) - col("__penum"))
+            .cast("double"), lit(0.0)))
+          .cast("float").as("kappa"))
+  }
+
   /** Per-dimension z-score standardization of an embedding column — the
     * feature-scaling pass before distance-based ops (k-means, IVF, PQ)
     * when dimensions have wildly different scales. One explode + one

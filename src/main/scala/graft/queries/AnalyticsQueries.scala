@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Anomaly, Cdc, CrossSeries, Experiment, FuzzyJoin, Indicators, Intervals, Market, Markov, Moments, Percentiles, Quality, Ranking, Reconcile, Resample, Skyline}
+import graft.ops.{Anomaly, Cdc, CrossSeries, Experiment, Features, FuzzyJoin, Indicators, Intervals, Market, Markov, Moments, Percentiles, Quality, Ranking, Recommend, Reconcile, Resample, Skyline}
 
 /** OLAP / warehouse-analytics extensions: grouping sets, event-path
   * transitions, exact nearest-rank quantiles, batch CDC apply, and
@@ -17,6 +17,39 @@ import graft.ops.{Anomaly, Cdc, CrossSeries, Experiment, FuzzyJoin, Indicators, 
 object AnalyticsQueries {
 
   import QuerySql.d2
+
+  /** (customer, brand) implicit-feedback frame shared by the two
+    * collaborative-filtering queries: lineitem × orders for the
+    * customer, broadcast part dim for the 25-value brand. */
+  private def custBrand(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey").as("user_id"), col("p_brand").as("brand"))
+
+  /** The CF oracles' shared prelude: (customer, brand) presence,
+    * per-brand user counts, the support prune (≥50 users), the
+    * mega-user cap (10000), and co-touch pair counts (≥20 users) —
+    * kept in one string so the two queries' oracles cannot drift. */
+  private val custBrandCtes =
+    """ub AS (SELECT DISTINCT o.o_custkey AS u, p.p_brand AS i
+      |     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |     JOIN part p ON p.p_partkey = l.l_partkey),
+      | ic AS (SELECT i, count(*) AS n_i FROM ub GROUP BY 1),
+      | keep AS (SELECT ub.u, ub.i FROM ub JOIN ic ON ic.i = ub.i
+      |   WHERE ic.n_i >= 50),
+      | sized AS (SELECT u FROM keep GROUP BY u HAVING count(*) <= 10000),
+      | ip AS MATERIALIZED (SELECT k.u, k.i FROM keep k
+      |   JOIN sized s ON s.u = k.u),
+      | pr AS MATERIALIZED (SELECT a.i AS item_a, c.i AS item_b,
+      |     count(*) AS n_ab
+      |   FROM ip a JOIN ip c ON a.u = c.u AND a.i < c.i
+      |   GROUP BY 1, 2 HAVING count(*) >= 20)""".stripMargin
 
   /** Orders-as-changelog projection shared by the batch `cdc_apply` and
     * the streaming `stream_cdc_live` queries — one definition so the two
@@ -288,6 +321,42 @@ object AnalyticsQueries {
           minSupport = 50L, minPairSupport = 5L, minTripleSupport = 5L)
         .orderBy(col("item_a"), col("item_b"), col("item_c"))
     }),
+
+    // ── Item-item collaborative filtering, similarity leg: brands are
+    // similar when the same customers buy both — cosine over binary
+    // user-presence vectors (n_ab / √(n_a·n_b)), support-pruned via the
+    // shared Apriori machinery. The neighborhood model behind
+    // rec_user_topn.
+    "rec_item_sims" -> ((s, dir) => {
+      Recommend.itemSims(custBrand(s, dir), user = "user_id",
+          item = "brand", minUsers = 50L, minPairUsers = 20L)
+        .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+          col("n_ab"), col("cosine").cast("float").as("cosine"))
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
+    // ── Item-item CF, recommendation leg: per customer the top-3
+    // unseen brands by summed similarity to their basket — scores sum
+    // DECIMAL-quantized cosines (order-free) and rank on the exact
+    // decimal with the brand tie-break; ranking is a per-user window,
+    // never a global sort.
+    "rec_user_topn" -> ((s, dir) => {
+      Recommend.recommendTopN(custBrand(s, dir), user = "user_id",
+          item = "brand", n = 3, minUsers = 50L, minPairUsers = 20L)
+        .orderBy(col("user_id"), col("rank"))
+    }),
+
+    // ── Recency-weighted engagement features at the lake watermark:
+    // per user, count and value-sum where each event decays by
+    // 0.5^(age / 7 days). Terms quantize to DECIMAL(20,12) before the
+    // sum (order-free), the exp chain is the shared w3 contract; no
+    // wall-clock — the watermark is the frame's own max ts, so
+    // backfills replay byte-identically.
+    "feat_decayed_engagement" -> ((s, dir) =>
+      Features.decayedCounts(Tables.events(s, dir), key = "user_id",
+          tsNanos = "ts", value = "value",
+          halfLifeNanos = 7L * 86400000000000L)
+        .orderBy(col("user_id"))),
 
     // ── TWAP per event type: duration-weighted mean value, integer
     // cents × nano-durations in DECIMAL(38,0), right-open holds.
@@ -2007,6 +2076,59 @@ object AnalyticsQueries {
         | JOIN ic icc ON icc.i = tr.item_c
         | CROSS JOIN nb
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "rec_item_sims" ->
+      s"""WITH $custBrandCtes
+         |SELECT item_a, item_b,
+         | CAST(ia.n_i AS BIGINT) AS n_a, CAST(ib.n_i AS BIGINT) AS n_b,
+         | CAST(pr.n_ab AS BIGINT) AS n_ab,
+         | CAST(CAST(pr.n_ab AS DOUBLE) /
+         |   sqrt(CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)) AS REAL)
+         |   AS cosine
+         |FROM pr JOIN ic ia ON ia.i = pr.item_a
+         | JOIN ic ib ON ib.i = pr.item_b
+         |ORDER BY 1, 2""".stripMargin,
+
+    "rec_user_topn" ->
+      s"""WITH $custBrandCtes,
+         | sims AS (SELECT item_a, item_b,
+         |     CAST(pr.n_ab AS DOUBLE) /
+         |       sqrt(CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE))
+         |       AS cosine
+         |   FROM pr JOIN ic ia ON ia.i = pr.item_a
+         |    JOIN ic ib ON ib.i = pr.item_b),
+         | dir AS (SELECT item_a AS i, item_b AS j, cosine FROM sims
+         |   UNION ALL SELECT item_b, item_a, cosine FROM sims),
+         | cand AS (SELECT s.u, d.j,
+         |     sum(CAST(d.cosine AS DECIMAL(20,12))) AS score,
+         |     count(*) AS n_paths
+         |   FROM ub s JOIN dir d ON d.i = s.i
+         |   LEFT JOIN ub z ON z.u = s.u AND z.i = d.j
+         |   WHERE z.u IS NULL
+         |   GROUP BY 1, 2),
+         | r AS (SELECT u, j, score, n_paths,
+         |     row_number() OVER (PARTITION BY u
+         |       ORDER BY score DESC, j) AS rank
+         |   FROM cand)
+         |SELECT u AS user_id, j AS brand,
+         | CAST(CAST(score AS DOUBLE) AS REAL) AS score,
+         | CAST(n_paths AS BIGINT) AS n_paths, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
+
+    "feat_decayed_engagement" ->
+      """WITH w AS (SELECT max(epoch_ns(ts)) AS wm FROM events
+        |     WHERE ts IS NOT NULL),
+        | e AS (SELECT user_id, epoch_ns(ts) AS t, value FROM events
+        |     WHERE ts IS NOT NULL)
+        |SELECT user_id, count(*) AS n_events,
+        | CAST(max(t) AS BIGINT) AS last_ts,
+        | CAST(CAST(sum(CAST(exp(-ln(2) * CAST(wm - t AS DOUBLE)
+        |     / 604800000000000.0) AS DECIMAL(20,12))) AS DOUBLE) AS REAL)
+        |   AS decayed_count,
+        | CAST(CAST(sum(CAST(exp(-ln(2) * CAST(wm - t AS DOUBLE)
+        |     / 604800000000000.0) * value AS DECIMAL(20,12))) AS DOUBLE)
+        |   AS REAL) AS decayed_sum
+        |FROM e CROSS JOIN w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ts_resample_ffill" ->
       """WITH obs AS (SELECT event_type, epoch_ns(ts) AS t, max(value) AS v

@@ -404,6 +404,23 @@ object SimilarityQueries {
           label = "label", vec = "embedding")
         .orderBy(col("label"), col("j"))),
 
+    // label-quality audit: confusion matrix of the nearest-centroid
+    // classifier vs the gold labels — off-diagonal cells are the
+    // label/embedding disagreement review queue. Broadcast |labels|
+    // prototypes, one streamed scan, map-side argmax.
+    "emb_centroid_confusion" -> ((s, dir) =>
+      Similarity.centroidLabelConfusion(Tables.embeddings(s, dir),
+          id = "vec_id", vec = "embedding", label = "label")
+        .orderBy(col("gold"), col("pred"))),
+
+    // the confusion matrix's chance-corrected summary: accuracy and
+    // Cohen's kappa, marginal products in DECIMAL(38,0) then one
+    // double chain
+    "emb_centroid_kappa" -> ((s, dir) =>
+      Similarity.cohenKappa(
+        Similarity.centroidLabelConfusion(Tables.embeddings(s, dir),
+          id = "vec_id", vec = "embedding", label = "label"))),
+
     // per-dimension z-score scaling; long-form so the oracle replays the
     // DECIMAL moment sums dimension by dimension
     "emb_standardize" -> ((s, dir) =>
@@ -1049,6 +1066,30 @@ object SimilarityQueries {
       |FROM r WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Shared by the emb_centroid_confusion and emb_centroid_kappa
+    * oracles: FLOAT label prototypes (bit-identical to the
+    * emb_label_centroids contract), nearest-centroid prediction with
+    * the (cos DESC, label) tie order, confusion counts. */
+  private val centroidConfusionCtes =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv, label
+      |     FROM embeddings WHERE label IS NOT NULL),
+      | comp AS (SELECT label, generate_subscripts(embedding, 1) AS j,
+      |     CAST(unnest(embedding) AS DOUBLE) AS x
+      |   FROM embeddings WHERE label IS NOT NULL),
+      | cent AS (SELECT label, j,
+      |     CAST(CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / count(*)
+      |       AS REAL) AS c
+      |   FROM comp GROUP BY 1, 2),
+      | cl AS (SELECT label AS pl, list(CAST(c AS DOUBLE) ORDER BY j) AS cv
+      |   FROM cent GROUP BY 1),
+      | sc AS (SELECT v.vec_id, v.label AS gold, cl.pl,
+      |     list_cosine_similarity(v.dv, cl.cv) AS cos
+      |   FROM v CROSS JOIN cl),
+      | pick AS (SELECT vec_id, gold, pl, row_number() OVER (
+      |     PARTITION BY vec_id ORDER BY cos DESC, pl) AS rn FROM sc),
+      | conf AS (SELECT gold, pl AS pred, count(*) AS n
+      |   FROM pick WHERE rn = 1 GROUP BY 1, 2)""".stripMargin
+
   private val simIvfDataTopkSql =
     """WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
       |              FROM embeddings WHERE vec_id < 16),
@@ -1450,6 +1491,29 @@ object SimilarityQueries {
         |  count(*) AS n
         |FROM c GROUP BY label, j
         |ORDER BY label, j""".stripMargin,
+
+    "emb_centroid_confusion" ->
+      s"""WITH $centroidConfusionCtes
+         |SELECT gold, pred, CAST(n AS BIGINT) AS n
+         |FROM conf ORDER BY gold, pred""".stripMargin,
+
+    "emb_centroid_kappa" ->
+      s"""WITH $centroidConfusionCtes,
+         | tot AS (SELECT sum(n) AS nn,
+         |     sum(CASE WHEN gold = pred THEN n ELSE 0 END) AS agree
+         |   FROM conf),
+         | rs AS (SELECT gold AS l, sum(n) AS r FROM conf GROUP BY 1),
+         | cs AS (SELECT pred AS l, sum(n) AS c FROM conf GROUP BY 1),
+         | pe AS (SELECT COALESCE(sum(CAST(COALESCE(r, 0) AS HUGEINT)
+         |       * COALESCE(c, 0)), 0) AS penum
+         |   FROM rs FULL JOIN cs USING (l))
+         |SELECT CAST(nn AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+         | CAST(CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE) AS REAL)
+         |   AS accuracy,
+         | CAST(CAST(CAST(agree AS HUGEINT) * nn - penum AS DOUBLE) /
+         |   nullif(CAST(CAST(nn AS HUGEINT) * nn - penum AS DOUBLE), 0)
+         |   AS REAL) AS kappa
+         |FROM tot CROSS JOIN pe""".stripMargin,
 
     "emb_standardize" ->
       """WITH c AS (SELECT vec_id, generate_subscripts(embedding, 1) AS j,

@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FeaturesRecommendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 7L * 86400000000000L // 7-day half-life, nanos
+
+  test("decayedCounts: one half-life halves the weight; watermark is the frame's own max ts") {
+    val ev = Seq(
+      ("u", 0L, Some(4.0)),   // one half-life old → weight 0.5
+      ("u", H, Some(10.0))    // at the watermark → weight 1.0
+    ).toDF("k", "t", "v")
+    val r = Features.decayedCounts(ev, "k", "t", "v", H).rows.head
+    (r.head, r(1), r(2)) shouldBe (("u", 2L, H))
+    r(3) shouldBe 1.5f                  // 1.0 + 0.5
+    r(4) shouldBe 12.0f                 // 10·1.0 + 4·0.5
+  }
+
+  test("decayedCounts: null ts drops the row; null value counts but does not sum") {
+    val ev = Seq(
+      ("u", Some(H), Some(10.0)),
+      ("u", Some(H), None),             // counted, not summed
+      ("u", None, Some(99.0))           // not an observation
+    ).toDF("k", "t", "v")
+    val r = Features.decayedCounts(ev, "k", "t", "v", H).rows.head
+    (r(1), r(3), r(4)) shouldBe ((2L, 2.0f, 10.0f))
+  }
+
+  test("itemSims: cosine over binary user vectors, hand-checked") {
+    // a in 3 users, b in 2, c in 1; co-touch (a,b)=2, (a,c)=1
+    val ub = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"),
+      (3L, "c")).toDF("u", "i")
+    val out = Recommend.itemSims(ub, "u", "i", minUsers = 1L,
+        minPairUsers = 1L)
+      .orderBy("item_a", "item_b")
+      .rows.map(r => (r.head, r(1), r(2), r(3), r(4),
+        r(5).asInstanceOf[Double]))
+    out.map(t => (t._1, t._2, t._3, t._4, t._5)) shouldBe Seq(
+      ("a", "b", 3L, 2L, 2L), ("a", "c", 3L, 1L, 1L))
+    out.head._6 shouldBe (2.0 / math.sqrt(6.0) +- 1e-12)
+    out(1)._6 shouldBe (1.0 / math.sqrt(3.0) +- 1e-12)
+  }
+
+  test("recommendTopN: unseen items ranked by summed similarity; seen items never recommended") {
+    val ub = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"),
+      (3L, "c")).toDF("u", "i")
+    val out = Recommend.recommendTopN(ub, "u", "i", n = 2,
+        minUsers = 1L, minPairUsers = 1L)
+      .orderBy("u", "rank")
+      .rows.map(r => (r.head, r(1), r(2).asInstanceOf[Float], r(3), r(4)))
+    // u1/u2 own {a,b} → only c is recommendable (via a, sim 1/√3);
+    // u3 owns {a,c} → only b (via a, sim 2/√6). Never a seen item.
+    out shouldBe Seq(
+      (1L, "c", (1.0 / math.sqrt(3.0)).toFloat, 1L, 1L),
+      (2L, "c", (1.0 / math.sqrt(3.0)).toFloat, 1L, 1L),
+      (3L, "b", (2.0 / math.sqrt(6.0)).toFloat, 1L, 1L))
+  }
+
+  test("cohenKappa: hand-computed chance-corrected agreement; single-label case yields NULL") {
+    val conf = Seq(("A", "A", 20L), ("A", "B", 5L), ("B", "A", 10L),
+      ("B", "B", 15L)).toDF("gold", "pred", "n")
+    // N=50, agree=35 → p_o=0.7; marginals 25/25 and 30/20 → p_e=0.5;
+    // κ = (0.7−0.5)/(1−0.5) = 0.4
+    val r = Similarity.cohenKappa(conf).rows.head
+    (r.head, r(1), r(2), r(3)) shouldBe ((50L, 35L, 0.7f, 0.4f))
+    val degenerate = Seq(("A", "A", 5L)).toDF("gold", "pred", "n")
+    assert(Similarity.cohenKappa(degenerate).rows.head(3) == null)
+  }
+
+  test("centroidLabelConfusion: separable clusters land on the diagonal") {
+    val vs = Seq(
+      (1L, Seq(1.0f, 0.0f), "A"), (2L, Seq(1.0f, 0.1f), "A"),
+      (3L, Seq(0.0f, 1.0f), "B"), (4L, Seq(0.1f, 1.0f), "B"),
+      (5L, Seq(0.9f, 0.05f), "A")
+    ).toDF("vec_id", "embedding", "label")
+    val conf = Similarity.centroidLabelConfusion(vs, "vec_id",
+        "embedding", "label")
+      .orderBy("gold", "pred").rows.map(r => (r.head, r(1), r(2)))
+    conf shouldBe Seq(("A", "A", 3L), ("B", "B", 2L))
+    val k = Similarity.cohenKappa(
+      Similarity.centroidLabelConfusion(vs, "vec_id", "embedding",
+        "label")).rows.head
+    (k(2), k(3)) shouldBe ((1.0f, 1.0f))
+  }
+}
