@@ -13,6 +13,41 @@ object Features {
 
   private val d12 = (c: Column) => c.cast("decimal(20,12)")
 
+  /** Leave-one-out target encoding of a categorical key — the standard
+    * high-cardinality categorical feature for tree/linear models:
+    * each row's encoding is its GROUP's mean target EXCLUDING the row
+    * itself, (Σ_g − x_i)/(n_g − 1), so the feature carries no direct
+    * target leakage. Rows with a null target take the plain group mean
+    * (they contributed nothing to exclude); singleton groups (nothing
+    * left after exclusion) surface NULL, never a fabricated value.
+    *
+    * Exactness: targets quantize to DECIMAL(20,12) before the group
+    * sum (order-free); the leave-one-out subtraction stays in decimal
+    * (exact), then ONE double division per row, FLOAT at the surface.
+    *
+    * Plan: one map-side-combined groupBy to |groups| rows, joined back
+    * (the planner broadcasts it from stats) — the input is scanned
+    * twice, shuffled never. Null keys drop (no group to encode
+    * against). */
+  def targetEncodeLoo(df: DataFrame, key: String, target: String,
+                      out: String = "te"): DataFrame = {
+    require(!df.columns.contains(out),
+      s"targetEncodeLoo appends column '$out' — rename the existing one")
+    val t12 = d12(col(target))
+    val g = df.filter(col(key).isNotNull)
+      .groupBy(col(key))
+      .agg(sum(t12).as("__s"), count(col(target)).as("__n"))
+    df.filter(col(key).isNotNull)
+      .join(g, key)
+      .withColumn(out,
+        when(col(target).isNull,
+          when(col("__n") >= 1, col("__s").cast("double") / col("__n")))
+          .otherwise(when(col("__n") >= 2,
+            (col("__s") - t12).cast("double") / (col("__n") - 1)))
+          .cast("float"))
+      .drop("__s", "__n")
+  }
+
   /** Exponentially time-decayed count and value-sum per key — THE
     * standard recency-weighted engagement feature (a click yesterday
     * is worth more than one last month): each event contributes

@@ -358,6 +358,18 @@ object AnalyticsQueries {
           halfLifeNanos = 7L * 86400000000000L)
         .orderBy(col("user_id"))),
 
+    // ── Leave-one-out target encoding of event_type against value:
+    // each event's feature is its type's mean value EXCLUDING itself —
+    // the leakage-free categorical encoding. Group sums in
+    // DECIMAL(20,12), exact decimal LOO subtraction, one double
+    // division per row.
+    "feat_target_encoding" -> ((s, dir) =>
+      Features.targetEncodeLoo(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("event_type"), col("value")),
+          key = "event_type", target = "value")
+        .orderBy(col("event_id"))),
+
     // ── TWAP per event type: duration-weighted mean value, integer
     // cents × nano-durations in DECIMAL(38,0), right-open holds.
     "ts_twap" -> ((s, dir) =>
@@ -2114,6 +2126,21 @@ object AnalyticsQueries {
          | CAST(CAST(score AS DOUBLE) AS REAL) AS score,
          | CAST(n_paths AS BIGINT) AS n_paths, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
+
+    "feat_target_encoding" ->
+      """WITH g AS (SELECT event_type,
+        |     sum(CAST(value AS DECIMAL(20,12))) AS s,
+        |     count(value) AS n
+        |   FROM events WHERE event_type IS NOT NULL GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        | CAST(CASE
+        |   WHEN e.value IS NULL THEN
+        |     CASE WHEN n >= 1 THEN CAST(s AS DOUBLE) / n END
+        |   WHEN n >= 2 THEN
+        |     CAST(s - CAST(e.value AS DECIMAL(20,12)) AS DOUBLE) / (n - 1)
+        | END AS REAL) AS te
+        |FROM events e JOIN g USING (event_type)
+        |ORDER BY event_id""".stripMargin,
 
     "feat_decayed_engagement" ->
       """WITH w AS (SELECT max(epoch_ns(ts)) AS wm FROM events

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Graph, Merge, Multimodal, Quality, QualityModel, Retrieval, Sampling, TextAnalysis}
+import graft.ops.{Dedup, Graph, Merge, Multimodal, Quality, QualityModel, Ranking, Retrieval, Sampling, TextAnalysis}
 
 /** LLM-training-data text pipeline over the `documents` table:
   * dedup (exact / MinHash-LSH / SimHash / Jaccard), token statistics,
@@ -655,20 +655,47 @@ object TextQueries {
     // deterministic train half (labels = the heuristic quality score at
     // the 0.5 cut), score the held-out half by broadcast join — the
     // fastText-style classifier-filter loop entirely in-engine
-    "text_quality_nb" -> ((s, dir) => {
-      val labeled = Sampling.hashSplit(
-          TextAnalysis.qualityScore(Tables.documents(s, dir)),
-          id = "doc_id", trainPct = 50, valPct = 0)
-        .withColumn("__pos",
-          coalesce(col("quality_score").cast("float") >= lit(0.5f), lit(false)))
-      val weights = QualityModel.logOddsWeights(
-        labeled.filter(col("split") === "train"), labelCol = "__pos", minDf = 3)
-      QualityModel.score(labeled.filter(col("split") =!= "train"), weights)
+    "text_quality_nb" -> ((s, dir) =>
+      nbValScored(s, dir)
         .select(col("doc_id"), col("n_tok"),
           col("nb_llr").cast("double").as("nb_llr"), col("pred"))
-        .orderBy(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // Calibration curve for the NB quality classifier: validation docs
+    // binned into score deciles (distributed exact ntile on the EXACT
+    // decimal llr with the doc_id tie-break — Ranking, no global
+    // window), then observed positive rate per bin. A well-calibrated
+    // classifier's pos_rate climbs with the decile; a flat curve means
+    // the score carries no signal. Gold labels = the same heuristic
+    // threshold the trainer used.
+    "text_nb_calibration" -> ((s, dir) => {
+      val binned = Ranking.withGlobalNtile(nbValScored(s, dir),
+        Seq(col("nb_llr"), col("doc_id")), k = 10, out = "decile")
+      binned.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("nb_llr")).cast("double") / count(lit(1)))
+            .cast("float").as("mean_llr"),
+          sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
+          (sum(when(col("__pos"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).cast("float").as("pos_rate"))
+        .orderBy(col("decile"))
     })
   )
+
+  /** Shared by text_quality_nb and text_nb_calibration: heuristic
+    * labels, 50/50 hash split, log-odds weights from the train half,
+    * validation half scored and rejoined with its gold label. */
+  private def nbValScored(s: SparkSession, dir: String): DataFrame = {
+    val labeled = Sampling.hashSplit(
+        TextAnalysis.qualityScore(Tables.documents(s, dir)),
+        id = "doc_id", trainPct = 50, valPct = 0)
+      .withColumn("__pos",
+        coalesce(col("quality_score").cast("float") >= lit(0.5f), lit(false)))
+    val weights = QualityModel.logOddsWeights(
+      labeled.filter(col("split") === "train"), labelCol = "__pos", minDf = 3)
+    QualityModel.score(labeled.filter(col("split") =!= "train"), weights)
+      .join(labeled.select(col("doc_id"), col("__pos")), "doc_id")
+  }
 
   private def langList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
@@ -1753,38 +1780,59 @@ object TextQueries {
     // DECIMAL(20,12) before the exact pos−neg subtraction and per-
     // occurrence document sum (the unigram-LM exactness recipe)
     "text_quality_nb" ->
-      s"""WITH base AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS rawtoks FROM documents),
-         | lab AS (SELECT doc_id, rawtoks,
-         |     CAST(0.4 * least(CAST(1 AS DOUBLE), CAST(len(rawtoks) AS DOUBLE) / CAST(100 AS DOUBLE))
-         |       + 0.3 * (CAST(len(list_filter(rawtoks, x -> x IN (${QuerySql.stopListEn}))) AS DOUBLE) / nullif(len(rawtoks), 0))
-         |       + 0.3 * (CAST(len(list_distinct(rawtoks)) AS DOUBLE) / nullif(len(rawtoks), 0)) AS REAL) AS q
-         |   FROM base),
-         | sp AS (SELECT doc_id, rawtoks,
-         |     coalesce(q >= CAST(0.5 AS REAL), false) AS pos,
-         |     (CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 50) AS is_train
-         |   FROM lab),
-         | tt AS (SELECT doc_id, pos, token
-         |   FROM (SELECT doc_id, pos, unnest(rawtoks) AS token FROM sp WHERE is_train)
-         |   WHERE length(token) > 0),
-         | dt AS (SELECT doc_id, pos, token, count(*) AS tf FROM tt GROUP BY 1, 2, 3),
-         | vocab AS (SELECT token, count(*) AS n_docs,
-         |     sum(CASE WHEN pos THEN tf ELSE 0 END) AS tfp,
-         |     sum(CASE WHEN NOT pos THEN tf ELSE 0 END) AS tfn
-         |   FROM dt GROUP BY 1 HAVING count(*) >= 3),
-         | scal AS (SELECT count(*) AS v, sum(tfp) AS npos, sum(tfn) AS nneg FROM vocab),
-         | w AS (SELECT token,
-         |     CAST(ln(CAST(tfp + 1 AS DOUBLE) / CAST(npos + v AS DOUBLE)) AS DECIMAL(20,12))
-         |   - CAST(ln(CAST(tfn + 1 AS DOUBLE) / CAST(nneg + v AS DOUBLE)) AS DECIMAL(20,12)) AS wq
-         |   FROM vocab CROSS JOIN scal),
-         | st AS (SELECT doc_id, token
-         |   FROM (SELECT doc_id, unnest(rawtoks) AS token FROM sp WHERE NOT is_train)
-         |   WHERE length(token) > 0),
-         | sc AS (SELECT st.doc_id, count(*) AS n_tok, sum(w.wq) AS s
-         |   FROM st LEFT JOIN w USING (token) GROUP BY 1)
+      s"""WITH $nbChainCtes
          |SELECT sp.doc_id, CAST(coalesce(sc.n_tok, 0) AS BIGINT) AS n_tok,
          |  CAST(coalesce(sc.s, 0) AS DOUBLE) AS nb_llr,
          |  CAST(CASE WHEN coalesce(sc.s, 0) > 0 THEN 1 ELSE 0 END AS INT) AS pred
          |FROM sp LEFT JOIN sc USING (doc_id) WHERE NOT sp.is_train
-         |ORDER BY sp.doc_id""".stripMargin
+         |ORDER BY sp.doc_id""".stripMargin,
+
+    "text_nb_calibration" ->
+      s"""WITH $nbChainCtes,
+         | vl AS (SELECT sp.doc_id, sp.pos,
+         |     coalesce(sc.s, CAST(0 AS DECIMAL(20,12))) AS llr
+         |   FROM sp LEFT JOIN sc USING (doc_id) WHERE NOT sp.is_train),
+         | b AS (SELECT doc_id, pos, llr,
+         |     ntile(10) OVER (ORDER BY llr, doc_id) AS decile FROM vl)
+         |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
+         | CAST(CAST(sum(llr) AS DOUBLE) / count(*) AS REAL) AS mean_llr,
+         | CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         | CAST(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / count(*) AS REAL) AS pos_rate
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** The NB classifier replay chain, shared by the text_quality_nb and
+    * text_nb_calibration oracles so the two cannot drift: heuristic
+    * label, hash split, df-capped vocab, add-1 log-odds weights
+    * (quantized per token), validation scoring to (doc_id, n_tok, s). */
+  private def nbChainCtes =
+    s"""base AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS rawtoks FROM documents),
+       | lab AS (SELECT doc_id, rawtoks,
+       |     CAST(0.4 * least(CAST(1 AS DOUBLE), CAST(len(rawtoks) AS DOUBLE) / CAST(100 AS DOUBLE))
+       |       + 0.3 * (CAST(len(list_filter(rawtoks, x -> x IN (${QuerySql.stopListEn}))) AS DOUBLE) / nullif(len(rawtoks), 0))
+       |       + 0.3 * (CAST(len(list_distinct(rawtoks)) AS DOUBLE) / nullif(len(rawtoks), 0)) AS REAL) AS q
+       |   FROM base),
+       | sp AS (SELECT doc_id, rawtoks,
+       |     coalesce(q >= CAST(0.5 AS REAL), false) AS pos,
+       |     (CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 50) AS is_train
+       |   FROM lab),
+       | tt AS (SELECT doc_id, pos, token
+       |   FROM (SELECT doc_id, pos, unnest(rawtoks) AS token FROM sp WHERE is_train)
+       |   WHERE length(token) > 0),
+       | dt AS (SELECT doc_id, pos, token, count(*) AS tf FROM tt GROUP BY 1, 2, 3),
+       | vocab AS (SELECT token, count(*) AS n_docs,
+       |     sum(CASE WHEN pos THEN tf ELSE 0 END) AS tfp,
+       |     sum(CASE WHEN NOT pos THEN tf ELSE 0 END) AS tfn
+       |   FROM dt GROUP BY 1 HAVING count(*) >= 3),
+       | scal AS (SELECT count(*) AS v, sum(tfp) AS npos, sum(tfn) AS nneg FROM vocab),
+       | w AS (SELECT token,
+       |     CAST(ln(CAST(tfp + 1 AS DOUBLE) / CAST(npos + v AS DOUBLE)) AS DECIMAL(20,12))
+       |   - CAST(ln(CAST(tfn + 1 AS DOUBLE) / CAST(nneg + v AS DOUBLE)) AS DECIMAL(20,12)) AS wq
+       |   FROM vocab CROSS JOIN scal),
+       | st AS (SELECT doc_id, token
+       |   FROM (SELECT doc_id, unnest(rawtoks) AS token FROM sp WHERE NOT is_train)
+       |   WHERE length(token) > 0),
+       | sc AS (SELECT st.doc_id, count(*) AS n_tok, sum(w.wq) AS s
+       |   FROM st LEFT JOIN w USING (token) GROUP BY 1)""".stripMargin
 }

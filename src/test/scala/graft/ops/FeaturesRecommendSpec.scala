@@ -29,6 +29,22 @@ class FeaturesRecommendSpec extends SparkSpec {
     (r(1), r(3), r(4)) shouldBe ((2L, 2.0f, 10.0f))
   }
 
+  test("targetEncodeLoo: excludes self; null target takes the group mean; singleton yields NULL") {
+    val ev = Seq(
+      (1L, "x", Some(1.0)), (2L, "x", Some(2.0)), (3L, "x", Some(3.0)),
+      (4L, "x", None),       // contributed nothing → plain mean 2.0
+      (5L, "y", Some(7.0))   // nothing left once excluded → NULL
+    ).toDF("id", "k", "v")
+    // the using-key join surfaces columns as (k, id, v, te)
+    val out = Features.targetEncodeLoo(ev, "k", "v")
+      .rows.map(r => r(1) -> r(3)).toMap
+    out(1L) shouldBe 2.5f // (2+3)/2
+    out(2L) shouldBe 2.0f
+    out(3L) shouldBe 1.5f
+    out(4L) shouldBe 2.0f // 6/3
+    assert(out(5L) == null)
+  }
+
   test("itemSims: cosine over binary user vectors, hand-checked") {
     // a in 3 users, b in 2, c in 1; co-touch (a,b)=2, (a,c)=1
     val ub = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"),
