@@ -62,13 +62,18 @@ object Recommend {
                     minUsers: Long, minPairUsers: Long,
                     maxUserItems: Int = 10000): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val sims = itemSims(df, user, item, minUsers, minPairUsers,
+    // one presence materialization serves BOTH the similarity build
+    // (via its own presence pass — idempotent on an already-distinct
+    // frame) and the seen-set — the upstream fact join runs once, not
+    // twice
+    val pres = Market.presence(df, user, item).localCheckpoint()
+    val sims = itemSims(pres, "__basket", "__item", minUsers, minPairUsers,
       maxUserItems).localCheckpoint() // feeds both join orientations
     val dir = sims.select(col("item_a").as("__i"), col("item_b").as("__j"),
         col("cosine"))
       .unionByName(sims.select(col("item_b").as("__i"),
         col("item_a").as("__j"), col("cosine")))
-    val seen = Market.presence(df, user, item)
+    val seen = pres
     val scored = seen
       .join(dir, col("__item") === col("__i"))
       .join(seen.select(col("__basket"), col("__item").as("__j")),

@@ -576,8 +576,16 @@ object Similarity {
               seed: Long = 7L,
               centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val cents = centroids.getOrElse(ivfCentroids(dim, nCentroids, seed))
+    // MATERIALIZE the ephemeral index before probing: fused into the
+    // probe join, the assignment's nCentroids-cosine argmax key
+    // expression gets re-evaluated inside the join stage — measured 7×
+    // the whole scan's cost at 2000 queries. A persisted index
+    // ([[IvfIndex]], the production path) never has the problem; this
+    // cut gives the convenience composition the same shape, at the
+    // cost of making it EAGER (one build job at call time).
     val indexed = ivfAssignWith(candidates, vec, cents)
       .select(col(id).as("neighbor_id"), col(vec).as("cv"), col("centroid_id"))
+      .localCheckpoint()
     ivfProbe(indexed, queries, id, vec, cents, nprobe, k)
   }
 
