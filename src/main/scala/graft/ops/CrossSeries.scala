@@ -85,7 +85,13 @@ object CrossSeries {
     *
     * The market frame is |buckets| rows → broadcast onto the series
     * frame; the whole operator is two aggregations and one broadcast
-    * join. Self-inclusion (k's own cents are inside the market total)
+    * join. The broadcast is bounded by TIME, not by data: buckets are
+    * wall-clock intervals, so the frame grows with calendar span ÷
+    * bucket width (daily ≈ 3.7k rows/decade, minutely ≈ 5.3M/decade —
+    * pick the bucket so span/width stays ≪ 10⁷ and the hint is safe at
+    * ANY entity count; entity growth never touches this frame, unlike
+    * the per-GROUP frames Percentiles/Moments probe-guard).
+    * Self-inclusion (k's own cents are inside the market total)
     * is the index convention — S&P constituents are inside the S&P. */
   /** TRAILING-window correlation of each series against the market —
     * [[betaVsMarket]]'s global regression localized in time: corr over
@@ -96,8 +102,10 @@ object CrossSeries {
     *
     * Same exactness contract: co-moment sums are DECIMAL(38,0) window
     * sums over integer cents, one double combination per row, float
-    * out. Plan: the broadcast market join, then ONE key-partitioned
-    * window ordering — all six frame sums share it. */
+    * out. Plan: the broadcast market join (|buckets| rows — bounded by
+    * calendar span ÷ bucket width, NOT by entity count; see
+    * [[betaVsMarket]]'s bound note), then ONE key-partitioned window
+    * ordering — all six frame sums share it. */
   def rollingCorrVsMarket(series: DataFrame, window: Int,
                           minOverlap: Int = 2): DataFrame = {
     require(window >= 2, s"window must be at least 2, got $window")

@@ -24,12 +24,18 @@ import org.apache.spark.sql.functions._
   *     at the surface.
   *
   * Plan: two grouped aggregations over the same key exchange plus one
-  * broadcast join of the |groups|-row μ frame. Nulls excluded. */
+  * join of the |groups|-row μ frame back onto the input — BROADCAST
+  * only while a bounded `limit(n+1).count()` probe proves the frame
+  * fits `maxBroadcastGroups` (never a full count); above the threshold
+  * it falls back to a plain hash join on the keys, so per-entity
+  * moments at millions of groups never force a driver-sized build.
+  * Same rows out either way. Nulls excluded. */
 object Moments {
 
   private val d38 = (c: Column) => c.cast("decimal(38,0)")
 
-  def skewKurtosis(df: DataFrame, keys: Seq[String], value: String): DataFrame = {
+  def skewKurtosis(df: DataFrame, keys: Seq[String], value: String,
+                   maxBroadcastGroups: Int = 1000000): DataFrame = {
     require(keys.nonEmpty, "skewKurtosis needs at least one grouping key")
     val x = round(col(value) * 100).cast("long")
     val in = df.filter(col(value).isNotNull)
@@ -39,8 +45,13 @@ object Moments {
       .withColumn("__mu",
         expr("(__s1 - pmod(__s1, cast(n as decimal(38,0)))) div cast(n as decimal(38,0))"))
       .select(keys.map(col) :+ col("n") :+ col("__mu"): _*)
+    // bounded probe, the seasonalDecompose guard pattern
+    // (Resample.scala): re-runs the μ aggregation once but only ever
+    // scans maxBroadcastGroups+1 of its rows.
+    val over = mu.limit(maxBroadcastGroups + 1).count() > maxBroadcastGroups
+    val muSide = if (over) mu else broadcast(mu)
     val d = col("__x") - col("__mu")
-    val t = in.join(broadcast(mu), keys)
+    val t = in.join(muSide, keys)
       .groupBy(keys.map(col): _*)
       .agg(min(col("n")).as("n"),
         sum(d38(d)).as("t1"),

@@ -56,11 +56,17 @@ object Percentiles {
     * engine-exact by construction, no float discipline needed. Groups
     * with no non-null observation pass values through unclipped.
     *
-    * Plan shape: the bounds frame is |groups|·2 rows — broadcast back
-    * onto the input, so the data-side cost is the one (keys, value)
-    * sort the ranking needs. */
+    * Plan shape: the bounds frame is |groups| rows (one lo/hi pair
+    * each) — BROADCAST back onto the input only while a bounded
+    * `limit(n+1).count()` probe proves it fits `maxBroadcastGroups`
+    * (never a full count); above the threshold the join falls back to
+    * a plain hash join on the keys, so per-user winsorization at
+    * millions of groups never forces a driver-sized build. Same rows
+    * out either way; only the join strategy changes. The data-side
+    * cost stays the one (keys, value) sort the ranking needs. */
   def winsorize(df: DataFrame, keys: Seq[String], value: String,
-                pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+                pLo: Double = 0.01, pHi: Double = 0.99,
+                maxBroadcastGroups: Int = 1000000): DataFrame = {
     require(pLo > 0 && pLo < pHi && pHi <= 1,
       s"need 0 < pLo < pHi <= 1, got pLo=$pLo pHi=$pHi")
     require(!df.columns.contains("winsorized"),
@@ -69,7 +75,13 @@ object Percentiles {
       .groupBy(keys.map(col): _*)
       .agg(min(when(col("p") === pLo, col("pct_value"))).as("__lo"),
         min(when(col("p") === pHi, col("pct_value"))).as("__hi"))
-    df.join(broadcast(bounds), keys, "left")
+    // bounded probe, the seasonalDecompose guard pattern
+    // (Resample.scala): re-runs the bounds aggregation once but only
+    // ever scans maxBroadcastGroups+1 of its rows.
+    val over =
+      bounds.limit(maxBroadcastGroups + 1).count() > maxBroadcastGroups
+    val boundsSide = if (over) bounds else broadcast(bounds)
+    df.join(boundsSide, keys, "left")
       .withColumn("winsorized",
         when(col(value).isNull, lit(null))
           .when(col("__lo").isNull, col(value))

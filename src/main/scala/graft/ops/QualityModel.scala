@@ -111,10 +111,20 @@ object QualityModel {
     *
     * Returns (id, n_tok, nb_llr DECIMAL, pred) — `pred` is 1 when the
     * log-likelihood ratio favors the positive class.
+    *
+    * The weight table is |training vocab| rows — BROADCAST only while
+    * a bounded `limit(n+1).count()` probe proves it fits
+    * `maxBroadcastVocab` (a 100 TB corpus's raw vocabulary is
+    * data-sized); above the threshold the token join falls back to a
+    * plain hash join — same rows either way.
     */
   def score(docs: DataFrame, weights: DataFrame,
-            id: String = "doc_id", text: String = "text"): DataFrame = {
+            id: String = "doc_id", text: String = "text",
+            maxBroadcastVocab: Int = 1000000): DataFrame = {
     val zero = lit(0).cast("decimal(20,12)")
+    val wt = weights.select(col("token"), col("w"))
+    val over = wt.limit(maxBroadcastVocab + 1).count() > maxBroadcastVocab
+    val wtSide = if (over) wt else broadcast(wt)
     // explode_outer keeps zero-token documents as a null-token row, so
     // every input document gets a scored output row in the same pass —
     // no corpus-sized re-join against the input
@@ -122,8 +132,7 @@ object QualityModel {
       .select(col(id),
         explode_outer(filter(TextAnalysis.tokens(col(text)),
           t => length(t) > 0)).as("token"))
-      .join(broadcast(weights.select(col("token"), col("w"))),
-        Seq("token"), "left")
+      .join(wtSide, Seq("token"), "left")
       .groupBy(col(id))
       .agg(
         count(col("token")).as("n_tok"),

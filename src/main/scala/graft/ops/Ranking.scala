@@ -100,4 +100,94 @@ object Ranking {
            |END""".stripMargin))
       .drop("__pid", "__lr", "__off", "__n")
   }
+
+  /** Several global ntiles over the SAME frame with ONE base
+    * materialization — the multi-dimension scoring shape (RFM: three
+    * quintiles over one customer frame). Calling [[withGlobalNtile]] d
+    * times re-checkpoints the full frame d times; here the base
+    * checkpoints once, each dimension ranks only its NARROW (key ∪
+    * order-columns) projection — the range exchanges move 2–3 columns,
+    * not the whole row — and the d score frames join back on `key`.
+    * After the first key-hash exchange the join partitioning is reused
+    * for the remaining score joins, so the FULL-width frame moves
+    * exactly once.
+    *
+    * `key` must uniquely identify rows (it is the join-back identity),
+    * and each spec's order must be total (tie-break with the key),
+    * exactly as in [[withGlobalNtile]]. Specs are (orderColumnNames —
+    * ascending, k, outputColumn); names (not Columns) because each
+    * dimension's projection must be derivable from the base frame. */
+  def withGlobalNtiles(df: DataFrame, key: Seq[String],
+                       specs: Seq[(Seq[String], Int, String)]): DataFrame = {
+    require(key.nonEmpty && specs.nonEmpty, "need a key and >= 1 spec")
+    val base = df.localCheckpoint()
+    specs.foldLeft(base) { case (acc, (order, k, out)) =>
+      val narrow = base.select((key ++ order).distinct.map(col): _*)
+      val scored = withGlobalNtile(narrow, order.map(col), k, out)
+        .select((key.map(col) :+ col(out)): _*)
+      acc.join(scored, key)
+    }
+  }
+
+  /** Appends SQL `percent_rank()` and `cume_dist()` over the global
+    * order `order` — the TIE-AWARE family ([[withGlobalRank]] is
+    * row_number: ties broken by position; percent_rank/cume_dist give
+    * equal inputs equal outputs, so they cannot ride the same
+    * per-partition row_number — a tie straddling a range boundary
+    * would split).
+    *
+    * Mechanics: collapse to the DISTINCT-value ledger first (groupBy
+    * order-columns → count), then a two-phase prefix sum over that
+    * ledger — range exchange + checkpoint, per-partition running sums,
+    * P×P triangular offsets weighted by the partition COUNT SUMS (not
+    * row counts) — yields for every distinct value v:
+    *   rank(v)  = 1 + Σ_{u<v} cnt(u)        (shared by all its ties)
+    *   cume(v)  =     Σ_{u≤v} cnt(u)
+    * and the SQL definitions close in one double division each:
+    * percent_rank = (rank−1)/(n−1) (0 when n = 1), cume_dist = cume/n
+    * — exact integers divided once, bit-identical in any engine. The
+    * ledger is |distinct values| ≤ |rows| and usually far smaller; the
+    * full-width frame moves through ONE hash join on the order
+    * columns, never through a global window.
+    *
+    * `order` is column NAMES (ascending) — the ledger groupBy and the
+    * join-back must agree on the exact grouping expressions. Rows with
+    * a NULL order value are EXCLUDED (a null is not an observation —
+    * the [[Percentiles.nearestRank]] convention; Spark sorts nulls
+    * first and DuckDB last, so ranking them could never be
+    * engine-portable anyway). */
+  def withGlobalPercentiles(df: DataFrame, order: Seq[String],
+                            pctOut: String = "pct_rank",
+                            cumeOut: String = "cume_dist"): DataFrame = {
+    require(order.nonEmpty, "need at least one order column")
+    checkCols(df, pctOut)
+    checkCols(df, cumeOut)
+    val oc = order.map(col)
+    val nonNull = df.filter(oc.map(_.isNotNull).reduce(_ && _))
+    val ledger = nonNull.groupBy(oc: _*).agg(count(lit(1)).as("__c"))
+      .repartitionByRange(oc: _*).localCheckpoint()
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    val parts = ledger.groupBy(col("__pid"))
+      .agg(sum(col("__c")).as("__pc"))
+    val offs = parts.as("a")
+      .join(broadcast(parts.as("b")), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__pc")), lit(0L)).as("__coff"))
+    val total = parts.agg(coalesce(sum(col("__pc")), lit(0L)).as("__n"))
+    val w = Window.partitionBy(col("__pid")).orderBy(oc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = ledger
+      .withColumn("__cl", sum(col("__c")).over(w))
+      .join(broadcast(offs), Seq("__pid"))
+      .crossJoin(broadcast(total))
+      .withColumn("__cum", col("__coff") + col("__cl"))
+      .withColumn(pctOut,
+        when(col("__n") === 1L, lit(0.0))
+          .otherwise((col("__cum") - col("__c")).cast("double") /
+            (col("__n") - 1L).cast("double")))
+      .withColumn(cumeOut,
+        col("__cum").cast("double") / col("__n").cast("double"))
+      .select((oc :+ col(pctOut) :+ col(cumeOut)): _*)
+    nonNull.join(scored, order)
+  }
 }

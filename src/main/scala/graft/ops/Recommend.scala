@@ -49,19 +49,67 @@ object Recommend {
           .as("cosine"))
   }
 
+  /** The directional (i → j) expansion of an unordered sim frame:
+    * every pair contributes both orientations. 2·|pairs| rows. */
+  private def directional(sims: DataFrame): DataFrame =
+    sims.select(col("item_a").as("__i"), col("item_b").as("__j"),
+        col("cosine"))
+      .unionByName(sims.select(col("item_b").as("__i"),
+        col("item_a").as("__j"), col("cosine")))
+
+  /** The truncation observer for [[recommendTopN]]'s
+    * `maxSimilarPerItem` knob — same contract as
+    * [[Market.oversizeBaskets]]: run it with the SAME sims frame and M
+    * to see exactly what the cut discards. One row per item that LOST
+    * neighbors: (item, n_kept = M, n_dropped, dropped_mass = the
+    * decimal-quantized cosine mass removed from that item's outgoing
+    * edges). Empty output = the truncation was a no-op at this support
+    * level. Per-item window over the catalog-sized sim frame — never
+    * touches the fact table. */
+  def truncationDropped(sims: DataFrame, maxSimilarPerItem: Int): DataFrame = {
+    require(maxSimilarPerItem >= 1,
+      s"maxSimilarPerItem must be >= 1, got $maxSimilarPerItem")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__i"))
+      .orderBy(col("cosine").desc, col("__j"))
+    directional(sims)
+      .withColumn("__sr", row_number().over(w))
+      .filter(col("__sr") > maxSimilarPerItem)
+      .groupBy(col("__i").as("item"))
+      .agg(lit(maxSimilarPerItem.toLong).as("n_kept"),
+        count(lit(1)).as("n_dropped"),
+        sum(col("cosine").cast("decimal(20,12)")).as("dropped_mass"))
+  }
+
   /** Top-`n` recommendations per user: score(u, j) = Σ over the user's
     * items i of cos(i, j), for unseen j reachable through at least one
     * similar item. Output: (user, item, score FLOAT, n_paths, rank).
     *
+    * `maxSimilarPerItem` (M): when set, each item's outgoing sim edges
+    * are truncated to its M strongest (cosine DESC, neighbor-id
+    * tie-break — the cosine is the one double chain both engines
+    * replay, so the cut is engine-portable) BEFORE the candidate join
+    * — the production item-CF shape: the candidate expansion drops
+    * from Σ_u k_u·deg(i) to ≤ Σ_u k_u·M, turning an unbounded
+    * popular-item degree into a declared constant. The discarded mass
+    * is OBSERVABLE via [[truncationDropped]], and scores over the
+    * truncated graph are exact for the graph actually used (approx
+    * only vs the full graph — audit with a recall query against the
+    * untruncated run, the sim_recall_eval pattern).
+    *
     * Plan: the directional sim frame is 2·|frequent pairs| rows
     * (catalog-sized, usually broadcastable — the planner decides from
-    * stats); candidates are Σ_u k_u·deg(i) rows, reduced map-side by
-    * the score aggregation; ranking is a WINDOW PARTITIONED BY USER —
-    * parallel, never a global sort. */
+    * stats; the truncation window partitions BY ITEM over that frame,
+    * parallel); candidates are Σ_u k_u·deg(i) rows, reduced map-side
+    * by the score aggregation; ranking is a WINDOW PARTITIONED BY USER
+    * — parallel, never a global sort. */
   def recommendTopN(df: DataFrame, user: String, item: String, n: Int,
                     minUsers: Long, minPairUsers: Long,
-                    maxUserItems: Int = 10000): DataFrame = {
+                    maxUserItems: Int = 10000,
+                    maxSimilarPerItem: Option[Int] = None): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    require(maxSimilarPerItem.forall(_ >= 1),
+      s"maxSimilarPerItem must be >= 1, got $maxSimilarPerItem")
     // one presence materialization serves BOTH the similarity build
     // (via its own presence pass — idempotent on an already-distinct
     // frame) and the seen-set — the upstream fact join runs once, not
@@ -69,10 +117,16 @@ object Recommend {
     val pres = Market.presence(df, user, item).localCheckpoint()
     val sims = itemSims(pres, "__basket", "__item", minUsers, minPairUsers,
       maxUserItems).localCheckpoint() // feeds both join orientations
-    val dir = sims.select(col("item_a").as("__i"), col("item_b").as("__j"),
-        col("cosine"))
-      .unionByName(sims.select(col("item_b").as("__i"),
-        col("item_a").as("__j"), col("cosine")))
+    val dirAll = directional(sims)
+    val dir = maxSimilarPerItem match {
+      case Some(m) =>
+        val wi = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__i"))
+          .orderBy(col("cosine").desc, col("__j"))
+        dirAll.withColumn("__sr", row_number().over(wi))
+          .filter(col("__sr") <= m).drop("__sr")
+      case None => dirAll
+    }
     // seen-set anti-join BEFORE the aggregation: on a dense catalog
     // most candidate rows point at already-seen items, and the anti
     // join carries no hint — AQE broadcasts the presence frame while

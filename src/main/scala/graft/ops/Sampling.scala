@@ -161,10 +161,17 @@ object Sampling {
     * that quantizes every ln in this repo. Budget shares floor-truncate
     * (Σ allocations ≤ total; the remainder is dropped, not
     * redistributed — documented, deterministic). Scale: one |domains|
-    * aggregate + the salted two-phase rank of [[stratifiedSample]]. */
+    * aggregate + the salted two-phase rank of [[stratifiedSample]];
+    * the allocation frame is |domains| rows — BROADCAST only while a
+    * bounded `limit(n+1).count()` probe proves it fits
+    * `maxBroadcastDomains` (mixture components are usually config-
+    * scale — languages, sources — but nothing FORCES that; per-site or
+    * per-author "domains" are data-sized, and above the threshold the
+    * join falls back to a plain hash join — same rows either way). */
   def temperatureSample(df: DataFrame, id: String, domain: String,
                         total: Long, alpha: Double = 0.5,
-                        salts: Int = 32): DataFrame = {
+                        salts: Int = 32,
+                        maxBroadcastDomains: Int = 1000000): DataFrame = {
     require(Set(1.0, 0.5, 0.25)(alpha),
       s"alpha must be 1, 0.5 or 0.25 (exactly replayable powers), got $alpha")
     require(total > 0, s"total budget must be positive, got $total")
@@ -181,10 +188,16 @@ object Sampling {
     val alloc = counts.crossJoin(broadcast(z))
       .select(col(domain),
         floor(lit(total) * (col("__w") / col("__z"))).as("__n"))
+    // bounded probe: scans at most maxBroadcastDomains+1 allocation
+    // rows (re-runs the |domains| aggregate once — cheap next to the
+    // corpus rank below)
+    val over =
+      alloc.limit(maxBroadcastDomains + 1).count() > maxBroadcastDomains
+    val allocSide = if (over) alloc else broadcast(alloc)
     val key = md5(concat(lit("temp:"), col(id).cast("string")))
     val w1 = Window.partitionBy(col(domain), col("__salt")).orderBy(key, col(id))
     val w2 = Window.partitionBy(col(domain)).orderBy(key, col(id))
-    df.join(broadcast(alloc), domain)
+    df.join(allocSide, domain)
       .withColumn("__salt", Skew.salt(col(id), salts))
       .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= col("__n"))
       .withColumn("sample_rank", row_number().over(w2).cast("long"))

@@ -126,12 +126,17 @@ object Similarity {
     *
     * Determinism: cosine via the codegen [[cosine]] expression (the
     * same double chain DuckDB's list_cosine_similarity replays); the
-    * per-side pick is min(struct(−cosine, cand_id)) — highest cosine,
-    * ties to the SMALLEST candidate id under the id's own ordering (so
-    * string, long or any orderable id type works; negating the id
-    * would NULL non-numerics and overflow Long.MinValue) — a
-    * map-side-combinable aggregate, no window over the full score
-    * frame. Anchors missing a side (no same-label or no other-label
+    * per-side pick is min(struct(coalesce(−cosine, 2), cand_id)) —
+    * highest cosine, ties to the SMALLEST candidate id under the id's
+    * own ordering (so string, long or any orderable id type works;
+    * negating the id would NULL non-numerics and overflow
+    * Long.MinValue) — a map-side-combinable aggregate, no window over
+    * the full score frame. The coalesce mirrors the oracle's NULLS
+    * LAST: a zero-norm candidate (NULL cosine, and NULL sorts LOWEST
+    * inside a Spark struct — i.e. would WIN the min) loses to every
+    * real score and is picked only when a side has no scorable
+    * candidate at all, in which case the reported cosine is NULL, same
+    * as SQL. Anchors missing a side (no same-label or no other-label
     * candidate) drop out.
     *
     * Scale shape: anchors broadcast (or block-replicate past the cap,
@@ -149,17 +154,24 @@ object Similarity {
       .withColumn("cosine", cosine(col("qv"), col("cv")))
       .withColumn("__is_pos", col("__cl") === col("__al"))
       .groupBy(col("query_id").as("anchor_id"), col("__is_pos"))
-      .agg(min(struct((-col("cosine")).as("__negc"),
-        col("neighbor_id").as("__nid"))).as("__b"))
+      .agg(min(struct(coalesce(-col("cosine"), lit(2.0)).as("__negc"),
+        col("neighbor_id").as("__nid"), col("cosine").as("__c"))).as("__b"))
       .select(col("anchor_id"), col("__is_pos"),
-        (-col("__b.__negc")).as("__cos"), col("__b.__nid").as("__cand"))
+        col("__b.__c").as("__cos"), col("__b.__nid").as("__cand"))
     val pos = best.filter(col("__is_pos"))
       .select(col("anchor_id"), col("__cand").as("pos_id"), col("__cos").as("__pc"))
     val neg = best.filter(!col("__is_pos"))
       .select(col("anchor_id"), col("__cand").as("neg_id"), col("__cos").as("__nc"))
     // both sides are |anchors| rows — broadcast beats the sort-merge
-    // the planner would pick from the post-aggregate stats
-    pos.join(broadcast(neg), Seq("anchor_id"))
+    // the planner would pick from the post-aggregate stats, but ONLY
+    // while the anchor set is provably small: probe the CHEAP side
+    // (anchors themselves, bounded scan — probing `neg` would re-run
+    // the whole |anchors|·|candidates| scoring pass) against the same
+    // cap that gates queryProductJoin's broadcast
+    val overCap =
+      anchors.limit(maxBroadcastQueries + 1).count() > maxBroadcastQueries
+    val negSide = if (overCap) neg else broadcast(neg)
+    pos.join(negSide, Seq("anchor_id"))
       .select(col("anchor_id"), col("pos_id"),
         col("__pc").cast("float").as("pos_cos"),
         col("neg_id"), col("__nc").cast("float").as("neg_cos"),
@@ -241,25 +253,66 @@ object Similarity {
     *
     * Starvation is LOUD, not silent: LOF's tail divides by k, so a
     * point whose probed lists held fewer than k neighbors would bias
-    * its lrd quietly. One bounded probe rejects the run instead —
-    * raise nprobe (or nCentroids) until every point fills its list;
-    * probing ALL lists (nprobe = nCentroids) reproduces
-    * [[lofOutliers]] bit-for-bit. */
+    * its lrd quietly. Two bounded probes reject the run instead — one
+    * for short neighbor lists, and one anti-join for points whose
+    * probed lists held NO other member at all (zero shortlist rows —
+    * invisible to the per-list max, yet their missing d_k rows would
+    * silently inflate every neighbor's lrd). Raise nprobe (or lower
+    * nCentroids) until every point fills its list; probing ALL lists
+    * (nprobe = nCentroids) reproduces [[lofOutliers]] bit-for-bit. */
   def lofOutliersIvf(df: DataFrame, id: String, vec: String, k: Int,
                      dim: Int, nCentroids: Int = 16, nprobe: Int = 4,
-                     centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+                     centroids: Option[Array[Array[Double]]] = None): DataFrame =
+    lofShortlistTail(df, id, k, nprobe,
+      ivfTopK(df, df, id, vec, dim, k, nCentroids, nprobe,
+        centroids = centroids))
+
+  /** [[lofOutliersIvf]] over a PERSISTED [[IvfIndex]] — LOF as a pure
+    * READ-SIDE operator: the expensive pass (centroid selection +
+    * corpus assignment) ran once in the index build job; this call
+    * only loads centroids (k×dim to the driver — bounded, never data)
+    * and streams the pruned posting lists through [[ivfProbe]].
+    * Identical output to [[lofOutliersIvf]] built with the same
+    * centroids (parquet round-trips doubles bit-exactly), so the two
+    * share one oracle — which is the regression gate for swapping
+    * index builds under a standing outlier job. Same loud starvation
+    * contract. */
+  def lofOutliersIvfPersisted(indexPath: String, df: DataFrame, id: String,
+                              vec: String, k: Int,
+                              nprobe: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    val cents = IvfIndex.loadCentroids(spark, indexPath)
+    lofShortlistTail(df, id, k, nprobe,
+      ivfProbe(IvfIndex.loadPostings(spark, indexPath), df, id, vec,
+        cents, nprobe, k))
+  }
+
+  /** Shared closing of the shortlisted-LOF family: rank→distance
+    * reshape, the two loud starvation probes, then the exact
+    * [[lofFromKnn]] tail — one body so the ephemeral
+    * ([[lofOutliersIvf]]) and persisted ([[lofOutliersIvfPersisted]])
+    * variants cannot drift. */
+  private def lofShortlistTail(df: DataFrame, id: String, k: Int,
+                               nprobe: Int, topk: DataFrame): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
-    val knn = ivfTopK(df, df, id, vec, dim, k, nCentroids, nprobe,
-        centroids = centroids)
+    val knn = topk
       .select(col("query_id").as("p"), col("neighbor_id").as("o"),
         (lit(1.0) - col("cosine")).as("dist"), col("rank").as("rn"))
       .localCheckpoint() // starvation probe + the tail's three branches
     val starved =
       knn.groupBy(col("p")).agg(max(col("rn")).as("__m"))
         .filter(col("__m") < k).limit(1).count() > 0
-    if (starved) throw new IllegalStateException(
-      s"lofOutliersIvf: some points found fewer than $k neighbors " +
-        s"inside their $nprobe probed lists — the lrd tail would be " +
+    // a point whose probed lists contain no OTHER member yields zero
+    // shortlist rows — never seen by the max(rn) probe, silently
+    // absent from the output AND a missing d_k for its own neighbors
+    val orphaned = df.select(col(id).as("p"))
+      .join(knn.select(col("p")).distinct(), Seq("p"), "left_anti")
+      .limit(1).count() > 0
+    if (starved || orphaned) throw new IllegalStateException(
+      s"lofOutliersIvf: some points found " +
+        (if (orphaned) "NO neighbors (empty probed lists)"
+         else s"fewer than $k neighbors") +
+        s" inside their $nprobe probed lists — the lrd tail would be " +
         "silently biased; raise nprobe or lower nCentroids")
     lofFromKnn(knn, id, k)
   }
@@ -462,9 +515,13 @@ object Similarity {
     * Determinism: centroids are the FLOAT prototypes the
     * emb_label_centroids oracle already replays bit-for-bit, assembled
     * into ordered arrays by a sorted (j, c) struct list; cosine is the
-    * codegen kernel; the argmax is min(struct(−cos, label)) — a
-    * map-side aggregate, no window. Null labels are excluded on both
-    * the training and scoring side.
+    * codegen kernel; the argmax is min(struct(coalesce(−cos, 2),
+    * label)) — a map-side aggregate, no window. The coalesce mirrors
+    * the oracle's NULLS LAST (a NULL struct field sorts LOWEST in
+    * Spark's min): a zero-norm centroid never wins over a real score,
+    * and a zero-norm vector (all cosines NULL) predicts the smallest
+    * label in both engines. Null labels are excluded on both the
+    * training and scoring side.
     *
     * Plan: the centroid frame is |labels| rows — broadcast; scoring is
     * one streamed corpus scan reduced map-side to one row per vector,
@@ -480,8 +537,8 @@ object Similarity {
       .crossJoin(broadcast(cents))
       .withColumn("__cos", cosine(col("__v"), col("__cv")))
       .groupBy(col(id), col("gold"))
-      .agg(min(struct((-col("__cos")).as("__nc"), col("__pl").as("__l")))
-        .as("__b"))
+      .agg(min(struct(coalesce(-col("__cos"), lit(2.0)).as("__nc"),
+        col("__pl").as("__l"))).as("__b"))
       .select(col("gold"), col("__b.__l").as("pred"))
       .groupBy(col("gold"), col("pred"))
       .agg(count(lit(1)).as("n"))

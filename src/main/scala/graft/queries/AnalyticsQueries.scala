@@ -346,6 +346,65 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("rank"))
     }),
 
+    // ── Item-item CF, PRODUCTION shape: each item's sim edges cut to
+    // its 10 strongest before the candidate join — the candidate
+    // expansion drops from Σ k_u·deg(i) to ≤ Σ k_u·10, turning the
+    // popular-item degree into a declared constant. The cut is
+    // engine-portable (cosine DESC, neighbor tie-break) and its
+    // discarded mass is rec_truncation_dropped's output.
+    "rec_user_topn_truncated" -> ((s, dir) => {
+      Recommend.recommendTopN(custBrand(s, dir), user = "user_id",
+          item = "brand", n = 3, minUsers = 50L, minPairUsers = 20L,
+          maxSimilarPerItem = Some(10))
+        .orderBy(col("user_id"), col("rank"))
+    }),
+
+    // ── The truncation observer: exactly which items lost edges to the
+    // top-10 cut and how much cosine mass went with them — the
+    // oversizeBaskets contract applied to the sim graph.
+    "rec_truncation_dropped" -> ((s, dir) => {
+      Recommend.truncationDropped(
+          Recommend.itemSims(custBrand(s, dir), user = "user_id",
+            item = "brand", minUsers = 50L, minPairUsers = 20L),
+          maxSimilarPerItem = 10)
+        .select(col("item"), col("n_kept"), col("n_dropped"),
+          col("dropped_mass").cast("double").cast("float")
+            .as("dropped_mass"))
+        .orderBy(col("item"))
+    }),
+
+    // ── Recall audit of the truncated run against the full scoring
+    // (the sim_recall_eval contract for the CF family): what fraction
+    // of the exact top-3 pairs survive the top-10 edge cut, one row.
+    "rec_topn_recall" -> ((s, dir) => {
+      def run(m: Option[Int]) =
+        Recommend.recommendTopN(custBrand(s, dir), user = "user_id",
+          item = "brand", n = 3, minUsers = 50L, minPairUsers = 20L,
+          maxSimilarPerItem = m)
+      val full = run(None).select(col("user_id"), col("brand"))
+      val trunc = run(Some(10)).select(col("user_id"), col("brand"))
+        .withColumn("__hit", lit(1))
+      full.join(trunc, Seq("user_id", "brand"), "left")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_pairs"),
+          count(col("__hit")).as("n_found"))
+        .select(col("n_users"), col("n_pairs"), col("n_found"),
+          (col("n_found").cast("double") / col("n_pairs").cast("double"))
+            .cast("float").as("recall"))
+    }),
+
+    // ── Global percent_rank + cume_dist of every order's total price —
+    // the tie-aware global-order family Ranking.withGlobalRank can't
+    // express (equal prices must share a value): the two-phase prefix
+    // sum over the distinct-price ledger, no unpartitioned Window.
+    "w_global_percentiles" -> ((s, dir) =>
+      Ranking.withGlobalPercentiles(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+          order = Seq("o_totalprice"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("pct_rank"), col("cume_dist"))
+        .orderBy(col("o_orderkey"))),
+
     // ── Recency-weighted engagement features at the lake watermark:
     // per user, count and value-sum where each event decays by
     // 0.5^(age / 7 days). Terms quantize to DECIMAL(20,12) before the
@@ -456,8 +515,12 @@ object AnalyticsQueries {
         .orderBy(col("event_type"), col("event_id"))
     }),
 
-    // ── Q3-style shipping priority: two broadcastable filters riding a
-    // fact-to-fact join, exact DECIMAL revenue, top-10 via TakeOrdered.
+    // ── Q3-style shipping priority: exact DECIMAL revenue, top-10 via
+    // TakeOrdered. The segment-filtered customer projection carries NO
+    // broadcast hint: it is ~1/5 of the customer table — data-sized,
+    // unlike the nation/region dims hinted elsewhere — so the planner/
+    // AQE broadcasts it while measured small and shuffle-joins past
+    // that (the canonical Q3 plan at warehouse scale).
     "j5_shipping_priority" -> ((s, dir) => {
       val cust = Tables.customer(s, dir)
         .filter(col("c_mktsegment") === "BUILDING")
@@ -468,7 +531,7 @@ object AnalyticsQueries {
       val li = Tables.lineitem(s, dir)
         .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      li.join(ord.join(broadcast(cust),
+      li.join(ord.join(cust,
             col("o_custkey") === col("c_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
@@ -833,6 +896,67 @@ object AnalyticsQueries {
         .orderBy(col("c_mktsegment"), col("kind"))
     }),
 
+    // ── Q21-shape "suppliers who kept orders waiting": the EXISTS +
+    // NOT EXISTS pair over the same fact — a late supplier on a
+    // multi-supplier order where NO other supplier was late. Both
+    // subqueries become hash joins on l_orderkey against ONE
+    // checkpointed base (left_semi, then left_anti), so the fact table
+    // is scanned once and the exists-pair costs two key-partitioned
+    // joins — the decorrelated plan a 100 TB run needs (a correlated
+    // rewrite would re-scan per row). "Late" = shipped > 60 days after
+    // order date (this lake carries no receipt/commit dates). Exact:
+    // date arithmetic is integer days; counts are exact.
+    "j21_waiting_supplier" -> ((s, dir) => {
+      val base = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          (col("l_shipdate").cast("date") >
+            date_add(col("o_orderdate").cast("date"), 60)).as("late"))
+        .localCheckpoint() // three consumers: late picks, exists, anti
+      val lateSupp = base.filter(col("late"))
+        .select(col("ok"), col("sk")).distinct()
+      val others = base.select(col("ok").as("ok2"), col("sk").as("sk2"),
+        col("late").as("late2"))
+      val waited = lateSupp
+        .join(others, col("ok") === col("ok2") && col("sk2") =!= col("sk"),
+          "left_semi")
+        .join(others.filter(col("late2")),
+          col("ok") === col("ok2") && col("sk2") =!= col("sk"), "left_anti")
+      waited.join(Tables.supplier(s, dir),
+          col("s_suppkey") === col("sk")) // no hint: supplier is data-sized
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // ── Q17-shape small-quantity revenue: a correlated scalar-agg
+    // predicate (qty < 0.2 × that part's own avg qty), decorrelated
+    // into one grouped aggregate joined back — the fact scans once for
+    // the per-part stats and once for the probe, both on the same
+    // partkey exchange. The comparison is EXACT integer algebra:
+    // qty < sum/(5n) ⇔ 5·qty·n < sum, no 0.2 double anywhere; the
+    // closing /7.0 is the single replayable double step.
+    "j17_small_quantity_revenue" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#23" && col("p_size") <= 10)
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, dir)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+          col("l_extendedprice"))
+      val a = li.groupBy(col("l_partkey"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      li.join(a, Seq("l_partkey"))
+        .filter(lit(5L) * col("q") * col("n") < col("sq"))
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(d2(col("l_extendedprice"))).cast("double") / lit(7.0))
+            .cast("float").as("avg_yearly"))
+    }),
+
     // ── Cross-series tier (ops/CrossSeries): the raw table reduces to
     // one exact cents row per (key, day) FIRST, so the quadratic pair
     // step is keys², never rows² — the shape that makes a correlation
@@ -896,14 +1020,16 @@ object AnalyticsQueries {
           datediff(col("__edge"), col("__last")).cast("long"))
       // quintile orderings carry the custkey tiebreak so the
       // bucket-boundary assignment is total and engine-portable;
-      // recency ASCENDS (most recent = best = 5 after the flip below)
-      def nt(df: org.apache.spark.sql.DataFrame,
-             orderCols: Seq[org.apache.spark.sql.Column], out: String) =
-        Ranking.withGlobalNtile(df, orderCols, k = 5, out = out)
-      val scored = nt(nt(nt(rfm,
-          Seq(col("recency_days"), col("o_custkey")), "__rq"),
-          Seq(col("frequency"), col("o_custkey")), "f_score"),
-          Seq(col("__mon"), col("o_custkey")), "m_score")
+      // recency ASCENDS (most recent = best = 5 after the flip below).
+      // Multi-order variant: ONE base materialization, each dimension
+      // ranks only its narrow (key, value) projection — three calls to
+      // withGlobalNtile re-checkpointed the full customer frame three
+      // times (the round-13 advice).
+      val scored = Ranking.withGlobalNtiles(rfm, key = Seq("o_custkey"),
+        specs = Seq(
+          (Seq("recency_days", "o_custkey"), 5, "__rq"),
+          (Seq("frequency", "o_custkey"), 5, "f_score"),
+          (Seq("__mon", "o_custkey"), 5, "m_score")))
       scored
         .withColumn("r_score", lit(6L) - col("__rq"))
         .select(col("o_custkey"), col("recency_days"), col("frequency"),
@@ -2126,6 +2252,124 @@ object AnalyticsQueries {
          | CAST(CAST(score AS DOUBLE) AS REAL) AS score,
          | CAST(n_paths AS BIGINT) AS n_paths, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
+
+    "rec_user_topn_truncated" ->
+      s"""WITH $custBrandCtes,
+         | sims AS (SELECT item_a, item_b,
+         |     CAST(pr.n_ab AS DOUBLE) /
+         |       sqrt(CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE))
+         |       AS cosine
+         |   FROM pr JOIN ic ia ON ia.i = pr.item_a
+         |    JOIN ic ib ON ib.i = pr.item_b),
+         | dir AS (SELECT item_a AS i, item_b AS j, cosine FROM sims
+         |   UNION ALL SELECT item_b, item_a, cosine FROM sims),
+         | dirr AS (SELECT i, j, cosine, row_number() OVER (PARTITION BY i
+         |     ORDER BY cosine DESC, j) AS sr FROM dir),
+         | dirt AS (SELECT i, j, cosine FROM dirr WHERE sr <= 10),
+         | cand AS (SELECT s.u, d.j,
+         |     sum(CAST(d.cosine AS DECIMAL(20,12))) AS score,
+         |     count(*) AS n_paths
+         |   FROM ub s JOIN dirt d ON d.i = s.i
+         |   LEFT JOIN ub z ON z.u = s.u AND z.i = d.j
+         |   WHERE z.u IS NULL
+         |   GROUP BY 1, 2),
+         | r AS (SELECT u, j, score, n_paths,
+         |     row_number() OVER (PARTITION BY u
+         |       ORDER BY score DESC, j) AS rank
+         |   FROM cand)
+         |SELECT u AS user_id, j AS brand,
+         | CAST(CAST(score AS DOUBLE) AS REAL) AS score,
+         | CAST(n_paths AS BIGINT) AS n_paths, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
+
+    "rec_truncation_dropped" ->
+      s"""WITH $custBrandCtes,
+         | sims AS (SELECT item_a, item_b,
+         |     CAST(pr.n_ab AS DOUBLE) /
+         |       sqrt(CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE))
+         |       AS cosine
+         |   FROM pr JOIN ic ia ON ia.i = pr.item_a
+         |    JOIN ic ib ON ib.i = pr.item_b),
+         | dir AS (SELECT item_a AS i, item_b AS j, cosine FROM sims
+         |   UNION ALL SELECT item_b, item_a, cosine FROM sims),
+         | dirr AS (SELECT i, j, cosine, row_number() OVER (PARTITION BY i
+         |     ORDER BY cosine DESC, j) AS sr FROM dir)
+         |SELECT i AS item, CAST(10 AS BIGINT) AS n_kept,
+         | CAST(count(*) AS BIGINT) AS n_dropped,
+         | CAST(CAST(sum(CAST(cosine AS DECIMAL(20,12))) AS DOUBLE) AS REAL)
+         |   AS dropped_mass
+         |FROM dirr WHERE sr > 10 GROUP BY 1 ORDER BY item""".stripMargin,
+
+    "rec_topn_recall" ->
+      s"""WITH $custBrandCtes,
+         | sims AS (SELECT item_a, item_b,
+         |     CAST(pr.n_ab AS DOUBLE) /
+         |       sqrt(CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE))
+         |       AS cosine
+         |   FROM pr JOIN ic ia ON ia.i = pr.item_a
+         |    JOIN ic ib ON ib.i = pr.item_b),
+         | dir AS (SELECT item_a AS i, item_b AS j, cosine FROM sims
+         |   UNION ALL SELECT item_b, item_a, cosine FROM sims),
+         | dirr AS (SELECT i, j, cosine, row_number() OVER (PARTITION BY i
+         |     ORDER BY cosine DESC, j) AS sr FROM dir),
+         | dirt AS (SELECT i, j, cosine FROM dirr WHERE sr <= 10),
+         | candf AS (SELECT s.u, d.j,
+         |     sum(CAST(d.cosine AS DECIMAL(20,12))) AS score
+         |   FROM ub s JOIN dir d ON d.i = s.i
+         |   LEFT JOIN ub z ON z.u = s.u AND z.i = d.j
+         |   WHERE z.u IS NULL GROUP BY 1, 2),
+         | rf AS (SELECT u, j FROM (SELECT u, j, row_number() OVER (
+         |     PARTITION BY u ORDER BY score DESC, j) AS rank FROM candf)
+         |   WHERE rank <= 3),
+         | candt AS (SELECT s.u, d.j,
+         |     sum(CAST(d.cosine AS DECIMAL(20,12))) AS score
+         |   FROM ub s JOIN dirt d ON d.i = s.i
+         |   LEFT JOIN ub z ON z.u = s.u AND z.i = d.j
+         |   WHERE z.u IS NULL GROUP BY 1, 2),
+         | rt AS (SELECT u, j FROM (SELECT u, j, row_number() OVER (
+         |     PARTITION BY u ORDER BY score DESC, j) AS rank FROM candt)
+         |   WHERE rank <= 3)
+         |SELECT CAST(count(DISTINCT rf.u) AS BIGINT) AS n_users,
+         | CAST(count(*) AS BIGINT) AS n_pairs,
+         | CAST(count(rt.u) AS BIGINT) AS n_found,
+         | CAST(CAST(count(rt.u) AS DOUBLE) / count(*) AS REAL) AS recall
+         |FROM rf LEFT JOIN rt ON rt.u = rf.u AND rt.j = rf.j""".stripMargin,
+
+    "w_global_percentiles" ->
+      """SELECT o_orderkey, o_totalprice,
+        | percent_rank() OVER (ORDER BY o_totalprice) AS pct_rank,
+        | cume_dist() OVER (ORDER BY o_totalprice) AS cume_dist
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "j21_waiting_supplier" ->
+      """WITH l AS (SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+        |      (CAST(l.l_shipdate AS DATE) >
+        |       CAST(o.o_orderdate AS DATE) + 60) AS late
+        |    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |    WHERE o.o_orderstatus = 'F'),
+        | w AS (SELECT DISTINCT l1.ok, l1.sk FROM l l1
+        |    WHERE l1.late
+        |      AND EXISTS (SELECT 1 FROM l l2
+        |        WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+        |      AND NOT EXISTS (SELECT 1 FROM l l3
+        |        WHERE l3.ok = l1.ok AND l3.sk <> l1.sk AND l3.late))
+        |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM w JOIN supplier s ON s.s_suppkey = w.sk
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "j17_small_quantity_revenue" ->
+      """WITH p AS (SELECT p_partkey FROM part
+        |    WHERE p_brand = 'Brand#23' AND p_size <= 10),
+        | li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+        |     l_extendedprice
+        |   FROM lineitem JOIN p ON p_partkey = l_partkey),
+        | a AS (SELECT l_partkey, sum(q) AS sq, count(*) AS n
+        |   FROM li GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+        |   AS DOUBLE) / 7.0 AS REAL) AS avg_yearly
+        |FROM li l JOIN a ON a.l_partkey = l.l_partkey
+        |WHERE 5 * l.q * a.n < a.sq""".stripMargin,
 
     "feat_target_encoding" ->
       """WITH g AS (SELECT event_type,

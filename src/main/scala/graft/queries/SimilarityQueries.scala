@@ -169,6 +169,18 @@ object SimilarityQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // LOF as a pure READ-SIDE operator: the kNN shortlist probes the
+    // PERSISTED index (same data-derived centroids the build wrote),
+    // so the expensive assignment pass never re-runs — and the result
+    // is bit-identical to emb_lof_outliers_ivf, sharing its oracle:
+    // the regression gate for swapping index builds under a standing
+    // outlier job.
+    "emb_lof_outliers_ivf_persisted" -> ((s, dir) =>
+      Similarity.lofOutliersIvfPersisted(ivfIndexDir(s, dir),
+          Tables.embeddings(s, dir), id = "vec_id", vec = "embedding",
+          k = 10, nprobe = 4)
+        .orderBy(col("vec_id"))),
+
     // Contrastive-pair mining: per anchor, the hardest same-label
     // positive and hardest other-label negative by exact cosine, plus
     // the margin — the triplet-curation pass of embedding-model
@@ -1121,6 +1133,52 @@ object SimilarityQueries {
       |FROM r WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  private val embLofIvfSql: String =
+    """WITH cent AS (SELECT vec_id AS centroid_id,
+        |              CAST(embedding AS DOUBLE[]) AS cvec
+        |              FROM embeddings WHERE vec_id < 16),
+        | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+        |       FROM embeddings),
+        | assign AS (SELECT vec_id, centroid_id, dv,
+        |     row_number() OVER (PARTITION BY vec_id ORDER BY
+        |       COALESCE(list_cosine_similarity(dv, cvec), -2) DESC,
+        |       centroid_id DESC) AS arn
+        |   FROM v CROSS JOIN cent),
+        | idx AS MATERIALIZED (SELECT vec_id AS neighbor_id, centroid_id,
+        |       dv AS cv
+        |     FROM assign WHERE arn = 1),
+        | probes AS (SELECT q.vec_id AS query_id, q.dv AS qv, centroid_id,
+        |     row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |       COALESCE(list_cosine_similarity(q.dv, cvec), -2) DESC,
+        |       centroid_id DESC) AS pr
+        |   FROM v q CROSS JOIN cent),
+        | scored AS (SELECT p.query_id, i.neighbor_id,
+        |     list_cosine_similarity(p.qv, i.cv) AS cos
+        |   FROM (SELECT query_id, qv, centroid_id FROM probes WHERE pr <= 4) p
+        |   JOIN idx i USING (centroid_id)
+        |   WHERE p.query_id <> i.neighbor_id),
+        | r AS (SELECT query_id AS p, neighbor_id AS o,
+        |     CAST(1 AS DOUBLE) - cos AS dist,
+        |     row_number() OVER (PARTITION BY query_id
+        |       ORDER BY cos DESC, neighbor_id) AS rn
+        |   FROM scored),
+        | nk AS MATERIALIZED (SELECT p, o, dist FROM r WHERE rn <= 10),
+        | dk AS MATERIALIZED (SELECT p, dist AS dkv FROM r WHERE rn = 10),
+        | rc AS (SELECT nk.p, nk.o, greatest(d2.dkv, nk.dist) AS reach
+        |       FROM nk JOIN dk d2 ON d2.p = nk.o),
+        | lrd AS MATERIALIZED (SELECT p, CAST(10 AS DOUBLE) /
+        |        nullif(CAST(sum(CAST(reach AS DECIMAL(20,12))) AS DOUBLE), 0)
+        |          AS lrdv
+        |       FROM rc GROUP BY 1),
+        | lf AS (SELECT nk.p,
+        |        CAST(sum(CAST(lo.lrdv / lp.lrdv AS DECIMAL(20,12))) AS DOUBLE)
+        |          / CAST(10 AS DOUBLE) AS lof
+        |       FROM nk JOIN lrd lo ON lo.p = nk.o
+        |       JOIN lrd lp ON lp.p = nk.p
+        |       GROUP BY 1)
+        |SELECT p AS vec_id, CAST(lof AS REAL) AS lof
+        |FROM lf ORDER BY vec_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "sim_cosine_topk" -> simCosineTopkSql,
 
@@ -1349,51 +1407,12 @@ object SimilarityQueries {
         |SELECT p AS vec_id, CAST(lof AS REAL) AS lof
         |FROM lf ORDER BY vec_id""".stripMargin,
 
-    "emb_lof_outliers_ivf" ->
-      """WITH cent AS (SELECT vec_id AS centroid_id,
-        |              CAST(embedding AS DOUBLE[]) AS cvec
-        |              FROM embeddings WHERE vec_id < 16),
-        | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
-        |       FROM embeddings),
-        | assign AS (SELECT vec_id, centroid_id, dv,
-        |     row_number() OVER (PARTITION BY vec_id ORDER BY
-        |       COALESCE(list_cosine_similarity(dv, cvec), -2) DESC,
-        |       centroid_id DESC) AS arn
-        |   FROM v CROSS JOIN cent),
-        | idx AS MATERIALIZED (SELECT vec_id AS neighbor_id, centroid_id,
-        |       dv AS cv
-        |     FROM assign WHERE arn = 1),
-        | probes AS (SELECT q.vec_id AS query_id, q.dv AS qv, centroid_id,
-        |     row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |       COALESCE(list_cosine_similarity(q.dv, cvec), -2) DESC,
-        |       centroid_id DESC) AS pr
-        |   FROM v q CROSS JOIN cent),
-        | scored AS (SELECT p.query_id, i.neighbor_id,
-        |     list_cosine_similarity(p.qv, i.cv) AS cos
-        |   FROM (SELECT query_id, qv, centroid_id FROM probes WHERE pr <= 4) p
-        |   JOIN idx i USING (centroid_id)
-        |   WHERE p.query_id <> i.neighbor_id),
-        | r AS (SELECT query_id AS p, neighbor_id AS o,
-        |     CAST(1 AS DOUBLE) - cos AS dist,
-        |     row_number() OVER (PARTITION BY query_id
-        |       ORDER BY cos DESC, neighbor_id) AS rn
-        |   FROM scored),
-        | nk AS MATERIALIZED (SELECT p, o, dist FROM r WHERE rn <= 10),
-        | dk AS MATERIALIZED (SELECT p, dist AS dkv FROM r WHERE rn = 10),
-        | rc AS (SELECT nk.p, nk.o, greatest(d2.dkv, nk.dist) AS reach
-        |       FROM nk JOIN dk d2 ON d2.p = nk.o),
-        | lrd AS MATERIALIZED (SELECT p, CAST(10 AS DOUBLE) /
-        |        nullif(CAST(sum(CAST(reach AS DECIMAL(20,12))) AS DOUBLE), 0)
-        |          AS lrdv
-        |       FROM rc GROUP BY 1),
-        | lf AS (SELECT nk.p,
-        |        CAST(sum(CAST(lo.lrdv / lp.lrdv AS DECIMAL(20,12))) AS DOUBLE)
-        |          / CAST(10 AS DOUBLE) AS lof
-        |       FROM nk JOIN lrd lo ON lo.p = nk.o
-        |       JOIN lrd lp ON lp.p = nk.p
-        |       GROUP BY 1)
-        |SELECT p AS vec_id, CAST(lof AS REAL) AS lof
-        |FROM lf ORDER BY vec_id""".stripMargin,
+    "emb_lof_outliers_ivf" -> embLofIvfSql,
+
+    // the persisted-index run is bit-identical to the ephemeral one —
+    // same data-derived centroids, same probe — so it SHARES the
+    // oracle: any save/load divergence flips the hash
+    "emb_lof_outliers_ivf_persisted" -> embLofIvfSql,
 
     "emb_hard_negatives" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv, label

@@ -211,6 +211,12 @@ object LakeWriter {
     * for free-text; hash free-text to a numeric bucket first and
     * accept the documented locality loss.
     *
+    * The string dictionary (and its broadcast + global rank window) is
+    * |distinct values| of a column the caller DECLARED low-cardinality
+    * — that contract, stated above, is the broadcast's bound; a
+    * high-cardinality string key violates the contract before it
+    * violates the broadcast.
+    *
     * Null handling: a NULL in a clustered column (numeric, or string —
     * the dictionary skips nulls and the left join leaves them unranked)
     * quantizes to cell 0, so null rows cluster into the grid-origin

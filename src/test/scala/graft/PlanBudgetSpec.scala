@@ -96,8 +96,21 @@ class PlanBudgetSpec extends SparkSpec {
     }
   }
 
+  /** A child session with the confs the audit DEPENDS on pinned to
+    * their expected values — newSession() clones the shared session's
+    * conf at call time, and a concurrently-running suite mutating the
+    * shared session (suites run in parallel threads in the forked test
+    * JVM) must not leak a mid-test threshold into the recorded-budget
+    * comparison. */
+  private def auditSession(): org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
+  }
+
   test("every batch query plan stays within its recorded structural budget") {
-    val current = auditable(spark).map { case (name, df) =>
+    val current = auditable(auditSession()).map { case (name, df) =>
       name -> metrics(df.queryExecution.executedPlan.toString)
     }
     checkBudget(budgetPath, current)
@@ -111,7 +124,7 @@ class PlanBudgetSpec extends SparkSpec {
   // the budget divergence the pre-adaptive audit cannot see (e.g. a
   // broadcast silently demoting to SMJ at runtime).
   test("AQE-executed (production posture) plans stay within their own budget") {
-    val s2 = spark.newSession()
+    val s2 = auditSession()
     s2.conf.set("spark.sql.adaptive.enabled", "true")
     var sawFinal = false
     val current = auditable(s2).map { case (name, df) =>

@@ -75,6 +75,38 @@ class FeaturesRecommendSpec extends SparkSpec {
       (3L, "b", (2.0 / math.sqrt(6.0)).toFloat, 1L, 1L))
   }
 
+  test("recommendTopN: maxSimilarPerItem truncates weakest edges; truncationDropped accounts for them") {
+    // u1{a,b} u2{a,b} u3{a,c} → n_a=3 n_b=2 n_c=1; pairs (a,b) n_ab=2
+    // cos 2/√6 and (a,c) n_ab=1 cos 1/√3. Directional edges: a→b .816,
+    // a→c .577, b→a .816, c→a .577. At M=1 item a keeps only a→b — the
+    // a→c edge (u1/u2's only path to c) is cut, while u3's reco of b
+    // rides the surviving a→b.
+    val ub = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"),
+      (3L, "c")).toDF("u", "i")
+    val full = Recommend.recommendTopN(ub, "u", "i", n = 2,
+        minUsers = 1L, minPairUsers = 1L)
+      .orderBy("u", "rank").rows.map(r => (r.head, r(1)))
+    val trunc = Recommend.recommendTopN(ub, "u", "i", n = 2,
+        minUsers = 1L, minPairUsers = 1L, maxSimilarPerItem = Some(1))
+      .orderBy("u", "rank").rows.map(r => (r.head, r(1)))
+    full shouldBe Seq((1L, "c"), (2L, "c"), (3L, "b"))
+    trunc shouldBe Seq((3L, "b"))
+    // the observer sees exactly the dropped edge: a→c (cosine 1/√3);
+    // b and c each have one edge — nothing to drop
+    val sims = Recommend.itemSims(ub, "u", "i", 1L, 1L)
+    val dropped = Recommend.truncationDropped(sims, 1)
+      .rows.map(r => (r.head, r(2), r(3).toString.toDouble))
+    dropped.size shouldBe 1
+    dropped.head._1 shouldBe "a"
+    dropped.head._2 shouldBe 1L
+    dropped.head._3 shouldBe (1.0 / math.sqrt(3.0)) +- 1e-9
+    // M large enough → identical to full, observer empty
+    Recommend.recommendTopN(ub, "u", "i", n = 2, minUsers = 1L,
+        minPairUsers = 1L, maxSimilarPerItem = Some(10))
+      .orderBy("u", "rank").rows.map(r => (r.head, r(1))) shouldBe full
+    Recommend.truncationDropped(sims, 10).count() shouldBe 0L
+  }
+
   test("cohenKappa: hand-computed chance-corrected agreement; single-label case yields NULL") {
     val conf = Seq(("A", "A", 20L), ("A", "B", 5L), ("B", "A", 10L),
       ("B", "B", 15L)).toDF("gold", "pred", "n")

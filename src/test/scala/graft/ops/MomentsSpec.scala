@@ -46,4 +46,25 @@ class MomentsSpec extends SparkSpec {
     val (_, skew, _) = shape(Seq(-1.0, 0.0))
     skew shouldBe 0.0f +- 1e-7f // two points are always symmetric
   }
+
+  test("over-threshold μ frame joins WITHOUT a broadcast hint, rows identical") {
+    val df = (1 to 10).flatMap(g => Seq(1.0, 2.0, 3.0, 7.0).map((s"g$g", _)))
+      .toDF("k", "v")
+    def rws(out: org.apache.spark.sql.DataFrame) =
+      out.orderBy("k").rows.map(_.toString)
+    val hinted = Moments.skewKurtosis(df, Seq("k"), "v")
+    val guarded = Moments.skewKurtosis(df, Seq("k"), "v",
+      maxBroadcastGroups = 1) // 10 groups ≫ 1
+    rws(guarded) shouldBe rws(hinted)
+    rws(guarded) should not be empty
+    // the scale contract: past the probe threshold the logical plan
+    // carries NO broadcast hint — AQE may still broadcast a measured-
+    // tiny side, but nothing FORCES a driver-sized build at millions
+    // of groups (per-entity moments)
+    val optimized = guarded.queryExecution.optimizedPlan.toString
+    withClue(optimized.take(2000)) {
+      optimized should not include "strategy=broadcast"
+    }
+    hinted.queryExecution.optimizedPlan.toString should include("strategy=broadcast")
+  }
 }

@@ -49,6 +49,28 @@ class PercentilesCdcSpec extends SparkSpec {
       Percentiles.winsorize(df, Seq("g"), "v", pLo = 0.5, pHi = 0.5)
   }
 
+  test("winsorize: over-threshold bounds frame joins WITHOUT a broadcast hint, rows identical") {
+    val df = (1 to 10).flatMap(g => (1 to 5).map(i => (s"g$g", i.toDouble)))
+      .toDF("g", "v")
+    def rws(out: org.apache.spark.sql.DataFrame) =
+      out.orderBy("g", "v").rows.map(_.toString)
+    val hinted = Percentiles.winsorize(df, Seq("g"), "v", pLo = 0.2, pHi = 0.8)
+    val guarded = Percentiles.winsorize(df, Seq("g"), "v", pLo = 0.2, pHi = 0.8,
+      maxBroadcastGroups = 1) // 10 groups ≫ 1
+    rws(guarded) shouldBe rws(hinted)
+    rws(guarded) should not be empty
+    // the scale contract: past the probe threshold the logical plan
+    // carries NO broadcast hint — AQE may still broadcast a measured-
+    // tiny side, but nothing FORCES a driver-sized build at millions
+    // of groups (per-user winsorization)
+    val optimized = guarded.queryExecution.optimizedPlan.toString
+    withClue(optimized.take(2000)) {
+      optimized should not include "strategy=broadcast"
+    }
+    // and the below-threshold path still pins the hint (tiny-by-probe)
+    hinted.queryExecution.optimizedPlan.toString should include("strategy=broadcast")
+  }
+
   test("snapshotDiff: added/removed/changed classified, unchanged silent") {
     val before = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, Double.NaN))
       .toDF("k", "v").withColumn("v",

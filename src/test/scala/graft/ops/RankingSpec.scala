@@ -65,6 +65,48 @@ class RankingSpec extends SparkSpec {
     Ranking.withGlobalRank(empty, Seq(col("v"), col("id"))).count() shouldBe 0
     Ranking.withGlobalNtile(empty, Seq(col("v"), col("id")), 5, "b")
       .count() shouldBe 0
+    Ranking.withGlobalPercentiles(empty, Seq("v")).count() shouldBe 0
+  }
+
+  test("withGlobalPercentiles matches SQL percent_rank/cume_dist incl. ties") {
+    val df = randomFrame(137, seed = 23) // 7 distinct values → heavy ties
+    val w = Window.orderBy(col("v"))
+    val expected = df
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume_dist", cume_dist().over(w))
+      .rows.map(_.toString).sorted
+    val got = Ranking.withGlobalPercentiles(df, Seq("v"))
+      .select(col("id"), col("v"), col("pct_rank"), col("cume_dist"))
+      .rows.map(_.toString).sorted
+    got shouldBe expected
+    // single row: percent_rank 0 (the n=1 guard), cume_dist 1
+    val one = Ranking.withGlobalPercentiles(
+      Seq((1L, 5L)).toDF("id", "v"), Seq("v")).rows.head
+    one(2) shouldBe 0.0
+    one(3) shouldBe 1.0
+  }
+
+  test("withGlobalPercentiles plan carries no unpartitioned Window") {
+    val out = Ranking.withGlobalPercentiles(randomFrame(137, seed = 29), Seq("v"))
+    out.collect()
+    val unpartitioned = raw"windowspecdefinition\([^,()]+ (ASC|DESC)".r
+    withClue(out.queryExecution.executedPlan.toString.take(3000)) {
+      unpartitioned.findFirstIn(
+        out.queryExecution.executedPlan.toString) shouldBe None
+    }
+  }
+
+  test("withGlobalNtiles: one base checkpoint, scores identical to sequential calls") {
+    val df = randomFrame(100, seed = 31)
+      .withColumn("v2", (col("id") * 7L) % 13L)
+    val multi = Ranking.withGlobalNtiles(df, Seq("id"),
+        Seq((Seq("v", "id"), 5, "q1"), (Seq("v2", "id"), 4, "q2")))
+      .rows.map(_.toString).sorted
+    val seq2 = Ranking.withGlobalNtile(
+        Ranking.withGlobalNtile(df, Seq(col("v"), col("id")), 5, "q1"),
+        Seq(col("v2"), col("id")), 4, "q2")
+      .rows.map(_.toString).sorted
+    multi shouldBe seq2
   }
 
   test("working-column clashes fail loudly") {

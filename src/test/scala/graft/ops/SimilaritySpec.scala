@@ -121,6 +121,52 @@ class SimilaritySpec extends SparkSpec {
     margin.asInstanceOf[Float].toDouble shouldBe (1.0 - 1.0 / math.sqrt(2.0)) +- 1e-6
   }
 
+  test("hardExamples: a zero-norm candidate (NULL cosine) never beats a real score") {
+    // candidate 9 is the zero vector → cosine NULL; inside min(struct)
+    // a NULL field sorts LOWEST, so an unguarded pick would choose it
+    // over the real positives/negatives (the round-13 advice). With the
+    // coalesce guard the picks are the same as without candidate 9.
+    val vs = Seq(
+      (1L, Seq(1.0f, 0.0f), "A"),
+      (2L, Seq(2.0f, 0.0f), "A"),
+      (3L, Seq(0.0f, 1.0f), "B"),
+      (9L, Seq(0.0f, 0.0f), "A") // zero-norm impostor, same label
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardExamples(
+        anchors = vs.filter(col("vec_id") === 1L), candidates = vs,
+        id = "vec_id", vec = "embedding", labelCol = "label")
+      .rows.map(r => (r.head, r(1), r(3)))
+    out shouldBe Seq((1L, 2L, 3L)) // 2 (real positive), never 9
+    // all-null side: the zero vector is the ONLY other positive for an
+    // anchor whose label has no scorable peer → cosine surfaces as NULL
+    // (NULLS-LAST pick of a null row), matching the SQL oracle
+    val only = Seq(
+      (1L, Seq(1.0f, 0.0f), "A"),
+      (9L, Seq(0.0f, 0.0f), "A"),
+      (3L, Seq(0.0f, 1.0f), "B")
+    ).toDF("vec_id", "embedding", "label")
+    val row = Similarity.hardExamples(
+        only.filter(col("vec_id") === 1L), only,
+        "vec_id", "embedding", "label")
+      .rows.head
+    (row(1), row(2)) shouldBe ((9L, null))
+  }
+
+  test("centroidLabelConfusion: a zero-norm vector predicts the smallest label, not an arbitrary one") {
+    // vector 9 is zero-norm → cosine NULL against every centroid; the
+    // coalesce guard makes all sort keys tie at 2.0 and the label
+    // tie-break picks the smallest — same as the oracle's NULLS LAST
+    val vs = Seq(
+      (1L, Seq(1.0f, 0.0f), "A"), (2L, Seq(1.0f, 0.1f), "A"),
+      (3L, Seq(0.0f, 1.0f), "B"), (4L, Seq(0.1f, 1.0f), "B"),
+      (9L, Seq(0.0f, 0.0f), "B") // zero vector, gold B
+    ).toDF("vec_id", "embedding", "label")
+    val conf = Similarity.centroidLabelConfusion(vs, "vec_id",
+        "embedding", "label")
+      .orderBy("gold", "pred").rows.map(r => (r.head, r(1), r(2)))
+    conf shouldBe Seq(("A", "A", 2L), ("B", "A", 1L), ("B", "B", 2L))
+  }
+
   test("hardExamples: an anchor missing a side drops out") {
     // only one label present → no negatives exist → empty output
     val vs = Seq(

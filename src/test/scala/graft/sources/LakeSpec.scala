@@ -142,18 +142,21 @@ class LakeSpec extends SparkSpec {
     LakeWriter.writeBucketed((1 to n).map(i => (i.toLong, s"right$i")).toDF("k", "rv"),
       "bucketed_r", buckets = 4, keys = Seq("k"), sortCols = Seq("k"))
     // force the sort-merge path (small test tables would otherwise
-    // broadcast); bucketed SMJ needs neither a shuffle nor a sort
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = spark.table("bucketed_l").join(spark.table("bucketed_r"), Seq("k"))
-      joined.count() shouldBe n
-      val plan = joined.queryExecution.executedPlan.toString
-      withClue(plan) {
-        assert(!plan.contains("Exchange"))
-        assert(plan.contains("SortMergeJoin"))
-      }
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // broadcast); bucketed SMJ needs neither a shuffle nor a sort.
+    // The -1 threshold goes on an ISOLATED child session, never the
+    // shared one: suites run in parallel threads inside the forked
+    // test JVM, and a set/finally window on the shared session races
+    // any suite that clones conf via newSession() mid-window (it cost
+    // PlanBudgetSpec a flaky AQE audit before this isolation).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined = s2.table("bucketed_l").join(s2.table("bucketed_r"), Seq("k"))
+    joined.count() shouldBe n
+    val plan = joined.queryExecution.executedPlan.toString
+    withClue(plan) {
+      assert(!plan.contains("Exchange"))
+      assert(plan.contains("SortMergeJoin"))
+    }
     spark.sql("DROP TABLE bucketed_l"); spark.sql("DROP TABLE bucketed_r")
   }
 
