@@ -135,4 +135,119 @@ object Experiment {
       })
       .select(col(group), col("n_a"), col("n_b"), col("u_stat"), col("z"))
   }
+
+  /** Pearson chi-square test of independence per metric group: does the
+    * OUTCOME distribution differ across variants? The categorical
+    * complement of [[welchTTest]] (conversion/tier shifts rather than
+    * mean shifts). χ² = Σ_cells (n − e)²/e with e = row·col/N over the
+    * FULL variant×outcome grid — zero cells contribute e, so the grid
+    * is generated from the marginals (r×c rows per group, bounded by
+    * the category counts), never just from observed cells.
+    *
+    * Exactness: all counts and marginals are exact BIGINTs; each
+    * cell's (n−e)²/e is one fixed double chain quantized to
+    * DECIMAL(20,12) before the order-free sum; df = (r−1)(c−1) is
+    * integer. χ² surfaces as FLOAT per the ratio-chain convention.
+    *
+    * Plan: one map-side-combinable groupBy to the observed cells, two
+    * marginal rollups of that (already tiny) frame, a marginal×marginal
+    * grid join per group, one final rollup. The fact table reduces
+    * before anything wide. */
+  def chiSquare(df: DataFrame, group: String, variant: String,
+                outcome: String): DataFrame = {
+    val cells = df
+      .filter(col(variant).isNotNull && col(outcome).isNotNull)
+      .groupBy(col(group), col(variant), col(outcome))
+      .agg(count(lit(1)).as("__nc"))
+    val rows = cells.groupBy(col(group), col(variant))
+      .agg(sum(col("__nc")).as("__nr"))
+    val cols = cells.groupBy(col(group), col(outcome))
+      .agg(sum(col("__nc")).as("__no"))
+    val grid = rows.join(cols, Seq(group))
+      .join(cells, Seq(group, variant, outcome), "left")
+      .withColumn("__n", coalesce(col("__nc"), lit(0L)))
+    val tot = cells.groupBy(col(group))
+      .agg(sum(col("__nc")).as("n"),
+        countDistinct(col(variant)).as("__r"),
+        countDistinct(col(outcome)).as("__c"))
+    val e = col("__nr").cast("double") * col("__no").cast("double") /
+      col("n").cast("double")
+    val term = (col("__n").cast("double") - e) *
+      (col("__n").cast("double") - e) / e
+    grid.join(tot, Seq(group))
+      .groupBy(col(group))
+      .agg(min(col("n")).as("n"),
+        ((min(col("__r")) - 1L) * (min(col("__c")) - 1L)).as("dof"),
+        sum(term.cast("decimal(20,12)")).cast("double").cast("float")
+          .as("chi2"))
+      .filter(col("dof") >= 1)
+  }
+
+  /** CUPED variance reduction (Deng 2013) per metric group: the
+    * experiment readout adjusted by each unit's PRE-experiment metric —
+    * the industry-standard way to shrink confidence intervals without
+    * more traffic. With pooled θ = cov(x,y)/var(x) over all units, the
+    * adjusted per-unit metric is y − θ(x − x̄), and because the
+    * adjustment is linear the ARM MEANS close in aggregates alone:
+    * diff_adj = diff_raw − θ·(x̄_A − x̄_B). Also reports the variance
+    * reduction ratio ρ² = cov²/(var_x·var_y) — the fraction of metric
+    * variance the covariate removes.
+    *
+    * Input: one row per (group, unit) with exact pre/post metric
+    * columns and the unit's variant. Exactness: Σx, Σy quantize to
+    * DECIMAL(18,2) and Σxy, Σx², Σy² to DECIMAL(30,12) before summing;
+    * θ, the diffs and ρ² are fixed double chains over those exact
+    * sums, FLOAT at the surface. Groups missing an arm or with
+    * var(x) = 0 drop (θ undefined).
+    *
+    * Plan: ONE map-side-combinable groupBy over (group, variant) — six
+    * sums — then a 2-row pivot join per group, nothing unit-granular
+    * shuffles twice. */
+  def cuped(df: DataFrame, group: String, variant: String,
+            pre: String, post: String,
+            armA: String = "A", armB: String = "B"): DataFrame = {
+    val byArm = df
+      .filter(col(variant).isin(armA, armB) &&
+        col(pre).isNotNull && col(post).isNotNull)
+      .groupBy(col(group), col(variant))
+      .agg(count(lit(1)).as("__n"),
+        sum(d2(col(pre))).as("__sx"),
+        sum(d2(col(post))).as("__sy"),
+        sum(d30(col(pre) * col(post))).as("__sxy"),
+        sum(d30(col(pre) * col(pre))).as("__sxx"),
+        sum(d30(col(post) * col(post))).as("__syy"))
+    def arm(tag: String, v: String) = byArm.filter(col(variant) === v)
+      .select(col(group), col("__n").as(s"n_$tag"),
+        col("__sx").as(s"__sx_$tag"), col("__sy").as(s"__sy_$tag"),
+        col("__sxy").as(s"__sxy_$tag"), col("__sxx").as(s"__sxx_$tag"),
+        col("__syy").as(s"__syy_$tag"))
+    // pooled moments close θ and ρ²; the (n−1) denominators cancel in
+    // both ratios so the co-moment numerators are used directly
+    val joined = arm("a", armA).join(arm("b", armB), Seq(group))
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val sx = col("__sx_a").cast("double") + col("__sx_b").cast("double")
+    val sy = col("__sy_a").cast("double") + col("__sy_b").cast("double")
+    val sxy = col("__sxy_a").cast("double") + col("__sxy_b").cast("double")
+    val sxx = col("__sxx_a").cast("double") + col("__sxx_b").cast("double")
+    val syy = col("__syy_a").cast("double") + col("__syy_b").cast("double")
+    val covN = sxy - sx * sy / n
+    val varxN = sxx - sx * sx / n
+    val varyN = syy - sy * sy / n
+    val theta = covN / varxN
+    val meanDiff = (tag: String, s: String) =>
+      col(s + "_a").cast("double") / col("n_a").cast("double") -
+        col(s + "_b").cast("double") / col("n_b").cast("double")
+    joined
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+      .withColumn("__vx", varxN)
+      .filter(col("__vx") =!= lit(0.0))
+      .withColumn("theta", theta.cast("float"))
+      .withColumn("diff_raw", meanDiff("y", "__sy").cast("float"))
+      .withColumn("diff_adj",
+        (meanDiff("y", "__sy") - theta * meanDiff("x", "__sx")).cast("float"))
+      .withColumn("var_reduction",
+        (covN * covN / nullif(varxN * varyN, lit(0.0))).cast("float"))
+      .select(col(group), col("n_a"), col("n_b"), col("theta"),
+        col("diff_raw"), col("diff_adj"), col("var_reduction"))
+  }
 }

@@ -1069,6 +1069,56 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // ── Pearson χ² of variant × outcome per event_type (outcome = the
+    // lo/hi value band): the categorical readout — did the OUTCOME MIX
+    // shift, not just the mean? Counts exact; each cell term quantizes
+    // to DECIMAL(20,12) before the order-free sum.
+    "ab_chisquare" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type"),
+          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")
+            .as("variant"),
+          when(col("value") < 50, "lo").otherwise("hi").as("outcome"))
+      Experiment.chiSquare(ev, group = "event_type", variant = "variant",
+          outcome = "outcome")
+        .orderBy(col("event_type"))
+    }),
+
+    // ── CUPED variance-reduced readout per event_type: each user's
+    // PRE-period value sum (first half of the lake's day range —
+    // integer-day split, no wall-clock) adjusts their post-period
+    // metric; θ and the diffs close in aggregates alone. The
+    // industry-standard CI shrink, as one map-side aggregation chain.
+    "ab_cuped" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("user_id").isNotNull &&
+          col("ts").isNotNull)
+        .select(col("event_type"), col("user_id"), col("value"),
+          expr("ts div 86400000000000").as("__day"))
+      val split = ev.agg(min(col("__day")).as("__mn"),
+          max(col("__day")).as("__mx"))
+        .select(expr("(__mn + __mx) div 2").as("__split"))
+      val zero = lit(0).cast("decimal(18,2)")
+      val perUser = ev.crossJoin(broadcast(split))
+        .groupBy(col("event_type"),
+          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")
+            .as("variant"),
+          col("user_id"))
+        .agg(coalesce(sum(when(col("__day") < col("__split"),
+            col("value").cast("decimal(18,2)"))), zero)
+            .cast("decimal(18,2)").as("pre"),
+          coalesce(sum(when(col("__day") >= col("__split"),
+            col("value").cast("decimal(18,2)"))), zero)
+            .cast("decimal(18,2)").as("post"))
+      // the narrow (18,2) cast keeps the cuped products at (37,4) —
+      // sum's widened type would push pre×post past 38 digits, where
+      // Spark and DuckDB clamp precision differently
+      Experiment.cuped(perUser, group = "event_type", variant = "variant",
+          pre = "pre", post = "post")
+        .orderBy(col("event_type"))
+    }),
+
     // ── Sample ACF at lags 1..7 per series — the data-driven way to
     // pick seasonalDecompose's period. Integer co-moments scaled by n²
     // (DECIMAL(38,0) ↔ HUGEINT), one double division, float out.
@@ -2356,6 +2406,86 @@ object AnalyticsQueries {
         |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
         |FROM w JOIN supplier s ON s.s_suppkey = w.sk
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "ab_chisquare" ->
+      """WITH e AS (SELECT event_type,
+        |     CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |     CASE WHEN value < 50 THEN 'lo' ELSE 'hi' END AS outcome
+        |   FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        | cells AS (SELECT event_type, variant, outcome, count(*) AS nc
+        |   FROM e GROUP BY 1, 2, 3),
+        | r AS (SELECT event_type, variant, sum(nc) AS nr
+        |   FROM cells GROUP BY 1, 2),
+        | c AS (SELECT event_type, outcome, sum(nc) AS no
+        |   FROM cells GROUP BY 1, 2),
+        | t AS (SELECT event_type, sum(nc) AS n,
+        |     count(DISTINCT variant) AS rr, count(DISTINCT outcome) AS cc
+        |   FROM cells GROUP BY 1),
+        | g AS (SELECT r.event_type, r.variant, c.outcome, r.nr, c.no,
+        |     COALESCE(cells.nc, 0) AS nn, t.n, t.rr, t.cc
+        |   FROM r JOIN c USING (event_type) JOIN t USING (event_type)
+        |   LEFT JOIN cells ON cells.event_type = r.event_type
+        |     AND cells.variant = r.variant AND cells.outcome = c.outcome)
+        |SELECT event_type, CAST(min(n) AS BIGINT) AS n,
+        | CAST((min(rr) - 1) * (min(cc) - 1) AS BIGINT) AS dof,
+        | CAST(CAST(sum(CAST(
+        |   (CAST(nn AS DOUBLE) -
+        |     CAST(nr AS DOUBLE) * CAST(no AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |   (CAST(nn AS DOUBLE) -
+        |     CAST(nr AS DOUBLE) * CAST(no AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |   (CAST(nr AS DOUBLE) * CAST(no AS DOUBLE) / CAST(n AS DOUBLE))
+        |   AS DECIMAL(20,12))) AS DOUBLE) AS REAL) AS chi2
+        |FROM g GROUP BY 1
+        |HAVING (min(rr) - 1) * (min(cc) - 1) >= 1
+        |ORDER BY event_type""".stripMargin,
+
+    "ab_cuped" ->
+      """WITH e AS (SELECT event_type, user_id, value,
+        |     epoch_ns(ts) // 86400000000000 AS day
+        |   FROM events
+        |   WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |     AND ts IS NOT NULL),
+        | b AS (SELECT (min(day) + max(day)) // 2 AS split FROM e),
+        | u AS (SELECT event_type,
+        |     CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |     user_id,
+        |     CAST(COALESCE(sum(CASE WHEN day < split
+        |       THEN CAST(value AS DECIMAL(18,2)) END),
+        |       CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS pre,
+        |     CAST(COALESCE(sum(CASE WHEN day >= split
+        |       THEN CAST(value AS DECIMAL(18,2)) END),
+        |       CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS post
+        |   FROM e CROSS JOIN b GROUP BY 1, 2, 3),
+        | m AS (SELECT event_type, variant, count(*) AS n,
+        |     sum(CAST(pre AS DECIMAL(18,2))) AS sx,
+        |     sum(CAST(post AS DECIMAL(18,2))) AS sy,
+        |     sum(CAST(pre * post AS DECIMAL(30,12))) AS sxy,
+        |     sum(CAST(pre * pre AS DECIMAL(30,12))) AS sxx,
+        |     sum(CAST(post * post AS DECIMAL(30,12))) AS syy
+        |   FROM u GROUP BY 1, 2),
+        | j AS (SELECT a.event_type, a.n AS n_a, bb.n AS n_b,
+        |     CAST(a.sx AS DOUBLE) AS sxa, CAST(bb.sx AS DOUBLE) AS sxb,
+        |     CAST(a.sy AS DOUBLE) AS sya, CAST(bb.sy AS DOUBLE) AS syb,
+        |     CAST(a.sxy AS DOUBLE) + CAST(bb.sxy AS DOUBLE) AS sxy,
+        |     CAST(a.sxx AS DOUBLE) + CAST(bb.sxx AS DOUBLE) AS sxx,
+        |     CAST(a.syy AS DOUBLE) + CAST(bb.syy AS DOUBLE) AS syy
+        |   FROM m a JOIN m bb ON bb.event_type = a.event_type
+        |     AND a.variant = 'A' AND bb.variant = 'B'),
+        | k AS (SELECT *, CAST(n_a + n_b AS DOUBLE) AS nn,
+        |     sxa + sxb AS sx, sya + syb AS sy FROM j),
+        | l AS (SELECT *,
+        |     sxy - sx * sy / nn AS cov,
+        |     sxx - sx * sx / nn AS varx,
+        |     syy - sy * sy / nn AS vary FROM k)
+        |SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+        | CAST(n_b AS BIGINT) AS n_b,
+        | CAST(cov / varx AS REAL) AS theta,
+        | CAST(sya / n_a - syb / n_b AS REAL) AS diff_raw,
+        | CAST((sya / n_a - syb / n_b) -
+        |   (cov / varx) * (sxa / n_a - sxb / n_b) AS REAL) AS diff_adj,
+        | CAST(cov * cov / nullif(varx * vary, 0) AS REAL) AS var_reduction
+        |FROM l WHERE n_a >= 2 AND n_b >= 2 AND varx <> 0
+        |ORDER BY event_type""".stripMargin,
 
     "j17_small_quantity_revenue" ->
       """WITH p AS (SELECT p_partkey FROM part

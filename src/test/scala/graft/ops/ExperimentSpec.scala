@@ -75,4 +75,66 @@ class ExperimentSpec extends SparkSpec {
     val r = Experiment.welchTTest(df, "grp", "variant", "v").rows.head
     (r(1), r(2)) shouldBe ((2L, 2L))
   }
+
+  test("chiSquare: hand-computed 2x2; zero cells contribute e; independent table scores 0") {
+    // 2x2: A:(yes 30, no 10), B:(yes 20, no 40). N=100, rows 40/60,
+    // cols 50/50 → e = 20/20/30/30; χ² = 100/20+100/20+100/30+100/30
+    //             = 5+5+3.3333…+3.3333… = 16.6666…
+    val df = (Seq.fill(30)(("g", "A", "yes")) ++ Seq.fill(10)(("g", "A", "no")) ++
+      Seq.fill(20)(("g", "B", "yes")) ++ Seq.fill(40)(("g", "B", "no")))
+      .toDF("grp", "variant", "outcome")
+    val r = Experiment.chiSquare(df, "grp", "variant", "outcome").rows.head
+    r(1) shouldBe 100L
+    r(2) shouldBe 1L
+    r(3).asInstanceOf[Float].toDouble shouldBe (50.0 / 3.0) +- 1e-4
+    // zero cell: B never converts → its cell contributes e, grid is full
+    val zc = (Seq.fill(5)(("g", "A", "yes")) ++ Seq.fill(5)(("g", "A", "no")) ++
+      Seq.fill(10)(("g", "B", "no"))).toDF("grp", "variant", "outcome")
+    // e(B,yes)=10*5/20=2.5 → term 2.5; e(A,yes)=2.5 → (5−2.5)²/2.5=2.5;
+    // no-col: e=7.5 both → (5−7.5)²/7.5 + (10−7.5)²/7.5 = 0.8333+0.8333
+    Experiment.chiSquare(zc, "grp", "variant", "outcome")
+      .rows.head(3).asInstanceOf[Float].toDouble shouldBe (20.0 / 3.0) +- 1e-4
+    // perfectly proportional → 0
+    val ind = (Seq.fill(10)(("g", "A", "yes")) ++ Seq.fill(10)(("g", "A", "no")) ++
+      Seq.fill(5)(("g", "B", "yes")) ++ Seq.fill(5)(("g", "B", "no")))
+      .toDF("grp", "variant", "outcome")
+    Experiment.chiSquare(ind, "grp", "variant", "outcome")
+      .rows.head(3).asInstanceOf[Float].toDouble shouldBe 0.0 +- 1e-9
+    // single-variant group → df 0 → dropped
+    val one = Seq(("g", "A", "yes"), ("g", "A", "no")).toDF("grp", "variant", "outcome")
+    Experiment.chiSquare(one, "grp", "variant", "outcome").count() shouldBe 0L
+  }
+
+  test("cuped: perfectly-correlated covariate removes the raw difference entirely") {
+    // y = x exactly → θ = 1, ρ² = 1, diff_adj = diff_raw − 1·(x̄A−x̄B) = 0
+    val df = Seq(
+      ("g", "A", 10.0, 10.0), ("g", "A", 20.0, 20.0), ("g", "A", 30.0, 30.0),
+      ("g", "B", 1.0, 1.0), ("g", "B", 2.0, 2.0), ("g", "B", 3.0, 3.0)
+    ).toDF("grp", "variant", "pre", "post")
+    val r = Experiment.cuped(df, "grp", "variant", "pre", "post").rows.head
+    (r(1), r(2)) shouldBe ((3L, 3L))
+    r(3).asInstanceOf[Float].toDouble shouldBe 1.0 +- 1e-9   // theta
+    r(4).asInstanceOf[Float].toDouble shouldBe 18.0 +- 1e-9  // diff_raw
+    r(5).asInstanceOf[Float].toDouble shouldBe 0.0 +- 1e-9   // diff_adj
+    r(6).asInstanceOf[Float].toDouble shouldBe 1.0 +- 1e-9   // var_reduction
+  }
+
+  test("cuped: uncorrelated covariate leaves the difference; zero-variance covariate drops") {
+    // x constant within arms ↔ y varying → cov over the pooled frame:
+    // x̄A = x̄B = 5 → pooled var(x) = 0 → group drops
+    val flat = Seq(
+      ("g", "A", 5.0, 10.0), ("g", "A", 5.0, 20.0),
+      ("g", "B", 5.0, 1.0), ("g", "B", 5.0, 2.0)
+    ).toDF("grp", "variant", "pre", "post")
+    Experiment.cuped(flat, "grp", "variant", "pre", "post").count() shouldBe 0L
+    // symmetric x with y flipped across arms → cov = 0 → θ = 0 →
+    // diff_adj = diff_raw
+    val unc = Seq(
+      ("g", "A", 1.0, 10.0), ("g", "A", 3.0, 10.0),
+      ("g", "B", 1.0, 4.0), ("g", "B", 3.0, 4.0)
+    ).toDF("grp", "variant", "pre", "post")
+    val r = Experiment.cuped(unc, "grp", "variant", "pre", "post").rows.head
+    r(3).asInstanceOf[Float].toDouble shouldBe 0.0 +- 1e-9
+    r(5).asInstanceOf[Float] shouldBe r(4).asInstanceOf[Float]
+  }
 }
