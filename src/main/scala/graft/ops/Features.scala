@@ -87,4 +87,38 @@ object Features {
         sum(d12(col("__w") * col(value))).cast("double").cast("float")
           .as("decayed_sum"))
   }
+
+  /** The hashing trick (Weinberger 2009): bag-of-words folded into a
+    * FIXED `dim`-bucket sparse vector — the vocabulary-free featurizer
+    * for linear/tree models over unbounded token spaces (no vocab
+    * build, no OOV, the feature space never grows with the corpus).
+    * Signed variant: each token also draws a ±1 sign from an
+    * independent hash bit, so colliding tokens cancel in expectation
+    * instead of always inflating a bucket.
+    *
+    * Output: one row per (id, bucket) with the signed count `weight`
+    * (exact BIGINT) — the sparse-row layout; buckets whose collisions
+    * cancel to 0 are dropped (a sparse vector stores no zeros).
+    *
+    * Engine-portable by construction: bucket and sign both come from
+    * md5 prefixes ([[Sampling.hashBucket]]'s contract — any engine
+    * with md5 replays the identical vector), integer arithmetic only.
+    * Pure map + one map-side-combinable groupBy on (id, bucket);
+    * nothing driver-side, nothing vocabulary-sized anywhere. */
+  def hashingTrick(df: DataFrame, id: String, text: String,
+                   dim: Int): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val tok = df.select(col(id),
+        explode(filter(TextAnalysis.tokens(col(text)),
+          t => length(t) > 0)).as("__tok"))
+    val sign = when(
+      conv(substring(md5(concat(lit("featsign:"), col("__tok"))), 1, 1),
+        16, 10).cast("long") % 2 === 0, 1L).otherwise(-1L)
+    tok
+      .withColumn("bucket", Sampling.hashBucket(col("__tok"), dim, "feat:"))
+      .withColumn("__sign", sign)
+      .groupBy(col(id), col("bucket"))
+      .agg(sum(col("__sign")).as("weight"))
+      .filter(col("weight") =!= 0L)
+  }
 }

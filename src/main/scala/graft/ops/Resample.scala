@@ -143,6 +143,44 @@ object Resample {
     * of series never force a driver-sized broadcast. Same rows out
     * either way; only the join strategy changes. No collects, nothing
     * quadratic. */
+  /** Seasonal-naive forecast backtest: predict each bucket as the
+    * SAME series `period` buckets earlier (ŷ_t = y_{t−period}, the
+    * no-parameter baseline every real forecaster must beat) and score
+    * the prediction wherever both sides exist. Per series: n_eval,
+    * MAE and sMAPE — the standard backtest readout, and the
+    * regression gate for any fancier model over the same lake.
+    *
+    * Input: a [[CrossSeries.bucketSeries]]-shaped frame (k, b, v) with
+    * exact integer cents. Exactness: errors |y − ŷ| are exact BIGINTs;
+    * MAE is one double division of an exact sum; each sMAPE term
+    * 2|e|/(|y|+|ŷ|) quantizes to DECIMAL(20,12) before the order-free
+    * mean (zero-denominator pairs — both sides zero — contribute a 0
+    * term by the standard convention, not a NULL). FLOAT surface.
+    *
+    * Plan: ONE self-join on (k, b−period) — both sides already reduced
+    * to series granularity — then a map-side-combined rollup; no
+    * windows, nothing corpus-sized. Gaps are honest: a bucket with no
+    * t−period observation is not evaluated (seasonal-naive has no
+    * forecast there). */
+  def seasonalNaiveBacktest(series: DataFrame, period: Long): DataFrame = {
+    require(period >= 1, s"period must be >= 1, got $period")
+    val prev = series.select(col("k"),
+      (col("b") + lit(period)).as("b"), col("v").as("__pv"))
+    val e = abs(col("v") - col("__pv"))
+    val smapeTerm = when(col("v") === 0L && col("__pv") === 0L,
+        lit(0).cast("decimal(20,12)"))
+      .otherwise((lit(2.0) * e.cast("double") /
+        (abs(col("v")) + abs(col("__pv"))).cast("double"))
+        .cast("decimal(20,12)"))
+    series.join(prev, Seq("k", "b"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_eval"),
+        (sum(e).cast("double") / count(lit(1)).cast("double"))
+          .cast("float").as("mae_cents"),
+        (sum(smapeTerm).cast("double") / count(lit(1)).cast("double"))
+          .cast("float").as("smape"))
+  }
+
   def seasonalDecompose(df: DataFrame, key: String, t: String,
                         value: String, period: Int = 7,
                         trendWindow: Int = 7,

