@@ -56,6 +56,33 @@ object Merge {
       .unionByName(dedupByKey(incoming, keys, tiebreak))
   }
 
+  /** Incremental INNER-JOIN view maintenance, the delta identity for
+    * insert-only batches: with V = A ⋈ B materialized and new rows
+    * ΔA, ΔB arriving,
+    *   ΔV = ΔA ⋈ (B ∪ ΔB)  ∪  A_old ⋈ ΔB
+    * — the first leg pairs new-left rows against the WHOLE new right
+    * (including ΔA×ΔB pairs, the case a naive ΔA⋈B ∪ A⋈ΔB double-counts
+    * or misses depending on which A/B it reads), the second pairs
+    * old-left against new-right only. V_new = V ∪ ΔV exactly.
+    *
+    * The point at 100 TB: both legs are DELTA-sized on one side, so a
+    * refresh never re-joins old×old — the maintained view costs
+    * |Δ|-proportional work per batch while a recompute costs |base|.
+    * The planner broadcasts whichever side its stats measure small
+    * (deltas usually are); no hint forced. Deletes/updates need
+    * retractions — this is the insert-only fast path, the same
+    * contract as [[mergeAggregates]], and the two compose: feed this
+    * delta through an aggregate rollup and merge THAT with the rolled-
+    * up view.
+    *
+    * Both A-frames and both B-frames must share the join column
+    * names in `keys` (rename before calling). */
+  def joinViewDelta(aOld: DataFrame, aDelta: DataFrame,
+                    bOld: DataFrame, bDelta: DataFrame,
+                    keys: Seq[String]): DataFrame =
+    aDelta.join(bOld.unionByName(bDelta), keys)
+      .unionByName(aOld.join(bDelta, keys))
+
   /** Incremental materialized-aggregate refresh: merge an insert-only
     * delta's aggregate into an existing materialized aggregate WITHOUT
     * rescanning the base table. `kinds` maps every non-key column of the

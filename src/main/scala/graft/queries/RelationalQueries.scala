@@ -401,6 +401,40 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"), col("yr"))
     }),
 
+    // ── Incremental JOIN-view refresh, composed with the aggregate
+    // merge — the full IVM stack: V = orders⋈customer rolled up to
+    // (segment, yr); new orders (1997+) AND a late customer batch
+    // (custkey ≡ 0 mod 10) arrive as insert-only deltas. The join
+    // delta ΔA⋈(B∪ΔB) ∪ A⋈ΔB feeds the same rollup, merged via
+    // mergeAggregates — and the oracle PROVES the maintained view
+    // equals the full recompute over the whole join. Neither refresh
+    // leg ever re-joins old×old.
+    "mv_join_delta_refresh" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_custkey").as("custkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderdate"))
+      val c = Tables.customer(s, dir).select(
+        col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val cutoff = lit("1997-01-01").cast("timestamp")
+      val aOld = o.filter(col("o_orderdate") < cutoff)
+      val aDelta = o.filter(col("o_orderdate") >= cutoff)
+      val bOld = c.filter(pmod(col("custkey"), lit(10)) =!= 0)
+      val bDelta = c.filter(pmod(col("custkey"), lit(10)) === 0)
+      def rollup(j: org.apache.spark.sql.DataFrame) =
+        j.groupBy(col("c_mktsegment"), col("yr"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("cents")).as("total_cents"))
+      val mv = rollup(aOld.join(bOld, Seq("custkey")))
+      val dv = Merge.joinViewDelta(aOld, aDelta, bOld, bDelta,
+        Seq("custkey"))
+      Merge.mergeAggregates(mv, rollup(dv),
+          keys = Seq("c_mktsegment", "yr"),
+          kinds = Map("n_orders" -> "count", "total_cents" -> "sum"))
+        .orderBy(col("c_mktsegment"), col("yr"))
+    }),
+
     // ── Long→wide pivot with a declared column set (single pass) ───────
     "p_pivot_daily" -> ((s, dir) => {
       val daily = Tables.events(s, dir)
@@ -1138,6 +1172,17 @@ object RelationalQueries {
         | max(o_orderdate) AS latest_date
         |FROM orders GROUP BY 1, 2
         |ORDER BY o_orderpriority, yr""".stripMargin,
+
+    // full recompute over the whole join — the maintained view must
+    // equal it exactly for the IVM identity to hold
+    "mv_join_delta_refresh" ->
+      """SELECT c.c_mktsegment, year(o.o_orderdate) AS yr,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS total_cents
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY 1, 2
+        |ORDER BY c_mktsegment, yr""".stripMargin,
 
     "p_pivot_daily" ->
       """WITH daily AS (

@@ -34,6 +34,24 @@ class MergeQualitySpec extends SparkSpec {
     twice.orderBy("k", "t").rows shouldBe once.orderBy("k", "t").rows
   }
 
+  test("joinViewDelta: V ∪ ΔV equals the full recompute, including the ΔA⋈ΔB corner") {
+    // key 3 exists ONLY as new-order × new-customer — the pair a naive
+    // ΔA⋈B_old ∪ A_old⋈ΔB misses entirely
+    val aOld = Seq((1, "o1"), (2, "o2")).toDF("k", "a")
+    val aDelta = Seq((1, "o3"), (3, "o4")).toDF("k", "a")
+    val bOld = Seq((1, "c1")).toDF("k", "b")
+    val bDelta = Seq((2, "c2"), (3, "c3")).toDF("k", "b")
+    val vOld = aOld.join(bOld, Seq("k"))
+    val maintained = vOld.unionByName(
+        Merge.joinViewDelta(aOld, aDelta, bOld, bDelta, Seq("k")))
+      .orderBy("k", "a", "b").rows
+    val recompute = aOld.unionByName(aDelta)
+      .join(bOld.unionByName(bDelta), Seq("k"))
+      .orderBy("k", "a", "b").rows
+    maintained shouldBe recompute
+    recompute.map(_.head) shouldBe Seq(1, 1, 2, 3) // the ΔΔ pair is in
+  }
+
   test("profile: exact per-column counts in long form") {
     val df = Seq(
       (1L, Some("a"), Some(1.0)), (2L, Some("a"), None),
