@@ -190,4 +190,47 @@ object Ranking {
       .select((oc :+ col(pctOut) :+ col(cumeOut)): _*)
     nonNull.join(scored, order)
   }
+
+  /** Appends SQL `rank()` and `dense_rank()` over the global order —
+    * the remaining tie-aware pair ([[withGlobalPercentiles]] covers
+    * percent_rank/cume_dist; [[withGlobalRank]] is row_number; ntile
+    * via [[withGlobalNtile]] — with this the whole SQL global-ranking
+    * family runs without an unpartitioned Window). Same distinct-value
+    * ledger machinery: for value v,
+    *   rank(v)       = 1 + Σ_{u<v} cnt(u)
+    *   dense_rank(v) = 1 + |{u < v}|
+    * — the first is the count prefix sum, the second the ledger
+    * ORDINAL, so the triangular offset pass carries both a count-sum
+    * and a row-count column. All integer arithmetic; NULL order values
+    * excluded (the [[withGlobalPercentiles]] convention). */
+  def withGlobalRankTies(df: DataFrame, order: Seq[String],
+                         rankOut: String = "rank_ties",
+                         denseOut: String = "dense_rank"): DataFrame = {
+    require(order.nonEmpty, "need at least one order column")
+    checkCols(df, rankOut)
+    checkCols(df, denseOut)
+    val oc = order.map(col)
+    val nonNull = df.filter(oc.map(_.isNotNull).reduce(_ && _))
+    val ledger = nonNull.groupBy(oc: _*).agg(count(lit(1)).as("__c"))
+      .repartitionByRange(oc: _*).localCheckpoint()
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    val parts = ledger.groupBy(col("__pid"))
+      .agg(sum(col("__c")).as("__pc"), count(lit(1)).as("__pn"))
+    val offs = parts.as("a")
+      .join(broadcast(parts.as("b")), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__pc")), lit(0L)).as("__coff"),
+        coalesce(sum(col("b.__pn")), lit(0L)).as("__doff"))
+    val wCum = Window.partitionBy(col("__pid")).orderBy(oc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOrd = Window.partitionBy(col("__pid")).orderBy(oc: _*)
+    val scored = ledger
+      .withColumn("__cl", sum(col("__c")).over(wCum))
+      .withColumn("__dl", row_number().over(wOrd).cast("long"))
+      .join(broadcast(offs), Seq("__pid"))
+      .withColumn(rankOut, col("__coff") + col("__cl") - col("__c") + 1L)
+      .withColumn(denseOut, col("__doff") + col("__dl"))
+      .select((oc :+ col(rankOut) :+ col(denseOut)): _*)
+    nonNull.join(scored, order)
+  }
 }

@@ -405,6 +405,17 @@ object AnalyticsQueries {
           col("pct_rank"), col("cume_dist"))
         .orderBy(col("o_orderkey"))),
 
+    // ── Global rank() + dense_rank() with ties shared exactly — the
+    // last two of the SQL global-ranking family, same distinct-value
+    // ledger, no unpartitioned Window. All-integer outputs.
+    "w_global_rank_ties" -> ((s, dir) =>
+      Ranking.withGlobalRankTies(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+          order = Seq("o_totalprice"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("rank_ties"), col("dense_rank"))
+        .orderBy(col("o_orderkey"))),
+
     // ── Recency-weighted engagement features at the lake watermark:
     // per user, count and value-sum where each event decays by
     // 0.5^(age / 7 days). Terms quantize to DECIMAL(20,12) before the
@@ -2404,6 +2415,13 @@ object AnalyticsQueries {
       """SELECT o_orderkey, o_totalprice,
         | percent_rank() OVER (ORDER BY o_totalprice) AS pct_rank,
         | cume_dist() OVER (ORDER BY o_totalprice) AS cume_dist
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "w_global_rank_ties" ->
+      """SELECT o_orderkey, o_totalprice,
+        | CAST(rank() OVER (ORDER BY o_totalprice) AS BIGINT) AS rank_ties,
+        | CAST(dense_rank() OVER (ORDER BY o_totalprice) AS BIGINT)
+        |   AS dense_rank
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "j21_waiting_supplier" ->

@@ -86,6 +86,27 @@ class RankingSpec extends SparkSpec {
     one(3) shouldBe 1.0
   }
 
+  test("withGlobalRankTies matches SQL rank/dense_rank incl. ties") {
+    val df = randomFrame(137, seed = 37) // 7 distinct values → heavy ties
+    val w = Window.orderBy(col("v"))
+    val expected = df
+      .withColumn("rank_ties", rank().over(w).cast("long"))
+      .withColumn("dense_rank", dense_rank().over(w).cast("long"))
+      .rows.map(_.toString).sorted
+    val got = Ranking.withGlobalRankTies(df, Seq("v"))
+      .select(col("id"), col("v"), col("rank_ties"), col("dense_rank"))
+      .rows.map(_.toString).sorted
+    got shouldBe expected
+    // plan pin: no unpartitioned window anywhere
+    val out = Ranking.withGlobalRankTies(df, Seq("v"))
+    out.collect()
+    val unpartitioned = raw"windowspecdefinition\([^,()]+ (ASC|DESC)".r
+    withClue(out.queryExecution.executedPlan.toString.take(3000)) {
+      unpartitioned.findFirstIn(
+        out.queryExecution.executedPlan.toString) shouldBe None
+    }
+  }
+
   test("withGlobalPercentiles plan carries no unpartitioned Window") {
     val out = Ranking.withGlobalPercentiles(randomFrame(137, seed = 29), Seq("v"))
     out.collect()
