@@ -183,6 +183,44 @@ object Experiment {
       .filter(col("dof") >= 1)
   }
 
+  /** Two-sample proportion z-test per metric group — the
+    * conversion-rate readout (did the SUCCESS RATE move?), the
+    * directional complement of [[chiSquare]]'s 2×2 (χ² says the mix
+    * shifted; z says which way and by how much):
+    *   z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)),  p̂ pooled.
+    *
+    * Exactness: successes and totals are exact BIGINTs from one
+    * map-side-combinable groupBy; the rates and z close in one fixed
+    * double chain both engines replay, FLOAT at the surface. A pooled
+    * rate of 0 or 1 (no variance) yields NULL z via nullif, never a
+    * division blowup. Groups missing an arm drop.
+    *
+    * `success` must be a boolean column; null successes are excluded
+    * (not an observation). */
+  def proportionZTest(df: DataFrame, group: String, variant: String,
+                      success: String, armA: String = "A",
+                      armB: String = "B"): DataFrame = {
+    val byArm = df
+      .filter(col(variant).isin(armA, armB) && col(success).isNotNull)
+      .groupBy(col(group), col(variant))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(success), 1L).otherwise(0L)).as("__x"))
+    def arm(tag: String, v: String) = byArm.filter(col(variant) === v)
+      .select(col(group), col("__n").as(s"n_$tag"), col("__x").as(s"x_$tag"))
+    val j = arm("a", armA).join(arm("b", armB), Seq(group))
+      .filter(col("n_a") >= 1 && col("n_b") >= 1)
+    val pa = col("x_a").cast("double") / col("n_a").cast("double")
+    val pb = col("x_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    j.select(col(group), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      pa.cast("float").as("rate_a"), pb.cast("float").as("rate_b"),
+      ((pa - pb) / nullif(se, lit(0.0))).cast("float").as("z"))
+  }
+
   /** CUPED variance reduction (Deng 2013) per metric group: the
     * experiment readout adjusted by each unit's PRE-experiment metric —
     * the industry-standard way to shrink confidence intervals without

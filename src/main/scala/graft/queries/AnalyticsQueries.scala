@@ -1096,6 +1096,21 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // ── Two-sample proportion z per event_type: conversion = the
+    // value ≥ 50 band (the ab_chisquare outcome, now directional).
+    // Exact counts, one double chain.
+    "ab_proportion_z" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type"),
+          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")
+            .as("variant"),
+          (col("value") >= 50).as("converted"))
+      Experiment.proportionZTest(ev, group = "event_type",
+          variant = "variant", success = "converted")
+        .orderBy(col("event_type"))
+    }),
+
     // ── CUPED variance-reduced readout per event_type: each user's
     // PRE-period value sum (first half of the lake's day range —
     // integer-day split, no wall-clock) adjusts their post-period
@@ -2489,6 +2504,33 @@ object AnalyticsQueries {
         |FROM g GROUP BY 1
         |HAVING (min(rr) - 1) * (min(cc) - 1) >= 1
         |ORDER BY event_type""".stripMargin,
+
+    "ab_proportion_z" ->
+      """WITH e AS (SELECT event_type,
+        |     CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |     (value >= 50) AS converted
+        |   FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        | m AS (SELECT event_type, variant, count(*) AS n,
+        |     sum(CASE WHEN converted THEN 1 ELSE 0 END) AS x
+        |   FROM e GROUP BY 1, 2),
+        | j AS (SELECT a.event_type,
+        |     a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
+        |   FROM m a JOIN m b ON b.event_type = a.event_type
+        |     AND a.variant = 'A' AND b.variant = 'B'
+        |   WHERE a.n >= 1 AND b.n >= 1),
+        | k AS (SELECT *,
+        |     CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |     CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        |     CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+        |   FROM j)
+        |SELECT event_type,
+        | CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+        | CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+        | CAST(pa AS REAL) AS rate_a, CAST(pb AS REAL) AS rate_b,
+        | CAST((pa - pb) / nullif(sqrt(pp * (1.0 - pp) *
+        |   (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 0)
+        |   AS REAL) AS z
+        |FROM k ORDER BY event_type""".stripMargin,
 
     "ab_cuped" ->
       """WITH e AS (SELECT event_type, user_id, value,

@@ -105,6 +105,26 @@ class ExperimentSpec extends SparkSpec {
     Experiment.chiSquare(one, "grp", "variant", "outcome").count() shouldBe 0L
   }
 
+  test("proportionZTest: hand-computed z; degenerate pooled rate yields NULL; missing arm drops") {
+    // A: 30/40 convert (0.75), B: 20/60 (0.3333…); pooled 50/100 = 0.5
+    // se = √(0.25·(1/40+1/60)) = √(0.25·(1/24)) = √(1/96)
+    // z = (0.75 − 1/3)·√96 = 0.41666…·9.79796 = 4.08248…
+    val df = (Seq.fill(30)(("g", "A", true)) ++ Seq.fill(10)(("g", "A", false)) ++
+      Seq.fill(20)(("g", "B", true)) ++ Seq.fill(40)(("g", "B", false)))
+      .toDF("grp", "variant", "ok")
+    val r = Experiment.proportionZTest(df, "grp", "variant", "ok").rows.head
+    (r(1), r(2), r(3), r(4)) shouldBe ((40L, 30L, 60L, 20L))
+    r(5).asInstanceOf[Float].toDouble shouldBe 0.75 +- 1e-7
+    r(7).asInstanceOf[Float].toDouble shouldBe
+      ((0.75 - 20.0 / 60.0) / math.sqrt(0.25 / 24.0)) +- 1e-5
+    // all convert → pooled p = 1 → se = 0 → NULL z, not a blowup
+    val deg = Seq(("g", "A", true), ("g", "B", true)).toDF("grp", "variant", "ok")
+    assert(Experiment.proportionZTest(deg, "grp", "variant", "ok").rows.head(7) == null)
+    // one-armed group drops
+    val solo = Seq(("g", "A", true)).toDF("grp", "variant", "ok")
+    Experiment.proportionZTest(solo, "grp", "variant", "ok").count() shouldBe 0L
+  }
+
   test("cuped: perfectly-correlated covariate removes the raw difference entirely") {
     // y = x exactly → θ = 1, ρ² = 1, diff_adj = diff_raw − 1·(x̄A−x̄B) = 0
     val df = Seq(
