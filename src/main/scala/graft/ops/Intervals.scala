@@ -85,10 +85,14 @@ object Intervals {
     * Half-open convention: at a shared boundary the closing −1 sorts
     * before the opening +1 (delta asc), so back-to-back intervals never
     * double-count. Scale note: deltas COLLAPSE per distinct (t, delta)
-    * first (one exchange over the data), so the single-partition
-    * running-sum window ranges over distinct boundary instants — the
-    * same bounded contract as the equi-depth histogram's distinct-value
-    * window, not a window over raw rows. */
+    * first (one exchange over the data), and the running level rides
+    * [[Ranking.withRunningTotals]]'s distributed prefix sum — for a
+    * TIMESTAMP domain the distinct boundary ledger is ≈ 2·rows, so a
+    * single-task running-sum window here would be a whole-dataset
+    * funnel at 100×; the ledger machinery keeps every stage
+    * partitioned. The would-be `lag(level)` is `level − dsum` (the lag
+    * of an inclusive prefix sum), so no ordered window survives at
+    * all. */
   def peakConcurrency(df: DataFrame, startCol: String, endCol: String,
                       bucket: Long): DataFrame = {
     require(bucket > 0, s"bucket must be positive, got $bucket")
@@ -98,13 +102,11 @@ object Intervals {
     val deltas = valid.select(s.as("t"), lit(1L).as("d"))
       .unionAll(valid.select(e.as("t"), lit(-1L).as("d")))
       .groupBy(col("t"), col("d")).agg(sum(col("d")).as("dsum"))
-    val ord = Window.orderBy(col("t"), col("d"))
-    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas.withColumn("level", sum(col("dsum")).over(run))
+    Ranking.withRunningTotals(deltas, Seq.empty, Seq(col("t"), col("d")),
+        Seq("dsum" -> "level"))
       // level in force just BEFORE this boundary — for each bucket's
       // first row this is the concurrency the bucket opens at
-      .withColumn("prev_level",
-        functions.coalesce(lag(col("level"), 1).over(ord), lit(0L)))
+      .withColumn("prev_level", col("level") - col("dsum"))
       // carry-in candidate: when the bucket's first boundary row is a
       // CLOSE sitting exactly on the bucket start, the intervals it
       // closes were never live inside this bucket (half-open [s, e)

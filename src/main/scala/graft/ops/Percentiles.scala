@@ -101,25 +101,35 @@ object Percentiles {
     * i.e. never, so they are excluded up front with nulls.
     *
     * Shape: one groupBy collapses to (key, value, weight-sum), then
-    * the cumulative window runs per key over DISTINCT values — the
-    * same bounded contract as [[equiDepthHistogram]]. */
+    * the cumulative weight rides [[Ranking.withRunningTotals]]'s
+    * distributed per-key prefix sum — an UNKEYED call (or one hot key)
+    * makes the distinct-value ledger effectively global, where a
+    * single-task cumulative window would funnel it; the ledger
+    * machinery keeps every stage partitioned. The median itself closes
+    * as min(v) over the suffix where 2·cum ≥ total — the cumulative is
+    * monotone per key, so the qualifying set is a suffix and its min
+    * is the answer (no row_number pass needed). */
   def weightedMedian(df: DataFrame, keys: Seq[String], value: String,
                      weight: String): DataFrame = {
     val vw = df.filter(col(value).isNotNull && col(weight).isNotNull &&
         col(weight) > 0)
       .groupBy((keys.map(col) :+ col(value).as("__v")): _*)
       .agg(sum(col(weight).cast("long")).as("__w"))
-    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(keys.map(col): _*)
-    vw.withColumn("__cum", sum(col("__w")).over(wOrd))
-      .withColumn("__tot", sum(col("__w")).over(wAll))
-      .filter(col("__cum") * 2 >= col("__tot"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))))
-      .filter(col("__rn") === 1)
-      .select(keys.map(col) :+ col("__v").as("weighted_median") :+
-        col("__tot").as("total_weight"): _*)
+    val cum = Ranking.withRunningTotals(vw, keys, Seq(col("__v")),
+      Seq("__w" -> "__cum"))
+    // per-key totals off the checkpointed ledger (map-side combined, ≤
+    // |keys| rows), joined back null-safely — a null key is a group
+    val tot = cum.groupBy(keys.map(col): _*).agg(sum(col("__w")).as("__tot"))
+    val withTot =
+      if (keys.isEmpty) cum.crossJoin(broadcast(tot))
+      else cum.as("__c").join(tot.as("__t"),
+          keys.map(k => col(s"__c.$k") <=> col(s"__t.$k")).reduce(_ && _))
+        .select(cum.columns.map(c => col(s"__c.$c")) :+
+          col("__t.__tot"): _*)
+    withTot.filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("__v")).as("weighted_median"),
+        max(col("__tot")).as("total_weight"))
   }
 
   /** Equi-depth histogram: `buckets` variable-width bins each holding
@@ -130,10 +140,11 @@ object Percentiles {
     * observed values only.
     *
     * Shape: the ranking runs over the DISTINCT-VALUE frame (one count
-    * exchange collapses the data first), so the single-partition
-    * cumulative window is |distinct values|-sized — the same bounded
-    * contract as the z-order string dictionary, not a row_number over
-    * raw rows. Tied rows share a value, hence a cumulative rank, hence
+    * exchange collapses the data first), and the cumulative rank rides
+    * [[Ranking.withRunningTotals]]'s distributed prefix sum — for a
+    * continuous column the distinct ledger is ≈ row-sized, so a
+    * single-task cumulative window here would funnel the dataset at
+    * 100×. Tied rows share a value, hence a cumulative rank, hence
     * a bucket: bucket = ⌈cum·b / n⌉ in INTEGER arithmetic, so both
     * engines bin identically (a float ratio would split grid-boundary
     * ties engine-specifically). Buckets can be empty only when heavy
@@ -142,11 +153,11 @@ object Percentiles {
     require(buckets >= 1, s"need at least one bucket, got $buckets")
     val vc = df.filter(col(value).isNotNull)
       .groupBy(col(value).as("v")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val n = vc.agg(sum(col("c")).as("n"))
-    vc.withColumn("cum", sum(col("c")).over(w))
-      .crossJoin(broadcast(n))
+    val cum = Ranking.withRunningTotals(vc, Seq.empty, Seq(col("v")),
+      Seq("c" -> "cum"))
+    // total off the checkpointed ledger, never a second data scan
+    val n = cum.agg(sum(col("c")).as("n"))
+    cum.crossJoin(broadcast(n))
       .withColumn("bucket",
         expr(s"(cum * $buckets + n - 1) div n"))
       .groupBy(col("bucket"))

@@ -195,12 +195,14 @@ object Quality {
     * at a sample point.
     *
     * Scale shape: each side collapses to its DISTINCT-value histogram
-    * first (map-side combined), so the running-sum window ranges over
-    * distinct values, not rows — the [[graft.ops.Percentiles]]
-    * equi-depth contract, with the same caveat: a near-unique column at
-    * extreme scale should be quantized (e.g. round to cents) before the
-    * gate. The division is the only float step; comparisons and the max
-    * are order-free, so the statistic replays exactly. */
+    * first (map-side combined), and BOTH running ECDF sums ride
+    * [[Ranking.withRunningTotals]]'s range-partition + triangular-
+    * ledger prefix sum in one pass — no unpartitioned Window, so a
+    * near-unique continuous column (where the distinct ledger is
+    * ≈ row-sized) no longer funnels into a single task; quantizing
+    * (e.g. rounding to cents) remains advisable purely to shrink the
+    * ledger. The division is the only float step; comparisons and the
+    * max are order-free, so the statistic replays exactly. */
   def ksDrift(base: DataFrame, current: DataFrame, value: String): DataFrame = {
     def hist(df: DataFrame, out: String) =
       df.filter(col(value).isNotNull)
@@ -209,12 +211,12 @@ object Quality {
       .select(col(value),
         coalesce(col("__c1"), lit(0L)).as("__c1"),
         coalesce(col("__c2"), lit(0L)).as("__c2"))
-    val totals = j.agg(sum(col("__c1")).as("__n1"), sum(col("__c2")).as("__n2"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(value))
-      .rowsBetween(Long.MinValue, 0)
-    j.withColumn("__f1", sum(col("__c1")).over(w))
-      .withColumn("__f2", sum(col("__c2")).over(w))
-      .crossJoin(broadcast(totals))
+    val f = Ranking.withRunningTotals(j, Seq.empty, Seq(col(value)),
+      Seq("__c1" -> "__f1", "__c2" -> "__f2"))
+    // totals off the ledger the prefix sum already checkpointed — the
+    // two corpus-sized histogram scans are never re-executed
+    val totals = f.agg(sum(col("__c1")).as("__n1"), sum(col("__c2")).as("__n2"))
+    f.crossJoin(broadcast(totals))
       // an ECDF over zero observations is undefined — surface a clear
       // message instead of a bare ANSI divide-by-zero
       .where(assert_true(col("__n1") > 0 && col("__n2") > 0,

@@ -120,6 +120,15 @@ object Ranking {
   def withGlobalNtiles(df: DataFrame, key: Seq[String],
                        specs: Seq[(Seq[String], Int, String)]): DataFrame = {
     require(key.nonEmpty && specs.nonEmpty, "need a key and >= 1 spec")
+    // withGlobalNtile's checkCols sees only the NARROW (key ∪ order)
+    // projection — an out name that duplicates a base column OUTSIDE
+    // that projection (or another spec's out) would silently yield a
+    // duplicate-named column after the join-back; fail loudly instead
+    val outs = specs.map(_._3)
+    require(outs.distinct == outs,
+      s"duplicate output columns across specs: $outs")
+    outs.foreach(o => require(!df.columns.contains(o),
+      s"output column '$o' already exists on the input — rename first"))
     val base = df.localCheckpoint()
     specs.foldLeft(base) { case (acc, (order, k, out)) =>
       val narrow = base.select((key ++ order).distinct.map(col): _*)
@@ -232,5 +241,99 @@ object Ranking {
       .withColumn(denseOut, col("__doff") + col("__dl"))
       .select((oc :+ col(rankOut) :+ col(denseOut)): _*)
     nonNull.join(scored, order)
+  }
+
+  /** Distributed INCLUSIVE running totals — the shared prefix-sum
+    * engine behind every "cumulative count over a collapsed ledger" op
+    * (ECDFs, equi-depth bucketing, quantile bands, sweep-line levels,
+    * weighted medians). Appends, for each `(inCol, outCol)` pair, the
+    * cumulative sum of `inCol` over the global order `order` — within
+    * each `keys` group when keys are given — WITHOUT an unpartitioned
+    * Window: those ops' "distinct-value" frames are bounded for
+    * categorical domains but DATA-SIZED for timestamp/continuous ones,
+    * where a single-task `Window.orderBy` running sum is the plan that
+    * stalls at 100×.
+    *
+    * Mechanics (the [[withGlobalPercentiles]] ledger machinery,
+    * generalized): range exchange on (keys ∪ order) + `localCheckpoint`
+    * (sampled boundaries affect only balance, and both passes must see
+    * the SAME partitioning), per-partition running sums under a
+    * (__pid ∪ keys)-partitioned window — parallel — plus partition
+    * offsets: unkeyed, a P×P triangular self-join over the ≤P-row
+    * per-partition sums (broadcast back); keyed, a keys-partitioned
+    * window over __pid — ≤P rows PER KEY, bounded by the partition
+    * count, never by the data — joined back null-safely on
+    * (__pid, keys).
+    *
+    * Exactness: `order` must be TOTAL over the input rows (callers pass
+    * collapsed/distinct ledgers, where it is by construction) or the
+    * per-row cumulative is nondeterministic, exactly as with a window
+    * running sum over a non-total order. Input columns must be integral
+    * (int64 totals are exact and engine-replayable; a float running sum
+    * would be order-dependent). */
+  def withRunningTotals(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                        sums: Seq[(String, String)]): DataFrame = {
+    require(order.nonEmpty, "need at least one order column")
+    require(sums.nonEmpty, "need at least one (in, out) sum spec")
+    val outs = sums.map(_._2)
+    require(outs.distinct == outs, s"duplicate output columns: $outs")
+    sums.foreach { case (in, out) =>
+      require(df.columns.contains(in),
+        s"sum input column '$in' not in ${df.columns.mkString(", ")}")
+      checkCols(df, out)
+    }
+    val working = df.columns.filter(_.matches("__p(l|c|off)\\d+"))
+    require(working.isEmpty, "withRunningTotals appends working columns " +
+      s"__pl*/__pc*/__poff* — the input already has: ${working.mkString(", ")}")
+    val keyCols = keys.map(col)
+    val ranged = df.repartitionByRange((keyCols ++ order): _*).localCheckpoint()
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    val pcAggs = sums.zipWithIndex.map { case ((in, _), i) =>
+      sum(col(in)).as(s"__pc$i")
+    }
+    val parts = ranged.groupBy((col("__pid") +: keyCols): _*)
+      .agg(pcAggs.head, pcAggs.tail: _*)
+    val offs =
+      if (keys.isEmpty) {
+        // ≤P rows total: the withGlobalRank triangular pass
+        val offAggs = sums.indices.map(i =>
+          coalesce(sum(col(s"b.__pc$i")), lit(0L)).as(s"__poff$i"))
+        parts.as("a")
+          .join(broadcast(parts.as("b")),
+            col("b.__pid") < col("a.__pid"), "left")
+          .groupBy(col("a.__pid").as("__pid"))
+          .agg(offAggs.head, offAggs.tail: _*)
+      } else {
+        // ≤P rows per key: partitioned (by keys) window over __pid
+        val w = Window.partitionBy(keyCols: _*).orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val withOffs = sums.indices.foldLeft(parts) { (acc, i) =>
+          acc.withColumn(s"__poff$i",
+            coalesce(sum(col(s"__pc$i")).over(w), lit(0L)))
+        }
+        withOffs.select((col("__pid") +: keyCols) ++
+          sums.indices.map(i => col(s"__poff$i")): _*)
+      }
+    val wLoc = Window.partitionBy((col("__pid") +: keyCols): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sums.zipWithIndex.foldLeft(ranged) { case (acc, ((in, _), i)) =>
+      acc.withColumn(s"__pl$i", sum(col(in)).over(wLoc))
+    }
+    val joined =
+      if (keys.isEmpty) local.join(broadcast(offs), Seq("__pid"))
+      else {
+        // null-safe on the keys: a null key value is a legitimate group
+        // in window semantics and must not fall out of an equi-join
+        val cond = ((col("__l.__pid") === col("__o.__pid")) +:
+          keys.map(k => col(s"__l.$k") <=> col(s"__o.$k"))).reduce(_ && _)
+        local.as("__l").join(offs.as("__o"), cond)
+          .select(local.columns.map(c => col(s"__l.$c")) ++
+            sums.indices.map(i => col(s"__o.__poff$i")): _*)
+      }
+    sums.zipWithIndex.foldLeft(joined) { case (acc, ((_, out), i)) =>
+      acc.withColumn(out, col(s"__poff$i") + col(s"__pl$i"))
+    }.drop("__pid" +: sums.indices
+      .flatMap(i => Seq(s"__pl$i", s"__poff$i")): _*)
   }
 }

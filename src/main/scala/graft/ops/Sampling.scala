@@ -77,26 +77,29 @@ object Sampling {
   /** Exact quantile-band filter: keep rows whose `value` has
     * fraction-below in [lo, hi) — the outlier trim (e.g. drop the
     * shortest 5% and longest 5% of documents) curation pipelines run
-    * before training. The ranking runs on the DISTINCT-value histogram:
-    * groupBy(value) + one running-sum window over |distinct values| rows
-    * (not the corpus) + a broadcast of the single total row, then a join
-    * back on value — no corpus-wide global window, so the only
-    * corpus-sized shuffle is the value join. Exact (not approximate)
-    * and therefore engine-replayable. */
+    * before training. The ranking runs on the DISTINCT-value histogram
+    * (groupBy(value)), and the fraction-below rides
+    * [[Ranking.withRunningTotals]]'s distributed prefix sum — a
+    * continuous value column's distinct ledger is ≈ row-sized, so a
+    * single-task running-sum window here would funnel the corpus at
+    * 100×; with the ledger machinery the only corpus-sized shuffle is
+    * the value semi-join. Exact (not approximate) and therefore
+    * engine-replayable. */
   def quantileBand(df: DataFrame, value: String, lo: Double, hi: Double): DataFrame = {
     require(0.0 <= lo && lo < hi && hi <= 1.0, s"need 0 <= lo < hi <= 1, got [$lo, $hi)")
     // NULL values have no quantile: exclude them from the histogram AND
-    // the total (Spark's Window.orderBy sorts nulls first, so an
-    // unfiltered null row would count as "below" every real value and
-    // silently shift the whole band); null rows are dropped from the
-    // output (a null key never matches the semi join)
+    // the total (a null would otherwise count as "below" every real
+    // value and silently shift the whole band); null rows are dropped
+    // from the output (a null key never matches the semi join)
     val nonNull = df.filter(col(value).isNotNull)
     val hist = nonNull.groupBy(col(value)).agg(count(lit(1)).as("__c"))
-    val w = Window.orderBy(col(value)).rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = hist.withColumn("__below", coalesce(sum(col("__c")).over(w), lit(0L)))
-    // the total is derivable from the histogram — aggregating |distinct
-    // values| rows instead of re-scanning the corpus a second time
-    val total = hist.agg(sum(col("__c")).as("__n"))
+    // EXCLUSIVE fraction-below = inclusive prefix sum − own count
+    val ranked = Ranking.withRunningTotals(hist, Seq.empty, Seq(col(value)),
+        Seq("__c" -> "__cum"))
+      .withColumn("__below", col("__cum") - col("__c"))
+    // the total is derivable from the ledger the prefix sum already
+    // checkpointed — never a second corpus scan
+    val total = ranked.agg(sum(col("__c")).as("__n"))
     val band = ranked.crossJoin(broadcast(total))
       .filter(col("__below") >= lit(lo) * col("__n") &&
         col("__below") < lit(hi) * col("__n"))

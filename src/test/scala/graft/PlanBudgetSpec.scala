@@ -55,10 +55,52 @@ class PlanBudgetSpec extends SparkSpec {
       .filterNot(_._1.startsWith("stream_"))
       .map { case (name, fn) => name -> fn(s, sfDir) }
 
+  private def readBudget(path: java.nio.file.Path): Map[String, Seq[Int]] =
+    Files.readAllLines(path, StandardCharsets.UTF_8).asScala
+      .filterNot(l => l.startsWith("#") || l.isEmpty)
+      .map { l =>
+        val f = l.split('\t'); f(0) -> f.drop(1).map(_.toInt).toSeq
+      }.toMap
+
+  /** (query name, human message) per budget violation. */
+  private def violationsOf(budget: Map[String, Seq[Int]],
+                           current: Seq[(String, Seq[Int])])
+      : Seq[(String, String)] = {
+    val labels = Seq("exchanges", "smj", "bnlj", "cart")
+    current.flatMap { case (name, m) =>
+      val cart =
+        if (m(3) > 0)
+          Seq(name -> s"$name: ${m(3)} CartesianProduct (must be 0)")
+        else Seq.empty
+      budget.get(name) match {
+        case None =>
+          cart :+ (name -> (s"$name: no budget row — run PLAN_BUDGET_REGEN=1 " +
+            "sbt 'testOnly graft.PlanBudgetSpec' and commit the diff"))
+        case Some(b) =>
+          cart ++ m.zip(b).zip(labels).collect {
+            case ((cur, bud), lab) if cur > bud =>
+              name -> s"$name: $lab $cur > budget $bud"
+          }
+      }
+    }
+  }
+
   /** Regenerate-or-ratchet a (name -> metrics) set against a budget
-    * file: shared by the pre-adaptive and the executed-AQE audits. */
+    * file: shared by the pre-adaptive and the executed-AQE audits.
+    * `remeasure` (AQE audit only): AQE's FINAL shapes depend on runtime
+    * size stats, and under parallel-suite memory pressure a cached-
+    * checkpoint stat can tip a runtime broadcast decision the other way
+    * (observed: rec_topn_recall 11→13 exchanges, sim_recall_eval 5→7 —
+    * both only on contended runs, both passing in isolation). The
+    * budgets are recorded at the CONTENDED max, and a first-pass
+    * violation re-measures ONLY the violating queries on a fresh pinned
+    * session: a real plan regression reproduces deterministically, a
+    * load transient does not — so the suite stays green under parallel
+    * execution without ever waving through a reproducible regression. */
   private def checkBudget(path: java.nio.file.Path,
-                          current: Seq[(String, Seq[Int])]): Unit = {
+                          current: Seq[(String, Seq[Int])],
+                          remeasure: Option[Set[String] => Seq[(String, Seq[Int])]] = None)
+      : Unit = {
     if (sys.env.contains("PLAN_BUDGET_REGEN")) {
       val lines = "# query\texchanges\tsmj\tbnlj\tcart" +:
         current.map { case (n, m) => s"$n\t${m.mkString("\t")}" }
@@ -66,31 +108,19 @@ class PlanBudgetSpec extends SparkSpec {
       Files.write(path, lines.asJava, StandardCharsets.UTF_8)
       info(s"regenerated $path with ${current.size} rows")
     } else {
-      val budget: Map[String, Seq[Int]] =
-        Files.readAllLines(path, StandardCharsets.UTF_8).asScala
-          .filterNot(l => l.startsWith("#") || l.isEmpty)
-          .map { l =>
-            val f = l.split('\t'); f(0) -> f.drop(1).map(_.toInt).toSeq
-          }.toMap
-      val labels = Seq("exchanges", "smj", "bnlj", "cart")
-      val violations = current.flatMap { case (name, m) =>
-        val cart =
-          if (m(3) > 0) Seq(s"$name: ${m(3)} CartesianProduct (must be 0)")
-          else Seq.empty
-        budget.get(name) match {
-          case None =>
-            cart :+ s"$name: no budget row — run PLAN_BUDGET_REGEN=1 " +
-              "sbt 'testOnly graft.PlanBudgetSpec' and commit the diff"
-          case Some(b) =>
-            cart ++ m.zip(b).zip(labels).collect {
-              case ((cur, bud), lab) if cur > bud =>
-                s"$name: $lab $cur > budget $bud"
-            }
-        }
+      val budget = readBudget(path)
+      val first = violationsOf(budget, current)
+      val confirmed = (first, remeasure) match {
+        case (v, Some(again)) if v.nonEmpty =>
+          val names = v.map(_._1).toSet
+          info(s"budget exceeded on first pass — re-measuring under a " +
+            s"fresh session: ${names.mkString(", ")}")
+          violationsOf(budget, again(names))
+        case _ => first
       }
-      assert(violations.isEmpty,
+      assert(confirmed.isEmpty,
         s"\nplan-budget regressions ($path):\n  " +
-          s"${violations.mkString("\n  ")}\n" +
+          s"${confirmed.map(_._2).mkString("\n  ")}\n" +
           "If the new shape is intentional, regenerate the budget file " +
           "and justify the diff in the commit message.")
     }
@@ -106,6 +136,13 @@ class PlanBudgetSpec extends SparkSpec {
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    // the confs AQE's runtime re-planning consults, pinned to their
+    // expected defaults so a future leak can never skew the executed
+    // audit (the stat-dependence itself is handled by checkBudget's
+    // re-measure pass)
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     s
   }
 
@@ -124,24 +161,37 @@ class PlanBudgetSpec extends SparkSpec {
   // the budget divergence the pre-adaptive audit cannot see (e.g. a
   // broadcast silently demoting to SMJ at runtime).
   test("AQE-executed (production posture) plans stay within their own budget") {
-    val s2 = auditSession()
-    s2.conf.set("spark.sql.adaptive.enabled", "true")
-    var sawFinal = false
-    val current = auditable(s2).map { case (name, df) =>
-      // drive THIS df's own physical plan (df.count() would wrap the
-      // logical plan in a fresh QueryExecution and leave this one —
-      // the one we stringify — unexecuted, i.e. never final)
-      val exec = df.queryExecution.executedPlan
-      exec.execute().count()
-      val plan = exec.toString
-      sawFinal ||= plan.contains("isFinalPlan=true")
-      // executed adaptive strings carry BOTH sections; audit the final
-      name -> metrics(plan.split("== Initial Plan ==").head)
+    // (measured queries optionally restricted to `names` — construction
+    // is filtered BEFORE fn() runs, so a re-measure pass never re-pays
+    // the eager localCheckpoints of the non-violating queries)
+    def measure(names: Option[Set[String]])
+        : (Seq[(String, Seq[Int])], Boolean) = {
+      val s2 = auditSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "true")
+      var sawFinal = false
+      val cur = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot(_._1.startsWith("stream_"))
+        .filter { case (n, _) => names.forall(_.contains(n)) }
+        .map { case (name, fn) => name -> fn(s2, sfDir) }
+        .map { case (name, df) =>
+          // drive THIS df's own physical plan (df.count() would wrap the
+          // logical plan in a fresh QueryExecution and leave this one —
+          // the one we stringify — unexecuted, i.e. never final)
+          val exec = df.queryExecution.executedPlan
+          exec.execute().count()
+          val plan = exec.toString
+          sawFinal ||= plan.contains("isFinalPlan=true")
+          // executed adaptive strings carry BOTH sections; audit the final
+          name -> metrics(plan.split("== Initial Plan ==").head)
+        }
+      (cur, sawFinal)
     }
+    val (current, sawFinal) = measure(None)
     // guard against vacuity: if no plan ever reached isFinalPlan=true
     // the slicing/metrics would be auditing initial shapes twice
     assert(sawFinal, "no executed query produced a final adaptive plan — " +
       "is AQE actually enabled on the audit session?")
-    checkBudget(aqeBudgetPath, current)
+    checkBudget(aqeBudgetPath, current,
+      remeasure = Some(names => measure(Some(names))._1))
   }
 }
