@@ -94,6 +94,11 @@ object Bench {
           .foreach(p => try java.nio.file.Files.deleteIfExists(p)
                         catch { case _: Throwable => () })
       } catch { case _: Throwable => () }
+    // the explicit success-path call below cleans up promptly; the hook
+    // covers exceptions mid-capture and killed runs, which used to leak
+    // up to ~3× 2M-row parquet per calibration into the temp dir
+    // (deleteIfExists makes the double-call benign)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => cleanupIoCalib()))
     val loadBefore = loadavg()
     // ---- ACT on the calibration, don't just record it ----------------
     // Five consecutive rounds of driver captures started hot (r8–r12:
@@ -156,6 +161,29 @@ object Bench {
     // health fields (stall_retrials) so a heavily re-trialed capture
     // still self-identifies as a loaded-box run.
     var stallRetrials = 0
+    // ---- static I/O-sensitivity class per query ----------------------
+    // The calibration probes say whether THE CAPTURE was disk-
+    // contaminated; these tags say WHICH queries to discount when it
+    // was. Three classes by what a query does besides compute:
+    //  - "stream": runs a real Structured Streaming job (per-batch
+    //    checkpoint + sink writes — the many-small-files shape the I/O
+    //    probe measures);
+    //  - "lake": writes a lake/index artifact as part of the query
+    //    (partitioned parquet, versioned commits, persisted ANN/graph
+    //    indexes — one-shot but write-bound);
+    //  - "cpu": everything else (reads parquet once, then computes —
+    //    localCheckpoints spill only under memory pressure).
+    // Static by design: the class is a property of the query's shape,
+    // not of a run, so per-class subtotals are comparable across rounds.
+    val lakeWriteQueries = Set(
+      "graph_edge_build", "graph_edges_append", "merge_upsert",
+      "pipeline_stock_e2e", "sim_ivf_build", "sim_ivf_append",
+      "sim_ivf_persisted", "sim_ivfpq_append", "sim_ivfpq_persisted",
+      "emb_lof_outliers_ivf_persisted")
+    def ioClass(name: String): String =
+      if (name.startsWith("stream_")) "stream"
+      else if (name.startsWith("lake_") || lakeWriteQueries(name)) "lake"
+      else "cpu"
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -229,13 +257,43 @@ object Bench {
     val calibMean = (calibBefore + calibAfter) / 2
     val ioCalibMean = (ioCalibBefore + ioCalibAfter) / 2
     val calibFactor = calibMean / CalibRef
-    val totalCalibNorm = r3(total / calibFactor)
+    // GATED on run health (round-14 lesson: a stall-inflated 454.6 s
+    // capture normalized UP to 617.6 s — the CPU factor models clock
+    // dilation, and stalls/disk contention are not clock dilation, so
+    // scaling a stalled total by it compounds two unrelated errors).
+    // Emitted only when the loop wasn't visibly fighting the box:
+    // few stall re-trials AND both calibration probes inside their
+    // quiet-box bands at BOTH endpoints; otherwise null plus the
+    // reason, so no consumer can read a normalized headline off a
+    // contaminated run.
+    val StallRetrialsMax = 5
+    val suppressWhy =
+      (if (stallRetrials > StallRetrialsMax) Seq("stalls") else Seq.empty) ++
+      (if (calibBefore > CalibBandTop || calibAfter > CalibBandTop)
+        Seq("cpu_calib") else Seq.empty) ++
+      (if (ioCalibBefore > IoCalibBandTop || ioCalibAfter > IoCalibBandTop)
+        Seq("io_calib") else Seq.empty)
+    val normField =
+      if (suppressWhy.isEmpty)
+        s""""total_calib_normalized":${r3(total / calibFactor)}"""
+      else
+        s""""total_calib_normalized":null,""" +
+        s""""normalized_suppressed":"${suppressWhy.mkString("+")}""""
+    // per-I/O-class subtotals (successful queries only) — next to the
+    // calib factors these adjudicate a contaminated capture per family:
+    // an out-of-band I/O probe discounts the stream/lake subtotals, not
+    // the cpu one
+    val classTotals = results.toSeq.groupBy { case (k, _) => ioClass(k) }
+      .map { case (cls, rs) =>
+        s""""$cls":${r3(rs.map(_._2._1).filter(_ >= 0).sum)}"""
+      }.mkString("{", ",", "}")
     val health =
       s""""loadavg_before":${jarr(loadBefore)},"loadavg_after":${jarr(loadAfter)},""" +
       s""""calib_sec_before":${r3(calibBefore)},"calib_sec_after":${r3(calibAfter)},""" +
       s""""calib_io_sec_before":${r3(ioCalibBefore)},"calib_io_sec_after":${r3(ioCalibAfter)},""" +
       s""""calib_factor_cpu":${r3(calibFactor)},"calib_factor_io":${r3(ioCalibMean / IoCalibRef)},""" +
-      s""""calib_waits":$calibWaits,"total_calib_normalized":$totalCalibNorm,""" +
+      s""""calib_waits":$calibWaits,$normField,""" +
+      s""""io_class_totals":$classTotals,""" +
       s""""stall_retrials":$stallRetrials,"cpus":$cpus"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,$health,"sf":"$sfJson"}"""

@@ -272,7 +272,7 @@ object Experiment {
     val varxN = sxx - sx * sx / n
     val varyN = syy - sy * sy / n
     val theta = covN / varxN
-    val meanDiff = (tag: String, s: String) =>
+    val meanDiff = (s: String) =>
       col(s + "_a").cast("double") / col("n_a").cast("double") -
         col(s + "_b").cast("double") / col("n_b").cast("double")
     joined
@@ -280,9 +280,9 @@ object Experiment {
       .withColumn("__vx", varxN)
       .filter(col("__vx") =!= lit(0.0))
       .withColumn("theta", theta.cast("float"))
-      .withColumn("diff_raw", meanDiff("y", "__sy").cast("float"))
+      .withColumn("diff_raw", meanDiff("__sy").cast("float"))
       .withColumn("diff_adj",
-        (meanDiff("y", "__sy") - theta * meanDiff("x", "__sx")).cast("float"))
+        (meanDiff("__sy") - theta * meanDiff("__sx")).cast("float"))
       .withColumn("var_reduction",
         (covN * covN / nullif(varxN * varyN, lit(0.0))).cast("float"))
       .select(col(group), col("n_a"), col("n_b"), col("theta"),

@@ -35,8 +35,17 @@ object Graph {
                              path: String, buckets: Int, mode: String): Unit =
     edges.select(col(src).as("src"), col(dst).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
       .withColumn("bkt", pmod(xxhash64(col("src")), lit(buckets.toLong)))
+      // exactly ONE file per bucket per call: without the repartition,
+      // every one of the P shuffle tasks opens a writer for each bucket
+      // it touches — up to P×buckets small files PER WRITE, which is
+      // both the slowest way to write locally and the many-small-files
+      // lake shape that kills scan startup at 100 TB. The dedup runs
+      // AFTER the bucket exchange: bkt is a function of src, so equal
+      // (src, dst) rows co-locate and the distinct closes partition-
+      // locally — one edge-sized shuffle total, same as before.
+      .repartition(buckets, col("bkt"))
+      .dropDuplicates("src", "dst", "bkt")
       .write.mode(mode).partitionBy("bkt").parquet(s"$path/edges.parquet")
 
   /** Persist a deduplicated (src, dst) edge frame under `path`, hash-
@@ -84,6 +93,21 @@ object Graph {
     * contract. */
   def loadEdges(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/edges.parquet").select(col("src"), col("dst"))
+
+  /** Compact a persisted edge frame in place: each [[appendEdges]] call
+    * adds one file per bucket, so after N appends a reader opens
+    * N×buckets files — when N grows past the lake's file-count comfort,
+    * this rewrite collapses every bucket back to a single file (and
+    * dedups any cross-delta duplicates, upgrading degree-style
+    * consumers back to the no-distinct fast path). A full rewrite by
+    * construction — schedule it like any compaction (maintenance
+    * window, frequency amortized over appends); the frame materializes
+    * via localCheckpoint before the overwrite touches the files it was
+    * read from. */
+  def compactEdges(spark: SparkSession, path: String): Unit = {
+    val b = edgeBuckets(spark, path)
+    saveEdges(loadEdges(spark, path).localCheckpoint(), "src", "dst", path, b)
+  }
 
   /** PageRank with damping over a directed edge list. Exact replay
     * contract (the [[Pca]] pattern): rank₀ = 1/n; per iteration

@@ -401,10 +401,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // rows-only (HLL/t-digest sketches are engine-specific by design)
+    // rows-only BY DECLARED DESIGN, and narrowed to the sketch columns
+    // alone: Spark's HLL++ register layout and t-digest centroid merge
+    // order are engine-internal, so no DuckDB SQL can replay these two
+    // values — while every EXACT column this profile used to carry
+    // (n_docs, and the exact complements of both sketches) is hash-
+    // verified by corpus_profile_exact below. The pair splits the
+    // contract cleanly: exact subset oracled, sketch subset rows-only.
     "dedup_corpus_profile" -> ((s, dir) =>
       Dedup.corpusProfile(Tables.documents(s, dir), "text", "n_chars")
-        .select(col("n_docs"), col("approx_distinct_docs"),
+        .select(col("approx_distinct_docs"),
           col("size_p50_p95_p99").getItem(0).as("p50"))),
 
     // the exact complement of the sketch profile (one extra shuffle for
