@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing: assign documents to fixed token-budget bins — the
@@ -16,24 +15,29 @@ import org.apache.spark.sql.functions._
   * no engine can parallelize, and this form is what distributed
   * pipelines actually run.
   *
-  * Scale: the running sum is a window per GROUP, so parallelism = the
-  * grouping key's cardinality. Pack within a natural shard (language,
-  * source, date) — or pre-split with [[Sampling.hashBucket]] — rather
-  * than one global ordering, which would funnel 100 TB through one
-  * reducer.
+  * Scale: the running layout rides [[Ranking.withRunningTotals]]'s
+  * range-partition + ledger prefix sum — both the GLOBAL ordering
+  * (group = ∅, the whole corpus in one deterministic layout) and a
+  * hot group stay fully partitioned, where the former window form
+  * funneled the global case through one reducer. Grouping by a
+  * natural shard (language, source, date) is still the right call —
+  * not for safety anymore, but because per-shard bins are what
+  * training mixtures consume.
   */
 object Packing {
 
   /** Adds `cum_before` (tokens laid out earlier in the group) and
-    * `bin_id`. `tokens` must be a non-negative integer column. */
+    * `bin_id`. `tokens` must be a non-negative integer column, and
+    * `id` must be unique within its group (it IS the layout order). */
   def packByBudget(df: DataFrame, id: String, tokens: String, budget: Long,
                    group: Seq[String] = Seq.empty): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val base = if (group.isEmpty) Window.orderBy(col(id))
-               else Window.partitionBy(group.map(col): _*).orderBy(col(id))
-    val w = base.rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("cum_before", coalesce(sum(col(tokens)).over(w), lit(0L)))
+    Ranking.withRunningTotals(df, group, Seq(col(id)),
+        Seq(tokens -> "__cum_incl"))
+      // exclusive prefix = inclusive − own tokens (the lag-free form)
+      .withColumn("cum_before", col("__cum_incl") - col(tokens))
       .withColumn("bin_id", floor(col("cum_before") / budget))
+      .drop("__cum_incl")
   }
 
   /** Per-bin fill summary: documents and tokens per bin. */

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact per-group quantiles by the NEAREST-RANK definition: the p-th
@@ -15,15 +14,18 @@ import org.apache.spark.sql.functions._
   * midpoint (reference: the dashboard's summary stats are all
   * min/max/last — app.py:171-189 — this generalizes them to any p).
   *
-  * Plan shape: one hash exchange on the keys, one sort on (keys,
-  * value); `row_number` and the partition count share the frame. The
-  * requested p-list explodes AFTER ranking (m tiny rows per input row,
-  * map-side, filtered immediately) — no second shuffle until the final
-  * one-row-per-(group, p) projection.
+  * Plan shape: collapse to the per-(keys, value) DISTINCT ledger first
+  * (map-side combined), then [[Ranking.withRunningTotals]]'s
+  * distributed prefix sum gives every distinct value its cumulative
+  * rank range [cum−c+1, cum] — the value at rank ⌈p·n⌉ is the ledger
+  * row whose range contains it, closed by a pure filter. No per-key
+  * row_number window, so a HOT key (or an unkeyed call, where the
+  * "group" is the whole dataset) never funnels its rows through one
+  * task; the p-list explodes over the ledger, never over raw rows.
   */
 object Percentiles {
 
-  private val Reserved = Seq("__rn", "__n", "p", "pct_value")
+  private val Reserved = Seq("__c", "__cum", "__n", "p", "pct_value")
 
   /** One row per (group, p): (keys..., p, pct_value). `ps` values must
     * lie in (0, 1]. Null values are excluded from ranking (a null is
@@ -36,13 +38,26 @@ object Percentiles {
     require(clash.isEmpty,
       s"nearestRank appends working columns ${Reserved.mkString(", ")} — " +
         s"the input already has: $clash; rename first")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(value))
-    df.filter(col(value).isNotNull)
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy(keys.map(col): _*)))
+    val vc = df.filter(col(value).isNotNull)
+      .groupBy((keys.map(col) :+ col(value)): _*)
+      .agg(count(lit(1)).as("__c"))
+    val cum = Ranking.withRunningTotals(vc, keys, Seq(col(value)),
+      Seq("__c" -> "__cum"))
+    // per-key totals off the checkpointed ledger, joined back
+    // null-safely (a null key is a group, and must not fall out)
+    val tot = cum.groupBy(keys.map(col): _*).agg(sum(col("__c")).as("__n"))
+    val withTot =
+      if (keys.isEmpty) cum.crossJoin(broadcast(tot))
+      else cum.as("__a").join(tot.as("__b"),
+          keys.map(k => col(s"__a.$k") <=> col(s"__b.$k")).reduce(_ && _))
+        .select(cum.columns.map(c => col(s"__a.$c")) :+ col("__b.__n"): _*)
+    // the value AT rank ⌈p·n⌉: ⌈p·n⌉ lands inside exactly one distinct
+    // value's [cum−c+1, cum] — same row the per-key row_number picked,
+    // same ceil arithmetic, so results replay bit-identically
+    withTot
       .withColumn("p", explode(array(ps.map(lit): _*)))
-      .filter(col("__rn") === ceil(col("p") * col("__n")))
+      .filter(col("__cum") - col("__c") < ceil(col("p") * col("__n")) &&
+        ceil(col("p") * col("__n")) <= col("__cum"))
       .select(keys.map(col) :+ col("p") :+ col(value).as("pct_value"): _*)
   }
 

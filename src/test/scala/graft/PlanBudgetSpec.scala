@@ -62,9 +62,25 @@ class PlanBudgetSpec extends SparkSpec {
         val f = l.split('\t'); f(0) -> f.drop(1).map(_.toInt).toSeq
       }.toMap
 
+  /** Check-time EXCHANGE slack for the executed-AQE audit only:
+    * queries whose final adaptive shape was OBSERVED to vary with box
+    * load (a cached-checkpoint size stat tipping a runtime broadcast
+    * decision), with the measured spread. Encoded here rather than in
+    * the budget file because PLAN_BUDGET_REGEN rewrites the file with
+    * whatever THIS run measured — a quiet regen would silently ratchet
+    * the budget back to the uncontended floor and re-arm the flake.
+    *   rec_topn_recall: 11 quiet / 13 under parallel suites (r14 judge
+    *     + reproduced in r15); sim_recall_eval: 5 quiet / 7 contended
+    *     (r15). Slack = observed spread; anything beyond it still
+    *     fails (after the re-measure pass confirms it reproduces). */
+  private val aqeExchangeSlack = Map(
+    "rec_topn_recall" -> 2,
+    "sim_recall_eval" -> 2)
+
   /** (query name, human message) per budget violation. */
   private def violationsOf(budget: Map[String, Seq[Int]],
-                           current: Seq[(String, Seq[Int])])
+                           current: Seq[(String, Seq[Int])],
+                           exchangeSlack: Map[String, Int] = Map.empty)
       : Seq[(String, String)] = {
     val labels = Seq("exchanges", "smj", "bnlj", "cart")
     current.flatMap { case (name, m) =>
@@ -77,9 +93,12 @@ class PlanBudgetSpec extends SparkSpec {
           cart :+ (name -> (s"$name: no budget row — run PLAN_BUDGET_REGEN=1 " +
             "sbt 'testOnly graft.PlanBudgetSpec' and commit the diff"))
         case Some(b) =>
+          val slack = exchangeSlack.getOrElse(name, 0)
           cart ++ m.zip(b).zip(labels).collect {
-            case ((cur, bud), lab) if cur > bud =>
-              name -> s"$name: $lab $cur > budget $bud"
+            case ((cur, bud), lab)
+                if cur > bud + (if (lab == "exchanges") slack else 0) =>
+              name -> (s"$name: $lab $cur > budget $bud" +
+                (if (lab == "exchanges" && slack > 0) s" (+$slack slack)" else ""))
           }
       }
     }
@@ -99,7 +118,8 @@ class PlanBudgetSpec extends SparkSpec {
     * execution without ever waving through a reproducible regression. */
   private def checkBudget(path: java.nio.file.Path,
                           current: Seq[(String, Seq[Int])],
-                          remeasure: Option[Set[String] => Seq[(String, Seq[Int])]] = None)
+                          remeasure: Option[Set[String] => Seq[(String, Seq[Int])]] = None,
+                          exchangeSlack: Map[String, Int] = Map.empty)
       : Unit = {
     if (sys.env.contains("PLAN_BUDGET_REGEN")) {
       val lines = "# query\texchanges\tsmj\tbnlj\tcart" +:
@@ -109,13 +129,13 @@ class PlanBudgetSpec extends SparkSpec {
       info(s"regenerated $path with ${current.size} rows")
     } else {
       val budget = readBudget(path)
-      val first = violationsOf(budget, current)
+      val first = violationsOf(budget, current, exchangeSlack)
       val confirmed = (first, remeasure) match {
         case (v, Some(again)) if v.nonEmpty =>
           val names = v.map(_._1).toSet
           info(s"budget exceeded on first pass — re-measuring under a " +
             s"fresh session: ${names.mkString(", ")}")
-          violationsOf(budget, again(names))
+          violationsOf(budget, again(names), exchangeSlack)
         case _ => first
       }
       assert(confirmed.isEmpty,
@@ -192,6 +212,7 @@ class PlanBudgetSpec extends SparkSpec {
     assert(sawFinal, "no executed query produced a final adaptive plan — " +
       "is AQE actually enabled on the audit session?")
     checkBudget(aqeBudgetPath, current,
-      remeasure = Some(names => measure(Some(names))._1))
+      remeasure = Some(names => measure(Some(names))._1),
+      exchangeSlack = aqeExchangeSlack)
   }
 }

@@ -102,6 +102,53 @@ class LedgerWindowSpec extends SparkSpec {
     assertNoGlobalWindow(Intervals.peakConcurrency(iv, "s", "e", 10L))
   }
 
+  test("nearestRank and packByBudget ride the ledger — no global window, keyed or not") {
+    val docs = (1 to 200).map(i => (i.toLong, (i * 37 % 97).toLong,
+        if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "n", "g")
+    assertNoGlobalWindow(Percentiles.nearestRank(docs, Seq("g"), "n",
+      Seq(0.5, 0.9)))
+    assertNoGlobalWindow(Percentiles.nearestRank(docs, Seq.empty, "n",
+      Seq(0.5)))
+    assertNoGlobalWindow(Packing.packByBudget(docs, "id", "n", 100L))
+    assertNoGlobalWindow(Packing.packByBudget(docs, "id", "n", 100L,
+      group = Seq("g")))
+  }
+
+  test("unkeyed nearestRank matches the single-window nearest-rank definition") {
+    val rng = new scala.util.Random(13)
+    val df = (0 until 137).map(i => (i.toLong, rng.nextInt(25).toLong))
+      .toDF("id", "n")
+    val w = Window.orderBy(col("n"))
+    val expected = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(lit(0))))
+      .withColumn("p", explode(array(lit(0.25), lit(0.5), lit(0.99))))
+      .filter(col("__rn") === ceil(col("p") * col("__n")))
+      .select(col("p"), col("n").as("pct_value"))
+      .rows.map(_.toString).sorted
+    val got = Percentiles.nearestRank(df, Seq.empty, "n",
+        Seq(0.25, 0.5, 0.99))
+      .rows.map(_.toString).sorted
+    got shouldBe expected
+  }
+
+  test("packByBudget global path matches the window form") {
+    val rng = new scala.util.Random(17)
+    val df = (0 until 150).map(i => (i.toLong, rng.nextInt(40).toLong + 1))
+      .toDF("id", "tok")
+    val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = df
+      .withColumn("cum_before", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .withColumn("bin_id", floor(col("cum_before") / 100L))
+      .rows.map(_.toString).sorted
+    val got = Packing.packByBudget(df, "id", "tok", 100L)
+      .rows.map(_.toString).sorted
+    got shouldBe expected
+  }
+
   test("withGlobalNtiles rejects out-name collisions outside the narrow projection") {
     val df = Seq((1L, 2L, 3L)).toDF("id", "v", "extra")
     intercept[IllegalArgumentException] {
