@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch (Cormode & Muthukrishnan, "An improved data stream
+  * summary: the count-min sketch and its applications", J. Algorithms
+  * 2005) over a key column — the bounded-memory frequency summary for
+  * corpora whose key cardinality dwarfs memory: depth×width counters
+  * (d rows of w buckets), point estimate = min over rows of the key's
+  * bucket counter, one-sided error (estimate ≥ true count, over by at
+  * most εN with probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉).
+  *
+  * Unlike the HLL/t-digest pair in [[Dedup.corpusProfile]] (engine-
+  * internal register layouts, rows-only by declared design), THIS
+  * sketch is engine-replayable end to end: buckets come from the
+  * repo's standard md5 hash trick ([[Sampling.hashBucket]] — the first
+  * 8 hex chars of md5("cms<row>:" ++ key) as an unsigned int, mod
+  * width), and build/estimate are integer groupBy/min — any engine
+  * with md5 reproduces every counter and every estimate bit-for-bit,
+  * so the whole sketch sits on the hard correctness signal.
+  *
+  * Scale shape: build is ONE map-side-combined aggregation — each
+  * input row expands to its d (row, bucket) cells via posexplode (a
+  * pure map), and the combine collapses to ≤ d·w rows regardless of
+  * input size. Estimates broadcast the ≤ d·w-row sketch onto the
+  * candidate keys — never the reverse, so a trillion-token stream
+  * meets the sketch only in its own partitions. The candidate set is
+  * the caller's (CMS answers point queries; heavy-hitter ENUMERATION
+  * pairs it with a candidate stream, e.g. a per-partition top-k).
+  */
+object CountMin {
+
+  private def bucket(row: Int, key: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"cms$row:"), key.cast("string"))),
+      1, 8), 16, 10).cast("long"), lit(width.toLong))
+
+  private def checkShape(depth: Int, width: Int): Unit = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+  }
+
+  /** The sketch as a (cms_row, cms_bucket, cnt) frame — ≤ depth·width
+    * rows, absent cells implicitly zero. `weight` defaults to 1 per
+    * input row (count semantics); pass an integral column for weighted
+    * frequency (e.g. token counts already aggregated upstream). Null
+    * keys carry no frequency and are excluded. */
+  def build(df: DataFrame, key: String, depth: Int, width: Int,
+            weight: Option[String] = None): DataFrame = {
+    checkShape(depth, width)
+    val w = weight.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    df.filter(col(key).isNotNull)
+      .select(posexplode(array((0 until depth).map(i =>
+        bucket(i, col(key), width)): _*)).as(Seq("cms_row", "cms_bucket")),
+        w.as("__w"))
+      .groupBy(col("cms_row"), col("cms_bucket"))
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
+  /** Point estimates for `candidates`' `key` column against a built
+    * sketch: appends `cms_estimate` = min over the d rows of the key's
+    * bucket counter. The sketch side broadcasts (≤ depth·width rows by
+    * construction); a candidate hashing only into never-touched cells
+    * estimates 0 (a true count of 0 — every real occurrence increments
+    * all d of its cells). Candidate rows must be distinct on their full
+    * column set (they are the group-back identity). */
+  def estimate(cms: DataFrame, candidates: DataFrame, key: String,
+               depth: Int, width: Int): DataFrame = {
+    checkShape(depth, width)
+    val clash = candidates.columns.toSet
+      .intersect(Set("cms_row", "cms_bucket", "cnt", "cms_estimate"))
+    require(clash.isEmpty, "estimate appends working columns cms_row, " +
+      s"cms_bucket, cnt, cms_estimate — the candidates already have: $clash")
+    val cells = candidates.select(col("*"),
+      posexplode(array((0 until depth).map(i =>
+        bucket(i, col(key), width)): _*)).as(Seq("cms_row", "cms_bucket")))
+    cells.join(broadcast(cms), Seq("cms_row", "cms_bucket"), "left")
+      .groupBy(candidates.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
+  }
+}

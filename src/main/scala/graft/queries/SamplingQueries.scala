@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Packing, Sampling, Snapshot, TextAnalysis, Vocab}
+import graft.ops.{CountMin, Dedup, Packing, Sampling, Snapshot, TextAnalysis, Vocab}
 
 /** Training-data curation layer over `documents`: deterministic
   * splits/samples/mixtures, vocabulary + TF-IDF, token-budget packing,
@@ -74,6 +74,25 @@ object SamplingQueries {
       Vocab.topKTokens(Tables.documents(s, dir), text = "text", k = 50)
         .select(col("rank"), col("token"), col("n"))
         .orderBy(col("rank"))),
+
+    // Count-Min heavy-hitter estimates over the token stream: the
+    // bounded-memory frequency summary (4×512 counters regardless of
+    // vocabulary size) probed at the exact top-25 tokens — one-sided
+    // by construction (estimate ≥ exact), and because the buckets are
+    // md5-derived the DuckDB oracle replays every counter and every
+    // estimate bit-for-bit: the sketch that CAN sit on the hard hash
+    // signal, unlike the HLL/t-digest pair (engine-internal layouts,
+    // rows-only by declared design).
+    "freq_cms_heavy" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+      val cms = CountMin.build(toks, "token", depth = 4, width = 512)
+      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(25)
+      CountMin.estimate(cms, top, "token", depth = 4, width = 512)
+        .orderBy(col("n_exact").desc, col("token"))
+    }),
 
     // learned BPE merge table: 8 most-frequent-pair merges over the
     // 500-word df-capped dictionary — the trainer behind the
@@ -533,6 +552,29 @@ object SamplingQueries {
         | r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM c)
         |SELECT CAST(rank AS BIGINT) AS rank, token, n
         |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    // full sketch replay: same md5 bucketing, same 4x512 cell grid,
+    // same min-over-rows estimate — integers end to end
+    "freq_cms_heavy" ->
+      """WITH t AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+        |           FROM documents),
+        | tk AS (SELECT token FROM t WHERE length(token) > 0),
+        | rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        | cms AS (SELECT r,
+        |     CAST(concat('0x', substr(md5(concat('cms', r, ':', token)), 1, 8))
+        |       AS BIGINT) % 512 AS b,
+        |     count(*) AS cnt
+        |   FROM tk CROSS JOIN rws GROUP BY 1, 2),
+        | top AS (SELECT token, count(*) AS n_exact FROM tk GROUP BY 1
+        |   ORDER BY n_exact DESC, token LIMIT 25)
+        |SELECT top.token, CAST(top.n_exact AS BIGINT) AS n_exact,
+        |  CAST(min(COALESCE(cms.cnt, 0)) AS BIGINT) AS cms_estimate
+        |FROM top CROSS JOIN rws
+        |LEFT JOIN cms ON cms.r = rws.r
+        |  AND cms.b = CAST(concat('0x',
+        |    substr(md5(concat('cms', rws.r, ':', top.token)), 1, 8))
+        |    AS BIGINT) % 512
+        |GROUP BY 1, 2 ORDER BY n_exact DESC, token""".stripMargin,
 
     "text_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
