@@ -31,9 +31,15 @@ import org.apache.spark.sql.functions._
   */
 object CountMin {
 
-  private def bucket(row: Int, key: Column, width: Int): Column =
+  /** The cell (bucket index) `key` hashes to in sketch row `row` —
+    * public so windowed/streaming composites can expand cells with the
+    * exact hash the batch build uses (and the oracle replays). */
+  def bucketOf(row: Int, key: Column, width: Int): Column =
     pmod(conv(substring(md5(concat(lit(s"cms$row:"), key.cast("string"))),
       1, 8), 16, 10).cast("long"), lit(width.toLong))
+
+  private def bucket(row: Int, key: Column, width: Int): Column =
+    bucketOf(row, key, width)
 
   private def checkShape(depth: Int, width: Int): Unit = {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Reconcile, Reshape}
+import graft.ops.{CountMin, Reconcile, Reshape}
 import graft.pipeline.StockPipeline
 import graft.sources.{LakeReader, LakeWriter, VersionedLake}
 import graft.streaming.EventStreams
@@ -404,6 +404,47 @@ object PipelineQueries {
     // LIVE TRENDING: top-3 event types per finalized hourly window —
     // the streaming engine maintains the windowed counts, the read-back
     // ranks them (integer counts, type tie-break: the cut is exact).
+    // Bounded-state heavy-user monitoring: the stream maintains ONE
+    // 4×256 Count-Min grid per hour window — state independent of user
+    // cardinality, the sketch a 100 TB/day stream can actually afford —
+    // then finalized windows are probed at their exact top-3 users.
+    // Because the cells are md5-derived the oracle replays the SKETCH
+    // as well as the exact counts: estimates land on the hash signal.
+    "stream_cms_live" -> ((s, dir) => {
+      val (raw, tmp) = stageStream(s, dir, "events", "graft_scms")
+      val src = raw.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      awaitScoped(s)(EventStreams.toLake(
+        EventStreams.cmsWindowed(src, key = "user_id", depth = 4, width = 256),
+        s"$tmp/sink", s"$tmp/ckpt", partitionCols = Seq.empty))
+      val bound = Tables.events(s, dir)
+        .agg((max(col("ts_utc")) - expr("INTERVAL 20 MINUTES")).as("bound"))
+      val sk = LakeReader.read(s, s"$tmp/sink")
+        .crossJoin(broadcast(bound))
+        .filter(col("window_end") <= col("bound"))
+        .select(col("window_start"), col("cms_row"), col("cms_bucket"),
+          col("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("window_start"))
+        .orderBy(col("n_exact").desc, col("user_id"))
+      val top = Tables.events(s, dir)
+        .select(date_trunc("hour", col("ts_utc")).as("window_start"),
+          col("user_id"))
+        .crossJoin(broadcast(bound))
+        .filter(col("window_start") + expr("INTERVAL 1 HOUR") <= col("bound"))
+        .groupBy(col("window_start"), col("user_id"))
+        .agg(count(lit(1)).as("n_exact"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+      val cells = top.select(col("*"), posexplode(array((0 until 4).map(i =>
+          CountMin.bucketOf(i, col("user_id"), 256)): _*))
+        .as(Seq("cms_row", "cms_bucket")))
+      cells.join(sk, Seq("window_start", "cms_row", "cms_bucket"), "left")
+        .groupBy(col("window_start"), col("rank"), col("user_id"),
+          col("n_exact"))
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
+        .orderBy(col("window_start"), col("rank"))
+    }),
+
     "stream_topk_live" -> ((s, dir) => {
       val (raw, tmp) = stageStream(s, dir, "events", "graft_stopk")
       val src = raw.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
@@ -897,6 +938,36 @@ object PipelineQueries {
 
     // the streaming sink holds hourly windows already finalized by the
     // watermark; the 20-min bound replicates the query-side restriction
+    // the oracle replays the SKETCH (same md5 cells, same min-over-rows)
+    // as well as the exact per-window top-3 — integers end to end
+    "stream_cms_live" ->
+      """WITH b AS (SELECT max(ts) - INTERVAL '20 minutes' AS bound FROM events),
+        | h AS (SELECT date_trunc('hour', ts) AS window_start, user_id,
+        |         count(*) AS n_exact
+        |       FROM events GROUP BY 1, 2),
+        | fin AS (SELECT h.* FROM h, b
+        |         WHERE window_start + INTERVAL '1 hour' <= b.bound),
+        | top AS (SELECT * FROM (SELECT window_start, user_id, n_exact,
+        |           row_number() OVER (PARTITION BY window_start
+        |             ORDER BY n_exact DESC, user_id) AS rank
+        |         FROM fin) WHERE rank <= 3),
+        | rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        | cms AS (SELECT date_trunc('hour', ts) AS window_start, r,
+        |     CAST(concat('0x', substr(md5(concat('cms', r, ':', user_id)), 1, 8))
+        |       AS BIGINT) % 256 AS bkt,
+        |     count(*) AS cnt
+        |   FROM events CROSS JOIN rws GROUP BY 1, 2, 3)
+        |SELECT top.window_start, CAST(top.rank AS BIGINT) AS rank,
+        |  top.user_id, CAST(top.n_exact AS BIGINT) AS n_exact,
+        |  CAST(min(COALESCE(cms.cnt, 0)) AS BIGINT) AS cms_estimate
+        |FROM top CROSS JOIN rws
+        |LEFT JOIN cms ON cms.window_start = top.window_start
+        |  AND cms.r = rws.r
+        |  AND cms.bkt = CAST(concat('0x',
+        |    substr(md5(concat('cms', rws.r, ':', top.user_id)), 1, 8))
+        |    AS BIGINT) % 256
+        |GROUP BY 1, 2, 3, 4 ORDER BY top.window_start, rank""".stripMargin,
+
     "stream_topk_live" ->
       """WITH b AS (SELECT max(ts) - INTERVAL '20 minutes' AS bound FROM events),
         | h AS (SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Spar
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
-import graft.ops.Merge
+import graft.ops.{CountMin, Merge}
 import graft.sources.LakeWriter
 
 /** Structured Streaming over the events stream.
@@ -42,6 +42,30 @@ object EventStreams {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Windowed Count-Min maintenance on a stream: each event expands to
+    * its `depth` sketch cells (a pure map — [[graft.ops.CountMin]]'s
+    * md5 buckets, so every cell replays in any engine) and a
+    * watermarked windowed aggregation keeps ONE depth×width counter
+    * grid per window. State is bounded by depth·width·open-windows
+    * REGARDLESS of key cardinality — the reason a sketch, not a
+    * per-key aggregation, is what monitors key frequencies on a
+    * 100 TB/day stream whose key space would drown the state store.
+    * Emits (window_start, window_end, cms_row, cms_bucket, cnt);
+    * probe finalized windows with [[graft.ops.CountMin.bucketOf]]
+    * cells + min-over-rows, exactly like the batch estimate. */
+  def cmsWindowed(events: DataFrame, key: String, depth: Int, width: Int,
+                  tsCol: String = "ts_utc", windowLen: String = "1 hour",
+                  lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .select(col(tsCol), posexplode(array((0 until depth).map(i =>
+        CountMin.bucketOf(i, col(key), width)): _*))
+        .as(Seq("cms_row", "cms_bucket")))
+      .groupBy(window(col(tsCol), windowLen), col("cms_row"), col("cms_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("cms_row"), col("cms_bucket"), col("cnt"))
 
   /** Sliding-window average (overlapping windows: `windowLen` long,
     * advancing every `slide`). `value` is the summed column — pass a
