@@ -228,6 +228,51 @@ object Quality {
         max(col("__n1")).as("n_base"), max(col("__n2")).as("n_cur"))
   }
 
+  /** Two-sample Cramér–von Mises statistic — [[ksDrift]]'s INTEGRAL-
+    * norm sibling (Anderson, "On the distribution of the two-sample
+    * Cramér–von Mises criterion", Ann. Math. Stat. 1962): where KS
+    * reads only the single worst ECDF gap, CvM accumulates the squared
+    * gap over every pooled observation, so a broad mild shift that
+    * never produces one large gap (the common slow-drift failure mode)
+    * still scores. T = n₁n₂/(n₁+n₂)² · Σ_pooled (F₁(x)−F₂(x))², the
+    * sum running over pooled observations WITH multiplicity — on the
+    * distinct-value ledger that is Σ_v (c₁+c₂)(F₁(v)−F₂(v))².
+    *
+    * Same scale shape as [[ksDrift]]: one ledger, one
+    * [[Ranking.withRunningTotals]] pass for both ECDFs, no
+    * unpartitioned Window. Exactness: unlike KS's order-free max, CvM
+    * SUMS float terms — each per-value term is quantized to
+    * DECIMAL(30,12) before the sum (order-independent, the repo's
+    * standing discipline) and the statistic surfaces as FLOAT, so any
+    * engine replays the hash. */
+  def cvmDrift(base: DataFrame, current: DataFrame, value: String): DataFrame = {
+    def hist(df: DataFrame, out: String) =
+      df.filter(col(value).isNotNull)
+        .groupBy(col(value)).agg(count(lit(1)).as(out))
+    val j = hist(base, "__c1").join(hist(current, "__c2"), Seq(value), "full_outer")
+      .select(col(value),
+        coalesce(col("__c1"), lit(0L)).as("__c1"),
+        coalesce(col("__c2"), lit(0L)).as("__c2"))
+    val f = Ranking.withRunningTotals(j, Seq.empty, Seq(col(value)),
+      Seq("__c1" -> "__f1", "__c2" -> "__f2"))
+    val totals = f.agg(sum(col("__c1")).as("__n1"), sum(col("__c2")).as("__n2"))
+    val gap = col("__f1").cast("double") / col("__n1").cast("double") -
+      col("__f2").cast("double") / col("__n2").cast("double")
+    f.crossJoin(broadcast(totals))
+      .where(assert_true(col("__n1") > 0 && col("__n2") > 0,
+        lit("cvmDrift: a snapshot has no non-null values")).isNull)
+      .agg(
+        sum(((col("__c1") + col("__c2")).cast("double") * gap * gap)
+          .cast("decimal(30,12)")).as("__t"),
+        max(col("__n1")).as("n_base"), max(col("__n2")).as("n_cur"))
+      .select(
+        ((col("n_base") * col("n_cur")).cast("double") /
+          ((col("n_base") + col("n_cur")).cast("double") *
+            (col("n_base") + col("n_cur")).cast("double")) *
+          col("__t").cast("double")).cast("float").as("cvm_stat"),
+        col("n_base"), col("n_cur"))
+  }
+
   /** Population Stability Index between two snapshots of a categorical
     * column — THE drift gate for training-data mixtures (did the lang /
     * domain / source distribution move between yesterday's corpus and

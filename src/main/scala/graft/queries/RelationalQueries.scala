@@ -108,6 +108,16 @@ object RelationalQueries {
         o.filter(col("o_orderdate") >= "1998-01-01"), "o_totalprice")
     }),
 
+    // KS's integral-norm sibling on the same split: CvM accumulates the
+    // squared ECDF gap over every pooled observation, so a broad mild
+    // shift with no single large gap still scores; per-value terms
+    // quantize to DECIMAL(30,12) so the float sum replays exactly.
+    "dq_cvm_drift" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      Quality.cvmDrift(o.filter(col("o_orderdate") < "1998-01-01"),
+        o.filter(col("o_orderdate") >= "1998-01-01"), "o_totalprice")
+    }),
+
     // ── Bucket-checksum reconciliation: orders vs a deterministically
     // damaged copy (one key in 997 dropped, one price in 1000 bumped a
     // cent) — the data-diff pattern localizes the damage to its md5 key
@@ -916,6 +926,36 @@ object RelationalQueries {
         |    CAST(f2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS REAL) AS ks_stat,
         |  CAST(max(n1) AS BIGINT) AS n_base, CAST(max(n2) AS BIGINT) AS n_cur
         |FROM cum CROSS JOIN t""".stripMargin,
+
+    // same ledger, same ECDFs; the squared-gap terms quantize to
+    // DECIMAL(30,12) before the sum (order-independent), and the
+    // n1*n2/(n1+n2)^2 scaling replays Spark's operation order
+    "dq_cvm_drift" ->
+      """WITH b AS (SELECT o_totalprice AS v, count(*) AS c1 FROM orders
+        |     WHERE o_orderdate < DATE '1998-01-01' GROUP BY 1),
+        | c AS (SELECT o_totalprice AS v, count(*) AS c2 FROM orders
+        |     WHERE o_orderdate >= DATE '1998-01-01' GROUP BY 1),
+        | j AS (SELECT COALESCE(b.v, c.v) AS v, COALESCE(c1, 0) AS c1,
+        |         COALESCE(c2, 0) AS c2
+        |       FROM b FULL JOIN c ON b.v = c.v),
+        | t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM j),
+        | cum AS (SELECT v, c1, c2,
+        |     sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |       AND CURRENT ROW) AS f1,
+        |     sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |       AND CURRENT ROW) AS f2
+        |   FROM j),
+        | g AS (SELECT c1, c2,
+        |     CAST(f1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |       CAST(f2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS gap,
+        |     n1, n2
+        |   FROM cum CROSS JOIN t)
+        |SELECT CAST(CAST(n1 * n2 AS DOUBLE) /
+        |    (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)) *
+        |    CAST(sum(CAST(CAST(c1 + c2 AS DOUBLE) * gap * gap
+        |      AS DECIMAL(30,12))) AS DOUBLE) AS REAL) AS cvm_stat,
+        |  CAST(max(n1) AS BIGINT) AS n_base, CAST(max(n2) AS BIGINT) AS n_cur
+        |FROM g GROUP BY n1, n2""".stripMargin,
 
     // null predicates count as violations (coalesce TRUE) on both sides
     "dq_expectations" ->

@@ -98,6 +98,7 @@ class LedgerWindowSpec extends SparkSpec {
     val base = (1 to 150).map(i => (i.toLong, (i % 13).toLong)).toDF("id", "v")
     val cur = (1 to 150).map(i => (i.toLong, (i % 17).toLong)).toDF("id", "v")
     assertNoGlobalWindow(Quality.ksDrift(base, cur, "v"))
+    assertNoGlobalWindow(Quality.cvmDrift(base, cur, "v"))
     val iv = (1 to 100).map(i => (i.toLong * 3, i.toLong * 3 + 7)).toDF("s", "e")
     assertNoGlobalWindow(Intervals.peakConcurrency(iv, "s", "e", 10L))
   }

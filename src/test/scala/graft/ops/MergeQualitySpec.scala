@@ -170,6 +170,20 @@ class MergeQualitySpec extends SparkSpec {
     Quality.ksDrift(withNull, withNull, "v").rows.head(1) shouldBe 1L
   }
 
+  test("cvmDrift: hand-computed squared-gap sum; identical snapshots → 0") {
+    val base = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val cur = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    // gaps over {1..6}: .25,.5,.5,.5,.25,0, each value carries 1 pooled
+    // observation except v∈{3,4} (2 each) → Σ(c1+c2)·gap² =
+    // .0625+.25+2·.25+2·.25+.0625+0 = 1.375; T = 16/64 · 1.375 = .34375
+    val out = Quality.cvmDrift(base, cur, "v").rows.head
+    out.head.asInstanceOf[Float] shouldBe 0.34375f +- 1e-6f
+    out(1) shouldBe 4L
+    out(2) shouldBe 4L
+    Quality.cvmDrift(base, base, "v").rows.head.head
+      .asInstanceOf[Float] shouldBe 0.0f
+  }
+
   test("psiDrift: identical mixtures → 0; one-sided bucket contributes finitely") {
     import org.apache.spark.sql.functions.col
     val base = Seq("en", "en", "de", "fr").toDF("lang")
