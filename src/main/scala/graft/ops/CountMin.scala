@@ -63,6 +63,43 @@ object CountMin {
       .agg(sum(col("__w")).as("cnt"))
   }
 
+  /** Cell-wise merge of sketches built with the same (depth, width) —
+    * CMS is a LINEAR sketch (counters add), so per-partition / per-day
+    * sketches built independently on 1000 executors combine into the
+    * corpus sketch with a ≤ d·w-row groupBy-sum: merge(build(A),
+    * build(B)) == build(A ∪ B) cell-for-cell, the property that makes
+    * the sketch distributable (and incrementally maintainable — add
+    * today's sketch, never rescan history). */
+  def merge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch to merge")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("cms_row"), col("cms_bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Inner-product estimate between two sketches of the same shape
+    * (Cormode & Muthukrishnan §4.2): min over depth rows of
+    * Σ_buckets cntA·cntB ≥ Σ_keys fA(k)·fB(k) — a one-sided upper
+    * bound on the JOIN SIZE of the two keyed inputs (and, against
+    * itself, on the second frequency moment F2 = Σ f², the key-skew
+    * statistic). This is how a planner sizes a 100 TB join — or decides
+    * a key needs salting — from two ≤ d·w-row summaries, without
+    * executing the join. A depth row with no shared bucket proves the
+    * true product is 0, so absent rows fold back in as 0 before the
+    * min. Bound quality is ε·NA·NB with ε = e/width: size width to the
+    * product of the stream masses, not to the key cardinality. */
+  def innerProduct(cmsA: DataFrame, cmsB: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    val dots = cmsA.join(broadcast(cmsB.withColumnRenamed("cnt", "__cnt_b")),
+        Seq("cms_row", "cms_bucket"))
+      .groupBy(col("cms_row"))
+      .agg(sum(col("cnt") * col("__cnt_b")).as("__dot"))
+    cmsA.sparkSession.range(depth)
+      .select(col("id").cast("int").as("cms_row"))
+      .join(broadcast(dots), Seq("cms_row"), "left")
+      .agg(min(coalesce(col("__dot"), lit(0L))).as("cms_inner_product"))
+  }
+
   /** Point estimates for `candidates`' `key` column against a built
     * sketch: appends `cms_estimate` = min over the d rows of the key's
     * bucket counter. The sketch side broadcasts (≤ depth·width rows by

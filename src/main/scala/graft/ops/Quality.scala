@@ -316,6 +316,51 @@ object Quality {
         col("psi_total").cast("float").as("psi_total"))
   }
 
+  /** Jensen–Shannon divergence between two snapshots of a categorical
+    * column (Lin, "Divergence measures based on the Shannon entropy",
+    * IEEE Trans. IT 1991) — [[psiDrift]]'s bounded, symmetric sibling:
+    * jsd = ½·KL(p‖m̄) + ½·KL(q‖m̄) with m̄ = (p+q)/2, always in
+    * [0, ln 2], so one exploding bucket cannot blow the score past the
+    * scale the alert thresholds were tuned on (PSI's ln(p/q) is
+    * unbounded; JSD saturates — the right gate when a feed can GAIN a
+    * brand-new dominant bucket).
+    *
+    * Same smoothing and scale shape as [[psiDrift]]: add-1 over the
+    * union of observed buckets (both shares strictly positive, so no
+    * ln(0) branch), one aggregation per side, one |buckets|-sized outer
+    * join, broadcast totals. Per-bucket contributions surface (WHICH
+    * bucket moved) with the total on every row via a DECIMAL(30,12)-
+    * quantized window sum — order-independent, FLOAT at the surface, so
+    * the cross-engine hash survives. */
+  def jsdDrift(base: DataFrame, current: DataFrame, bucket: String): DataFrame = {
+    def side(df: DataFrame, out: String) =
+      df.filter(col(bucket).isNotNull)
+        .groupBy(col(bucket)).agg(count(lit(1)).as(out))
+    val joined = side(base, "n_base").join(side(current, "n_cur"),
+        Seq(bucket), "full_outer")
+      .select(col(bucket),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_base")).as("tb"),
+      sum(col("n_cur")).as("tc"), count(lit(1)).as("nb"))
+    val p = (col("n_base") + 1).cast("double") / (col("tb") + col("nb"))
+    val q = (col("n_cur") + 1).cast("double") / (col("tc") + col("nb"))
+    // ½(p·ln(2p/(p+q)) + q·ln(2q/(p+q))) — each ln argument is a ratio
+    // of the same exact-integer-derived doubles both engines compute
+    val contrib = (p * log(lit(2.0) * p / (p + q)) +
+      q * log(lit(2.0) * q / (p + q))) * lit(0.5)
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    joined.crossJoin(broadcast(totals))
+      .withColumn("contribution", contrib)
+      .withColumn("jsd_total",
+        sum(col("contribution").cast("decimal(30,12)")).over(w)
+          .cast("double"))
+      .select(col(bucket), col("n_base"), col("n_cur"),
+        col("contribution").cast("float").as("contribution"),
+        col("jsd_total").cast("float").as("jsd_total"))
+  }
+
   /** Shannon entropy of `bucket`'s distribution within each `key`
     * group, H = −Σ p·ln p (nats) — the single-snapshot mixture health
     * number beside [[psiDrift]]'s two-snapshot comparison: a language

@@ -38,6 +38,21 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * md5-bucket of the id, so a row's fold never changes as the corpus
+    * grows (the [[hashSplit]] stability argument) and training jobs on
+    * 1000 executors agree on every assignment with zero coordination —
+    * one codegen'd map, no shuffle, no state. Hash folds are
+    * asymptotically stratified (each stratum splits ~1/k per fold
+    * without any per-stratum ranking, which would cost a shuffle and a
+    * per-stratum window at scale); pair with a balance AUDIT query
+    * rather than forcing exact stratification the training run doesn't
+    * need. */
+  def kFold(df: DataFrame, id: String, k: Int, out: String = "fold"): DataFrame = {
+    require(k >= 2, s"need at least 2 folds, got $k")
+    df.withColumn(out, hashBucket(col(id), k, tag = "fold:"))
+  }
+
   /** Per-stratum deterministic sample of up to `n` rows: rank rows
     * inside each stratum by md5(id) — a uniform but replayable order —
     * and keep the first n. Two-phase (salted partial rank, then final

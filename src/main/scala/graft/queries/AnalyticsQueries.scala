@@ -968,6 +968,32 @@ object AnalyticsQueries {
             .cast("float").as("avg_yearly"))
     }),
 
+    // ── Q15-shape top supplier: a correlated scalar-MAX subquery
+    // (revenue = (SELECT max(revenue) FROM view)) decorrelated into one
+    // grouped aggregate + a 1-row broadcast max joined back — the fact
+    // scans ONCE, and the equality comparison runs on the EXACT DECIMAL
+    // sums (never on doubles, whose cross-engine last-ulp could flip a
+    // tie); double only at the surface. All max-revenue suppliers
+    // surface on a tie, per the spec's semantics.
+    "j15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(d2(col("l_extendedprice")) * d2(lit(1) - col("l_discount")))
+          .as("__rev"))
+      rev.crossJoin(broadcast(rev.agg(max(col("__rev")).as("__mx"))))
+        .filter(col("__rev") === col("__mx"))
+        // no hint on supplier: it is SF-scaled — AQE sees the tiny
+        // filtered probe side and picks the broadcast itself
+        .join(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("__rev").cast("double").as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // ── Cross-series tier (ops/CrossSeries): the raw table reduces to
     // one exact cents row per (key, day) FIRST, so the quadratic pair
     // step is keys², never rows² — the shape that makes a correlation
@@ -2593,6 +2619,21 @@ object AnalyticsQueries {
         |   AS DOUBLE) / 7.0 AS REAL) AS avg_yearly
         |FROM li l JOIN a ON a.l_partkey = l.l_partkey
         |WHERE 5 * l.q * a.n < a.sq""".stripMargin,
+
+    // the max comparison runs on the exact DECIMAL sums in both engines
+    "j15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |     sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         CAST(1 - l_discount AS DECIMAL(18,2))) AS r
+        |   FROM lineitem
+        |   WHERE l_shipdate >= DATE '1996-01-01'
+        |     AND l_shipdate < DATE '1996-04-01'
+        |   GROUP BY 1),
+        | m AS (SELECT max(r) AS mx FROM rev)
+        |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+        |FROM rev CROSS JOIN m
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE r = mx ORDER BY s_suppkey""".stripMargin,
 
     "feat_target_encoding" ->
       """WITH g AS (SELECT event_type,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{CountMin, Reconcile, Reshape}
+import graft.ops.{CountMin, Hll, Reconcile, Reshape}
 import graft.pipeline.StockPipeline
 import graft.sources.{LakeReader, LakeWriter, VersionedLake}
 import graft.streaming.EventStreams
@@ -443,6 +443,36 @@ object PipelineQueries {
           col("n_exact"))
         .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
         .orderBy(col("window_start"), col("rank"))
+    }),
+
+    // LIVE per-window unique-user estimate: one ≤ 2^b register set per
+    // hour window under the watermark (state independent of user
+    // cardinality — the distinct-count sibling of stream_cms_live),
+    // finalized windows folded through the SAME integer-shifted
+    // estimator as the batch sketch and compared against the exact
+    // per-window distinct. Registers AND estimates replay in DuckDB.
+    "stream_hll_live" -> ((s, dir) => {
+      val (raw, tmp) = stageStream(s, dir, "events", "graft_shll")
+      val src = raw.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      awaitScoped(s)(EventStreams.toLake(
+        EventStreams.hllWindowed(src, key = "user_id", b = 6),
+        s"$tmp/sink", s"$tmp/ckpt", partitionCols = Seq.empty))
+      val bound = Tables.events(s, dir)
+        .agg((max(col("ts_utc")) - expr("INTERVAL 20 MINUTES")).as("bound"))
+      val sk = LakeReader.read(s, s"$tmp/sink")
+        .crossJoin(broadcast(bound))
+        .filter(col("window_end") <= col("bound"))
+        .select(col("window_start"), col("hll_register"), col("hll_rank"))
+      val exact = Tables.events(s, dir)
+        .select(date_trunc("hour", col("ts_utc")).as("window_start"),
+          col("user_id"))
+        .crossJoin(broadcast(bound))
+        .filter(col("window_start") + expr("INTERVAL 1 HOUR") <= col("bound"))
+        .groupBy(col("window_start"))
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+      Hll.estimateByGroup(sk, b = 6, Seq("window_start"))
+        .join(exact, Seq("window_start"))
+        .orderBy(col("window_start"))
     }),
 
     "stream_topk_live" -> ((s, dir) => {
@@ -982,6 +1012,53 @@ object PipelineQueries {
         |SELECT window_start, CAST(rank AS BIGINT) AS rank, event_type, n_events
         |FROM r WHERE rank <= 3
         |ORDER BY window_start, rank""".stripMargin,
+
+    // full register replay per finalized window: same md5/bin-length
+    // rank math as the batch HLL, same integer-shifted harmonic sum
+    "stream_hll_live" ->
+      """WITH b AS (SELECT max(ts) - INTERVAL '20 minutes' AS bound FROM events),
+        | fin AS (SELECT date_trunc('hour', ts) AS window_start, user_id
+        |         FROM events, b
+        |         WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= b.bound
+        |           AND user_id IS NOT NULL),
+        | cells AS (SELECT window_start, CAST(concat('0x',
+        |     substr(md5(concat('hll:', CAST(user_id AS VARCHAR))), 1, 15))
+        |     AS BIGINT) AS h
+        |   FROM fin),
+        | r AS (SELECT window_start, h % 64 AS reg,
+        |     CASE WHEN (h >> 6) = 0 THEN 55
+        |          ELSE 55 - length(bin(h >> 6)) END AS rk
+        |   FROM cells),
+        | sk AS (SELECT window_start, reg, max(rk) AS rk FROM r GROUP BY 1, 2),
+        | mx AS (SELECT window_start, max(rk) AS rmax FROM sk GROUP BY 1),
+        | agg AS (SELECT sk.window_start, count(*) AS observed,
+        |     max(mx.rmax) AS rmax,
+        |     sum(1::BIGINT << CAST(mx.rmax - sk.rk AS INT)) AS zobs
+        |   FROM sk JOIN mx USING (window_start) GROUP BY 1),
+        | e AS (SELECT window_start, 64 - observed AS zeros,
+        |     zobs + (64 - observed) * (1::BIGINT << CAST(rmax AS INT)) AS znum,
+        |     rmax
+        |   FROM agg),
+        | rw AS (SELECT window_start, zeros,
+        |     CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+        |       CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)) *
+        |       CAST(64.0 AS DOUBLE) * CAST(64.0 AS DOUBLE) *
+        |       power(CAST(2.0 AS DOUBLE), CAST(rmax AS DOUBLE)) /
+        |       CAST(znum AS DOUBLE) AS rawv
+        |   FROM e),
+        | x AS (SELECT window_start, count(DISTINCT user_id) AS n_exact
+        |   FROM fin GROUP BY 1)
+        |SELECT rw.window_start,
+        |  CAST(CASE WHEN rawv <= 2.5 * CAST(64.0 AS DOUBLE) AND zeros > 0
+        |       THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) /
+        |         CAST(zeros AS DOUBLE))
+        |       ELSE rawv END AS REAL) AS hll_estimate,
+        |  CAST(rawv AS REAL) AS hll_raw,
+        |  CAST(zeros AS BIGINT) AS n_zero_registers,
+        |  (rawv <= 2.5 * CAST(64.0 AS DOUBLE) AND zeros > 0)
+        |    AS used_linear_counting,
+        |  CAST(x.n_exact AS BIGINT) AS n_exact
+        |FROM rw JOIN x USING (window_start) ORDER BY 1""".stripMargin,
 
     "stream_drift_live" ->
       """WITH b AS (SELECT max(ts) - INTERVAL '20 minutes' AS bound FROM events),

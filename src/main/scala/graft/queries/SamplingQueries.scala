@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{CountMin, Dedup, Packing, Sampling, Snapshot, TextAnalysis, Vocab}
+import graft.ops.{CountMin, Dedup, Hll, Packing, Sampling, Snapshot, TextAnalysis, Vocab}
 
 /** Training-data curation layer over `documents`: deterministic
   * splits/samples/mixtures, vocabulary + TF-IDF, token-budget packing,
@@ -92,6 +92,90 @@ object SamplingQueries {
         .orderBy(col("n_exact").desc, col("token")).limit(25)
       CountMin.estimate(cms, top, "token", depth = 4, width = 512)
         .orderBy(col("n_exact").desc, col("token"))
+    }),
+
+    // deterministic k-fold assignment + stratification balance audit:
+    // fold = md5-bucket of the id (stable under corpus growth, zero
+    // shuffle), and the audit surfaces each language's share per fold —
+    // hash folds are asymptotically stratified, and THIS query is the
+    // observer that proves it instead of paying a per-stratum ranking
+    // shuffle the training run doesn't need.
+    "sample_kfold_balance" -> ((s, dir) => {
+      val folds = Sampling.kFold(Tables.documents(s, dir)
+        .filter(col("lang").isNotNull), id = "doc_id", k = 5)
+      val totals = folds.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      folds.groupBy(col("fold"), col("lang")).agg(count(lit(1)).as("n_docs"))
+        .join(totals, Seq("lang"))
+        .select(col("fold"), col("lang"), col("n_docs"),
+          (col("n_docs").cast("double") / col("n_lang").cast("double"))
+            .cast("float").as("fold_share"))
+        .orderBy(col("fold"), col("lang"))
+    }),
+
+    // portable HLL distinct-count estimates beside the exact counts —
+    // the ORACLED sibling of corpusProfile's rows-only
+    // approx_count_distinct: md5 registers, binary-string-length ranks,
+    // integer-shifted harmonic sum, so every register and both estimates
+    // replay in DuckDB. Two rows exercise BOTH estimator regimes: the
+    // 31-token vocabulary under m=256 fires the small-range linear-
+    // counting correction; 500 distinct doc texts under m=64 exhaust
+    // every register and take the raw harmonic path.
+    "freq_hll_portable" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def row(label: String, keyed: DataFrame, key: String, b: Int) =
+        keyed.agg(count_distinct(col(key)).as("n_exact"))
+          .crossJoin(Hll.estimate(Hll.build(keyed, key, b), b))
+          .select(lit(label).as("key_kind"), col("n_exact"),
+            col("hll_estimate"), col("hll_raw"), col("n_zero_registers"),
+            col("used_linear_counting"))
+      val toks = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+      row("doc_text", docs.filter(col("text").isNotNull), "text", b = 6)
+        .unionByName(row("token", toks, "token", b = 8))
+        .orderBy(col("key_kind"))
+    }),
+
+    // the sketch's DISTRIBUTIVE property, asserted in-engine: registers
+    // built per disjoint language slice then cell-wise max-merged must
+    // equal the monolithic build register-for-register (max commutes
+    // with partitioning) — the property that lets 1000 executors sketch
+    // independently and combine at the driver for free.
+    "freq_hll_merge" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def toks(f: DataFrame) = f
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+      val en = Hll.build(toks(docs.filter(col("lang") === "en")), "token", b = 8)
+      val rest = Hll.build(toks(docs.filter(col("lang") =!= "en" ||
+        col("lang").isNull)), "token", b = 8)
+      val merged = Hll.merge(en, rest)
+      val mono = Hll.build(toks(docs), "token", b = 8)
+      val mismatches = merged.withColumnRenamed("hll_rank", "r_merged")
+        .join(mono.withColumnRenamed("hll_rank", "r_mono"),
+          Seq("hll_register"), "full_outer")
+        .filter(not(col("r_merged") <=> col("r_mono")))
+        .agg(count(lit(1)).as("n_register_mismatches"))
+      Hll.estimate(merged, b = 8)
+        .select(col("hll_estimate").as("hll_estimate_merged"))
+        .crossJoin(Hll.estimate(mono, b = 8)
+          .select(col("hll_estimate").as("hll_estimate_mono")))
+        .crossJoin(mismatches)
+    }),
+
+    // CMS inner-product join-size planning: the sketch's self inner
+    // product upper-bounds F2 = Σ f² (the AMS second frequency moment —
+    // THE key-skew statistic a planner reads before committing a 100 TB
+    // shuffle join or deciding a key needs salting), from a ≤ d·w-row
+    // summary without executing the join. One-sided like the point
+    // estimates; exact F2 beside it makes the bound quality observable.
+    "freq_cms_selfjoin_f2" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_suppkey"))
+      val cms = CountMin.build(li, "l_suppkey", depth = 4, width = 4096)
+      val exact = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("f"))
+        .agg(sum(col("f") * col("f")).as("f2_exact"))
+      exact.crossJoin(CountMin.innerProduct(cms, cms, depth = 4)
+        .withColumnRenamed("cms_inner_product", "f2_estimate"))
     }),
 
     // learned BPE merge table: 8 most-frequent-pair merges over the
@@ -552,6 +636,127 @@ object SamplingQueries {
         | r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM c)
         |SELECT CAST(rank AS BIGINT) AS rank, token, n
         |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    "sample_kfold_balance" ->
+      """WITH f AS (SELECT CAST(concat('0x',
+        |      substr(md5(concat('fold:', CAST(doc_id AS VARCHAR))), 1, 8))
+        |      AS BIGINT) % 5 AS fold, lang
+        |    FROM documents WHERE lang IS NOT NULL),
+        | t AS (SELECT lang, count(*) AS n_lang FROM f GROUP BY 1),
+        | g AS (SELECT fold, lang, count(*) AS n_docs FROM f GROUP BY 1, 2)
+        |SELECT CAST(g.fold AS BIGINT) AS fold, g.lang,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(CAST(n_docs AS DOUBLE) / CAST(n_lang AS DOUBLE) AS REAL)
+        |    AS fold_share
+        |FROM g JOIN t USING (lang) ORDER BY fold, lang""".stripMargin,
+
+    // full register replay: 60-bit md5 hash, low-8-bit register, rank
+    // from the binary-string length of the high bits, integer-shifted
+    // harmonic sum — floats only at the final division and ln, REAL at
+    // the surface exactly as the engine computes them
+    "freq_hll_portable" ->
+      """WITH keys AS (
+        |   SELECT 'doc_text' AS key_kind, text AS k, 64 AS m, 6 AS b
+        |     FROM documents WHERE text IS NOT NULL
+        |   UNION ALL
+        |   SELECT 'token' AS key_kind, token AS k, 256 AS m, 8 AS b
+        |     FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+        |           FROM documents) WHERE length(token) > 0),
+        | cells AS (SELECT key_kind, m, b,
+        |     CAST(concat('0x', substr(md5(concat('hll:', k)), 1, 15))
+        |       AS BIGINT) AS h
+        |   FROM keys),
+        | r AS (SELECT key_kind, m,
+        |     h % m AS reg,
+        |     CASE WHEN (h >> b) = 0 THEN 61 - b
+        |          ELSE 61 - b - length(bin(h >> b)) END AS rk
+        |   FROM cells),
+        | sk AS (SELECT key_kind, m, reg, max(rk) AS rk
+        |   FROM r GROUP BY 1, 2, 3),
+        | mx AS (SELECT key_kind, max(rk) AS rmax FROM sk GROUP BY 1),
+        | agg AS (SELECT sk.key_kind, max(sk.m) AS m,
+        |     count(*) AS observed, max(mx.rmax) AS rmax,
+        |     sum(1::BIGINT << CAST(mx.rmax - sk.rk AS INT)) AS zobs
+        |   FROM sk JOIN mx ON sk.key_kind = mx.key_kind GROUP BY 1),
+        | e AS (SELECT key_kind, m, m - observed AS zeros,
+        |     zobs + (m - observed) * (1::BIGINT << CAST(rmax AS INT)) AS znum,
+        |     rmax
+        |   FROM agg),
+        | rw AS (SELECT key_kind, zeros, CAST(m AS DOUBLE) AS md,
+        |     CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+        |       CAST(1.079 AS DOUBLE) / CAST(m AS DOUBLE)) *
+        |       CAST(m AS DOUBLE) * CAST(m AS DOUBLE) *
+        |       power(CAST(2.0 AS DOUBLE), CAST(rmax AS DOUBLE)) /
+        |       CAST(znum AS DOUBLE) AS rawv
+        |   FROM e),
+        | x AS (SELECT key_kind, count(DISTINCT k) AS n_exact
+        |   FROM keys GROUP BY 1)
+        |SELECT rw.key_kind, CAST(x.n_exact AS BIGINT) AS n_exact,
+        |  CAST(CASE WHEN rawv <= 2.5 * md AND zeros > 0
+        |       THEN md * ln(md / CAST(zeros AS DOUBLE))
+        |       ELSE rawv END AS REAL) AS hll_estimate,
+        |  CAST(rawv AS REAL) AS hll_raw,
+        |  CAST(zeros AS BIGINT) AS n_zero_registers,
+        |  (rawv <= 2.5 * md AND zeros > 0) AS used_linear_counting
+        |FROM rw JOIN x ON rw.key_kind = x.key_kind
+        |ORDER BY 1""".stripMargin,
+
+    // merged-vs-monolithic: max commutes with partitioning, so the
+    // merged registers EQUAL the monolithic ones — the oracle computes
+    // the monolithic estimate once and asserts the identity (equal
+    // estimates, zero register mismatches)
+    "freq_hll_merge" ->
+      """WITH t AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+        |           FROM documents),
+        | tk AS (SELECT token FROM t WHERE length(token) > 0),
+        | cells AS (SELECT CAST(concat('0x',
+        |     substr(md5(concat('hll:', token)), 1, 15)) AS BIGINT) AS h
+        |   FROM tk),
+        | r AS (SELECT h % 256 AS reg,
+        |     CASE WHEN (h >> 8) = 0 THEN 53
+        |          ELSE 53 - length(bin(h >> 8)) END AS rk
+        |   FROM cells),
+        | sk AS (SELECT reg, max(rk) AS rk FROM r GROUP BY 1),
+        | mx AS (SELECT max(rk) AS rmax FROM sk),
+        | agg AS (SELECT count(*) AS observed, max(mx.rmax) AS rmax,
+        |     sum(1::BIGINT << CAST(mx.rmax - sk.rk AS INT)) AS zobs
+        |   FROM sk CROSS JOIN mx),
+        | e AS (SELECT observed, rmax, 256 - observed AS zeros,
+        |     zobs + (256 - observed) * (1::BIGINT << CAST(rmax AS INT)) AS znum
+        |   FROM agg),
+        | est AS (SELECT
+        |     CAST(CASE WHEN rawv <= 2.5 * CAST(256.0 AS DOUBLE) AND zeros > 0
+        |          THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) /
+        |            CAST(zeros AS DOUBLE))
+        |          ELSE rawv END AS REAL) AS hll_estimate
+        |   FROM (SELECT zeros,
+        |       CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+        |         CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)) *
+        |         CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE) *
+        |         power(CAST(2.0 AS DOUBLE), CAST(rmax AS DOUBLE)) /
+        |         CAST(znum AS DOUBLE) AS rawv
+        |     FROM e))
+        |SELECT hll_estimate AS hll_estimate_merged,
+        |  hll_estimate AS hll_estimate_mono,
+        |  CAST(0 AS BIGINT) AS n_register_mismatches
+        |FROM est""".stripMargin,
+
+    // integer replay: same md5 cells, per-row Σ cnt², min over rows
+    "freq_cms_selfjoin_f2" ->
+      """WITH c AS (SELECT l_suppkey FROM lineitem),
+        | rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        | cms AS (SELECT r, CAST(concat('0x',
+        |     substr(md5(concat('cms', r, ':', CAST(l_suppkey AS VARCHAR))),
+        |       1, 8)) AS BIGINT) % 4096 AS bkt, count(*) AS cnt
+        |   FROM c CROSS JOIN rws GROUP BY 1, 2),
+        | dot AS (SELECT r, sum(cnt * cnt) AS d FROM cms GROUP BY 1),
+        | est AS (SELECT min(COALESCE(d, 0)) AS f2_estimate
+        |   FROM rws LEFT JOIN dot USING (r)),
+        | ex AS (SELECT sum(f * f) AS f2_exact FROM
+        |   (SELECT l_suppkey, count(*) AS f FROM c GROUP BY 1))
+        |SELECT CAST(ex.f2_exact AS BIGINT) AS f2_exact,
+        |  CAST(est.f2_estimate AS BIGINT) AS f2_estimate
+        |FROM ex CROSS JOIN est""".stripMargin,
 
     // full sketch replay: same md5 bucketing, same 4x512 cell grid,
     // same min-over-rows estimate — integers end to end

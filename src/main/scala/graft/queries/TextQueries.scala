@@ -628,6 +628,18 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // JSD drift between the same two snapshots' SOURCE mixtures — the
+    // bounded, symmetric complement of the PSI gate: ½KL(p‖m̄)+½KL(q‖m̄)
+    // saturates at ln 2, so a brand-new dominant bucket (exactly the
+    // event PSI's unbounded ln(p/q) blows up on) scores on the same
+    // scale the alert thresholds were tuned on.
+    "dq_jsd_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Quality.jsdDrift(docs.filter(col("doc_id") <= 400),
+          docs.filter(col("doc_id") > 400), "source")
+        .orderBy(col("source"))
+    }),
+
     // Single-snapshot mixture health: Shannon entropy of each
     // language's SOURCE distribution — a lang whose source entropy
     // collapses toward 0 is being fed by one domain; the n_buckets
@@ -1229,6 +1241,29 @@ object TextQueries {
         |  CAST(CAST(sum(CAST(contribution AS DECIMAL(30,12))) OVER ()
         |    AS DOUBLE) AS REAL) AS psi_total
         |FROM k2 ORDER BY lang""".stripMargin,
+
+    "dq_jsd_drift" ->
+      """WITH b AS (SELECT source, count(*) AS n_base FROM documents
+        |     WHERE doc_id <= 400 AND source IS NOT NULL GROUP BY 1),
+        | c AS (SELECT source, count(*) AS n_cur FROM documents
+        |     WHERE doc_id > 400 AND source IS NOT NULL GROUP BY 1),
+        | j AS (SELECT COALESCE(b.source, c.source) AS source,
+        |         COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+        |       FROM b FULL JOIN c ON b.source = c.source),
+        | t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc, count(*) AS nb FROM j),
+        | k AS (SELECT source, n_base, n_cur,
+        |         CAST(n_base + 1 AS DOUBLE) / (tb + nb) AS p,
+        |         CAST(n_cur + 1 AS DOUBLE) / (tc + nb) AS q
+        |       FROM j CROSS JOIN t),
+        | k2 AS (SELECT source, n_base, n_cur,
+        |         (p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q))) * 0.5
+        |           AS contribution FROM k)
+        |SELECT source, CAST(n_base AS BIGINT) AS n_base,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  CAST(contribution AS REAL) AS contribution,
+        |  CAST(CAST(sum(CAST(contribution AS DECIMAL(30,12))) OVER ()
+        |    AS DOUBLE) AS REAL) AS jsd_total
+        |FROM k2 ORDER BY source""".stripMargin,
 
     "dq_mixture_entropy" ->
       """WITH c AS (SELECT lang, source, count(*) AS c FROM documents

@@ -76,7 +76,9 @@ class PlanBudgetSpec extends SparkSpec {
   private val aqeExchangeSlack = Map(
     "rec_topn_recall" -> 2,
     "sim_recall_eval" -> 2,
-    "agg_mad" -> 1) // 13 quiet / 14 contended (r15, post-ledger rewrite)
+    "agg_mad" -> 1) // 13 and 14 both observed across r15 regens (quiet
+                    // AND contended) — the recorded row floats between
+                    // them, the slack covers whichever side it lands on
 
   /** (query name, human message) per budget violation. */
   private def violationsOf(budget: Map[String, Seq[Int]],

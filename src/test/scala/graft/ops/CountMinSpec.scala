@@ -44,6 +44,33 @@ class CountMinSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("merge: partition sketches sum to the monolithic sketch cell-for-cell") {
+    val left = stream.filter(col("tok") < "c")
+    val right = stream.filter(col("tok") >= "c")
+    val merged = CountMin.merge(
+      CountMin.build(left, "tok", 4, 16), CountMin.build(right, "tok", 4, 16))
+    val mono = CountMin.build(stream, "tok", 4, 16)
+    merged.rows.map(_.toString).sorted shouldBe mono.rows.map(_.toString).sorted
+    intercept[IllegalArgumentException] { CountMin.merge() }
+  }
+
+  test("innerProduct: exact F2 with a collision-free width; one-sided when narrow") {
+    // frequencies 4,3,2,1 → F2 = 16+9+4+1 = 30; width 1024 over 4 keys
+    // makes a same-row collision overwhelmingly unlikely
+    val wide = CountMin.build(stream, "tok", 4, 1024)
+    CountMin.innerProduct(wide, wide, 4)
+      .collect()(0).getLong(0) shouldBe 30L
+    // width 2 forces collisions: the estimate can only move UP
+    val narrow = CountMin.build(stream, "tok", 4, 2)
+    CountMin.innerProduct(narrow, narrow, 4)
+      .collect()(0).getLong(0) should be >= 30L
+    // cross product vs a disjoint stream: no shared key → some row may
+    // still collide, but the bound stays ≥ the true 0
+    val other = CountMin.build(Seq("x", "y").toDF("tok"), "tok", 4, 1024)
+    CountMin.innerProduct(wide, other, 4)
+      .collect()(0).getLong(0) should be >= 0L
+  }
+
   test("null keys excluded; bad shapes and column clashes rejected") {
     val withNull = Seq(Some("a"), None, Some("b")).toDF("tok")
     CountMin.build(withNull, "tok", 2, 8)

@@ -209,6 +209,28 @@ class MergeQualitySpec extends SparkSpec {
     Quality.psiDrift(withNull, withNull, "lang").rows.length shouldBe 2
   }
 
+  test("jsdDrift: identical mixtures → 0; bounded by ln 2; hand-computed bucket") {
+    import org.apache.spark.sql.functions.col
+    val base = Seq("en", "en", "de", "fr").toDF("lang")
+    val same = Quality.jsdDrift(base, base, "lang")
+      .rows.map(r => r(3).asInstanceOf[Float])
+    all(same) shouldBe 0.0f // p == q per bucket → both KL halves vanish
+    val cur = Seq("zh", "zh", "zh", "zh").toDF("lang")
+    val out = Quality.jsdDrift(base, cur, "lang").orderBy(col("lang"))
+      .rows.map(r => (r.head, r(3).asInstanceOf[Float], r(4).asInstanceOf[Float]))
+    // hand-computed "zh" contribution with add-1 over 4 union buckets:
+    // p = 1/8, q = 5/8 → ½(p·ln(2p/(p+q)) + q·ln(2q/(p+q)))
+    val p = 1.0 / 8; val q = 5.0 / 8
+    val zh = (0.5 * (p * math.log(2 * p / (p + q)) +
+      q * math.log(2 * q / (p + q)))).toFloat
+    out.find(_._1 == "zh").get._2 shouldBe zh +- 1e-7f
+    // a TOTAL mixture replacement saturates near (never past) ln 2
+    val total = out.head._3
+    total should be > 0.0f
+    total should be <= math.log(2.0).toFloat + 1e-6f
+    out.map(_._3).distinct.size shouldBe 1
+  }
+
   test("groupEntropy: uniform mixture hits ln(B); single-source group is 0; nulls drop") {
     val df = Seq(
       ("en", Some("web")), ("en", Some("книги")), // uniform over 2 → ln 2

@@ -20,6 +20,22 @@ class SamplingSpec extends SparkSpec {
     s1("train").asInstanceOf[Long] should be > 300L
   }
 
+  test("kFold: deterministic partition into k folds, stable under growth") {
+    val f = Sampling.kFold(docs, "doc_id", k = 5)
+    val byFold = f.groupBy("fold").count()
+      .rows.map(r => r(0).asInstanceOf[Long] -> r(1).asInstanceOf[Long]).toMap
+    byFold.keySet shouldBe (0L to 4L).toSet
+    byFold.values.sum shouldBe 400L
+    byFold.values.foreach(_ should be > 40L) // no starved fold at n=400
+    // growth stability: each row's fold is a pure function of its id —
+    // adding rows cannot move existing assignments
+    val grown = Sampling.kFold(docs.unionByName(
+      Seq((9999L, "en")).toDF("doc_id", "lang")), "doc_id", k = 5)
+    grown.filter(col("doc_id") <= 400L).rows.map(_.toString).sorted shouldBe
+      f.rows.map(_.toString).sorted
+    intercept[IllegalArgumentException] { Sampling.kFold(docs, "doc_id", 1) }
+  }
+
   test("upsample: weight 0 drops the domain; caller columns named pos/col survive") {
     val df = Seq((1L, "en", "x"), (2L, "zh", "y")).toDF("doc_id", "lang", "col")
     val up = Sampling.upsample(df, "doc_id", "lang", Map("zh" -> 0.0, "en" -> 2.0))
