@@ -288,4 +288,80 @@ object Experiment {
       .select(col(group), col("n_a"), col("n_b"), col("theta"),
         col("diff_raw"), col("diff_adj"), col("var_reduction"))
   }
+
+  /** Cumulative Poisson(1) CDF thresholds for the deterministic draw:
+    * u < F(k) ⟹ weight k (capped at 5, which covers 99.9941% of the
+    * mass — the cap is a declared, engine-identical bias). Fixed double
+    * literals, so the comparison replays in any engine. */
+  private val poissonCdf =
+    Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563)
+
+  /** Distributed bootstrap confidence interval for the A−B mean
+    * difference, via the POISSON bootstrap (Chamandy et al., "Estimating
+    * uncertainty for massive data streams", Google TR 2012): instead of
+    * a multinomial resample — which needs n and coordination — each row
+    * independently enters replica r with weight ~ Poisson(1). The draw
+    * is the repo's deterministic md5 uniform (tag `boot<r>:<id>`), so
+    * every replica is replayable in any engine.
+    *
+    * Welch gives the parametric CI; THIS is the distribution-free one a
+    * skewed metric (spend, latency) needs. Shape: rows expand ×B in a
+    * pure map and collapse immediately in ONE map-side-combinable
+    * groupBy to ≤ |groups|·2·B partial rows — the only thing shuffled.
+    * Per-replica means divide exact DECIMAL sums; the CI bounds are
+    * nearest-rank order statistics over the B per-replica diffs
+    * (rank ⌈α·B⌉ / ⌈(1−α)·B⌉, a bounded B-row window per group — never
+    * a float-equality compare). A replica that starves an arm (sum of
+    * weights 0 — vanishing for real n) is dropped and surfaces in
+    * n_replicas_effective. */
+  def bootstrapMeanDiffCi(df: DataFrame, group: String, variant: String,
+                          value: String, id: String, armA: String = "A",
+                          armB: String = "B", replicas: Int = 64,
+                          alpha: Double = 0.025): DataFrame = {
+    require(replicas >= 8 && replicas <= 1024,
+      s"replicas must be in [8,1024], got $replicas")
+    require(alpha > 0 && alpha < 0.5, s"alpha must be in (0,0.5), got $alpha")
+    val u = conv(substring(md5(concat(lit("boot"), col("__r"), lit(":"),
+        col(id).cast("string"))), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+    val weight = poissonCdf.zipWithIndex.foldRight(lit(5)) {
+      case ((thr, k), rest) => when(u < lit(thr), lit(k)).otherwise(rest)
+    }
+    val byArm = df
+      .filter(col(variant).isin(armA, armB) && col(value).isNotNull)
+      .select(col(group), col(variant), col(value), col(id),
+        explode(sequence(lit(0), lit(replicas - 1))).as("__r"))
+      .groupBy(col(group), col(variant), col("__r"))
+      .agg(sum(weight.cast("long")).as("__wn"),
+        sum(weight.cast("long") * d2(col(value))).as("__ws"))
+    def arm(tag: String, v: String) = byArm.filter(col(variant) === v)
+      .select(col(group), col("__r"), col("__wn").as(s"__wn_$tag"),
+        col("__ws").as(s"__ws_$tag"))
+    val diffs = arm("a", armA).join(arm("b", armB), Seq(group, "__r"))
+      .filter(col("__wn_a") > 0 && col("__wn_b") > 0)
+      .select(col(group), col("__r"),
+        (col("__ws_a").cast("double") / col("__wn_a").cast("double") -
+          col("__ws_b").cast("double") / col("__wn_b").cast("double"))
+          .as("__diff"))
+    // nearest-rank order statistics over the ≤ B replica diffs — the
+    // per-group window is bounded by `replicas`, never the data
+    val wRank = Window.partitionBy(col(group))
+      .orderBy(col("__diff"), col("__r"))
+    val wAll = Window.partitionBy(col(group))
+    diffs.withColumn("__rank", row_number().over(wRank))
+      .withColumn("__b", count(lit(1)).over(wAll))
+      .groupBy(col(group))
+      .agg(
+        max(col("__b")).as("n_replicas_effective"),
+        min(when(col("__rank") === ceil(lit(alpha) * col("__b")),
+          col("__diff"))).cast("float").as("ci_lo"),
+        min(when(col("__rank") === ceil(lit(1 - alpha) * col("__b")),
+          col("__diff"))).cast("float").as("ci_hi"),
+        // quantized exact sum, ONE double division — a raw double avg
+        // would be reduction-order-dependent, and engines disagree on
+        // avg-over-decimal intermediates
+        (sum(col("__diff").cast("decimal(30,12)")).cast("double") /
+          count(lit(1)).cast("double")).cast("float").as("diff_boot_mean"))
+  }
 }

@@ -511,6 +511,26 @@ object AnalyticsQueries {
           col("cusum_up"), col("cusum_down"), col("drift"))
         .orderBy(col("event_type"), col("event_id"))),
 
+    // ── Distribution-free CI for the A−B mean gap via the POISSON
+    // bootstrap: every row enters replica r with a deterministic
+    // md5-drawn Poisson(1) weight, so 64 replicas cost one ×64 map +
+    // ONE combine to ≤ |groups|·2·64 rows — the massive-data bootstrap
+    // shape. CI bounds are nearest-rank order statistics over the
+    // replica diffs; Welch (ab_welch_t) gives the parametric CI, this
+    // gives the one a skewed metric actually satisfies.
+    "ab_bootstrap_ci" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type"),
+          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")
+            .as("variant"),
+          col("value"), col("event_id"))
+      Experiment.bootstrapMeanDiffCi(ev, group = "event_type",
+          variant = "variant", value = "value", id = "event_id",
+          replicas = 64)
+        .orderBy(col("event_type"))
+    }),
+
     // ── Rank-family windows: quartile, percent_rank, cume_dist per
     // event type over a TOTAL order (value, event_id) — unique sort
     // keys make peer groups singletons, so every rank is deterministic.
@@ -2619,6 +2639,54 @@ object AnalyticsQueries {
         |   AS DOUBLE) / 7.0 AS REAL) AS avg_yearly
         |FROM li l JOIN a ON a.l_partkey = l.l_partkey
         |WHERE 5 * l.q * a.n < a.sq""".stripMargin,
+
+    // full replica replay: same md5 uniform, same Poisson(1) CDF
+    // thresholds, same nearest-rank order statistics
+    "ab_bootstrap_ci" ->
+      """WITH e AS (SELECT event_type,
+        |     CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |     value, event_id
+        |   FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        | r AS (SELECT unnest(generate_series(0, 63)) AS r),
+        | u AS (SELECT e.*, r.r,
+        |     CAST(CAST(concat('0x', substr(md5(concat('boot', r.r, ':',
+        |       CAST(event_id AS VARCHAR))), 1, 13)) AS BIGINT) AS DOUBLE)
+        |       / 4503599627370496.0 AS uu
+        |   FROM e CROSS JOIN r),
+        | wt AS (SELECT event_type, variant, r, value,
+        |     CASE WHEN uu < 0.36787944117144233 THEN 0
+        |          WHEN uu < 0.7357588823428847 THEN 1
+        |          WHEN uu < 0.9196986029286058 THEN 2
+        |          WHEN uu < 0.9810118431238462 THEN 3
+        |          WHEN uu < 0.9963401531726563 THEN 4
+        |          ELSE 5 END AS w
+        |   FROM u),
+        | byarm AS (SELECT event_type, variant, r, sum(w) AS wn,
+        |     sum(w * CAST(value AS DECIMAL(18,2))) AS ws
+        |   FROM wt GROUP BY 1, 2, 3),
+        | a AS (SELECT event_type, r, wn AS wna, ws AS wsa FROM byarm
+        |   WHERE variant = 'A'),
+        | b AS (SELECT event_type, r, wn AS wnb, ws AS wsb FROM byarm
+        |   WHERE variant = 'B'),
+        | diffs AS (SELECT event_type, r,
+        |     CAST(wsa AS DOUBLE) / CAST(wna AS DOUBLE) -
+        |     CAST(wsb AS DOUBLE) / CAST(wnb AS DOUBLE) AS diff
+        |   FROM a JOIN b USING (event_type, r)
+        |   WHERE wna > 0 AND wnb > 0),
+        | rk AS (SELECT event_type, r, diff,
+        |     row_number() OVER (PARTITION BY event_type
+        |       ORDER BY diff, r) AS rank,
+        |     count(*) OVER (PARTITION BY event_type) AS nb
+        |   FROM diffs)
+        |SELECT event_type,
+        |  CAST(max(nb) AS BIGINT) AS n_replicas_effective,
+        |  CAST(min(CASE WHEN rank = CAST(ceil(CAST(0.025 AS DOUBLE) * nb)
+        |    AS BIGINT) THEN diff END) AS REAL) AS ci_lo,
+        |  CAST(min(CASE WHEN rank = CAST(ceil(CAST(0.975 AS DOUBLE) * nb)
+        |    AS BIGINT) THEN diff END) AS REAL) AS ci_hi,
+        |  CAST(CAST(sum(CAST(diff AS DECIMAL(30,12))) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS REAL) AS diff_boot_mean
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the max comparison runs on the exact DECIMAL sums in both engines
     "j15_top_supplier" ->

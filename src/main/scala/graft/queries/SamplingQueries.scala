@@ -178,6 +178,35 @@ object SamplingQueries {
         .withColumnRenamed("cms_inner_product", "f2_estimate"))
     }),
 
+    // sketch set-algebra on customer cohorts (pre-1996 vs 1996+ buyers
+    // — the audience-overlap question): union is NATIVE (register max,
+    // exact over merges), intersection comes from inclusion–exclusion
+    // |A∩B| ≈ est(A)+est(B)−est(A∪B) — the standard estimator and its
+    // standard caveat (error scales with the union, not the
+    // intersection), surfaced beside the exact overlap so the caveat
+    // is measurable instead of folklore. ~1500 keys under m=256 also
+    // exercises the raw-harmonic regime the token queries don't.
+    "freq_hll_intersection" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(col("o_orderdate") < "1996-01-01")
+        .select(col("o_custkey"))
+      val b = o.filter(col("o_orderdate") >= "1996-01-01")
+        .select(col("o_custkey"))
+      val skA = Hll.build(a, "o_custkey", b = 8)
+      val skB = Hll.build(b, "o_custkey", b = 8)
+      def est(sk: DataFrame, out: String) =
+        Hll.estimate(sk, b = 8).select(col("hll_estimate").as(out))
+      val exact = a.distinct().join(b.distinct(), Seq("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_exact_intersection"))
+      est(skA, "est_a").crossJoin(est(skB, "est_b"))
+        .crossJoin(est(Hll.merge(skA, skB), "est_union"))
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          (col("est_a").cast("double") + col("est_b").cast("double") -
+            col("est_union").cast("double")).cast("float")
+            .as("est_intersection"))
+        .crossJoin(exact)
+    }),
+
     // learned BPE merge table: 8 most-frequent-pair merges over the
     // 500-word df-capped dictionary — the trainer behind the
     // n_bpe_tokens budget counter (text_bpe_tokens consumes a merge
@@ -740,6 +769,61 @@ object SamplingQueries {
         |  hll_estimate AS hll_estimate_mono,
         |  CAST(0 AS BIGINT) AS n_register_mismatches
         |FROM est""".stripMargin,
+
+    // three register pipelines (a, b, union-of-registers) + the exact
+    // overlap — same md5/bin-length/shift math as freq_hll_portable
+    "freq_hll_intersection" ->
+      """WITH sides AS (SELECT
+        |     CASE WHEN o_orderdate < DATE '1996-01-01' THEN 'a' ELSE 'b' END
+        |       AS side,
+        |     o_custkey AS token
+        |   FROM orders WHERE o_custkey IS NOT NULL),
+        | cells AS (SELECT side, CAST(concat('0x',
+        |     substr(md5(concat('hll:', CAST(token AS VARCHAR))), 1, 15))
+        |     AS BIGINT) AS h
+        |   FROM sides),
+        | r AS (SELECT side, h % 256 AS reg,
+        |     CASE WHEN (h >> 8) = 0 THEN 53
+        |          ELSE 53 - length(bin(h >> 8)) END AS rk
+        |   FROM cells),
+        | sk AS (SELECT side, reg, max(rk) AS rk FROM r GROUP BY 1, 2),
+        | sku AS (SELECT side, reg, rk FROM sk
+        |   UNION ALL
+        |   SELECT 'u' AS side, reg, max(rk) AS rk FROM sk GROUP BY reg),
+        | mx AS (SELECT side, max(rk) AS rmax FROM sku GROUP BY 1),
+        | agg AS (SELECT sku.side, count(*) AS observed, max(mx.rmax) AS rmax,
+        |     sum(1::BIGINT << CAST(mx.rmax - sku.rk AS INT)) AS zobs
+        |   FROM sku JOIN mx USING (side) GROUP BY 1),
+        | e AS (SELECT side, 256 - observed AS zeros,
+        |     zobs + (256 - observed) * (1::BIGINT << CAST(rmax AS INT)) AS znum,
+        |     rmax
+        |   FROM agg),
+        | est AS (SELECT side,
+        |     CAST(CASE WHEN rawv <= 2.5 * CAST(256.0 AS DOUBLE) AND zeros > 0
+        |          THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) /
+        |            CAST(zeros AS DOUBLE))
+        |          ELSE rawv END AS REAL) AS est
+        |   FROM (SELECT side, zeros,
+        |       CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+        |         CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)) *
+        |         CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE) *
+        |         power(CAST(2.0 AS DOUBLE), CAST(rmax AS DOUBLE)) /
+        |         CAST(znum AS DOUBLE) AS rawv
+        |     FROM e)),
+        | x AS (SELECT count(*) AS n_exact_intersection FROM
+        |   (SELECT DISTINCT token FROM sides WHERE side = 'a') aa
+        |   JOIN (SELECT DISTINCT token FROM sides WHERE side = 'b') bb
+        |   USING (token))
+        |SELECT
+        |  (SELECT est FROM est WHERE side = 'a') AS est_a,
+        |  (SELECT est FROM est WHERE side = 'b') AS est_b,
+        |  (SELECT est FROM est WHERE side = 'u') AS est_union,
+        |  CAST(CAST((SELECT est FROM est WHERE side = 'a') AS DOUBLE) +
+        |    CAST((SELECT est FROM est WHERE side = 'b') AS DOUBLE) -
+        |    CAST((SELECT est FROM est WHERE side = 'u') AS DOUBLE)
+        |    AS REAL) AS est_intersection,
+        |  CAST(x.n_exact_intersection AS BIGINT) AS n_exact_intersection
+        |FROM x""".stripMargin,
 
     // integer replay: same md5 cells, per-row Σ cnt², min over rows
     "freq_cms_selfjoin_f2" ->

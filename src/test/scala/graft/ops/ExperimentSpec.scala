@@ -157,4 +157,38 @@ class ExperimentSpec extends SparkSpec {
     r(3).asInstanceOf[Float].toDouble shouldBe 0.0 +- 1e-9
     r(5).asInstanceOf[Float] shouldBe r(4).asInstanceOf[Float]
   }
+
+  test("bootstrapMeanDiffCi: CI brackets a clear gap, deterministic, shift-equivariant") {
+    import org.apache.spark.sql.functions.col
+    // A ~ 10, B ~ 1: every resampled mean diff sits near 9
+    val rows = (1 to 60).map { i =>
+      if (i % 2 == 0) ("g", "A", 10.0 + (i % 5) * 0.1, i.toLong)
+      else ("g", "B", 1.0 + (i % 5) * 0.1, i.toLong)
+    }
+    val df = rows.toDF("grp", "variant", "v", "id")
+    val r = Experiment.bootstrapMeanDiffCi(df, "grp", "variant", "v", "id",
+      replicas = 64).rows.head
+    val (n, lo, hi, mean) = (r(1).asInstanceOf[Long],
+      r(2).asInstanceOf[Float], r(3).asInstanceOf[Float],
+      r(4).asInstanceOf[Float])
+    n should be <= 64L
+    lo should be <= hi
+    lo.toDouble shouldBe 9.0 +- 1.5
+    hi.toDouble shouldBe 9.0 +- 1.5
+    (lo.toDouble <= mean && mean <= hi.toDouble) shouldBe true
+    // deterministic md5 draw: a rerun is bit-identical
+    Experiment.bootstrapMeanDiffCi(df, "grp", "variant", "v", "id",
+      replicas = 64).rows.head shouldBe r
+    // shifting BOTH arms by a constant shifts the CI by exactly that
+    // constant in every replica (weights depend only on ids)
+    val shifted = df.withColumn("v", col("v") + 100.0)
+    val r2 = Experiment.bootstrapMeanDiffCi(shifted, "grp", "variant",
+      "v", "id", replicas = 64).rows.head
+    r2(1) shouldBe n
+    r2(2).asInstanceOf[Float].toDouble shouldBe lo.toDouble +- 1e-4
+    intercept[IllegalArgumentException] {
+      Experiment.bootstrapMeanDiffCi(df, "grp", "variant", "v", "id",
+        replicas = 4)
+    }
+  }
 }
