@@ -475,6 +475,41 @@ object PipelineQueries {
         .orderBy(col("window_start"))
     }),
 
+    // LIVE windowed p50/p95/p99: one $1-bin histogram per hour window
+    // (state bounded by the value range, never event volume — the SRE
+    // latency-dashboard primitive), finalized windows folded with a
+    // cumulative-count nearest-rank pick. Integer cents end to end, so
+    // every percentile replays exactly.
+    "stream_pctile_live" -> ((s, dir) => {
+      val (raw, tmp) = stageStream(s, dir, "events", "graft_spct")
+      val src = raw.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      awaitScoped(s)(EventStreams.toLake(
+        EventStreams.histWindowed(src, value = "value", binWidthCents = 100L),
+        s"$tmp/sink", s"$tmp/ckpt", partitionCols = Seq.empty))
+      val bound = Tables.events(s, dir)
+        .agg((max(col("ts_utc")) - expr("INTERVAL 20 MINUTES")).as("bound"))
+      val sk = LakeReader.read(s, s"$tmp/sink")
+        .crossJoin(broadcast(bound))
+        .filter(col("window_end") <= col("bound"))
+        .select(col("window_start"), col("bin"), col("cnt"))
+      // per-window windows range over the ≤ range/binWidth histogram
+      // bins — the declared-bounded frame, never the events
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("window_start")).orderBy(col("bin"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("window_start"))
+      def pct(p: Double, out: String) =
+        min(when(col("__cum") >= ceil(lit(p) * col("__n")),
+          col("bin") * lit(100L))).as(out)
+      sk.withColumn("__cum", sum(col("cnt")).over(wCum))
+        .withColumn("__n", sum(col("cnt")).over(wAll))
+        .groupBy(col("window_start"))
+        .agg(max(col("__n")).as("n_events"),
+          pct(0.5, "p50_cents"), pct(0.95, "p95_cents"),
+          pct(0.99, "p99_cents"))
+        .orderBy(col("window_start"))
+    }),
+
     "stream_topk_live" -> ((s, dir) => {
       val (raw, tmp) = stageStream(s, dir, "events", "graft_stopk")
       val src = raw.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
@@ -1059,6 +1094,31 @@ object PipelineQueries {
         |    AS used_linear_counting,
         |  CAST(x.n_exact AS BIGINT) AS n_exact
         |FROM rw JOIN x USING (window_start) ORDER BY 1""".stripMargin,
+
+    // integer histogram replay: same cent bins, same cumulative
+    // nearest-rank pick per finalized window
+    "stream_pctile_live" ->
+      """WITH b AS (SELECT max(ts) - INTERVAL '20 minutes' AS bound FROM events),
+        | fin AS (SELECT date_trunc('hour', ts) AS window_start,
+        |     CAST(round(value * 100) AS BIGINT) // 100 AS bin
+        |   FROM events, b
+        |   WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= b.bound
+        |     AND value IS NOT NULL AND value >= 0),
+        | h AS (SELECT window_start, bin, count(*) AS cnt
+        |   FROM fin GROUP BY 1, 2),
+        | c AS (SELECT window_start, bin, cnt,
+        |     sum(cnt) OVER (PARTITION BY window_start ORDER BY bin
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |     sum(cnt) OVER (PARTITION BY window_start) AS n
+        |   FROM h)
+        |SELECT window_start, CAST(max(n) AS BIGINT) AS n_events,
+        |  CAST(min(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n)
+        |    THEN bin * 100 END) AS BIGINT) AS p50_cents,
+        |  CAST(min(CASE WHEN cum >= ceil(CAST(0.95 AS DOUBLE) * n)
+        |    THEN bin * 100 END) AS BIGINT) AS p95_cents,
+        |  CAST(min(CASE WHEN cum >= ceil(CAST(0.99 AS DOUBLE) * n)
+        |    THEN bin * 100 END) AS BIGINT) AS p99_cents
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "stream_drift_live" ->
       """WITH b AS (SELECT max(ts) - INTERVAL '20 minutes' AS bound FROM events),

@@ -91,6 +91,34 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("hll_register"), col("hll_rank"))
 
+  /** Windowed fixed-width value histogram: each event maps to its cent
+    * bin (integer floor division — values are REQUIRED non-negative,
+    * where trunc == floor in every engine) and a watermarked windowed
+    * count keeps one ≤ (range/binWidth)-bin histogram per window —
+    * the percentile-latency monitor's state (p50/p95/p99 per window
+    * with bounded error = binWidth/2), independent of event volume.
+    * An exact per-window percentile would sort each window's full
+    * event set in one task — the shape that dies at 100 TB/day; the
+    * histogram trades a declared quantization for bounded state.
+    * Emits (window_start, window_end, bin, cnt); fold finalized
+    * windows with a cumulative-count nearest-rank pick. */
+  def histWindowed(events: DataFrame, value: String = "value",
+                   binWidthCents: Long = 100L, tsCol: String = "ts_utc",
+                   windowLen: String = "1 hour",
+                   lateness: String = "10 minutes"): DataFrame = {
+    require(binWidthCents >= 1, s"binWidthCents must be >= 1, got $binWidthCents")
+    val cents = graft.ops.Indicators.toCents(col(value))
+    events.withWatermark(tsCol, lateness)
+      .filter(col(value).isNotNull && col(value) >= 0)
+      // cents/width via double division + trunc: exact for the
+      // non-negative sub-2^53 cent magnitudes the filter guarantees
+      .select(col(tsCol), (cents / lit(binWidthCents)).cast("long").as("bin"))
+      .groupBy(window(col(tsCol), windowLen), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("bin"), col("cnt"))
+  }
+
   /** Sliding-window average (overlapping windows: `windowLen` long,
     * advancing every `slide`). `value` is the summed column — pass a
     * DECIMAL cast for an order-independent exact sum (the avg divides
