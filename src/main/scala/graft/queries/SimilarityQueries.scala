@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{IvfIndex, Pca, Retrieval, Similarity}
+import graft.ops.{Experiment, IvfIndex, Pca, Retrieval, Similarity}
 
 /** Similarity search over the `embeddings` table (array<float>, dim 64).
   *
@@ -420,6 +420,28 @@ object SimilarityQueries {
     // classifier vs the gold labels — off-diagonal cells are the
     // label/embedding disagreement review queue. Broadcast |labels|
     // prototypes, one streamed scan, map-side argmax.
+    // Per-dimension label separability as a rank AUC: for each embedding
+    // dimension, the probability a class-0 vector scores above a rest
+    // vector (ties at ½) — U/(n₁n₀) from the SAME tie-corrected
+    // Mann–Whitney machinery the experiment tier uses, with dimension as
+    // the group. The single-feature-AUC screen is also THE target-leakage
+    // detector shape: a dimension (or feature) whose AUC sits near 0 or 1
+    // encodes the label almost alone. One posexplode (pure map) + the
+    // MWU histogram aggregation per dimension — never a per-row sort.
+    "emb_dim_auc" -> ((s, dir) => {
+      val dims = Tables.embeddings(s, dir)
+        .filter(col("label").isNotNull)
+        .select(
+          when(col("label") === 0, "A").otherwise("B").as("variant"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+      Experiment.mannWhitneyU(dims, group = "dim", variant = "variant",
+          value = "v")
+        .select(col("dim"), col("n_a"), col("n_b"),
+          (col("u_stat") / (col("n_a") * col("n_b")).cast("double"))
+            .cast("float").as("auc"))
+        .orderBy(col("dim"))
+    }),
+
     "emb_centroid_confusion" -> ((s, dir) =>
       Similarity.centroidLabelConfusion(Tables.embeddings(s, dir),
           id = "vec_id", vec = "embedding", label = "label")
@@ -1510,6 +1532,30 @@ object SimilarityQueries {
         |  count(*) AS n
         |FROM c GROUP BY label, j
         |ORDER BY label, j""".stripMargin,
+
+    // the experiment tier's tie-corrected rank-sum replay, grouped by
+    // dimension; AUC = U / (n_a·n_b)
+    "emb_dim_auc" ->
+      """WITH e AS (SELECT
+        |     CASE WHEN label = 0 THEN 'A' ELSE 'B' END AS variant,
+        |     generate_subscripts(embedding, 1) - 1 AS dim,
+        |     unnest(embedding) AS v
+        |   FROM embeddings WHERE label IS NOT NULL),
+        | tie AS (SELECT dim, v, count(*) AS c,
+        |     sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS ca
+        |   FROM e GROUP BY 1, 2),
+        | cw AS (SELECT *, sum(c) OVER (PARTITION BY dim ORDER BY v
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |   FROM tie),
+        | g AS (SELECT dim, CAST(sum(ca) AS BIGINT) AS n_a,
+        |     CAST(sum(c - ca) AS BIGINT) AS n_b,
+        |     CAST(sum(ca * (2 * cum - c + 1)) AS BIGINT) AS r1x2
+        |   FROM cw GROUP BY 1
+        |   HAVING sum(ca) >= 1 AND sum(c - ca) >= 1 AND sum(c) >= 2)
+        |SELECT CAST(dim AS INT) AS dim, n_a, n_b,
+        |  CAST((CAST(r1x2 - n_a * (n_a + 1) AS DOUBLE) / 2.0) /
+        |    CAST(n_a * n_b AS DOUBLE) AS REAL) AS auc
+        |FROM g ORDER BY dim""".stripMargin,
 
     "emb_centroid_confusion" ->
       s"""WITH $centroidConfusionCtes

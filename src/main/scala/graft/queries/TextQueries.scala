@@ -307,6 +307,29 @@ object TextQueries {
         .select(col("doc_id"), col("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // ── Mixed-language detector: chunk each doc into the training
+    // windows, language-ID every chunk, and flag docs whose chunks
+    // DISAGREE — the doc-level langid says "en" for a half-en/half-zh
+    // paste (a classic curation failure that poisons both languages'
+    // mixtures); chunk-level consensus catches it. Majority lang via a
+    // deterministic struct max (count, then lang) — no mode() whose
+    // tiebreak differs across engines.
+    "text_mixed_lang" -> ((s, dir) => {
+      val chunks = TextAnalysis.chunk(Tables.documents(s, dir),
+        size = 64, stride = 48)
+      val scored = TextAnalysis.langId(chunks, text = "chunk_text",
+        out = "chunk_lang")
+      val perLang = scored.groupBy(col("doc_id"), col("chunk_lang"))
+        .agg(count(lit(1)).as("__c"))
+      perLang.groupBy(col("doc_id"))
+        .agg(sum(col("__c")).as("n_chunks"),
+          count(lit(1)).as("n_langs"),
+          max(struct(col("__c"), col("chunk_lang"))).getField("chunk_lang")
+            .as("majority_lang"))
+        .withColumn("is_mixed", col("n_langs") > 1)
+        .orderBy(col("doc_id"))
+    }),
+
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionScore(Tables.documents(s, dir))
         .select(col("doc_id"),
@@ -1385,6 +1408,41 @@ object TextQueries {
          |      WHEN de >= zh THEN 'de'
          |      ELSE 'zh' END AS lang_pred
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // chunk replay + per-chunk stopword langid + deterministic
+    // (count, lang) struct-max majority
+    "text_mixed_lang" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+         | m AS (SELECT doc_id, t,
+         |     1 + CAST(ceil(greatest(len(t) - 64, 0) / 48.0) AS INTEGER) AS nc
+         |   FROM tk),
+         | cidx AS (SELECT doc_id, t, unnest(range(0, nc)) AS k FROM m),
+         | ch AS (SELECT doc_id,
+         |     list_slice(t, k * 48 + 1, k * 48 + 64) AS ct
+         |   FROM cidx),
+         | sc AS (SELECT doc_id,
+         |  len(list_filter(ct, x -> x IN (${langList(graft.ops.TextAnalysis.stopwordsEn)}))) AS en,
+         |  len(list_filter(ct, x -> x IN (${langList(graft.ops.TextAnalysis.stopwordsFr)}))) AS fr,
+         |  len(list_filter(ct, x -> x IN (${langList(graft.ops.TextAnalysis.stopwordsEs)}))) AS es,
+         |  len(list_filter(ct, x -> x IN (${langList(graft.ops.TextAnalysis.stopwordsDe)}))) AS de,
+         |  len(list_filter(ct, x -> x IN (${langList(graft.ops.TextAnalysis.stopwordsZh)}))) AS zh
+         | FROM ch),
+         | lg AS (SELECT doc_id,
+         |   CASE WHEN en >= fr AND en >= es AND en >= de AND en >= zh THEN 'en'
+         |        WHEN fr >= es AND fr >= de AND fr >= zh THEN 'fr'
+         |        WHEN es >= de AND es >= zh THEN 'es'
+         |        WHEN de >= zh THEN 'de'
+         |        ELSE 'zh' END AS chunk_lang
+         |   FROM sc),
+         | pl AS (SELECT doc_id, chunk_lang, count(*) AS c
+         |   FROM lg GROUP BY 1, 2),
+         | agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
+         |     CAST(count(*) AS BIGINT) AS n_langs,
+         |     max(struct_pack(c := c, chunk_lang := chunk_lang)) AS best
+         |   FROM pl GROUP BY 1)
+         |SELECT doc_id, n_chunks, n_langs,
+         |  best.chunk_lang AS majority_lang, n_langs > 1 AS is_mixed
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH tk AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),

@@ -69,6 +69,26 @@ class TextMultimodalSpec extends SparkSpec {
       Seq("en", "fr", "es")
   }
 
+  test("chunk + langId consensus flags a half-en/half-fr paste as mixed") {
+    import org.apache.spark.sql.functions._
+    // 64 en tokens then 64 fr tokens: chunk(64, 48) isolates at least
+    // one pure-en and one pure-fr window, so the chunk langs disagree
+    // even though the DOC-level vote (en ties broken first) says 'en'
+    val en = Seq.fill(8)("the cat is in a house and it").mkString(" ")
+    val fr = Seq.fill(8)("le chat est dans la maison et les").mkString(" ")
+    val df = Seq((1L, s"$en $fr"), (2L, en)).toDF("doc_id", "text")
+    val scored = TextAnalysis.langId(
+      TextAnalysis.chunk(df, size = 64, stride = 48),
+      text = "chunk_text", out = "chunk_lang")
+    val langs = scored.groupBy(col("doc_id"))
+      .agg(count_distinct(col("chunk_lang")).as("n_langs"))
+      .orderBy(col("doc_id")).rows.map(_(1))
+    langs shouldBe Seq(2L, 1L) // doc 1 mixed, doc 2 pure
+    // the doc-level langId alone would have called doc 1 a single lang
+    TextAnalysis.langId(df).filter(col("doc_id") === 1L)
+      .select("lang_pred").rows.head.head shouldBe "en"
+  }
+
   test("fingerprint: formatting-insensitive canonical hash") {
     val df = Seq(
       (1L, "Hello,  World!"), (2L, "hello world"), (3L, "different")
