@@ -289,6 +289,36 @@ object Experiment {
         col("diff_raw"), col("diff_adj"), col("var_reduction"))
   }
 
+  /** Wilson score interval per (group, variant) success rate — the
+    * small-n-safe CI for a proportion (the Wald interval collapses to
+    * zero width at p̂ ∈ {0,1} and escapes [0,1] near the edges; Wilson
+    * does neither), i.e. the error bars a conversion dashboard should
+    * draw next to [[proportionZTest]]'s significance call. With
+    * zz = z²: center = (p̂ + zz/2n)/(1 + zz/n),
+    * half = z·√(p̂(1−p̂)/n + zz/4n²)/(1 + zz/n).
+    *
+    * Exactness: (n, x) are exact integers from ONE map-side-combinable
+    * groupBy; the interval is a fixed double chain per output row
+    * (≤ |groups|·|variants| rows), FLOAT at the surface. */
+  def wilsonCi(df: DataFrame, group: String, variant: String,
+               success: Column, z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z must be > 0, got $z")
+    val zz = z * z
+    val agged = df.filter(col(variant).isNotNull)
+      .groupBy(col(group), col(variant))
+      .agg(count(lit(1)).as("n"), sum(success.cast("long")).as("x"))
+    val nD = col("n").cast("double")
+    val p = col("x").cast("double") / nD
+    val denom = lit(1.0) + lit(zz) / nD
+    val center = (p + lit(zz) / (lit(2.0) * nD)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      lit(zz) / (lit(4.0) * nD * nD))) / denom
+    agged.select(col(group), col(variant), col("n"), col("x"),
+      p.cast("float").as("rate"),
+      (center - half).cast("float").as("ci_lo"),
+      (center + half).cast("float").as("ci_hi"))
+  }
+
   /** Cumulative Poisson(1) CDF thresholds for the deterministic draw:
     * u < F(k) ⟹ weight k (capped at 5, which covers 99.9941% of the
     * mass — the cap is a declared, engine-identical bias). Fixed double

@@ -121,4 +121,64 @@ object Features {
       .agg(sum(col("__sign")).as("weight"))
       .filter(col("weight") =!= 0L)
   }
+
+  /** Empirical-Bayes rate shrinkage (beta-binomial, method-of-moments
+    * prior): per-key success rates pulled toward the corpus prior in
+    * proportion to how little evidence each key carries —
+    * rate_shrunk = (x + α)/(n + α + β). THE fix for the
+    * small-n-rates-dominate-every-ranking failure (a 1/1 key must not
+    * outrank a 950/1000 key), fitted from the data itself: α, β solve
+    * mean/variance of the OBSERVED per-key rates over keys with
+    * n ≥ `minTrials` (m(1−m)/v − 1 times m and 1−m).
+    *
+    * Exactness: per-key (n, x) are exact integers; each observed rate
+    * is one double division, quantized to DECIMAL(20,12) (rate and
+    * rate²) before the prior's order-free sums; α/β and every shrunk
+    * rate are then fixed double chains, FLOAT at the surface. A
+    * degenerate prior (variance 0, or v ≥ m(1−m) so α or β would go
+    * non-positive) surfaces NULL α/β and NULL shrunk rates — the
+    * caller sees "no information to shrink with", never a fabricated
+    * posterior.
+    *
+    * Plan: one map-side-combined groupBy to |keys| rows, a 1-row
+    * broadcast prior, one join — nothing event-granular shuffles
+    * twice. */
+  def ebShrinkRates(df: DataFrame, key: String, success: Column,
+                    minTrials: Long = 5L): DataFrame = {
+    require(minTrials >= 1, s"minTrials must be >= 1, got $minTrials")
+    val perKey = df.filter(col(key).isNotNull)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sum(success.cast("long")).as("x"))
+      .withColumn("rate_raw",
+        col("x").cast("double") / col("n").cast("double"))
+    val prior = perKey.filter(col("n") >= minTrials)
+      .agg(
+        count(lit(1)).as("__k"),
+        sum(d12(col("rate_raw"))).as("__sr"),
+        sum(d12(col("rate_raw") * col("rate_raw"))).as("__srr"))
+      .select(
+        (col("__sr").cast("double") / col("__k").cast("double")).as("__m"),
+        // population variance of the observed rates: Σr²/k − (Σr/k)²
+        (col("__srr").cast("double") / col("__k").cast("double") -
+          (col("__sr").cast("double") / col("__k").cast("double")) *
+          (col("__sr").cast("double") / col("__k").cast("double")))
+          .as("__v"))
+      .select(col("__m"), col("__v"),
+        when(col("__v") > 0 && col("__v") < col("__m") * (lit(1.0) - col("__m")),
+          col("__m") * (col("__m") * (lit(1.0) - col("__m")) / col("__v") -
+            lit(1.0))).as("alpha"),
+        when(col("__v") > 0 && col("__v") < col("__m") * (lit(1.0) - col("__m")),
+          (lit(1.0) - col("__m")) *
+            (col("__m") * (lit(1.0) - col("__m")) / col("__v") - lit(1.0)))
+          .as("beta"))
+    perKey.crossJoin(broadcast(prior.select(col("alpha"), col("beta"))))
+      .select(col(key), col("n"), col("x"),
+        col("rate_raw").cast("float").as("rate_raw"),
+        col("alpha").cast("float").as("alpha"),
+        col("beta").cast("float").as("beta"),
+        ((col("x").cast("double") + col("alpha")) /
+          (col("n").cast("double") + col("alpha") + col("beta")))
+          .cast("float").as("rate_shrunk"))
+  }
 }

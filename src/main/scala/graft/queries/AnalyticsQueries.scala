@@ -1157,6 +1157,34 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // ── Wilson error bars for the same conversion, per arm: the
+    // small-n-safe interval a dashboard draws NEXT TO the z-test's
+    // significance call (Wald collapses at p̂∈{0,1}; Wilson never
+    // leaves [0,1]). Exact counts, one double chain per arm row.
+    "ab_wilson_ci" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type"),
+          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")
+            .as("variant"),
+          (col("value") >= 50).as("converted"))
+      Experiment.wilsonCi(ev, group = "event_type", variant = "variant",
+          success = col("converted"))
+        .orderBy(col("event_type"), col("variant"))
+    }),
+
+    // ── Empirical-Bayes shrinkage of per-user purchase rates
+    // (beta-binomial MoM prior): a 1/1 user must not outrank a
+    // 95/100 user in any rate ranking — each rate pulls toward the
+    // corpus prior in proportion to its evidence. Prior fitted from
+    // the observed rates themselves; degenerate priors surface NULL,
+    // never a fabricated posterior.
+    "rate_eb_shrinkage" -> ((s, dir) =>
+      Features.ebShrinkRates(
+          Tables.events(s, dir).filter(col("user_id").isNotNull),
+          key = "user_id", success = col("event_type") === "purchase")
+        .orderBy(col("user_id"))),
+
     // ── CUPED variance-reduced readout per event_type: each user's
     // PRE-period value sum (first half of the lake's day range —
     // integer-day split, no wall-clock) adjusts their post-period
@@ -2550,6 +2578,73 @@ object AnalyticsQueries {
         |FROM g GROUP BY 1
         |HAVING (min(rr) - 1) * (min(cc) - 1) >= 1
         |ORDER BY event_type""".stripMargin,
+
+    // same exact counts; the Wilson chain replayed term for term
+    "ab_wilson_ci" ->
+      """WITH e AS (SELECT event_type,
+        |     CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |     (value >= 50) AS converted
+        |   FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        | m AS (SELECT event_type, variant, count(*) AS n,
+        |     sum(CASE WHEN converted THEN 1 ELSE 0 END) AS x
+        |   FROM e GROUP BY 1, 2),
+        | k AS (SELECT event_type, variant, n, x,
+        |     CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |     CAST(1.0 AS DOUBLE) +
+        |       (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE) AS denom
+        |   FROM m)
+        |SELECT event_type, variant,
+        | CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+        | CAST(p AS REAL) AS rate,
+        | CAST(((p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) /
+        |     (CAST(2.0 AS DOUBLE) * CAST(n AS DOUBLE))) / denom) -
+        |   (CAST(1.96 AS DOUBLE) * sqrt(p * (CAST(1.0 AS DOUBLE) - p) /
+        |       CAST(n AS DOUBLE) +
+        |       (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) /
+        |       (CAST(4.0 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |     / denom) AS REAL) AS ci_lo,
+        | CAST(((p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) /
+        |     (CAST(2.0 AS DOUBLE) * CAST(n AS DOUBLE))) / denom) +
+        |   (CAST(1.96 AS DOUBLE) * sqrt(p * (CAST(1.0 AS DOUBLE) - p) /
+        |       CAST(n AS DOUBLE) +
+        |       (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) /
+        |       (CAST(4.0 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |     / denom) AS REAL) AS ci_hi
+        |FROM k ORDER BY event_type, variant""".stripMargin,
+
+    // per-key exact counts; MoM prior replayed from the same quantized
+    // rate sums; degenerate prior -> NULLs in both engines
+    "rate_eb_shrinkage" ->
+      """WITH pk AS (SELECT user_id, count(*) AS n,
+        |     sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+        |   FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        | pr AS (SELECT user_id, n, x,
+        |     CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS r FROM pk),
+        | g AS (SELECT count(*) AS k,
+        |     sum(CAST(r AS DECIMAL(20,12))) AS sr,
+        |     sum(CAST(r * r AS DECIMAL(20,12))) AS srr
+        |   FROM pr WHERE n >= 5),
+        | mv AS (SELECT
+        |     CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) AS m,
+        |     CAST(srr AS DOUBLE) / CAST(k AS DOUBLE) -
+        |       (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)) *
+        |       (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)) AS v
+        |   FROM g),
+        | ab AS (SELECT
+        |     CASE WHEN v > 0 AND v < m * (CAST(1.0 AS DOUBLE) - m)
+        |       THEN m * (m * (CAST(1.0 AS DOUBLE) - m) / v -
+        |         CAST(1.0 AS DOUBLE)) END AS alpha,
+        |     CASE WHEN v > 0 AND v < m * (CAST(1.0 AS DOUBLE) - m)
+        |       THEN (CAST(1.0 AS DOUBLE) - m) *
+        |         (m * (CAST(1.0 AS DOUBLE) - m) / v - CAST(1.0 AS DOUBLE))
+        |       END AS beta
+        |   FROM mv)
+        |SELECT user_id, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+        |  CAST(r AS REAL) AS rate_raw,
+        |  CAST(alpha AS REAL) AS alpha, CAST(beta AS REAL) AS beta,
+        |  CAST((CAST(x AS DOUBLE) + alpha) /
+        |    (CAST(n AS DOUBLE) + alpha + beta) AS REAL) AS rate_shrunk
+        |FROM pr CROSS JOIN ab ORDER BY user_id""".stripMargin,
 
     "ab_proportion_z" ->
       """WITH e AS (SELECT event_type,

@@ -163,4 +163,61 @@ class FeaturesRecommendSpec extends SparkSpec {
         "label")).rows.head
     (k(2), k(3)) shouldBe ((1.0f, 1.0f))
   }
+
+  test("ebShrinkRates: shrinks toward the prior mean in proportion to n; " +
+    "degenerate prior yields NULL posteriors") {
+    // rates over minTrials keys: 0.2, 0.4, 0.2, 0.4 → m = 0.3,
+    // v = 0.01; m(1−m)/v − 1 = 20 → α = 6, β = 14 (prior mean 0.3)
+    val rows =
+      Seq.fill(2)(("k1", 1)) ++ Seq.fill(8)(("k1", 0)) ++   // 2/10
+      Seq.fill(4)(("k2", 1)) ++ Seq.fill(6)(("k2", 0)) ++   // 4/10
+      Seq.fill(20)(("k3", 1)) ++ Seq.fill(80)(("k3", 0)) ++ // 20/100
+      Seq.fill(40)(("k4", 1)) ++ Seq.fill(60)(("k4", 0)) ++ // 40/100
+      Seq(("tiny", 1))                                      // 1/1, below minTrials
+    val df = rows.toDF("k", "s")
+    val out = Features.ebShrinkRates(df, "k", col("s") === 1, minTrials = 5)
+      .orderBy(col("k"))
+      .rows.map(r => r.head -> (r(3).asInstanceOf[Float],
+        r(4).asInstanceOf[Float], r(6).asInstanceOf[Float])).toMap
+    val (_, alpha, s1) = out("k1")
+    alpha shouldBe 6.0f +- 1e-4f
+    // k1: (2+6)/(10+20) = 0.2667; k3 same raw rate, more evidence →
+    // stays closer to 0.2
+    s1 shouldBe ((2.0 + 6.0) / 30.0).toFloat +- 1e-5f
+    val (_, _, s3) = out("k3")
+    s3 shouldBe ((20.0 + 6.0) / 120.0).toFloat +- 1e-5f
+    math.abs(s3 - 0.2f) should be < math.abs(s1 - 0.2f)
+    // the below-threshold key still gets shrunk (hard, n = 1)
+    val (_, _, sTiny) = out("tiny")
+    sTiny shouldBe ((1.0 + 6.0) / 21.0).toFloat +- 1e-5f
+    // identical rates → zero variance → degenerate prior → NULL
+    val flat = (Seq.fill(5)(("a", 1)) ++ Seq.fill(5)(("a", 0)) ++
+      Seq.fill(5)(("b", 1)) ++ Seq.fill(5)(("b", 0))).toDF("k", "s")
+    val deg = Features.ebShrinkRates(flat, "k", col("s") === 1)
+      .select("alpha", "rate_shrunk").rows
+    all(deg.map(_.head == null)) shouldBe true
+    all(deg.map(_(1) == null)) shouldBe true
+  }
+
+  test("wilsonCi: hand-computed interval; never leaves [0,1] at the edges") {
+    val df = (Seq.fill(8)(("g", "A", 1)) ++ Seq.fill(2)(("g", "A", 0)) ++
+      Seq.fill(10)(("g", "B", 1))).toDF("grp", "variant", "s")
+    val out = Experiment.wilsonCi(df, "grp", "variant", col("s") === 1)
+      .orderBy(col("variant")).rows
+    val a = out(0)
+    // p̂ = 0.8, n = 10, z = 1.96: center = (0.8 + 0.19208)/1.38416,
+    // half = 1.96·√(0.016 + 0.009604)/1.38416
+    val zz = 1.96 * 1.96
+    val center = (0.8 + zz / 20.0) / (1.0 + zz / 10.0)
+    val half = 1.96 * math.sqrt(0.8 * 0.2 / 10.0 + zz / 400.0) / (1.0 + zz / 10.0)
+    a(4).asInstanceOf[Float].toDouble shouldBe 0.8 +- 1e-6
+    a(5).asInstanceOf[Float].toDouble shouldBe (center - half) +- 1e-6
+    a(6).asInstanceOf[Float].toDouble shouldBe (center + half) +- 1e-6
+    // p̂ = 1 arm: Wald would give [1, 1]; Wilson stays strictly inside
+    val b = out(1)
+    b(4) shouldBe 1.0f
+    b(5).asInstanceOf[Float] should be < 1.0f
+    b(5).asInstanceOf[Float] should be > 0.0f
+    b(6).asInstanceOf[Float] should be <= 1.0f
+  }
 }
