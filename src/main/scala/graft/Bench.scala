@@ -161,6 +161,14 @@ object Bench {
     // health fields (stall_retrials) so a heavily re-trialed capture
     // still self-identifies as a loaded-box run.
     var stallRetrials = 0
+    // WHICH queries ate the re-trials, not just how many: the r15
+    // driver capture inflated ~6 identifiable queries 2–15× while the
+    // other ~290 matched quiet-box reruns, and the artifact could say
+    // "stalled capture" but not "discount THESE" — adjudication still
+    // needed a second capture. Name → extra trials taken (2 per stall
+    // signature today); emitted in the health fields so a stalled
+    // capture is per-query adjudicable from the artifact alone.
+    val stallsByQuery = scala.collection.mutable.LinkedHashMap[String, Int]()
     // ---- static I/O-sensitivity class per query ----------------------
     // The calibration probes say whether THE CAPTURE was disk-
     // contaminated; these tags say WHICH queries to discount when it
@@ -199,6 +207,7 @@ object Bench {
       val stalled = !t3.exists(_ < 0) && t3.max > 3 * t3.min && t3.max >= 0.5
       val times = if (stalled) {
         stallRetrials += 1
+        stallsByQuery(name) = stallsByQuery.getOrElse(name, 0) + 2
         System.err.println(
           f"[bench] $name stall signature (min ${t3.min}%.3f, max ${t3.max}%.3f) — re-trialing to median-of-5")
         t3 ++ (1 to 2).map(_ => run())
@@ -294,7 +303,10 @@ object Bench {
       s""""calib_factor_cpu":${r3(calibFactor)},"calib_factor_io":${r3(ioCalibMean / IoCalibRef)},""" +
       s""""calib_waits":$calibWaits,$normField,""" +
       s""""io_class_totals":$classTotals,""" +
-      s""""stall_retrials":$stallRetrials,"cpus":$cpus"""
+      s""""stall_retrials":$stallRetrials,""" +
+      s""""stall_retrials_by_query":${
+        stallsByQuery.map { case (k, v) => s""""$k":$v""" }
+          .mkString("{", ",", "}")},"cpus":$cpus"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,$health,"sf":"$sfJson"}"""
     // The driver's artifact is a bounded TAIL capture of stdout: anything

@@ -69,12 +69,40 @@ object CountMin {
     * corpus sketch with a ≤ d·w-row groupBy-sum: merge(build(A),
     * build(B)) == build(A ∪ B) cell-for-cell, the property that makes
     * the sketch distributable (and incrementally maintainable — add
-    * today's sketch, never rescan history). */
-  def merge(sketches: DataFrame*): DataFrame = {
+    * today's sketch, never rescan history).
+    *
+    * (depth, width) are DECLARED, not inferred: cell-adding sketches
+    * of different shapes yields a plausible-looking but meaningless
+    * summary, so every input frame is checked — schema at plan-build
+    * time, cell coordinates per row (≤ d·w rows each, the guard is
+    * free); a frame built with a different shape fails loudly. */
+  def merge(depth: Int, width: Int, sketches: DataFrame*): DataFrame = {
+    checkShape(depth, width)
     require(sketches.nonEmpty, "need at least one sketch to merge")
-    sketches.reduce(_ unionByName _)
+    sketches.map(checkedCellFrame(_, depth, width)).reduce(_ unionByName _)
       .groupBy(col("cms_row"), col("cms_bucket"))
       .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** The cell frame with its shape contract enforced row-wise:
+    * cms_row ∈ [0, depth), cms_bucket ∈ [0, width). Values pass
+    * through untouched; a violation raises with the offending cell.
+    * The guard wraps cms_bucket — a JOIN KEY in every consumer — not
+    * cnt: an inner join would eliminate out-of-shape rows before a
+    * guarded cnt was ever evaluated, silently un-arming the check. */
+  private def checkedCellFrame(sk: DataFrame, depth: Int,
+                               width: Int): DataFrame = {
+    require(sk.columns.toSet == Set("cms_row", "cms_bucket", "cnt"),
+      "expected a sketch frame with exactly (cms_row, cms_bucket, cnt), " +
+        s"got: ${sk.columns.mkString(", ")}")
+    sk.select(col("cms_row"),
+      when(col("cms_row").between(0, depth - 1) &&
+          col("cms_bucket").between(0L, width.toLong - 1), col("cms_bucket"))
+        .otherwise(raise_error(concat(
+          lit(s"sketch cell does not fit depth=$depth width=$width: row="),
+          col("cms_row"), lit(" bucket="), col("cms_bucket"))))
+        .as("cms_bucket"),
+      col("cnt"))
   }
 
   /** Inner-product estimate between two sketches of the same shape
@@ -87,10 +115,16 @@ object CountMin {
     * executing the join. A depth row with no shared bucket proves the
     * true product is 0, so absent rows fold back in as 0 before the
     * min. Bound quality is ε·NA·NB with ε = e/width: size width to the
-    * product of the stream masses, not to the key cardinality. */
-  def innerProduct(cmsA: DataFrame, cmsB: DataFrame, depth: Int): DataFrame = {
-    require(depth >= 1, s"depth must be >= 1, got $depth")
-    val dots = cmsA.join(broadcast(cmsB.withColumnRenamed("cnt", "__cnt_b")),
+    * product of the stream masses, not to the key cardinality. Both
+    * inputs must share the DECLARED (depth, width) — a mismatched pair
+    * would silently dot unrelated cells, so the same row-wise shape
+    * guard as [[merge]] applies to each side. */
+  def innerProduct(cmsA: DataFrame, cmsB: DataFrame, depth: Int,
+                   width: Int): DataFrame = {
+    checkShape(depth, width)
+    val a = checkedCellFrame(cmsA, depth, width)
+    val bSide = checkedCellFrame(cmsB, depth, width)
+    val dots = a.join(broadcast(bSide.withColumnRenamed("cnt", "__cnt_b")),
         Seq("cms_row", "cms_bucket"))
       .groupBy(col("cms_row"))
       .agg(sum(col("cnt") * col("__cnt_b")).as("__dot"))

@@ -299,12 +299,17 @@ object Experiment {
     *
     * Exactness: (n, x) are exact integers from ONE map-side-combinable
     * groupBy; the interval is a fixed double chain per output row
-    * (≤ |groups|·|variants| rows), FLOAT at the surface. */
+    * (≤ |groups|·|variants| rows), FLOAT at the surface.
+    *
+    * Rows with a NULL `success` carry no evidence and are EXCLUDED
+    * from both n and x (the repo-wide NULL convention) — counting them
+    * in n but not x would silently read NULL as failure and bias the
+    * rate down. */
   def wilsonCi(df: DataFrame, group: String, variant: String,
                success: Column, z: Double = 1.96): DataFrame = {
     require(z > 0, s"z must be > 0, got $z")
     val zz = z * z
-    val agged = df.filter(col(variant).isNotNull)
+    val agged = df.filter(col(variant).isNotNull && success.isNotNull)
       .groupBy(col(group), col(variant))
       .agg(count(lit(1)).as("n"), sum(success.cast("long")).as("x"))
     val nD = col("n").cast("double")
@@ -393,5 +398,96 @@ object Experiment {
         // avg-over-decimal intermediates
         (sum(col("__diff").cast("decimal(30,12)")).cast("double") /
           count(lit(1)).cast("double")).cast("float").as("diff_boot_mean"))
+  }
+
+  /** Mixture sequential probability ratio test (mSPRT) — the
+    * always-valid sequential boundary over the Welch machinery (Johari,
+    * Koomen, Pekelis & Walsh, "Peeking at A/B tests", KDD 2017): a
+    * dashboard that polls [[welchTTest]] hourly and stops at the first
+    * p < α inflates its false-positive rate several-fold, because the
+    * fixed-n test license is one look. The mSPRT's likelihood-ratio
+    * martingale Λ_n makes EVERY peek licensed: under H₀: θ = 0 with a
+    * N(0, τ²) mixture over alternatives,
+    *
+    *   ln Λ_n = ½·ln(V_n/(V_n+τ²)) + Δ_n²·τ² / (2·V_n·(V_n+τ²))
+    *
+    * with Δ_n the observed A−B mean difference and V_n = s²_A/n_A +
+    * s²_B/n_B its Welch variance at peek n; the always-valid p-value
+    * is p_n = min(1, 1/max_{k≤n} Λ_k) — monotone non-increasing, and
+    * P(reject ever | H₀) ≤ α by the optional stopping theorem, however
+    * often anyone peeks. τ² is the caller's prior scale on plausible
+    * effect sizes (the standard tuning: near the V_n the experiment is
+    * expected to reach — too small wastes power early, too large late).
+    *
+    * Peeks are the distinct values of `peek` (a date/hour column)
+    * where BOTH arms have accumulated ≥ 2 observations and V_n > 0
+    * — cumulative stats at each peek cover all rows up to and
+    * including it.
+    *
+    * Exactness: per-(group, peek, arm) sums quantize to DECIMAL(18,2)
+    * / (30,12) ([[welchTTest]]'s contract) and CUMULATE in DECIMAL —
+    * exact at every peek, order-free; ln Λ is then a fixed double
+    * chain per peek row, FLOAT at the surface. The rejection compare
+    * runs in doubles (ln Λ vs ln(1/α), both fixed chains from
+    * literals).
+    *
+    * Plan shape: ONE map-side-combinable groupBy to ≤ |groups|·|peeks|
+    * ·2 rows, then windows partitioned by (group, variant) / (group) —
+    * bounded per partition by the CALENDAR (peek count), never by the
+    * data; one equi-join pivots the arms. Nothing event-granular
+    * shuffles twice. */
+  def msprt(df: DataFrame, group: String, variant: String, value: String,
+            peek: String, tauSq: Double, alpha: Double = 0.05,
+            armA: String = "A", armB: String = "B"): DataFrame = {
+    require(tauSq > 0, s"tauSq must be > 0, got $tauSq")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val byPeek = df
+      .filter(col(variant).isin(armA, armB) && col(value).isNotNull &&
+        col(peek).isNotNull)
+      .groupBy(col(group), col(variant), col(peek))
+      .agg(count(lit(1)).as("__n"),
+        sum(d2(col(value))).as("__s"),
+        sum(d30(col(value) * col(value))).as("__ss"))
+    // cumulative (n, Σx, Σx²) per arm — DECIMAL window sums stay exact
+    val wCum = Window.partitionBy(col(group), col(variant))
+      .orderBy(col(peek))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byPeek
+      .withColumn("__cn", sum(col("__n")).over(wCum))
+      .withColumn("__cs", sum(col("__s")).over(wCum))
+      .withColumn("__css", sum(col("__ss")).over(wCum))
+    def arm(tag: String, v: String) = cum.filter(col(variant) === v)
+      .select(col(group), col(peek), col("__cn").as(s"n_$tag"),
+        col("__cs").as(s"__cs_$tag"), col("__css").as(s"__css_$tag"))
+    def mean(tag: String) =
+      col(s"__cs_$tag").cast("double") / col(s"n_$tag").cast("double")
+    def variance(tag: String) =
+      (col(s"__css_$tag").cast("double") -
+        (col(s"__cs_$tag").cast("double") * col(s"__cs_$tag").cast("double")) /
+          col(s"n_$tag").cast("double")) /
+        (col(s"n_$tag").cast("double") - lit(1.0))
+    // peeks where both arms have cumulative rows (with a shared event
+    // clock both arms see every peek; a one-sided peek has no test)
+    val joined = arm("a", armA).join(arm("b", armB), Seq(group, peek))
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+    val vN = variance("a") / col("n_a").cast("double") +
+      variance("b") / col("n_b").cast("double")
+    val diff = mean("a") - mean("b")
+    val lnLambda = lit(0.5) * log(vN / (vN + lit(tauSq))) +
+      diff * diff * lit(tauSq) / (lit(2.0) * vN * (vN + lit(tauSq)))
+    val scored = joined.filter(vN > lit(0.0))
+      .withColumn("__lnl", lnLambda)
+    // running max of ln Λ per group over peeks → the always-valid
+    // p-value and the boundary decision at every peek
+    val wRun = Window.partitionBy(col(group)).orderBy(col(peek))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("__lnlMax", max(col("__lnl")).over(wRun))
+      .select(col(group), col(peek), col("n_a"), col("n_b"),
+        diff.cast("float").as("diff"),
+        col("__lnl").cast("float").as("log_lambda"),
+        exp(lit(0.0) - greatest(col("__lnlMax"), lit(0.0)))
+          .cast("float").as("p_always_valid"),
+        (col("__lnlMax") >= lit(math.log(1.0 / alpha))).as("reject_h0"))
   }
 }

@@ -31,6 +31,24 @@ import org.apache.spark.sql.functions._
   * trillion-row corpus meets the sketch only in its own partitions, and
   * register frames from disjoint partitions/days MERGE by the same
   * groupBy-max ([[merge]]), which is what makes the sketch distributable.
+  *
+  * ==Error contract (sizing b for a real corpus)==
+  * Standard error of the corrected estimate ≈ 1.04/√m (Flajolet et al.
+  * 2007, Thm 1), i.e. RELATIVE error, independent of the true
+  * cardinality once past the linear-counting regime:
+  * {{{
+  *   b =  6 (m =    64):  ±13.0%      b = 10 (m =  1024):  ±3.3%
+  *   b =  8 (m =   256):  ± 6.5%      b = 12 (m =  4096):  ±1.6%
+  *   b =  9 (m =   512):  ± 4.6%      b = 14 (m = 16384):  ±0.8%
+  * }}}
+  * (one σ; ~99.7% of estimates land within 3σ). Below raw ≤ 2.5m the
+  * linear-counting branch takes over and is MORE accurate (exact as
+  * n → 0). Memory is the register frame itself: ≤ 2^b rows of two
+  * integers, per group. Companion contracts: Count-Min overcounts by
+  * ≤ εN with probability ≥ 1−δ at width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉
+  * ([[CountMin]]); the fixed-bin streaming histogram's percentile
+  * error is ≤ binWidth/2 by construction
+  * ([[graft.streaming.EventStreams.histWindowed]]).
   */
 object Hll {
 
@@ -77,12 +95,40 @@ object Hll {
 
   /** Cell-wise merge of register frames built with the same `b` — the
     * sketch's distributive property (max commutes with partitioning):
-    * merge(build(A), build(B)) == build(A ∪ B) register-for-register. */
-  def merge(sketches: DataFrame*): DataFrame = {
+    * merge(build(A), build(B)) == build(A ∪ B) register-for-register.
+    *
+    * `b` is DECLARED, not inferred: unioning sketches built with
+    * different register widths produces a plausible-looking but
+    * meaningless merged sketch, so every input frame is checked — at
+    * plan-build time for the (hll_register, hll_rank) schema, and
+    * per row (≤ 2^b rows each, so the guard is free) that the register
+    * and rank actually fit b; a frame built with a larger b fails
+    * loudly instead of estimating garbage. */
+  def merge(b: Int, sketches: DataFrame*): DataFrame = {
+    checkB(b)
     require(sketches.nonEmpty, "need at least one sketch to merge")
-    sketches.reduce(_ unionByName _)
+    sketches.map(checkedRegisterFrame(_, b)).reduce(_ unionByName _)
       .groupBy(col("hll_register"))
       .agg(max(col("hll_rank")).as("hll_rank"))
+  }
+
+  /** The register frame with its shape contract enforced row-wise:
+    * register ∈ [0, 2^b), rank ∈ [1, 60−b+1]. Values pass through
+    * untouched; a violation raises with the offending cell. */
+  private def checkedRegisterFrame(sk: DataFrame, b: Int): DataFrame = {
+    require(sk.columns.toSet == Set("hll_register", "hll_rank"),
+      "expected a register frame with exactly (hll_register, hll_rank), " +
+        s"got: ${sk.columns.mkString(", ")}")
+    val m = 1L << b
+    val maxRank = HashBits - b + 1
+    sk.select(col("hll_register"),
+      when(col("hll_register").between(0L, m - 1) &&
+          col("hll_rank").between(1, maxRank), col("hll_rank"))
+        .otherwise(raise_error(concat(
+          lit(s"register frame does not fit b=$b (register < $m, " +
+            s"rank <= $maxRank required): register="),
+          col("hll_register"), lit(" rank="), col("hll_rank"))))
+        .as("hll_rank"))
   }
 
   /** One-row estimate from a register frame: raw = α_m·m²/Z with the
@@ -91,10 +137,21 @@ object Hll {
     * (raw ≤ 2.5m and zero registers exist → m·ln(m/zeros)). Columns:
     * hll_estimate FLOAT (corrected), hll_raw FLOAT, n_zero_registers,
     * used_linear_counting — the branch surfaces so a drifting estimate
-    * is attributable. α_m = 0.7213/(1 + 1.079/m) (valid m ≥ 128; callers
-    * wanting smaller m own the constant-regime caveat). */
+    * is attributable. */
   def estimate(sketch: DataFrame, b: Int): DataFrame =
     estimateByGroup(sketch, b, Seq.empty)
+
+  /** The bias-correction constant α_m: the asymptotic formula
+    * 0.7213/(1 + 1.079/m) is valid only for m ≥ 128 (Flajolet et al.
+    * 2007 §4), so the small-m regimes use the paper's tabulated
+    * constants — b ∈ {4,5,6} map to α_16/α_32/α_64. A fixed literal
+    * per b, replayed verbatim by the oracle SQL. */
+  private[graft] def alphaFor(m: Long): Double = m match {
+    case 16L => 0.673
+    case 32L => 0.697
+    case 64L => 0.709
+    case _   => 0.7213 / (1.0 + 1.079 / m.toDouble)
+  }
 
   /** [[estimate]] per group — for sketches carrying grouping columns
     * beside the registers (e.g. one register set per streaming window):
@@ -102,15 +159,27 @@ object Hll {
     * group. The window below is partitioned BY THE GROUP and each
     * partition is ≤ 2^b ≤ 65536 register rows by construction (the
     * declared-bounded class) — never the data; with no group it
-    * degenerates to the single bounded global frame. */
+    * degenerates to the single bounded global frame.
+    *
+    * Defensive reduce: the estimator assumes ONE row per (group,
+    * register), but a caller passing an un-reduced union — or a lake
+    * sink a re-run appended to twice — would double-count __observed
+    * and corrupt the harmonic sum SILENTLY (every register still in
+    * range, just counted twice). The groupBy-max below restores the
+    * invariant for free: the frame is ≤ 2^b rows per group by the
+    * shape contract, and max is exactly [[merge]]'s combine, so an
+    * already-reduced frame passes through unchanged. */
   def estimateByGroup(sketch: DataFrame, b: Int,
                       group: Seq[String]): DataFrame = {
     checkB(b)
     val m = 1L << b
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val alpha = lit(alphaFor(m))
+    val reduced = sketch
+      .groupBy((group :+ "hll_register").map(col): _*)
+      .agg(max(col("hll_rank")).as("hll_rank"))
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(group.map(col): _*)
-    val withR = sketch.withColumn("__rmax",
+    val withR = reduced.withColumn("__rmax",
       max(col("hll_rank")).over(wAll))
     val agged = withR.groupBy(group.map(col): _*).agg(
       count(lit(1)).as("__observed"),

@@ -104,6 +104,77 @@ object Percentiles {
       .drop("__lo", "__hi")
   }
 
+  /** Per-group median and median absolute deviation (both exact
+    * nearest-rank selections) sharing ONE raw-data collapse — the
+    * robust outlier-stat pair. Output: (keys..., med, mad).
+    *
+    * Two chained [[nearestRank]] calls pay the full ledger scaffolding
+    * twice ON RAW ROWS (collapse + range exchange + checkpoint +
+    * triangular pass, then AGAIN on the data joined back to the
+    * median): 21 exchanges in the shipped agg_mad plan. The fold here
+    * rests on |x − med| being a function of the VALUE alone once med
+    * is known — so the deviation ledger derives from the (keys, value)
+    * COUNT LEDGER, never from raw rows: values symmetric around the
+    * median collapse together and their counts ADD. The data is
+    * scanned and exchanged exactly once (the ledger groupBy); both
+    * prefix sums, the totals, and the deviation fold all run over
+    * ledger-sized (≤ |distinct values| per key) frames, and the group
+    * total n is computed once and reused (|x − med| is a bijection on
+    * multiset size: both rankings select rank ⌈n/2⌉ of n values).
+    *
+    * Engine-exactness matches the two-pass form bit for bit: same
+    * multiset of deviations (a ledger value with count c contributes c
+    * identical deviations), same ⌈n/2⌉ rank, |x − med| a single IEEE
+    * subtraction. */
+  def medianAbsoluteDeviation(df: DataFrame, keys: Seq[String],
+                              value: String): DataFrame = {
+    val keyCols = keys.map(col)
+    // the single raw-data pass: collapse to the (keys, value) ledger;
+    // checkpointed because THREE consumers read it (median prefix sum,
+    // group totals, deviation fold) and each would otherwise re-run
+    // the full scan+exchange
+    val vc = df.filter(col(value).isNotNull)
+      .groupBy((keyCols :+ col(value)): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val tot = vc.groupBy(keyCols: _*).agg(sum(col("__c")).as("__n"))
+    // rank-⌈n/2⌉ selection over a cumulated ledger: the shared close
+    // for both passes (null-safe on the keys — a null key is a group)
+    def pickMedian(cum: DataFrame, v: String, out: String): DataFrame = {
+      val withTot =
+        if (keys.isEmpty) cum.crossJoin(broadcast(tot))
+        else cum.as("__a").join(broadcast(tot).as("__b"),
+            keys.map(k => col(s"__a.$k") <=> col(s"__b.$k")).reduce(_ && _))
+          .select(cum.columns.map(c => col(s"__a.$c")) :+ col("__b.__n"): _*)
+      withTot
+        .filter(col("__cum") - col("__c") < ceil(col("__n") * 0.5) &&
+          ceil(col("__n") * 0.5) <= col("__cum"))
+        .select(keyCols :+ col(v).as(out): _*)
+    }
+    val med = pickMedian(
+      Ranking.withRunningTotals(vc, keys, Seq(col(value)),
+        Seq("__c" -> "__cum")), value, "med")
+    // deviation ledger FOLDED FROM THE VALUE LEDGER (med is ≤ one row
+    // per key — broadcast onto the ledger, never onto the data)
+    val medSide = broadcast(med)
+    val devLedger = (
+      if (keys.isEmpty) vc.crossJoin(medSide)
+      else vc.as("__v").join(medSide.as("__m"),
+          keys.map(k => col(s"__v.$k") <=> col(s"__m.$k")).reduce(_ && _))
+        .select(vc.columns.map(c => col(s"__v.$c")) :+ col("__m.med"): _*))
+      .select(keyCols ++ Seq(abs(col(value) - col("med")).as("__dev"),
+        col("__c")): _*)
+      .groupBy((keyCols :+ col("__dev")): _*)
+      .agg(sum(col("__c")).as("__c"))
+    val mad = pickMedian(
+      Ranking.withRunningTotals(devLedger, keys, Seq(col("__dev")),
+        Seq("__c" -> "__cum")), "__dev", "mad")
+    if (keys.isEmpty) med.crossJoin(mad)
+    else med.as("__x").join(mad.as("__y"),
+        keys.map(k => col(s"__x.$k") <=> col(s"__y.$k")).reduce(_ && _))
+      .select(med.columns.map(c => col(s"__x.$c")) :+ col("__y.mad"): _*)
+  }
+
   /** Weighted median per group: the smallest value whose cumulative
     * weight reaches half the group total (the lower weighted median —
     * a value FROM the data, no interpolation, so the result is

@@ -822,20 +822,19 @@ object AnalyticsQueries {
     }),
 
     // ── Robust outlier stats: per-group median and median absolute
-    // deviation, both by exact nearest-rank selection — two linear
-    // window passes, values straight from the data (|x − med| is a
-    // single IEEE subtraction, identical in any engine).
-    "agg_mad" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
-      val med = Percentiles.nearestRank(ev, Seq("event_type"), "value", Seq(0.5))
-        .select(col("event_type"), col("pct_value").as("med"))
-      val dev = ev.join(med, Seq("event_type"))
-        .select(col("event_type"), abs(col("value") - col("med")).as("dev"))
-      Percentiles.nearestRank(dev, Seq("event_type"), "dev", Seq(0.5))
-        .join(med, Seq("event_type"))
-        .select(col("event_type"), col("med"), col("pct_value").as("mad"))
-        .orderBy(col("event_type"))
-    }),
+    // deviation, both exact nearest-rank selections sharing ONE
+    // raw-data collapse — the deviation ledger derives from the value
+    // COUNT LEDGER (|x − med| folds symmetric values; counts add), so
+    // the data is scanned and exchanged once and both prefix sums run
+    // over ledger-sized frames (was: two full nearestRank passes over
+    // raw rows — 21 exchanges; values straight from the data either
+    // way: |x − med| is a single IEEE subtraction, identical in any
+    // engine).
+    "agg_mad" -> ((s, dir) =>
+      Percentiles.medianAbsoluteDeviation(
+          Tables.events(s, dir).select(col("event_type"), col("value")),
+          Seq("event_type"), "value")
+        .orderBy(col("event_type"))),
 
     // ── Set operations (SURVEY §2.8 beyond union): customers ordering
     // in 1994 split into INTERSECT (also in 1995) and EXCEPT (1994
@@ -1171,6 +1170,27 @@ object AnalyticsQueries {
       Experiment.wilsonCi(ev, group = "event_type", variant = "variant",
           success = col("converted"))
         .orderBy(col("event_type"), col("variant"))
+    }),
+
+    // ── Always-valid sequential testing (mSPRT): the same A/B split
+    // peeked at EVERY day boundary — the readout a dashboard polling
+    // hourly needs, because stopping a fixed-n Welch/z test at the
+    // first p < α inflates false positives several-fold. ln Λ per
+    // peek from exact cumulative (n, Σx, Σx²); the always-valid p is
+    // monotone by construction and, on this null split (arms by
+    // user-id parity), correctly never crosses the α boundary on any
+    // of the ~150 peeks.
+    "ab_msprt_sequential" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type"),
+          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")
+            .as("variant"),
+          col("value"),
+          date_format(col("ts_utc"), "yyyy-MM-dd").as("peek_day"))
+      Experiment.msprt(ev, group = "event_type", variant = "variant",
+          value = "value", peek = "peek_day", tauSq = 25.0)
+        .orderBy(col("event_type"), col("peek_day"))
     }),
 
     // ── Empirical-Bayes shrinkage of per-user purchase rates
@@ -2611,6 +2631,55 @@ object AnalyticsQueries {
         |       (CAST(4.0 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
         |     / denom) AS REAL) AS ci_hi
         |FROM k ORDER BY event_type, variant""".stripMargin,
+
+    // exact cumulative (n, Σx, Σx²) per arm per day; the ln Λ chain
+    // and the running max replayed term for term (τ² = 25, α = 0.05 →
+    // boundary ln 20)
+    "ab_msprt_sequential" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    value, strftime(ts, '%Y-%m-%d') AS peek_day
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        | g AS (SELECT event_type, variant, peek_day, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS s,
+        |    sum(CAST(value*value AS DECIMAL(30,12))) AS ss
+        |  FROM e GROUP BY 1,2,3),
+        | c AS (SELECT event_type, variant, peek_day,
+        |    sum(n) OVER w AS cn, sum(s) OVER w AS cs, sum(ss) OVER w AS css
+        |  FROM g WINDOW w AS (PARTITION BY event_type, variant
+        |    ORDER BY peek_day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        | j AS (SELECT a.event_type, a.peek_day, a.cn AS n_a, b.cn AS n_b,
+        |    CAST(a.cs AS DOUBLE) AS csa, CAST(a.css AS DOUBLE) AS cssa,
+        |    CAST(b.cs AS DOUBLE) AS csb, CAST(b.css AS DOUBLE) AS cssb
+        |  FROM c a JOIN c b ON a.event_type = b.event_type
+        |    AND a.peek_day = b.peek_day
+        |    AND a.variant = 'A' AND b.variant = 'B'
+        |  WHERE a.cn >= 2 AND b.cn >= 2),
+        | v AS (SELECT event_type, peek_day, n_a, n_b,
+        |    (cssa - csa*csa/CAST(n_a AS DOUBLE)) /
+        |      (CAST(n_a AS DOUBLE) - CAST(1.0 AS DOUBLE)) / CAST(n_a AS DOUBLE)
+        |    + (cssb - csb*csb/CAST(n_b AS DOUBLE)) /
+        |      (CAST(n_b AS DOUBLE) - CAST(1.0 AS DOUBLE)) / CAST(n_b AS DOUBLE)
+        |      AS vn,
+        |    csa/CAST(n_a AS DOUBLE) - csb/CAST(n_b AS DOUBLE) AS diff
+        |  FROM j),
+        | l AS (SELECT event_type, peek_day, n_a, n_b, diff,
+        |    CAST(0.5 AS DOUBLE)*ln(vn/(vn + CAST(25.0 AS DOUBLE)))
+        |      + diff*diff*CAST(25.0 AS DOUBLE) /
+        |        (CAST(2.0 AS DOUBLE)*vn*(vn + CAST(25.0 AS DOUBLE))) AS lnl
+        |  FROM v WHERE vn > 0),
+        | r AS (SELECT *, max(lnl) OVER (PARTITION BY event_type
+        |    ORDER BY peek_day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnlmax
+        |  FROM l)
+        |SELECT event_type, peek_day, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(diff AS REAL) AS diff,
+        |  CAST(lnl AS REAL) AS log_lambda,
+        |  CAST(exp(CAST(0.0 AS DOUBLE) - greatest(lnlmax, CAST(0.0 AS DOUBLE)))
+        |    AS REAL) AS p_always_valid,
+        |  lnlmax >= ln(CAST(20.0 AS DOUBLE)) AS reject_h0
+        |FROM r ORDER BY event_type, peek_day""".stripMargin,
 
     // per-key exact counts; MoM prior replayed from the same quantized
     // rate sums; degenerate prior -> NULLs in both engines

@@ -1075,8 +1075,7 @@ object PipelineQueries {
         |     rmax
         |   FROM agg),
         | rw AS (SELECT window_start, zeros,
-        |     CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
-        |       CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)) *
+        |     CAST(0.709 AS DOUBLE) *
         |       CAST(64.0 AS DOUBLE) * CAST(64.0 AS DOUBLE) *
         |       power(CAST(2.0 AS DOUBLE), CAST(rmax AS DOUBLE)) /
         |       CAST(znum AS DOUBLE) AS rawv

@@ -149,7 +149,7 @@ object SamplingQueries {
       val en = Hll.build(toks(docs.filter(col("lang") === "en")), "token", b = 8)
       val rest = Hll.build(toks(docs.filter(col("lang") =!= "en" ||
         col("lang").isNull)), "token", b = 8)
-      val merged = Hll.merge(en, rest)
+      val merged = Hll.merge(8, en, rest)
       val mono = Hll.build(toks(docs), "token", b = 8)
       val mismatches = merged.withColumnRenamed("hll_rank", "r_merged")
         .join(mono.withColumnRenamed("hll_rank", "r_mono"),
@@ -174,7 +174,7 @@ object SamplingQueries {
       val cms = CountMin.build(li, "l_suppkey", depth = 4, width = 4096)
       val exact = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("f"))
         .agg(sum(col("f") * col("f")).as("f2_exact"))
-      exact.crossJoin(CountMin.innerProduct(cms, cms, depth = 4)
+      exact.crossJoin(CountMin.innerProduct(cms, cms, depth = 4, width = 4096)
         .withColumnRenamed("cms_inner_product", "f2_estimate"))
     }),
 
@@ -199,7 +199,7 @@ object SamplingQueries {
       val exact = a.distinct().join(b.distinct(), Seq("o_custkey"), "left_semi")
         .agg(count(lit(1)).as("n_exact_intersection"))
       est(skA, "est_a").crossJoin(est(skB, "est_b"))
-        .crossJoin(est(Hll.merge(skA, skB), "est_union"))
+        .crossJoin(est(Hll.merge(8, skA, skB), "est_union"))
         .select(col("est_a"), col("est_b"), col("est_union"),
           (col("est_a").cast("double") + col("est_b").cast("double") -
             col("est_union").cast("double")).cast("float")
@@ -712,8 +712,11 @@ object SamplingQueries {
         |     rmax
         |   FROM agg),
         | rw AS (SELECT key_kind, zeros, CAST(m AS DOUBLE) AS md,
-        |     CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
-        |       CAST(1.079 AS DOUBLE) / CAST(m AS DOUBLE)) *
+        |     CASE WHEN m = 16 THEN CAST(0.673 AS DOUBLE)
+        |          WHEN m = 32 THEN CAST(0.697 AS DOUBLE)
+        |          WHEN m = 64 THEN CAST(0.709 AS DOUBLE)
+        |          ELSE CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+        |            CAST(1.079 AS DOUBLE) / CAST(m AS DOUBLE)) END *
         |       CAST(m AS DOUBLE) * CAST(m AS DOUBLE) *
         |       power(CAST(2.0 AS DOUBLE), CAST(rmax AS DOUBLE)) /
         |       CAST(znum AS DOUBLE) AS rawv

@@ -213,9 +213,14 @@ object LakeWriter {
     *
     * The string dictionary (and its broadcast + global rank window) is
     * |distinct values| of a column the caller DECLARED low-cardinality
-    * — that contract, stated above, is the broadcast's bound; a
-    * high-cardinality string key violates the contract before it
-    * violates the broadcast.
+    * — that contract is ENFORCED, not trusted: a bounded
+    * `limit(cap+1).count()` probe (the repo's standard broadcast-guard
+    * pattern — it scans at most cap+1 dictionary rows, never a full
+    * count) fails loudly past `maxDictValues` BEFORE the rank window
+    * or the broadcast build can funnel a high-cardinality key through
+    * one task / the driver. The default cap (1,000,000) is far above
+    * any real cluster key (tickers, countries, categories) and far
+    * below where the single-task rank window becomes the job.
     *
     * Null handling: a NULL in a clustered column (numeric, or string —
     * the dictionary skips nulls and the left join leaves them unranked)
@@ -225,7 +230,8 @@ object LakeWriter {
     * empty) input fails loudly: there are no bounds to build a grid
     * from. */
   def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
-                    files: Int, bits: Int = 16): Unit = {
+                    files: Int, bits: Int = 16,
+                    maxDictValues: Int = 1000000): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.StringType
     val isString = cols.map(c => df.schema(c).dataType == StringType)
@@ -233,9 +239,16 @@ object LakeWriter {
     val work = cols.zip(isString).foldLeft(df) { case (w, (c, s)) =>
       if (!s) w
       else {
-        val dict = df.select(col(c)).where(col(c).isNotNull).distinct()
-          .withColumn(s"__zd_$c",
-            (row_number().over(Window.orderBy(col(c))) - 1).cast("double"))
+        val base = df.select(col(c)).where(col(c).isNotNull).distinct()
+        // bounded low-cardinality probe: scans ≤ cap+1 distinct values
+        val over = base.limit(maxDictValues + 1).count() > maxDictValues
+        require(!over,
+          s"writeZOrdered: string cluster column '$c' exceeds " +
+            s"$maxDictValues distinct values — the sorted-dictionary " +
+            "contract is for low-cardinality keys (tickers, countries, " +
+            "categories); hash free-text to a numeric bucket first")
+        val dict = base.withColumn(s"__zd_$c",
+          (row_number().over(Window.orderBy(col(c))) - 1).cast("double"))
         w.join(broadcast(dict), Seq(c), "left")
       }
     }

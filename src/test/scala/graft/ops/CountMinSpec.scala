@@ -47,27 +47,44 @@ class CountMinSpec extends SparkSpec {
   test("merge: partition sketches sum to the monolithic sketch cell-for-cell") {
     val left = stream.filter(col("tok") < "c")
     val right = stream.filter(col("tok") >= "c")
-    val merged = CountMin.merge(
+    val merged = CountMin.merge(4, 16,
       CountMin.build(left, "tok", 4, 16), CountMin.build(right, "tok", 4, 16))
     val mono = CountMin.build(stream, "tok", 4, 16)
     merged.rows.map(_.toString).sorted shouldBe mono.rows.map(_.toString).sorted
-    intercept[IllegalArgumentException] { CountMin.merge() }
+    intercept[IllegalArgumentException] { CountMin.merge(4, 16) }
+  }
+
+  test("merge/innerProduct: a sketch of a different declared shape " +
+    "fails loudly instead of summing unrelated cells") {
+    val w16 = CountMin.build(stream, "tok", depth = 4, width = 16)
+    val w8 = CountMin.build(stream, "tok", depth = 4, width = 8)
+    // width-16 buckets reach 15; declared width 8 caps them at 7
+    intercept[Exception] {
+      CountMin.merge(4, 8, w16, w8).collect()
+    }.getMessage should include("does not fit depth=4 width=8")
+    intercept[Exception] {
+      CountMin.innerProduct(w16, w8, 4, 8).collect()
+    }.getMessage should include("does not fit depth=4 width=8")
+    // and a frame that isn't a cell frame is rejected at plan-build time
+    intercept[IllegalArgumentException] {
+      CountMin.merge(4, 16, stream)
+    }.getMessage should include("cms_row")
   }
 
   test("innerProduct: exact F2 with a collision-free width; one-sided when narrow") {
     // frequencies 4,3,2,1 → F2 = 16+9+4+1 = 30; width 1024 over 4 keys
     // makes a same-row collision overwhelmingly unlikely
     val wide = CountMin.build(stream, "tok", 4, 1024)
-    CountMin.innerProduct(wide, wide, 4)
+    CountMin.innerProduct(wide, wide, 4, 1024)
       .collect()(0).getLong(0) shouldBe 30L
     // width 2 forces collisions: the estimate can only move UP
     val narrow = CountMin.build(stream, "tok", 4, 2)
-    CountMin.innerProduct(narrow, narrow, 4)
+    CountMin.innerProduct(narrow, narrow, 4, 2)
       .collect()(0).getLong(0) should be >= 30L
     // cross product vs a disjoint stream: no shared key → some row may
     // still collide, but the bound stays ≥ the true 0
     val other = CountMin.build(Seq("x", "y").toDF("tok"), "tok", 4, 1024)
-    CountMin.innerProduct(wide, other, 4)
+    CountMin.innerProduct(wide, other, 4, 1024)
       .collect()(0).getLong(0) should be >= 0L
   }
 

@@ -191,4 +191,79 @@ class ExperimentSpec extends SparkSpec {
         replicas = 4)
     }
   }
+
+  test("msprt: hand-computed ln-lambda chain; p always-valid is " +
+    "monotone; a real effect crosses the alpha boundary") {
+    import org.apache.spark.sql.functions.col
+    // peek 1: identical arms (no effect yet); peek 2 adds a moderate
+    // effect; peek 3 adds a decisive one — the boundary crossing
+    val df = Seq(
+      ("g", "A", 10.0, 1), ("g", "A", 12.0, 1),
+      ("g", "B", 10.0, 1), ("g", "B", 12.0, 1),
+      ("g", "A", 20.0, 2), ("g", "A", 22.0, 2),
+      ("g", "B", 4.0, 2), ("g", "B", 6.0, 2),
+      ("g", "A", 30.0, 3), ("g", "A", 32.0, 3),
+      ("g", "A", 31.0, 3), ("g", "A", 29.0, 3),
+      ("g", "B", 1.0, 3), ("g", "B", 2.0, 3),
+      ("g", "B", 1.0, 3), ("g", "B", 2.0, 3)).toDF("grp", "variant", "v", "d")
+    val tauSq = 25.0
+    val out = Experiment.msprt(df, "grp", "variant", "v", "d",
+      tauSq = tauSq, alpha = 0.05).orderBy(col("d")).rows
+    out.length shouldBe 3
+    // replay the chain for each peek: cumulative (n, Σx, Σx²) per arm
+    def lnl(xa: Seq[Double], xb: Seq[Double]): Double = {
+      def stats(x: Seq[Double]) = {
+        val n = x.length.toDouble
+        val s = x.sum; val ss = x.map(v => v * v).sum
+        val va = (ss - s * s / n) / (n - 1.0)
+        (n, s / n, va)
+      }
+      val (na, ma, va) = stats(xa); val (nb, mb, vb) = stats(xb)
+      val vn = va / na + vb / nb
+      val d = ma - mb
+      0.5 * math.log(vn / (vn + tauSq)) +
+        d * d * tauSq / (2.0 * vn * (vn + tauSq))
+    }
+    val l1 = lnl(Seq(10, 12), Seq(10, 12))
+    val l2 = lnl(Seq(10, 12, 20, 22), Seq(10, 12, 4, 6))
+    val l3 = lnl(Seq(10, 12, 20, 22, 30, 32, 31, 29),
+      Seq(10, 12, 4, 6, 1, 2, 1, 2))
+    out(0)(5).asInstanceOf[Float].toDouble shouldBe l1 +- 1e-5
+    out(1)(5).asInstanceOf[Float].toDouble shouldBe l2 +- 1e-5
+    out(2)(5).asInstanceOf[Float].toDouble shouldBe l3 +- 1e-4
+    // always-valid p: min(1, 1/max Λ) — monotone non-increasing
+    val p1 = out(0)(6).asInstanceOf[Float]
+    val p2 = out(1)(6).asInstanceOf[Float]
+    val p3 = out(2)(6).asInstanceOf[Float]
+    p1.toDouble shouldBe math.exp(-math.max(l1, 0.0)) +- 1e-5
+    p2.toDouble shouldBe math.exp(-math.max(math.max(l1, l2), 0.0)) +- 1e-5
+    p2 should be <= p1
+    p3 should be <= p2
+    // peek 1 (identical arms) must not reject; the moderate peek-2
+    // effect stays inside the boundary (a fixed-n z-test at p<0.05
+    // would already have stopped here — the peeking-protection point);
+    // peek 3's decisive effect crosses ln(1/0.05)
+    out(0)(7) shouldBe false
+    withClue(s"l2=$l2: ") { out(1)(7) shouldBe (l2 >= math.log(20.0)) }
+    withClue(s"l3=$l3: ") { l3 should be >= math.log(20.0) }
+    out(2)(7) shouldBe true
+  }
+
+  test("msprt: one-sided peeks and tiny arms drop; bad params rejected") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("g", "A", 1.0, 1), ("g", "A", 2.0, 1), // no B at peek 1
+      ("g", "B", 1.0, 2), ("g", "B", 2.0, 2), ("g", "A", 3.0, 2),
+      ("g", "A", 4.0, 2)).toDF("grp", "variant", "v", "d")
+    // peek 1: B absent → dropped; peek 2: both arms have n ≥ 2 → kept
+    val out = Experiment.msprt(df, "grp", "variant", "v", "d", tauSq = 1.0)
+    out.rows.map(_(1)) shouldBe Seq(2)
+    intercept[IllegalArgumentException] {
+      Experiment.msprt(df, "grp", "variant", "v", "d", tauSq = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Experiment.msprt(df, "grp", "variant", "v", "d", tauSq = 1.0,
+        alpha = 1.5)
+    }
+  }
 }

@@ -220,4 +220,16 @@ class FeaturesRecommendSpec extends SparkSpec {
     b(5).asInstanceOf[Float] should be > 0.0f
     b(6).asInstanceOf[Float] should be <= 1.0f
   }
+
+  test("wilsonCi: NULL success carries no evidence — excluded from n, " +
+    "not silently counted as failure") {
+    val df = (Seq.fill(8)(("g", "A", Some(1))) ++
+      Seq.fill(2)(("g", "A", Some(0))) ++
+      Seq.fill(5)(("g", "A", None))).toDF("grp", "variant", "s")
+    val r = Experiment.wilsonCi(df, "grp", "variant",
+      when(col("s").isNotNull, col("s") === 1)).rows.head
+    r(2) shouldBe 10L // n excludes the 5 NULL rows
+    r(3) shouldBe 8L
+    r(4) shouldBe 0.8f
+  }
 }

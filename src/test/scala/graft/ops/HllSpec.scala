@@ -39,7 +39,7 @@ class HllSpec extends SparkSpec {
     "register-for-register, and estimate to the same value") {
     val left = keys.filter(col("k") < "k5")
     val right = keys.filter(col("k") >= "k5")
-    val merged = Hll.merge(Hll.build(left, "k", 8), Hll.build(right, "k", 8))
+    val merged = Hll.merge(8, Hll.build(left, "k", 8), Hll.build(right, "k", 8))
     val mono = Hll.build(keys, "k", 8)
     merged.rows.map(_.toString).sorted shouldBe
       mono.rows.map(_.toString).sorted
@@ -69,6 +69,63 @@ class HllSpec extends SparkSpec {
     row.getFloat(0) shouldBe 0.0f
     row.getLong(2) shouldBe 256L
     row.getBoolean(3) shouldBe true
+  }
+
+  test("merge: a sketch built with a different b fails loudly, " +
+    "never estimates garbage") {
+    // b=8 registers reach 255; declared b=6 caps them at 63 → the
+    // row-wise shape guard raises on action instead of silently
+    // max-merging registers from incompatible layouts
+    val wide = Hll.build(keys, "k", b = 8)
+    val narrow = Hll.build(keys, "k", b = 6)
+    val ex = intercept[Exception] {
+      Hll.merge(6, wide, narrow).collect()
+    }
+    ex.getMessage should include("does not fit b=6")
+    // and a frame that isn't a register frame at all is rejected at
+    // plan-build time
+    intercept[IllegalArgumentException] {
+      Hll.merge(8, keys)
+    }.getMessage should include("hll_register")
+  }
+
+  test("estimateByGroup: un-reduced input (sketch appended twice) " +
+    "estimates identically to the reduced sketch") {
+    val sk = Hll.build(keys, "k", b = 8)
+    val doubled = sk.unionByName(sk) // a re-run lake append
+    Hll.estimate(doubled, 8).collect()(0).getFloat(0) shouldBe
+      Hll.estimate(sk, 8).collect()(0).getFloat(0)
+  }
+
+  test("small-m bias constants: alpha_16/32/64 below the m >= 128 " +
+    "formula regime") {
+    Hll.alphaFor(16L) shouldBe 0.673
+    Hll.alphaFor(32L) shouldBe 0.697
+    Hll.alphaFor(64L) shouldBe 0.709
+    Hll.alphaFor(128L) shouldBe 0.7213 / (1.0 + 1.079 / 128.0) +- 1e-15
+    // and the b=6 estimate actually rides the constant: replay the
+    // raw formula against the engine's registers
+    val smallKeys = (1 to 500).map(i => s"s$i").toDF("k")
+    val sk = Hll.build(smallKeys, "k", b = 6).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rmax = sk.values.max
+    val zobs = sk.values.map(r => 1L << (rmax - r)).sum
+    val znum = zobs + (64 - sk.size) * (1L << rmax)
+    val raw = 0.709 * 64.0 * 64.0 * math.pow(2.0, rmax) / znum.toDouble
+    val expected =
+      if (raw <= 2.5 * 64.0 && sk.size < 64)
+        64.0 * math.log(64.0 / (64 - sk.size)) else raw
+    Hll.estimate(Hll.build(smallKeys, "k", b = 6), b = 6)
+      .collect()(0).getFloat(0) shouldBe expected.toFloat
+  }
+
+  test("documented error band: the b=8 estimate lands within 3 sigma " +
+    "(3 * 1.04 / sqrt(256) = 19.5%) of a known cardinality") {
+    val n = 10000
+    val big = (1 to n).map(i => s"band$i").toDF("k")
+    val est = Hll.estimate(Hll.build(big, "k", b = 8), b = 8)
+      .collect()(0).getFloat(0).toDouble
+    math.abs(est - n) / n should be < (3.0 * 1.04 / math.sqrt(256.0))
   }
 
   test("null keys carry no evidence; bad b rejected; deterministic") {

@@ -198,6 +198,45 @@ class PercentilesCdcSpec extends SparkSpec {
       .rows.head(1) shouldBe 10.0
   }
 
+  test("medianAbsoluteDeviation: equals the two-pass nearestRank form " +
+    "on grouped, tied, null-laden, and null-key input") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(2.0)), ("a", Some(9.0)),
+      ("a", None), ("b", Some(5.0)), ("b", Some(7.0)),
+      (null.asInstanceOf[String], Some(3.0)),
+      (null.asInstanceOf[String], Some(4.0))).toDF("g", "v")
+    // the shipped two-pass reference shape
+    val med = Percentiles.nearestRank(df, Seq("g"), "v", Seq(0.5))
+      .select(col("g"), col("pct_value").as("med"))
+    val dev = df.join(med, df("g") <=> med("g"))
+      .select(df("g"), abs(col("v") - col("med")).as("dev"))
+    val expected = Percentiles.nearestRank(dev, Seq("g"), "dev", Seq(0.5))
+      .join(med, Seq("g")).select(col("g"), col("med"),
+        col("pct_value").as("mad"))
+      .rows.map(r => (r(0), r(1), r(2))).sortBy(_._1 == null)
+    val got = Percentiles.medianAbsoluteDeviation(df, Seq("g"), "v")
+      .rows.map(r => (r(0), r(1), r(2))).sortBy(_._1 == null)
+    // null-key group falls out of expected's plain equi-join re-join,
+    // so compare on the shared groups plus check null-key directly
+    got.filter(_._1 != null).sortBy(_._1.toString) shouldBe
+      expected.filter(_._1 != null).sortBy(_._1.toString)
+    // null-key group: values 3,4 → med = rank ⌈1⌉ of 2 = 3.0;
+    // deviations 0,1 → mad = rank 1 of (0,1) = 0.0
+    got.find(_._1 == null).get shouldBe ((null, 3.0, 0.0))
+    // hand-check group a: values 1,2,2,9 → med = rank ⌈2⌉ of 4 = 2.0;
+    // deviations 1,0,0,7 → mad = rank 2 of 4 sorted (0,0,1,7) = 0.0
+    got.find(_._1 == "a").get shouldBe (("a", 2.0, 0.0))
+  }
+
+  test("medianAbsoluteDeviation: unkeyed (global) median/MAD") {
+    val df = Seq(1.0, 3.0, 5.0, 100.0).toDF("v")
+    // med = rank 2 of 4 = 3.0; devs 2,0,2,97 → mad = rank 2 of
+    // (0,2,2,97) = 2.0
+    val r = Percentiles.medianAbsoluteDeviation(df, Seq.empty, "v").rows.head
+    r(0) shouldBe 3.0
+    r(1) shouldBe 2.0
+  }
+
   test("benfordAudit: digits from the cents string; shares sum to 1; non-positive excluded") {
     val df = Seq(1.0, 1.5, 19.99, 2.0, 30.0, 0.0, -5.0, 9000.0)
       .toDF("v") // cents: 100,150,1999,200,3000,(0 out),(neg out),900000

@@ -135,6 +135,23 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("writeZOrdered: a high-cardinality string key fails the " +
+    "dictionary contract loudly, before any write") {
+    val dir = Files.createTempDirectory("lakezc").toString
+    val df = (1 to 50).map(i => (i.toLong, s"freetext_$i")).toDF("n", "t")
+    val ex = intercept[IllegalArgumentException] {
+      LakeWriter.writeZOrdered(df, s"$dir/z", Seq("n", "t"), files = 4,
+        maxDictValues = 10)
+    }
+    ex.getMessage should include("exceeds 10 distinct values")
+    ex.getMessage should include("low-cardinality")
+    // nothing was written: the probe fires before the z-write
+    new java.io.File(s"$dir/z").exists() shouldBe false
+    // and the same data under the default cap still writes fine
+    LakeWriter.writeZOrdered(df, s"$dir/z2", Seq("n", "t"), files = 4)
+    spark.read.parquet(s"$dir/z2").count() shouldBe 50
+  }
+
   test("bucketed tables join without an exchange") {
     val n = 1000
     LakeWriter.writeBucketed((1 to n).map(i => (i.toLong, s"left$i")).toDF("k", "lv"),
