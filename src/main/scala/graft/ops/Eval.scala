@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation primitives over (score, label) frames — the
+  * readouts a ranking/classification pipeline checks before shipping a
+  * model whose scores gate 100 TB of downstream work (curation
+  * thresholds, dedup cutoffs, quality gates). The rank-quality half
+  * (AUC) lives in [[Experiment.mannWhitneyU]]; this is the PROBABILITY
+  * half: a model can rank perfectly and still lie about its confidence,
+  * and a miscalibrated threshold silently shifts how much of the corpus
+  * a gate keeps.
+  */
+object Eval {
+
+  /** Reliability diagram + expected calibration error (Naeini et al.
+    * AAAI 2015 / Guo et al. ICML 2017 formulation, equal-WIDTH bins):
+    * scores in [0,1] bucket into `bins` fixed-width bins (the top edge
+    * closes into the last bin); each bin reports its exact count, mean
+    * score (confidence), observed positive rate, and |rate − conf|;
+    * every row also carries ECE = Σ (n_b/N)·|rate_b − conf_b| — the
+    * one-number summary, weighted by bin mass.
+    *
+    * Equal-width (not equal-depth) deliberately: the bin edges are then
+    * CONSTANTS, so the diagram is comparable across models, days and
+    * engines, and binning is a pure map — no ranking pass. Pair with
+    * [[Percentiles.equiDepthHistogram]] when adaptive edges matter more
+    * than comparability.
+    *
+    * Exactness: bin = least(⌊score·bins⌋, bins−1) in integer arithmetic;
+    * per-bin Σscore quantizes to DECIMAL(30,12) before summing
+    * (order-free); rate/conf/gap are fixed double chains; the ECE
+    * numerator quantizes each n_b·gap_b term to DECIMAL(30,12) before
+    * the final sum so the reduction is order-free too. FLOAT surfaces.
+    *
+    * Plan shape: ONE map-side-combinable groupBy to ≤ bins rows, then a
+    * 1-row broadcast of the ECE total back onto the bins — nothing
+    * row-granular shuffles twice, no window. Null scores/labels and
+    * scores outside [0,1] carry no evidence and are excluded (out-of-
+    * range scores are a SCALING bug the caller must fix, not silently
+    * clamp — but they must not corrupt the bins they'd land in). */
+  def calibration(df: DataFrame, score: Column, label: Column,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
+    val s = score.cast("double")
+    val base = df
+      .filter(s.isNotNull && label.isNotNull && s >= 0.0 && s <= 1.0)
+      .select(
+        least(floor(s * lit(bins.toDouble)).cast("long"),
+          lit(bins.toLong - 1)).as("bin"),
+        s.as("__s"), label.cast("int").as("__y"))
+    val byBin = base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_bin"),
+        sum(col("__y").cast("long")).as("__x"),
+        sum(col("__s").cast("decimal(30,12)")).as("__sc"))
+      .select(col("bin"), col("n_bin"),
+        (col("__x").cast("double") / col("n_bin").cast("double")).as("__rate"),
+        (col("__sc").cast("double") / col("n_bin").cast("double")).as("__conf"))
+    val ece = byBin.agg(
+      (sum((col("n_bin").cast("double") * abs(col("__rate") - col("__conf")))
+        .cast("decimal(30,12)")).cast("double") /
+        sum(col("n_bin")).cast("double")).as("__ece"))
+    byBin.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n_bin"),
+        col("__conf").cast("float").as("mean_score"),
+        col("__rate").cast("float").as("rate"),
+        abs(col("__rate") - col("__conf")).cast("float").as("gap"),
+        col("__ece").cast("float").as("ece"))
+  }
+
+  /** Cumulative gains / lift at each score decile (the campaign-
+    * targeting readout: "the top 20% of scores capture X% of the
+    * positives"): rows rank into `k` equal-population score bands via
+    * the distributed global ntile ([[Ranking.withGlobalNtile]] — no
+    * single-task window), then one groupBy yields per-band capture and
+    * the running totals close over the ≤ k band rows. Band 1 = highest
+    * scores. Output per band: n_band, n_pos, cum_pos_share (of all
+    * positives), cum_row_share, lift = cum_pos_share/cum_row_share.
+    *
+    * Ties across a band boundary split by the tiebreak column (pass a
+    * unique id) — deterministic, both engines replay the same split. */
+  def cumulativeGains(df: DataFrame, score: Column, label: Column,
+                      tiebreak: Column, k: Int = 10): DataFrame = {
+    require(k >= 2 && k <= 100, s"k must be in [2,100], got $k")
+    val base = df.filter(score.isNotNull && label.isNotNull)
+      .select(score.cast("double").as("__s"), label.cast("int").as("__y"),
+        tiebreak.as("__t"))
+    val banded = Ranking.withGlobalNtile(base,
+      Seq(col("__s").desc, col("__t")), k, "band")
+    val byBand = banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_band"),
+        sum(col("__y").cast("long")).as("n_pos"))
+    val tot = byBand.agg(sum(col("n_band")).as("__n"),
+      sum(col("n_pos")).as("__p"))
+    // running totals over ≤ k band rows: a self-join triangular sum —
+    // bounded by k, never the data, no window
+    val cum = byBand.as("a")
+      .join(broadcast(byBand.as("b")), col("b.band") <= col("a.band"))
+      .groupBy(col("a.band").as("band"))
+      .agg(max(col("a.n_band")).as("n_band"), max(col("a.n_pos")).as("n_pos"),
+        sum(col("b.n_band")).as("__cn"), sum(col("b.n_pos")).as("__cp"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("band"), col("n_band"), col("n_pos"),
+        (col("__cp").cast("double") / col("__p").cast("double"))
+          .cast("float").as("cum_pos_share"),
+        (col("__cn").cast("double") / col("__n").cast("double"))
+          .cast("float").as("cum_row_share"),
+        ((col("__cp").cast("double") / col("__p").cast("double")) /
+          (col("__cn").cast("double") / col("__n").cast("double")))
+          .cast("float").as("lift"))
+  }
+}

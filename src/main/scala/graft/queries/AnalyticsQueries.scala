@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Anomaly, Cdc, CrossSeries, Experiment, Features, FuzzyJoin, Indicators, Intervals, Market, Markov, Moments, Percentiles, Quality, Ranking, Recommend, Reconcile, Resample, Skyline}
+import graft.ops.{Anomaly, Cdc, CrossSeries, Eval, Experiment, Features, FuzzyJoin, Indicators, Intervals, Market, Markov, Moments, Percentiles, Quality, Ranking, Recommend, Reconcile, Resample, Skyline}
 
 /** OLAP / warehouse-analytics extensions: grouping sets, event-path
   * transitions, exact nearest-rank quantiles, batch CDC apply, and
@@ -1191,6 +1191,37 @@ object AnalyticsQueries {
       Experiment.msprt(ev, group = "event_type", variant = "variant",
           value = "value", peek = "peek_day", tauSq = 25.0)
         .orderBy(col("event_type"), col("peek_day"))
+    }),
+
+    // ── Reliability diagram + ECE for a score against an outcome —
+    // the PROBABILITY half of model eval (emb_dim_auc is the rank
+    // half): a gate whose scores lie about their confidence silently
+    // shifts how much corpus a threshold keeps. The dummy value/100
+    // scorer against the purchase outcome reads ECE ≈ 0.23 — exactly
+    // the miscalibration readout the diagram exists to surface.
+    "eval_calibration" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull &&
+          col("value") >= 0 && col("value") <= 100)
+      Eval.calibration(ev,
+          score = col("value").cast("double") / lit(100.0),
+          label = col("event_type") === "purchase", bins = 10)
+        .orderBy(col("bin"))
+    }),
+
+    // ── Cumulative gains / lift by global score decile (the
+    // targeting readout): bands from the distributed global ntile —
+    // never a single-task window — running totals closed over the ≤ k
+    // band rows by a bounded triangular self-join.
+    "eval_cumulative_gains" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull &&
+          col("value") >= 0 && col("value") <= 100)
+      Eval.cumulativeGains(ev,
+          score = col("value").cast("double") / lit(100.0),
+          label = col("event_type") === "purchase",
+          tiebreak = col("event_id"), k = 10)
+        .orderBy(col("band"))
     }),
 
     // ── Empirical-Bayes shrinkage of per-user purchase rates
@@ -2680,6 +2711,58 @@ object AnalyticsQueries {
         |    AS REAL) AS p_always_valid,
         |  lnlmax >= ln(CAST(20.0 AS DOUBLE)) AS reject_h0
         |FROM r ORDER BY event_type, peek_day""".stripMargin,
+
+    // equal-width bins are constants → pure-map binning; per-bin Σscore
+    // and each n·gap term quantize to DECIMAL(30,12) so every sum is
+    // order-free; ECE broadcast back onto the ≤ 10 bin rows
+    "eval_calibration" ->
+      """WITH e AS (SELECT
+        |    CAST(value AS DOUBLE) / CAST(100.0 AS DOUBLE) AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND value >= 0 AND value <= 100),
+        | b AS (SELECT least(CAST(floor(score * CAST(10.0 AS DOUBLE))
+        |      AS BIGINT), 9) AS bin, score, label FROM e),
+        | g AS (SELECT bin, count(*) AS n_bin, sum(label) AS x,
+        |    sum(CAST(score AS DECIMAL(30,12))) AS sconf
+        |  FROM b GROUP BY 1),
+        | r AS (SELECT bin, n_bin,
+        |    CAST(x AS DOUBLE) / CAST(n_bin AS DOUBLE) AS rate,
+        |    CAST(sconf AS DOUBLE) / CAST(n_bin AS DOUBLE) AS conf
+        |  FROM g),
+        | t AS (SELECT sum(CAST(CAST(n_bin AS DOUBLE) * abs(rate - conf)
+        |      AS DECIMAL(30,12))) AS wgap, sum(n_bin) AS nt FROM r)
+        |SELECT r.bin, CAST(r.n_bin AS BIGINT) AS n_bin,
+        |  CAST(r.conf AS REAL) AS mean_score, CAST(r.rate AS REAL) AS rate,
+        |  CAST(abs(r.rate - r.conf) AS REAL) AS gap,
+        |  CAST(CAST(t.wgap AS DOUBLE) / CAST(t.nt AS DOUBLE) AS REAL) AS ece
+        |FROM r, t ORDER BY r.bin""".stripMargin,
+
+    // the engine's distributed global ntile replays SQL ntile exactly
+    // (integer bucket arithmetic), so the oracle uses ntile() directly
+    "eval_cumulative_gains" ->
+      """WITH e AS (SELECT
+        |    CAST(value AS DOUBLE) / CAST(100.0 AS DOUBLE) AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    event_id AS t
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND value >= 0 AND value <= 100),
+        | b AS (SELECT ntile(10) OVER (ORDER BY s DESC, t) AS band, y FROM e),
+        | g AS (SELECT band, count(*) AS n_band, sum(y) AS n_pos
+        |   FROM b GROUP BY 1),
+        | c AS (SELECT band, n_band, n_pos,
+        |   sum(n_band) OVER (ORDER BY band) AS cn,
+        |   sum(n_pos) OVER (ORDER BY band) AS cp FROM g),
+        | t AS (SELECT sum(n_band) AS nt, sum(n_pos) AS pt FROM g)
+        |SELECT CAST(band AS BIGINT) AS band, CAST(n_band AS BIGINT) AS n_band,
+        |  CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(CAST(cp AS DOUBLE)/CAST(pt AS DOUBLE) AS REAL)
+        |    AS cum_pos_share,
+        |  CAST(CAST(cn AS DOUBLE)/CAST(nt AS DOUBLE) AS REAL)
+        |    AS cum_row_share,
+        |  CAST((CAST(cp AS DOUBLE)/CAST(pt AS DOUBLE)) /
+        |    (CAST(cn AS DOUBLE)/CAST(nt AS DOUBLE)) AS REAL) AS lift
+        |FROM c, t ORDER BY band""".stripMargin,
 
     // per-key exact counts; MoM prior replayed from the same quantized
     // rate sums; degenerate prior -> NULLs in both engines

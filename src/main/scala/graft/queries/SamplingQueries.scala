@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{CountMin, Dedup, Hll, Packing, Sampling, Snapshot, TextAnalysis, Vocab}
+import graft.ops.{CountMin, Dedup, Hll, Kmv, Packing, Sampling, Snapshot, TextAnalysis, Vocab}
 
 /** Training-data curation layer over `documents`: deterministic
   * splits/samples/mixtures, vocabulary + TF-IDF, token-budget packing,
@@ -204,6 +204,25 @@ object SamplingQueries {
           (col("est_a").cast("double") + col("est_b").cast("double") -
             col("est_union").cast("double")).cast("float")
             .as("est_intersection"))
+        .crossJoin(exact)
+    }),
+
+    // KMV bottom-k set algebra on the SAME cohorts as
+    // freq_hll_intersection — the estimator comparison a user sizing a
+    // sketch needs: HLL's inclusion–exclusion error scales with the
+    // UNION, KMV's Jaccard-based intersection with the overlap itself;
+    // k smallest md5 hashes are exact integers, every estimate one
+    // double division, sketch and estimates replay in DuckDB.
+    "freq_kmv_intersection" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(col("o_orderdate") < "1996-01-01")
+        .select(col("o_custkey"))
+      val b = o.filter(col("o_orderdate") >= "1996-01-01")
+        .select(col("o_custkey"))
+      val exact = a.distinct().join(b.distinct(), Seq("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_exact_intersection"))
+      Kmv.jaccard(Kmv.build(a, "o_custkey", k = 256),
+          Kmv.build(b, "o_custkey", k = 256), k = 256)
         .crossJoin(exact)
     }),
 
@@ -827,6 +846,50 @@ object SamplingQueries {
         |    AS REAL) AS est_intersection,
         |  CAST(x.n_exact_intersection AS BIGINT) AS n_exact_intersection
         |FROM x""".stripMargin,
+
+    // same md5 bottom-k replay: DISTINCT hashes, ORDER BY LIMIT k,
+    // membership via IN over the two bottom-k sets; the union estimate
+    // stays full-double into the intersection product, REAL surfaces
+    "freq_kmv_intersection" ->
+      """WITH sides AS (SELECT
+        |    CASE WHEN o_orderdate < DATE '1996-01-01' THEN 'a' ELSE 'b' END
+        |      AS side,
+        |    o_custkey AS k
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        | h AS (SELECT DISTINCT side, CAST(concat('0x',
+        |    substr(md5(concat('kmv:', CAST(k AS VARCHAR))), 1, 15)) AS BIGINT)
+        |    AS kmv_hash
+        |  FROM sides),
+        | ska AS (SELECT kmv_hash FROM h WHERE side = 'a'
+        |   ORDER BY kmv_hash LIMIT 256),
+        | skb AS (SELECT kmv_hash FROM h WHERE side = 'b'
+        |   ORDER BY kmv_hash LIMIT 256),
+        | l AS (SELECT DISTINCT kmv_hash FROM
+        |   (SELECT kmv_hash FROM ska UNION ALL SELECT kmv_hash FROM skb)
+        |   ORDER BY kmv_hash LIMIT 256),
+        | nc AS (SELECT count(*) AS n_common FROM l
+        |   WHERE kmv_hash IN (SELECT kmv_hash FROM ska)
+        |     AND kmv_hash IN (SELECT kmv_hash FROM skb)),
+        | ue AS (SELECT count(*) AS n_union_hashes, max(kmv_hash) AS hk FROM l),
+        | uest AS (SELECT n_union_hashes,
+        |    CASE WHEN n_union_hashes < 256 THEN CAST(n_union_hashes AS DOUBLE)
+        |         ELSE CAST(255.0 AS DOUBLE) *
+        |           power(CAST(2.0 AS DOUBLE), CAST(60.0 AS DOUBLE)) /
+        |           CAST(hk AS DOUBLE) END AS u
+        |   FROM ue),
+        | x AS (SELECT count(*) AS n_exact_intersection FROM
+        |   (SELECT DISTINCT k FROM sides WHERE side = 'a') aa
+        |   JOIN (SELECT DISTINCT k FROM sides WHERE side = 'b') bb USING (k))
+        |SELECT
+        |  CAST(CAST(n_common AS DOUBLE)/CAST(n_union_hashes AS DOUBLE) AS REAL)
+        |    AS jaccard,
+        |  CAST(CAST(n_common AS DOUBLE)/CAST(n_union_hashes AS DOUBLE) * u
+        |    AS REAL) AS kmv_intersection,
+        |  CAST(u AS REAL) AS kmv_union,
+        |  CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(n_union_hashes AS BIGINT) AS n_union_hashes,
+        |  CAST(x.n_exact_intersection AS BIGINT) AS n_exact_intersection
+        |FROM nc, uest, x""".stripMargin,
 
     // integer replay: same md5 cells, per-row Σ cnt², min over rows
     "freq_cms_selfjoin_f2" ->

@@ -76,9 +76,11 @@ class PlanBudgetSpec extends SparkSpec {
   private val aqeExchangeSlack = Map(
     "rec_topn_recall" -> 2,
     "sim_recall_eval" -> 2,
-    "agg_mad" -> 1) // 13 and 14 both observed across r15 regens (quiet
-                    // AND contended) — the recorded row floats between
-                    // them, the slack covers whichever side it lands on
+    "agg_mad" -> 1) // r15: 13/14 floated across regens (quiet AND
+                    // contended). r16's shared-ledger rewrite lands at
+                    // 13 pre-AQE / 10 AQE; the ±1 stays because the
+                    // same cached-checkpoint stat class remains in the
+                    // plan (two withRunningTotals checkpoints)
 
   /** (query name, human message) per budget violation. */
   private def violationsOf(budget: Map[String, Seq[Int]],

@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("calibration: hand-computed bins, ECE, top-edge closure, " +
+    "out-of-range/null exclusion") {
+    val df = Seq(
+      (Some(0.1), Some(1)), (Some(0.2), Some(0)),
+      (Some(0.8), Some(1)), (Some(0.9), Some(1)),
+      (Some(1.0), Some(1)),              // top edge closes into last bin
+      (Some(-0.1), Some(1)), (Some(1.5), Some(0)), // out of range: excluded
+      (None, Some(1)), (Some(0.5), None) // nulls: excluded
+    ).toDF("s", "y")
+    val out = Eval.calibration(df, col("s"), col("y"), bins = 2)
+      .orderBy(col("bin")).rows
+    out.length shouldBe 2
+    // bin 0: scores {0.1, 0.2} → conf 0.15, rate 0.5, gap 0.35
+    out(0)(0) shouldBe 0L
+    out(0)(1) shouldBe 2L
+    out(0)(2).asInstanceOf[Float].toDouble shouldBe 0.15 +- 1e-6
+    out(0)(3) shouldBe 0.5f
+    out(0)(4).asInstanceOf[Float].toDouble shouldBe 0.35 +- 1e-6
+    // bin 1: scores {0.8, 0.9, 1.0} → conf 0.9, rate 1.0, gap 0.1
+    out(1)(0) shouldBe 1L
+    out(1)(1) shouldBe 3L
+    out(1)(2).asInstanceOf[Float].toDouble shouldBe 0.9 +- 1e-6
+    out(1)(3) shouldBe 1.0f
+    out(1)(4).asInstanceOf[Float].toDouble shouldBe 0.1 +- 1e-6
+    // ECE = (2·0.35 + 3·0.1)/5 = 0.2, same value on every row
+    out(0)(5).asInstanceOf[Float].toDouble shouldBe 0.2 +- 1e-6
+    out(1)(5) shouldBe out(0)(5)
+    intercept[IllegalArgumentException] {
+      Eval.calibration(df, col("s"), col("y"), bins = 1)
+    }
+  }
+
+  test("calibration: a perfectly calibrated score has gap 0 in every bin") {
+    // each score value appears 10x with exactly score·10 positives
+    val rows = for {
+      s <- Seq(0.1, 0.3, 0.7)
+      i <- 1 to 10
+    } yield (s, if (i <= (s * 10).round) 1 else 0)
+    val out = Eval.calibration(rows.toDF("s", "y"), col("s"), col("y"),
+      bins = 10).rows
+    all(out.map(_(4).asInstanceOf[Float])) shouldBe 0.0f
+    out.head(5) shouldBe 0.0f
+  }
+
+  test("cumulativeGains: hand-computed bands, shares and lift; " +
+    "descending score order with deterministic tiebreak") {
+    val df = Seq(
+      (0.9, 1, 1L), (0.8, 1, 2L), (0.7, 1, 3L),
+      (0.6, 0, 4L), (0.5, 0, 5L), (0.4, 0, 6L)).toDF("s", "y", "id")
+    val out = Eval.cumulativeGains(df, col("s"), col("y"), col("id"), k = 3)
+      .orderBy(col("band")).rows
+    out.length shouldBe 3
+    // band 1 = top scores {0.9, 0.8}: 2 of 3 positives → share 2/3, lift 2
+    out(0)(1) shouldBe 2L
+    out(0)(2) shouldBe 2L
+    out(0)(3).asInstanceOf[Float].toDouble shouldBe 2.0 / 3 +- 1e-6
+    out(0)(5).asInstanceOf[Float].toDouble shouldBe 2.0 +- 1e-6
+    // band 2 adds the last positive → cumulative share 1, lift 1.5
+    out(1)(3) shouldBe 1.0f
+    out(1)(5).asInstanceOf[Float].toDouble shouldBe 1.5 +- 1e-6
+    // band 3: everything → shares 1, lift 1
+    out(2)(3) shouldBe 1.0f
+    out(2)(4) shouldBe 1.0f
+    out(2)(5) shouldBe 1.0f
+  }
+}
