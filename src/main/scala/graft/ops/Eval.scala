@@ -69,6 +69,56 @@ object Eval {
         col("__ece").cast("float").as("ece"))
   }
 
+  /** Binned ROC curve points — TPR/FPR at each of `bins` fixed score
+    * thresholds (descending), the CURVE behind the scalar AUC that
+    * [[Experiment.mannWhitneyU]] already reports: a threshold choice
+    * (what fraction of the corpus does this quality gate keep, at what
+    * true/false positive trade?) needs the whole front, not one number.
+    *
+    * Equal-width thresholds (t_i = i/bins) for the same reason as
+    * [[calibration]]: constant edges make curves comparable across
+    * models and rounds, and binning is a pure map. A point at
+    * threshold t reports the operating point "keep score ≥ t".
+    *
+    * Exactness: per-bin (pos, neg) counts are one map-side-combinable
+    * groupBy to ≤ bins rows; the cumulative ≥-threshold counts close
+    * over those rows with a bounded triangular self-join (≤ bins², all
+    * integers — no window, no data-sized pass); TPR/FPR are one double
+    * division each, FLOAT surfaces. Empty bins simply contribute no
+    * point (their operating point equals the next occupied bin's).
+    * Degenerate inputs (no positives / no negatives) yield NULL rates
+    * rather than a division artifact. */
+  def rocPoints(df: DataFrame, score: Column, label: Column,
+                bins: Int = 20): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
+    val s = score.cast("double")
+    val base = df
+      .filter(s.isNotNull && label.isNotNull && s >= 0.0 && s <= 1.0)
+      .select(
+        least(floor(s * lit(bins.toDouble)).cast("long"),
+          lit(bins.toLong - 1)).as("bin"),
+        label.cast("int").as("__y"))
+    val byBin = base.groupBy(col("bin"))
+      .agg(sum(col("__y").cast("long")).as("__pos"),
+        sum(lit(1L) - col("__y").cast("long")).as("__neg"))
+    val tot = byBin.agg(sum(col("__pos")).as("__p"), sum(col("__neg")).as("__n"))
+    val cum = byBin.as("a")
+      .join(broadcast(byBin.as("b")), col("b.bin") >= col("a.bin"))
+      .groupBy(col("a.bin").as("bin"))
+      .agg(sum(col("b.__pos")).as("n_pos_ge"), sum(col("b.__neg")).as("n_neg_ge"))
+    cum.crossJoin(broadcast(tot))
+      .select(
+        (col("bin").cast("double") / lit(bins.toDouble))
+          .cast("float").as("threshold"),
+        col("n_pos_ge"), col("n_neg_ge"),
+        when(col("__p") > 0L,
+          (col("n_pos_ge").cast("double") / col("__p").cast("double"))
+            .cast("float")).as("tpr"),
+        when(col("__n") > 0L,
+          (col("n_neg_ge").cast("double") / col("__n").cast("double"))
+            .cast("float")).as("fpr"))
+  }
+
   /** Cumulative gains / lift at each score decile (the campaign-
     * targeting readout: "the top 20% of scores capture X% of the
     * positives"): rows rank into `k` equal-population score bands via

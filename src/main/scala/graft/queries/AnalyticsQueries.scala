@@ -1209,6 +1209,21 @@ object AnalyticsQueries {
         .orderBy(col("bin"))
     }),
 
+    // ── Binned ROC operating points for the same score/outcome —
+    // the threshold-choice front behind emb_dim_auc's scalar AUC: a
+    // quality gate picks "keep score >= t" off this curve. The dummy
+    // scorer traces the diagonal (TPR ≈ FPR at every threshold) —
+    // exactly what an uninformative score must read.
+    "eval_roc_points" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull &&
+          col("value") >= 0 && col("value") <= 100)
+      Eval.rocPoints(ev,
+          score = col("value").cast("double") / lit(100.0),
+          label = col("event_type") === "purchase", bins = 20)
+        .orderBy(col("threshold"))
+    }),
+
     // ── Cumulative gains / lift by global score decile (the
     // targeting readout): bands from the distributed global ntile —
     // never a single-task window — running totals closed over the ≤ k
@@ -2737,6 +2752,33 @@ object AnalyticsQueries {
         |  CAST(abs(r.rate - r.conf) AS REAL) AS gap,
         |  CAST(CAST(t.wgap AS DOUBLE) / CAST(t.nt AS DOUBLE) AS REAL) AS ece
         |FROM r, t ORDER BY r.bin""".stripMargin,
+
+    // ≤ bins-row integer counts; the >= -threshold cumulatives close
+    // by the same bounded triangular join the engine uses
+    "eval_roc_points" ->
+      """WITH e AS (SELECT
+        |    CAST(value AS DOUBLE) / CAST(100.0 AS DOUBLE) AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND value >= 0 AND value <= 100),
+        | b AS (SELECT least(CAST(floor(score * CAST(20.0 AS DOUBLE))
+        |      AS BIGINT), 19) AS bin, y FROM e),
+        | g AS (SELECT bin, sum(y) AS pos, count(*) - sum(y) AS neg
+        |   FROM b GROUP BY 1),
+        | t AS (SELECT sum(pos) AS p, sum(neg) AS n FROM g),
+        | c AS (SELECT a.bin, sum(b2.pos) AS n_pos_ge, sum(b2.neg) AS n_neg_ge
+        |   FROM g a JOIN g b2 ON b2.bin >= a.bin GROUP BY 1)
+        |SELECT CAST(CAST(c.bin AS DOUBLE) / CAST(20.0 AS DOUBLE) AS REAL)
+        |    AS threshold,
+        |  CAST(n_pos_ge AS BIGINT) AS n_pos_ge,
+        |  CAST(n_neg_ge AS BIGINT) AS n_neg_ge,
+        |  CASE WHEN t.p > 0 THEN
+        |    CAST(CAST(n_pos_ge AS DOUBLE)/CAST(t.p AS DOUBLE) AS REAL)
+        |    END AS tpr,
+        |  CASE WHEN t.n > 0 THEN
+        |    CAST(CAST(n_neg_ge AS DOUBLE)/CAST(t.n AS DOUBLE) AS REAL)
+        |    END AS fpr
+        |FROM c, t ORDER BY threshold""".stripMargin,
 
     // the engine's distributed global ntile replays SQL ntile exactly
     // (integer bucket arithmetic), so the oracle uses ntile() directly

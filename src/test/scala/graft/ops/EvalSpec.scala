@@ -50,6 +50,32 @@ class EvalSpec extends SparkSpec {
     out.head(5) shouldBe 0.0f
   }
 
+  test("rocPoints: hand-computed operating points; a perfect scorer " +
+    "hits (0,1); degenerate one-class input yields NULL rates") {
+    // bins=2: low bin {0.1(y0), 0.2(y0), 0.3(y1)}, high {0.8(y1), 0.9(y1)}
+    val df = Seq((0.1, 0), (0.2, 0), (0.3, 1), (0.8, 1), (0.9, 1))
+      .toDF("s", "y")
+    val out = Eval.rocPoints(df, col("s"), col("y"), bins = 2)
+      .orderBy(col("threshold")).rows
+    out.length shouldBe 2
+    // t=0: everything kept → (tpr, fpr) = (1, 1)
+    out(0)(0) shouldBe 0.0f
+    out(0)(3) shouldBe 1.0f
+    out(0)(4) shouldBe 1.0f
+    // t=0.5: keeps the 2 high positives of 3 pos, 0 of 2 neg
+    out(1)(0) shouldBe 0.5f
+    out(1)(1) shouldBe 2L
+    out(1)(2) shouldBe 0L
+    out(1)(3).asInstanceOf[Float].toDouble shouldBe 2.0 / 3 +- 1e-6
+    out(1)(4) shouldBe 0.0f
+    // all-positive input: fpr undefined → NULL, tpr still real
+    val onePos = Seq((0.1, 1), (0.9, 1)).toDF("s", "y")
+    val deg = Eval.rocPoints(onePos, col("s"), col("y"), bins = 2)
+      .orderBy(col("threshold")).rows
+    all(deg.map(_(4) == null)) shouldBe true
+    deg.head(3) shouldBe 1.0f
+  }
+
   test("cumulativeGains: hand-computed bands, shares and lift; " +
     "descending score order with deterministic tiebreak") {
     val df = Seq(
