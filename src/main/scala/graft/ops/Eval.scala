@@ -69,6 +69,60 @@ object Eval {
         col("__ece").cast("float").as("ece"))
   }
 
+  /** Split-conformal quantile per group (Vovk et al.; Lei et al. JASA
+    * 2018 formulation): the ⌈(n+1)(1−α)⌉-th smallest calibration
+    * residual — the radius q̂ that makes [ŷ − q̂, ŷ + q̂] a
+    * finite-sample ≥ (1−α)-coverage prediction interval for ANY
+    * underlying model, assuming only exchangeability. This is the
+    * distribution-free error bar to attach to a point predictor whose
+    * scores gate downstream work; the Wilson/bootstrap CIs bound a
+    * MEAN, this bounds the next OBSERVATION.
+    *
+    * Input: one row per calibration observation with a non-negative
+    * `residual` column (|y − ŷ| upstream). Output per group: n_cal,
+    * q_conformal, finite_sample_exact — false when ⌈(n+1)(1−α)⌉ > n
+    * (n too small for the guarantee at this α; the max residual is
+    * returned and the flag tells the caller the guarantee is void
+    * rather than silently fabricating one).
+    *
+    * Exactness: the quantile is an OBSERVED residual picked by integer
+    * rank arithmetic over the distinct-residual count ledger
+    * ([[Percentiles.nearestRank]]'s machinery — range-exchange prefix
+    * sum, no per-group sort, no single-task window), so the value
+    * replays bit-for-bit in any engine.
+    *
+    * Plan shape: one groupBy collapses calibration rows to the
+    * (group, residual) ledger; [[Ranking.withRunningTotals]] cumulates
+    * it distributed; the pick is a pure filter. */
+  def conformalQuantile(df: DataFrame, keys: Seq[String], residual: String,
+                        alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val vc = df.filter(col(residual).isNotNull && col(residual) >= 0)
+      .groupBy((keys.map(col) :+ col(residual)): _*)
+      .agg(count(lit(1)).as("__c"))
+    val cum = Ranking.withRunningTotals(vc, keys, Seq(col(residual)),
+      Seq("__c" -> "__cum"))
+    val tot = cum.groupBy(keys.map(col): _*).agg(sum(col("__c")).as("__n"))
+    val withTot =
+      if (keys.isEmpty) cum.crossJoin(broadcast(tot))
+      else cum.as("__a").join(broadcast(tot).as("__b"),
+          keys.map(k => col(s"__a.$k") <=> col(s"__b.$k")).reduce(_ && _))
+        .select(cum.columns.map(c => col(s"__a.$c")) :+ col("__b.__n"): _*)
+    // k* = min(⌈(n+1)(1−α)⌉, n) in integer arithmetic:
+    // ⌈(n+1)(1−α)⌉ computed as ceil of a double product — the same
+    // fixed chain in both engines; the pick itself is pure integers
+    val kStar = least(
+      ceil((col("__n").cast("double") + lit(1.0)) * lit(1.0 - alpha)),
+      col("__n"))
+    withTot
+      .filter(col("__cum") - col("__c") < kStar && kStar <= col("__cum"))
+      .select(keys.map(col) ++ Seq(
+        col("__n").as("n_cal"),
+        col(residual).cast("float").as("q_conformal"),
+        (ceil((col("__n").cast("double") + lit(1.0)) * lit(1.0 - alpha)) <=
+          col("__n").cast("double")).as("finite_sample_exact")): _*)
+  }
+
   /** Binned ROC curve points — TPR/FPR at each of `bins` fixed score
     * thresholds (descending), the CURVE behind the scalar AUC that
     * [[Experiment.mannWhitneyU]] already reports: a threshold choice

@@ -1209,6 +1209,47 @@ object AnalyticsQueries {
         .orderBy(col("bin"))
     }),
 
+    // ── Split-conformal prediction intervals, self-auditing: md5
+    // train/cal/test split, per-type mean predictor, q̂ = the
+    // ⌈(n+1)(1−α)⌉-th smallest calibration residual, then the TEST
+    // coverage measured beside the 1−α = 0.9 target — the
+    // distribution-free "next observation" error bar (Wilson/bootstrap
+    // bound a MEAN; this bounds a point), valid for ANY model under
+    // exchangeability.
+    "eval_conformal_interval" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull &&
+          col("event_id").isNotNull)
+        .withColumn("__b",
+          graft.ops.Sampling.hashBucket(col("event_id"), 100, tag = "split:"))
+      val model = ev.filter(col("__b") < 50).groupBy(col("event_type"))
+        .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("__yhat"))
+      val calRes = ev.filter(col("__b") >= 50 && col("__b") < 75)
+        .join(broadcast(model), Seq("event_type"))
+        .select(col("event_type"),
+          abs(col("value") - col("__yhat")).as("res"))
+      val q = Eval.conformalQuantile(calRes, Seq("event_type"), "res",
+        alpha = 0.1)
+      val audit = ev.filter(col("__b") >= 75)
+        .join(broadcast(model), Seq("event_type"))
+        .join(broadcast(q.select(col("event_type"), col("q_conformal"))),
+          Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(abs(col("value") - col("__yhat")) <=
+            col("q_conformal").cast("double"), 1L).otherwise(0L))
+            .as("n_covered"))
+      q.join(model, Seq("event_type")).join(audit, Seq("event_type"))
+        .select(col("event_type"), col("n_cal"),
+          col("__yhat").cast("float").as("yhat"),
+          col("q_conformal"), col("finite_sample_exact"),
+          col("n_test"), col("n_covered"),
+          (col("n_covered").cast("double") / col("n_test").cast("double"))
+            .cast("float").as("coverage"))
+        .orderBy(col("event_type"))
+    }),
+
     // ── Binned ROC operating points for the same score/outcome —
     // the threshold-choice front behind emb_dim_auc's scalar AUC: a
     // quality gate picks "keep score >= t" off this curve. The dummy
@@ -2752,6 +2793,52 @@ object AnalyticsQueries {
         |  CAST(abs(r.rate - r.conf) AS REAL) AS gap,
         |  CAST(CAST(t.wgap AS DOUBLE) / CAST(t.nt AS DOUBLE) AS REAL) AS ece
         |FROM r, t ORDER BY r.bin""".stripMargin,
+
+    // md5 split replay; the conformal pick is pure integer rank
+    // arithmetic over the residual ledger; the audit compares against
+    // the REAL-quantized radius exactly as the engine does
+    "eval_conformal_interval" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS y,
+        |    CAST(concat('0x', substr(md5(concat('split:',
+        |      CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS b
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        | m AS (SELECT event_type,
+        |    CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) /
+        |      CAST(count(*) AS DOUBLE) AS yhat
+        |  FROM e WHERE b < 50 GROUP BY 1),
+        | cal AS (SELECT e.event_type, abs(y - yhat) AS res
+        |   FROM e JOIN m USING (event_type) WHERE b >= 50 AND b < 75),
+        | vc AS (SELECT event_type, res, count(*) AS c FROM cal GROUP BY 1, 2),
+        | cum AS (SELECT event_type, res, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY res
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |  FROM vc),
+        | tot AS (SELECT event_type, sum(c) AS n FROM vc GROUP BY 1),
+        | pick AS (SELECT cum.event_type, tot.n AS n_cal, cum.res AS q,
+        |    ceil((CAST(tot.n AS DOUBLE) + CAST(1.0 AS DOUBLE)) *
+        |      CAST(0.9 AS DOUBLE)) <= CAST(tot.n AS DOUBLE)
+        |      AS finite_sample_exact
+        |  FROM cum JOIN tot USING (event_type)
+        |  WHERE cum.cm - cum.c < least(ceil((CAST(tot.n AS DOUBLE) +
+        |      CAST(1.0 AS DOUBLE)) * CAST(0.9 AS DOUBLE)),
+        |      CAST(tot.n AS DOUBLE))
+        |    AND least(ceil((CAST(tot.n AS DOUBLE) + CAST(1.0 AS DOUBLE)) *
+        |      CAST(0.9 AS DOUBLE)), CAST(tot.n AS DOUBLE)) <= cum.cm),
+        | aud AS (SELECT e.event_type, count(*) AS n_test,
+        |    sum(CASE WHEN abs(y - yhat) <=
+        |      CAST(CAST(q AS REAL) AS DOUBLE) THEN 1 ELSE 0 END)
+        |      AS n_covered
+        |  FROM e JOIN m USING (event_type) JOIN pick USING (event_type)
+        |  WHERE b >= 75 GROUP BY 1)
+        |SELECT p.event_type, CAST(p.n_cal AS BIGINT) AS n_cal,
+        |  CAST(m.yhat AS REAL) AS yhat, CAST(p.q AS REAL) AS q_conformal,
+        |  p.finite_sample_exact, CAST(a.n_test AS BIGINT) AS n_test,
+        |  CAST(a.n_covered AS BIGINT) AS n_covered,
+        |  CAST(CAST(a.n_covered AS DOUBLE) / CAST(a.n_test AS DOUBLE)
+        |    AS REAL) AS coverage
+        |FROM pick p JOIN m USING (event_type) JOIN aud a USING (event_type)
+        |ORDER BY p.event_type""".stripMargin,
 
     // ≤ bins-row integer counts; the >= -threshold cumulatives close
     // by the same bounded triangular join the engine uses

@@ -50,6 +50,50 @@ class EvalSpec extends SparkSpec {
     out.head(5) shouldBe 0.0f
   }
 
+  test("conformalQuantile: the ceil((n+1)(1-alpha))-th smallest " +
+    "residual; small-n guarantee void is flagged, never fabricated") {
+    // group g: residuals 1..9 (n=9), alpha=0.1 → k* = ceil(10·0.9) = 9
+    // → q = 9, exact (k* ≤ n); alpha=0.05 → ceil(10·0.95) = 10 > 9 →
+    // max returned, flag false
+    val df = (1 to 9).map(i => ("g", i.toDouble)).toDF("grp", "res")
+    val ex = Eval.conformalQuantile(df, Seq("grp"), "res", alpha = 0.1)
+      .rows.head
+    ex(1) shouldBe 9L
+    ex(2) shouldBe 9.0f
+    ex(3) shouldBe true
+    val void = Eval.conformalQuantile(df, Seq("grp"), "res", alpha = 0.05)
+      .rows.head
+    void(2) shouldBe 9.0f
+    void(3) shouldBe false
+    // alpha=0.5 → k* = ceil(10·0.5) = 5 → the 5th smallest = 5; ties
+    // collapse into the ledger (duplicate 5s share the rank range)
+    val tied = ((1 to 9).map(i => ("g", i.toDouble)) ++
+      Seq(("g", 5.0), ("g", 5.0))).toDF("grp", "res")
+    Eval.conformalQuantile(tied, Seq("grp"), "res", alpha = 0.5)
+      .rows.head(2) shouldBe 5.0f
+    intercept[IllegalArgumentException] {
+      Eval.conformalQuantile(df, Seq("grp"), "res", alpha = 0.0)
+    }
+  }
+
+  test("conformalQuantile: empirical coverage meets the 1-alpha " +
+    "guarantee on an exchangeable split") {
+    // 4000 deterministic pseudo-residuals (seeded, exchangeable);
+    // calibrate on half, test on half. The guarantee holds in
+    // expectation over BOTH halves, so a fixed split fluctuates with
+    // joint sigma ≈ √(2·0.9·0.1/2000) ≈ 0.013 around ~0.9 — assert
+    // the 3-sigma floor (0.86). Deterministic seed: green forever
+    // once green.
+    val rng = new scala.util.Random(7)
+    val all = (1 to 4000).map(i => (i, math.abs(rng.nextGaussian()))).toSeq
+    val cal = all.filter(_._1 % 2 == 0).map(t => ("g", t._2)).toDF("grp", "res")
+    val q = Eval.conformalQuantile(cal, Seq("grp"), "res", alpha = 0.1)
+      .rows.head(2).asInstanceOf[Float].toDouble
+    val test = all.filter(_._1 % 2 == 1).map(_._2)
+    val cov = test.count(_ <= q).toDouble / test.size
+    withClue(s"q=$q cov=$cov: ") { cov should be >= 0.86 }
+  }
+
   test("rocPoints: hand-computed operating points; a perfect scorer " +
     "hits (0,1); degenerate one-class input yields NULL rates") {
     // bins=2: low bin {0.1(y0), 0.2(y0), 0.3(y1)}, high {0.8(y1), 0.9(y1)}
