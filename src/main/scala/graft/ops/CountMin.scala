@@ -75,7 +75,14 @@ object CountMin {
     * of different shapes yields a plausible-looking but meaningless
     * summary, so every input frame is checked — schema at plan-build
     * time, cell coordinates per row (≤ d·w rows each, the guard is
-    * free); a frame built with a different shape fails loudly. */
+    * free); a frame built with a different shape fails loudly.
+    *
+    * The guard is ONE-SIDED: a frame built with a SMALLER width (or
+    * depth) fits the larger declared shape — its cells are in range —
+    * and still merges into a silently meaningless summary; only the
+    * larger-shape direction can fail loudly, because cells carry no
+    * shape. Declared-(depth,width) discipline across build, merge and
+    * every estimator is the caller's contract. */
   def merge(depth: Int, width: Int, sketches: DataFrame*): DataFrame = {
     checkShape(depth, width)
     require(sketches.nonEmpty, "need at least one sketch to merge")

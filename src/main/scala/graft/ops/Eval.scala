@@ -14,6 +14,34 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** The shared binned (score, label) base for [[calibration]],
+    * [[rocPoints]], [[prPoints]] and [[brier]]: scores in [0,1] bucket
+    * into `bins` fixed-width bins (top edge closes into the last bin);
+    * null scores/labels and out-of-range scores carry no evidence and
+    * are excluded (an out-of-range score is a SCALING bug the caller
+    * must fix — it must not corrupt the bin it would land in). The
+    * label is contract-checked row-wise: anything outside {0,1} raises
+    * with the offending value — a multiclass label silently summed as
+    * a count would read rates > 1 (and negative ROC complements), the
+    * plausible-but-wrong shape this repo fails loudly on. The guard
+    * wraps __y itself, which every consumer aggregates, so no join or
+    * projection can prune it. */
+  private def binnedBase(df: DataFrame, score: Column, label: Column,
+                         bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
+    val s = score.cast("double")
+    val y = label.cast("int")
+    df.filter(s.isNotNull && label.isNotNull && s >= 0.0 && s <= 1.0)
+      .select(
+        least(floor(s * lit(bins.toDouble)).cast("long"),
+          lit(bins.toLong - 1)).as("bin"),
+        s.as("__s"),
+        when(y.isin(0, 1), y)
+          .otherwise(raise_error(concat(
+            lit("label must be 0/1 (binary outcome), got "),
+            y.cast("string")))).as("__y"))
+  }
+
   /** Reliability diagram + expected calibration error (Naeini et al.
     * AAAI 2015 / Guo et al. ICML 2017 formulation, equal-WIDTH bins):
     * scores in [0,1] bucket into `bins` fixed-width bins (the top edge
@@ -42,14 +70,7 @@ object Eval {
     * clamp — but they must not corrupt the bins they'd land in). */
   def calibration(df: DataFrame, score: Column, label: Column,
                   bins: Int = 10): DataFrame = {
-    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
-    val s = score.cast("double")
-    val base = df
-      .filter(s.isNotNull && label.isNotNull && s >= 0.0 && s <= 1.0)
-      .select(
-        least(floor(s * lit(bins.toDouble)).cast("long"),
-          lit(bins.toLong - 1)).as("bin"),
-        s.as("__s"), label.cast("int").as("__y"))
+    val base = binnedBase(df, score, label, bins)
     val byBin = base.groupBy(col("bin"))
       .agg(count(lit(1)).as("n_bin"),
         sum(col("__y").cast("long")).as("__x"),
@@ -144,14 +165,7 @@ object Eval {
     * rather than a division artifact. */
   def rocPoints(df: DataFrame, score: Column, label: Column,
                 bins: Int = 20): DataFrame = {
-    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
-    val s = score.cast("double")
-    val base = df
-      .filter(s.isNotNull && label.isNotNull && s >= 0.0 && s <= 1.0)
-      .select(
-        least(floor(s * lit(bins.toDouble)).cast("long"),
-          lit(bins.toLong - 1)).as("bin"),
-        label.cast("int").as("__y"))
+    val base = binnedBase(df, score, label, bins)
     val byBin = base.groupBy(col("bin"))
       .agg(sum(col("__y").cast("long")).as("__pos"),
         sum(lit(1L) - col("__y").cast("long")).as("__neg"))
@@ -171,6 +185,120 @@ object Eval {
         when(col("__n") > 0L,
           (col("n_neg_ge").cast("double") / col("__n").cast("double"))
             .cast("float")).as("fpr"))
+  }
+
+  /** Binned precision/recall operating points — the imbalanced-corpus
+    * complement to [[rocPoints]]: at a 1:10⁴ positive rate the FPR
+    * axis is numb (a gate can admit 10× more junk while FPR barely
+    * moves), while precision reads exactly "of what the gate KEEPS,
+    * how much is good" — the number a curation threshold is actually
+    * chosen by. Same machinery as rocPoints verbatim: equal-width
+    * thresholds (constant edges, curves comparable across models and
+    * rounds), one map-side-combinable groupBy to ≤ bins rows, the
+    * cumulative ≥-threshold counts closed by a bounded ≤ bins²
+    * triangular self-join, all integers until the final divisions.
+    *
+    * A point at threshold t reports "keep score ≥ t": n_kept,
+    * precision = pos_ge/(pos_ge+neg_ge) (never 0/0 — the point's own
+    * bin is occupied), recall = pos_ge/P (NULL when the input has no
+    * positives — one-class inputs surface as NULL, not an artifact),
+    * f1 = the harmonic mean (NULL when precision+recall = 0 or P = 0).
+    * Empty bins contribute no point, as in rocPoints. */
+  def prPoints(df: DataFrame, score: Column, label: Column,
+               bins: Int = 20): DataFrame = {
+    val base = binnedBase(df, score, label, bins)
+    val byBin = base.groupBy(col("bin"))
+      .agg(sum(col("__y").cast("long")).as("__pos"),
+        sum(lit(1L) - col("__y").cast("long")).as("__neg"))
+    val tot = byBin.agg(sum(col("__pos")).as("__p"))
+    val cum = byBin.as("a")
+      .join(broadcast(byBin.as("b")), col("b.bin") >= col("a.bin"))
+      .groupBy(col("a.bin").as("bin"))
+      .agg(sum(col("b.__pos")).as("n_pos_ge"), sum(col("b.__neg")).as("n_neg_ge"))
+    val prec = col("n_pos_ge").cast("double") /
+      (col("n_pos_ge") + col("n_neg_ge")).cast("double")
+    val rec = col("n_pos_ge").cast("double") / col("__p").cast("double")
+    cum.crossJoin(broadcast(tot))
+      .select(
+        (col("bin").cast("double") / lit(bins.toDouble))
+          .cast("float").as("threshold"),
+        (col("n_pos_ge") + col("n_neg_ge")).as("n_kept"),
+        col("n_pos_ge"),
+        prec.cast("float").as("precision"),
+        when(col("__p") > 0L, rec.cast("float")).as("recall"),
+        when(col("__p") > 0L && (prec + rec) > 0.0,
+          (lit(2.0) * prec * rec / (prec + rec)).cast("float")).as("f1"))
+  }
+
+  /** Brier score with the Murphy (1973) calibration/refinement
+    * decomposition over the [[calibration]] bins — the one-number
+    * probability loss beside its diagnosis: brier = (1/N)·Σ(s−y)²
+    * computed EXACTLY (never from the bins), and the classic three
+    * binned terms
+    *   reliability = Σ n_b(conf_b − rate_b)²/N  (miscalibration; ECE's
+    *     squared cousin — what recalibration can remove),
+    *   resolution  = Σ n_b(rate_b − ȳ)²/N  (how much the score
+    *     separates outcomes — what recalibration cannot add),
+    *   uncertainty = ȳ(1−ȳ)  (the no-skill floor: forecasting the
+    *     base rate scores exactly this).
+    * The three-term identity brier = reliability − resolution +
+    * uncertainty holds exactly only when scores are constant within
+    * bins; `binning_residual` = brier − (rel − res + unc) is emitted
+    * so the approximation is a measured number, not an assumption
+    * (it equals the within-bin score variance minus twice the
+    * within-bin score/outcome covariance).
+    *
+    * Exactness: per-row (s−y)² and per-bin Σs quantize to
+    * DECIMAL(30,12) before summing (order-free); the ≤ bins-row
+    * reliability/resolution sums quantize each term likewise; every
+    * rate/mean is exact-integer-or-decimal sums closed by one double
+    * division. FLOAT surfaces. One row: n, brier, reliability,
+    * resolution, uncertainty, binning_residual.
+    *
+    * Plan shape: ONE map-side-combinable groupBy to ≤ bins rows plus a
+    * 1-row broadcast of the grand totals — the calibration plan with
+    * one more 1-row close; nothing row-granular shuffles twice. */
+  def brier(df: DataFrame, score: Column, label: Column,
+            bins: Int = 10): DataFrame = {
+    val base = binnedBase(df, score, label, bins)
+    val byBin = base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_bin"),
+        sum(col("__y").cast("long")).as("__x"),
+        sum(col("__s").cast("decimal(30,12)")).as("__sc"),
+        sum(((col("__s") - col("__y").cast("double")) *
+          (col("__s") - col("__y").cast("double")))
+          .cast("decimal(30,12)")).as("__se"))
+    val tot = byBin.agg(sum(col("n_bin")).as("__n"),
+        sum(col("__x")).as("__px"), sum(col("__se")).as("__sse"))
+      .select(col("__n"), col("__sse"),
+        (col("__px").cast("double") / col("__n").cast("double")).as("__ybar"))
+    val terms = byBin.crossJoin(broadcast(tot))
+      .select(col("__n"), col("__sse"), col("__ybar"),
+        col("n_bin"),
+        (col("__x").cast("double") / col("n_bin").cast("double")).as("__rate"),
+        (col("__sc").cast("double") / col("n_bin").cast("double")).as("__conf"))
+    terms.groupBy(col("__n"), col("__sse"), col("__ybar"))
+      .agg(
+        sum((col("n_bin").cast("double") *
+          (col("__conf") - col("__rate")) * (col("__conf") - col("__rate")))
+          .cast("decimal(30,12)")).as("__rel"),
+        sum((col("n_bin").cast("double") *
+          (col("__rate") - col("__ybar")) * (col("__rate") - col("__ybar")))
+          .cast("decimal(30,12)")).as("__res"))
+      .select(col("__n").as("n"),
+        (col("__sse").cast("double") / col("__n").cast("double"))
+          .cast("float").as("brier"),
+        (col("__rel").cast("double") / col("__n").cast("double"))
+          .cast("float").as("reliability"),
+        (col("__res").cast("double") / col("__n").cast("double"))
+          .cast("float").as("resolution"),
+        (col("__ybar") * (lit(1.0) - col("__ybar")))
+          .cast("float").as("uncertainty"),
+        (col("__sse").cast("double") / col("__n").cast("double") -
+          (col("__rel").cast("double") / col("__n").cast("double") -
+            col("__res").cast("double") / col("__n").cast("double") +
+            col("__ybar") * (lit(1.0) - col("__ybar"))))
+          .cast("float").as("binning_residual"))
   }
 
   /** Cumulative gains / lift at each score decile (the campaign-

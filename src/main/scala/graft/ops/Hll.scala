@@ -103,7 +103,15 @@ object Hll {
     * plan-build time for the (hll_register, hll_rank) schema, and
     * per row (≤ 2^b rows each, so the guard is free) that the register
     * and rank actually fit b; a frame built with a larger b fails
-    * loudly instead of estimating garbage. */
+    * loudly instead of estimating garbage.
+    *
+    * The guard is ONE-SIDED, not a full compatibility check: a frame
+    * built with a SMALLER b usually fits the larger declared shape
+    * (registers in range, ranks small) and still merges into a
+    * silently meaningless sketch — only the larger-b direction can
+    * fail loudly, because the cells themselves carry no b. Declared-b
+    * discipline (the same b at build, merge and estimate) is the
+    * caller's contract. */
   def merge(b: Int, sketches: DataFrame*): DataFrame = {
     checkB(b)
     require(sketches.nonEmpty, "need at least one sketch to merge")

@@ -72,14 +72,28 @@ object Kmv {
   def merge(k: Int, sketches: DataFrame*): DataFrame = {
     checkK(k)
     require(sketches.nonEmpty, "need at least one sketch to merge")
-    sketches.foreach { sk =>
+    // localCheckpoint BEFORE the probe: the guard is an eager action,
+    // and probing a raw build lineage would re-run the full distinct +
+    // top-k scan once for the guard and again for every downstream
+    // consumer ([[jaccard]] reads each input ~3×) — the checkpoint
+    // makes the underlying build run exactly once, and every read
+    // after it (probe, union, semi-joins) hits the ≤ k-row cut.
+    // NOTE the guard is one-sided: a frame built with a SMALLER k
+    // always fits the declared shape and merges into a sketch whose
+    // effective k is the smaller one — estimates then carry the
+    // smaller k's error, silently. Declared-k discipline (same k at
+    // build, merge and estimate) is the caller's contract; only the
+    // larger-shape direction can fail loudly.
+    val cut = sketches.map { sk =>
       require(sk.columns.toSeq == Seq("kmv_hash"),
         "expected a KMV sketch frame with exactly (kmv_hash), got: " +
           sk.columns.mkString(", "))
-      require(sk.limit(k + 1).count() <= k,
+      val c = sk.localCheckpoint()
+      require(c.limit(k + 1).count() <= k,
         s"sketch frame has more than k=$k rows — built with a larger k?")
+      c
     }
-    sketches.reduce(_ unionByName _)
+    cut.reduce(_ unionByName _)
       .distinct()
       .orderBy(col("kmv_hash"))
       .limit(k)
@@ -91,10 +105,20 @@ object Kmv {
     *  - n = k → (k−1)·2^60 / h_(k) (the kth smallest hash), the
     *    standard unbiased KMV estimator — one double division over
     *    exact integers.
-    * Columns: kmv_estimate FLOAT, n_hashes, is_exact. */
+    * Columns: kmv_estimate FLOAT, n_hashes, is_exact.
+    *
+    * Shape-guarded like [[merge]] (bounded limit(k+1) probe): a frame
+    * with more than k rows was not built/merged with this k, and its
+    * n<k branch would otherwise return is_exact=true over a hash set
+    * the declared k never produced — plausible and wrong. n_hashes<k
+    * proves exactness only for frames actually built with this k
+    * (the same one-sided caveat as merge: a smaller-k frame fits). */
   def estimate(sketch: DataFrame, k: Int): DataFrame = {
     checkK(k)
-    val agged = sketch.agg(count(lit(1)).as("n_hashes"),
+    val sk = sketch.localCheckpoint()
+    require(sk.limit(k + 1).count() <= k,
+      s"sketch frame has more than k=$k rows — built with a larger k?")
+    val agged = sk.agg(count(lit(1)).as("n_hashes"),
       max(col("kmv_hash")).as("__hk"))
     agged.select(
       when(col("n_hashes") < k, col("n_hashes").cast("double"))
@@ -116,13 +140,19 @@ object Kmv {
     * integer match count), n_union_hashes.
     *
     * Plan: ≤ k-row frames throughout — two left-semi joins onto L and
-    * one aggregate; everything broadcastable by construction. */
+    * one aggregate; everything broadcastable by construction. Each
+    * input is localCheckpointed once up front (it feeds the merge AND
+    * a semi-join — a raw build lineage would re-run its full scan per
+    * consumer). Two EMPTY sketches yield NULL jaccard/intersection
+    * (0/0 carries no evidence — the rocPoints one-class convention),
+    * never a NaN artifact. */
   def jaccard(skA: DataFrame, skB: DataFrame, k: Int): DataFrame = {
     checkK(k)
-    val l = merge(k, skA, skB).localCheckpoint()
+    val (a, b) = (skA.localCheckpoint(), skB.localCheckpoint())
+    val l = merge(k, a, b).localCheckpoint()
     val common = l
-      .join(broadcast(skA), Seq("kmv_hash"), "left_semi")
-      .join(broadcast(skB), Seq("kmv_hash"), "left_semi")
+      .join(broadcast(a), Seq("kmv_hash"), "left_semi")
+      .join(broadcast(b), Seq("kmv_hash"), "left_semi")
       .agg(count(lit(1)).as("n_common"))
     // the union estimate at FULL double precision: the intersection
     // product must consume the untruncated double (going through the
@@ -139,12 +169,14 @@ object Kmv {
             col("__hk").cast("double")).as("__u"))
     common.crossJoin(unionEst)
       .select(
-        (col("n_common").cast("double") /
-          col("n_union_hashes").cast("double"))
-          .cast("float").as("jaccard"),
-        (col("n_common").cast("double") /
-          col("n_union_hashes").cast("double") * col("__u"))
-          .cast("float").as("kmv_intersection"),
+        when(col("n_union_hashes") > 0,
+          (col("n_common").cast("double") /
+            col("n_union_hashes").cast("double"))
+            .cast("float")).as("jaccard"),
+        when(col("n_union_hashes") > 0,
+          (col("n_common").cast("double") /
+            col("n_union_hashes").cast("double") * col("__u"))
+            .cast("float")).as("kmv_intersection"),
         col("__u").cast("float").as("kmv_union"),
         col("n_common"), col("n_union_hashes"))
   }

@@ -65,14 +65,20 @@ object Recommend {
     * decimal-quantized cosine mass removed from that item's outgoing
     * edges). Empty output = the truncation was a no-op at this support
     * level. Per-item window over the catalog-sized sim frame — never
-    * touches the fact table. */
+    * touches the fact table.
+    *
+    * The input is localCheckpointed HERE because [[directional]]
+    * intrinsically scans it twice (one union branch per orientation):
+    * a caller passing a raw [[itemSims]] lineage would otherwise pay
+    * the whole Apriori chain twice for one observer read. Idempotent
+    * (cheap) on an already-checkpointed frame. */
   def truncationDropped(sims: DataFrame, maxSimilarPerItem: Int): DataFrame = {
     require(maxSimilarPerItem >= 1,
       s"maxSimilarPerItem must be >= 1, got $maxSimilarPerItem")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__i"))
       .orderBy(col("cosine").desc, col("__j"))
-    directional(sims)
+    directional(sims.localCheckpoint())
       .withColumn("__sr", row_number().over(w))
       .filter(col("__sr") > maxSimilarPerItem)
       .groupBy(col("__i").as("item"))
@@ -107,16 +113,36 @@ object Recommend {
                     minUsers: Long, minPairUsers: Long,
                     maxUserItems: Int = 10000,
                     maxSimilarPerItem: Option[Int] = None): DataFrame = {
-    require(n >= 1, s"n must be >= 1, got $n")
-    require(maxSimilarPerItem.forall(_ >= 1),
-      s"maxSimilarPerItem must be >= 1, got $maxSimilarPerItem")
-    // one presence materialization serves BOTH the similarity build
-    // (via its own presence pass — idempotent on an already-distinct
-    // frame) and the seen-set — the upstream fact join runs once, not
-    // twice
+    val (pres, sims) = presenceAndSims(df, user, item, minUsers,
+      minPairUsers, maxUserItems)
+    scoreTopN(pres, sims, user, item, n, maxSimilarPerItem)
+  }
+
+  /** The shared CF prelude, materialized ONCE: the (user, item)
+    * presence frame (serves both the similarity build — idempotent on
+    * an already-distinct frame — and the seen-set) and the item-item
+    * sims frame, each localCheckpointed. Public so audits that score
+    * the SAME graph more than once (the full-vs-truncated recall
+    * audit, rec_topn_recall) pay the Apriori chain — the dominant cost
+    * — exactly once and feed every [[scoreTopN]] pass from the cut. */
+  def presenceAndSims(df: DataFrame, user: String, item: String,
+                      minUsers: Long, minPairUsers: Long,
+                      maxUserItems: Int = 10000): (DataFrame, DataFrame) = {
     val pres = Market.presence(df, user, item).localCheckpoint()
     val sims = itemSims(pres, "__basket", "__item", minUsers, minPairUsers,
       maxUserItems).localCheckpoint() // feeds both join orientations
+    (pres, sims)
+  }
+
+  /** The scoring leg of [[recommendTopN]] over a prepared
+    * ([[presenceAndSims]]) pair — same semantics, no rebuild: edge
+    * truncation (when M is set), candidate join, seen-set anti-join,
+    * decimal-quantized score sum, per-user ranking. */
+  def scoreTopN(pres: DataFrame, sims: DataFrame, user: String, item: String,
+                n: Int, maxSimilarPerItem: Option[Int] = None): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(maxSimilarPerItem.forall(_ >= 1),
+      s"maxSimilarPerItem must be >= 1, got $maxSimilarPerItem")
     val dirAll = directional(sims)
     val dir = maxSimilarPerItem match {
       case Some(m) =>

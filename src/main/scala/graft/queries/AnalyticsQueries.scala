@@ -376,11 +376,16 @@ object AnalyticsQueries {
     // ── Recall audit of the truncated run against the full scoring
     // (the sim_recall_eval contract for the CF family): what fraction
     // of the exact top-3 pairs survive the top-10 edge cut, one row.
+    // The presence + sims frames materialize ONCE (presenceAndSims)
+    // and feed BOTH scoring passes — the audit is 2× scoring by
+    // construction, not 2× the whole Apriori chain.
     "rec_topn_recall" -> ((s, dir) => {
+      val (pres, sims) = Recommend.presenceAndSims(custBrand(s, dir),
+        user = "user_id", item = "brand", minUsers = 50L,
+        minPairUsers = 20L)
       def run(m: Option[Int]) =
-        Recommend.recommendTopN(custBrand(s, dir), user = "user_id",
-          item = "brand", n = 3, minUsers = 50L, minPairUsers = 20L,
-          maxSimilarPerItem = m)
+        Recommend.scoreTopN(pres, sims, user = "user_id", item = "brand",
+          n = 3, maxSimilarPerItem = m)
       val full = run(None).select(col("user_id"), col("brand"))
       val trunc = run(Some(10)).select(col("user_id"), col("brand"))
         .withColumn("__hit", lit(1))
@@ -1217,11 +1222,16 @@ object AnalyticsQueries {
     // bound a MEAN; this bounds a point), valid for ANY model under
     // exchangeability.
     "eval_conformal_interval" -> ((s, dir) => {
+      // the bucketed frame feeds THREE consumers (train mean, cal
+      // residuals, test audit) — cut once (the agg_mad ledger
+      // pattern), narrowed to the three columns they read
       val ev = Tables.events(s, dir)
         .filter(col("value").isNotNull && col("event_type").isNotNull &&
           col("event_id").isNotNull)
-        .withColumn("__b",
-          graft.ops.Sampling.hashBucket(col("event_id"), 100, tag = "split:"))
+        .select(col("event_type"), col("value"),
+          graft.ops.Sampling.hashBucket(col("event_id"), 100,
+            tag = "split:").as("__b"))
+        .localCheckpoint()
       val model = ev.filter(col("__b") < 50).groupBy(col("event_type"))
         .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
           count(lit(1)).cast("double")).as("__yhat"))
@@ -1263,6 +1273,39 @@ object AnalyticsQueries {
           score = col("value").cast("double") / lit(100.0),
           label = col("event_type") === "purchase", bins = 20)
         .orderBy(col("threshold"))
+    }),
+
+    // ── Binned precision/recall/F1 operating points — the
+    // imbalanced-corpus view the ROC front is numb to: precision
+    // reads "of what the gate keeps, how much is good", the number a
+    // curation threshold is chosen by at a rare-positive rate. Same
+    // ≤ bins machinery as eval_roc_points; the ~15% purchase base
+    // rate shows precision ≈ base rate at every threshold (the
+    // uninformative-score signature, beside the ROC diagonal).
+    "eval_pr_points" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull &&
+          col("value") >= 0 && col("value") <= 100)
+      Eval.prPoints(ev,
+          score = col("value").cast("double") / lit(100.0),
+          label = col("event_type") === "purchase", bins = 20)
+        .orderBy(col("threshold"))
+    }),
+
+    // ── Brier score with the Murphy calibration/refinement
+    // decomposition over the eval_calibration bins: the exact
+    // probability loss, what recalibration could remove
+    // (reliability), what the score genuinely separates (resolution
+    // ≈ 0 for the dummy scorer), the no-skill floor (uncertainty),
+    // and the measured binning residual — diagnosis beside the
+    // one number.
+    "eval_brier" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull &&
+          col("value") >= 0 && col("value") <= 100)
+      Eval.brier(ev,
+          score = col("value").cast("double") / lit(100.0),
+          label = col("event_type") === "purchase", bins = 10)
     }),
 
     // ── Cumulative gains / lift by global score decile (the
@@ -2866,6 +2909,81 @@ object AnalyticsQueries {
         |    CAST(CAST(n_neg_ge AS DOUBLE)/CAST(t.n AS DOUBLE) AS REAL)
         |    END AS fpr
         |FROM c, t ORDER BY threshold""".stripMargin,
+
+    // same ≤ bins machinery as the ROC oracle; precision/recall/f1
+    // replay the identical double chains (prec and rec each one
+    // division, f1 the harmonic mean of those exact doubles)
+    "eval_pr_points" ->
+      """WITH e AS (SELECT
+        |    CAST(value AS DOUBLE) / CAST(100.0 AS DOUBLE) AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND value >= 0 AND value <= 100),
+        | b AS (SELECT least(CAST(floor(score * CAST(20.0 AS DOUBLE))
+        |      AS BIGINT), 19) AS bin, y FROM e),
+        | g AS (SELECT bin, sum(y) AS pos, count(*) - sum(y) AS neg
+        |   FROM b GROUP BY 1),
+        | t AS (SELECT sum(pos) AS p FROM g),
+        | c AS (SELECT a.bin, sum(b2.pos) AS n_pos_ge, sum(b2.neg) AS n_neg_ge
+        |   FROM g a JOIN g b2 ON b2.bin >= a.bin GROUP BY 1),
+        | r AS (SELECT bin, n_pos_ge, n_neg_ge,
+        |    CAST(n_pos_ge AS DOUBLE) / CAST(n_pos_ge + n_neg_ge AS DOUBLE)
+        |      AS prec,
+        |    CAST(n_pos_ge AS DOUBLE) / CAST(t.p AS DOUBLE) AS rec, t.p AS p
+        |   FROM c, t)
+        |SELECT CAST(CAST(bin AS DOUBLE) / CAST(20.0 AS DOUBLE) AS REAL)
+        |    AS threshold,
+        |  CAST(n_pos_ge + n_neg_ge AS BIGINT) AS n_kept,
+        |  CAST(n_pos_ge AS BIGINT) AS n_pos_ge,
+        |  CAST(prec AS REAL) AS precision,
+        |  CASE WHEN p > 0 THEN CAST(rec AS REAL) END AS recall,
+        |  CASE WHEN p > 0 AND (prec + rec) > CAST(0.0 AS DOUBLE) THEN
+        |    CAST(CAST(2.0 AS DOUBLE) * prec * rec / (prec + rec) AS REAL)
+        |    END AS f1
+        |FROM r ORDER BY threshold""".stripMargin,
+
+    // exact Brier from per-row DECIMAL-quantized (s−y)² sums; the
+    // Murphy terms quantize each n_b·gap² before the ≤ bins-row sum —
+    // every reduction order-free, every mean one double division
+    "eval_brier" ->
+      """WITH e AS (SELECT
+        |    CAST(value AS DOUBLE) / CAST(100.0 AS DOUBLE) AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND value >= 0 AND value <= 100),
+        | b AS (SELECT least(CAST(floor(score * CAST(10.0 AS DOUBLE))
+        |      AS BIGINT), 9) AS bin, score, y FROM e),
+        | g AS (SELECT bin, count(*) AS n_bin, sum(y) AS x,
+        |    sum(CAST(score AS DECIMAL(30,12))) AS sc,
+        |    sum(CAST((score - CAST(y AS DOUBLE)) * (score - CAST(y AS DOUBLE))
+        |      AS DECIMAL(30,12))) AS se
+        |  FROM b GROUP BY 1),
+        | t AS (SELECT sum(n_bin) AS n, sum(se) AS sse,
+        |    CAST(sum(x) AS DOUBLE) / CAST(sum(n_bin) AS DOUBLE) AS ybar
+        |   FROM g),
+        | r AS (SELECT t.n, t.sse, t.ybar, n_bin,
+        |    CAST(x AS DOUBLE) / CAST(n_bin AS DOUBLE) AS rate,
+        |    CAST(sc AS DOUBLE) / CAST(n_bin AS DOUBLE) AS conf
+        |   FROM g, t),
+        | d AS (SELECT n, sse, ybar,
+        |    sum(CAST(CAST(n_bin AS DOUBLE) * (conf - rate) * (conf - rate)
+        |      AS DECIMAL(30,12))) AS rel,
+        |    sum(CAST(CAST(n_bin AS DOUBLE) * (rate - ybar) * (rate - ybar)
+        |      AS DECIMAL(30,12))) AS res
+        |   FROM r GROUP BY 1, 2, 3)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE) AS REAL) AS brier,
+        |  CAST(CAST(rel AS DOUBLE) / CAST(n AS DOUBLE) AS REAL)
+        |    AS reliability,
+        |  CAST(CAST(res AS DOUBLE) / CAST(n AS DOUBLE) AS REAL)
+        |    AS resolution,
+        |  CAST(ybar * (CAST(1.0 AS DOUBLE) - ybar) AS REAL) AS uncertainty,
+        |  CAST(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE) -
+        |    (CAST(rel AS DOUBLE) / CAST(n AS DOUBLE) -
+        |      CAST(res AS DOUBLE) / CAST(n AS DOUBLE) +
+        |      ybar * (CAST(1.0 AS DOUBLE) - ybar)) AS REAL)
+        |    AS binning_residual
+        |FROM d""".stripMargin,
 
     // the engine's distributed global ntile replays SQL ntile exactly
     // (integer bucket arithmetic), so the oracle uses ntile() directly

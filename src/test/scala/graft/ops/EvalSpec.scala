@@ -120,6 +120,71 @@ class EvalSpec extends SparkSpec {
     deg.head(3) shouldBe 1.0f
   }
 
+  test("prPoints: hand-computed operating points; recall/f1 NULL on " +
+    "no-positive input; precision never 0/0") {
+    // bins=2: low bin {0.1(y0), 0.2(y0), 0.3(y1)}, high {0.8(y1), 0.9(y1)}
+    val df = Seq((0.1, 0), (0.2, 0), (0.3, 1), (0.8, 1), (0.9, 1))
+      .toDF("s", "y")
+    val out = Eval.prPoints(df, col("s"), col("y"), bins = 2)
+      .orderBy(col("threshold")).rows
+    out.length shouldBe 2
+    // t=0: keeps all 5, 3 pos → precision 0.6, recall 1, f1 = 2·.6/1.6
+    out(0)(0) shouldBe 0.0f
+    out(0)(1) shouldBe 5L
+    out(0)(2) shouldBe 3L
+    out(0)(3).asInstanceOf[Float].toDouble shouldBe 0.6 +- 1e-6
+    out(0)(4) shouldBe 1.0f
+    out(0)(5).asInstanceOf[Float].toDouble shouldBe 0.75 +- 1e-6
+    // t=0.5: keeps the 2 high rows, both positive → precision 1,
+    // recall 2/3, f1 = 2·(2/3)/(5/3) = 0.8
+    out(1)(1) shouldBe 2L
+    out(1)(3) shouldBe 1.0f
+    out(1)(4).asInstanceOf[Float].toDouble shouldBe 2.0 / 3 +- 1e-6
+    out(1)(5).asInstanceOf[Float].toDouble shouldBe 0.8 +- 1e-6
+    // all-negative input: precision real (0), recall/f1 NULL
+    val noPos = Seq((0.1, 0), (0.9, 0)).toDF("s", "y")
+    val deg = Eval.prPoints(noPos, col("s"), col("y"), bins = 2).rows
+    all(deg.map(_(3) == 0.0f)) shouldBe true
+    all(deg.map(_(4) == null)) shouldBe true
+    all(deg.map(_(5) == null)) shouldBe true
+  }
+
+  test("brier: hand-computed score and Murphy terms; residual is zero " +
+    "when scores are constant within bins") {
+    // bin-constant scores (bins=2, scores 0.25 and 0.75):
+    // low bin {0.25: y=0, y=1}, high bin {0.75: y=1, y=1}
+    val df = Seq((0.25, 0), (0.25, 1), (0.75, 1), (0.75, 1)).toDF("s", "y")
+    val out = Eval.brier(df, col("s"), col("y"), bins = 2).rows.head
+    out(0) shouldBe 4L
+    // BS = (0.0625 + 0.5625 + 0.0625 + 0.0625)/4 = 0.1875
+    out(1).asInstanceOf[Float].toDouble shouldBe 0.1875 +- 1e-6
+    // ybar = 3/4; rel = (2·0.0625 + 2·0.0625)/4 = 0.0625
+    out(2).asInstanceOf[Float].toDouble shouldBe 0.0625 +- 1e-6
+    // res = (2·(0.5−0.75)² + 2·(1−0.75)²)/4 = 0.0625
+    out(3).asInstanceOf[Float].toDouble shouldBe 0.0625 +- 1e-6
+    // unc = 0.75·0.25 = 0.1875
+    out(4).asInstanceOf[Float].toDouble shouldBe 0.1875 +- 1e-6
+    // bin-constant scores → the three-term identity is exact
+    out(5).asInstanceOf[Float].toDouble shouldBe 0.0 +- 1e-6
+  }
+
+  test("label contract: a non-binary label fails loudly in every " +
+    "binned eval, never a silent rate > 1") {
+    val bad = Seq((0.5, 2), (0.6, 0)).toDF("s", "y")
+    val e1 = intercept[Exception] {
+      Eval.calibration(bad, col("s"), col("y"), bins = 2).rows
+    }
+    e1.getMessage should include("label must be 0/1")
+    val e2 = intercept[Exception] {
+      Eval.rocPoints(bad, col("s"), col("y"), bins = 2).rows
+    }
+    e2.getMessage should include("label must be 0/1")
+    val e3 = intercept[Exception] {
+      Eval.brier(bad, col("s"), col("y"), bins = 2).rows
+    }
+    e3.getMessage should include("label must be 0/1")
+  }
+
   test("cumulativeGains: hand-computed bands, shares and lift; " +
     "descending score order with deterministic tiebreak") {
     val df = Seq(

@@ -137,6 +137,22 @@ class FeaturesRecommendSpec extends SparkSpec {
     Recommend.truncationDropped(sims, 10).count() shouldBe 0L
   }
 
+  test("presenceAndSims + scoreTopN: the shared-prelude fold is " +
+    "row-identical to recommendTopN on both the full and truncated paths") {
+    val ub = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"),
+      (3L, "c")).toDF("u", "i")
+    val (pres, sims) = Recommend.presenceAndSims(ub, "u", "i",
+      minUsers = 1L, minPairUsers = 1L)
+    for (m <- Seq(None, Some(1), Some(10))) {
+      val folded = Recommend.scoreTopN(pres, sims, "u", "i", n = 2,
+        maxSimilarPerItem = m).orderBy("u", "rank").rows.map(_.toString)
+      val direct = Recommend.recommendTopN(ub, "u", "i", n = 2,
+        minUsers = 1L, minPairUsers = 1L, maxSimilarPerItem = m)
+        .orderBy("u", "rank").rows.map(_.toString)
+      folded shouldBe direct
+    }
+  }
+
   test("cohenKappa: hand-computed chance-corrected agreement; single-label case yields NULL") {
     val conf = Seq(("A", "A", 20L), ("A", "B", 5L), ("B", "A", 10L),
       ("B", "B", 15L)).toDF("gold", "pred", "n")

@@ -41,6 +41,26 @@ class KmvSpec extends SparkSpec {
     math.abs(est - 10000.0) / 10000.0 should be < (3.0 / math.sqrt(254.0))
   }
 
+  test("estimate: a frame larger than the declared k fails the shape " +
+    "contract loudly — never a fabricated is_exact") {
+    // a k=256 sketch (256 rows) under a declared k=64: without the
+    // guard the n<k branch is skipped but the k-th-hash estimator
+    // would silently use the wrong k; with it the contract fails fast
+    intercept[IllegalArgumentException] {
+      Kmv.estimate(Kmv.build(keys, "k", 256), 64)
+    }.getMessage should include("more than k=64")
+  }
+
+  test("jaccard: two empty sketches read NULL, never NaN") {
+    val empty = keys.filter(col("k") === "nope")
+    val r = Kmv.jaccard(Kmv.build(empty, "k", 64),
+      Kmv.build(empty, "k", 64), 64).rows.head
+    (r(0) == null) shouldBe true // jaccard
+    (r(1) == null) shouldBe true // kmv_intersection
+    r(3) shouldBe 0L             // n_common
+    r(4) shouldBe 0L             // n_union_hashes
+  }
+
   test("merge: per-slice sketches combine to the monolithic sketch " +
     "hash-for-hash; oversized frames fail the k contract") {
     val left = keys.filter(col("k") < "k3")
