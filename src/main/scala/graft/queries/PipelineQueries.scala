@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{CountMin, Hll, Reconcile, Reshape}
+import graft.ops.{CountMin, Hll, Kll, Percentiles, Reconcile, Reshape}
 import graft.pipeline.StockPipeline
 import graft.sources.{LakeReader, LakeWriter, VersionedLake}
 import graft.streaming.EventStreams
@@ -508,6 +508,49 @@ object PipelineQueries {
           pct(0.5, "p50_cents"), pct(0.95, "p95_cents"),
           pct(0.99, "p99_cents"))
         .orderBy(col("window_start"))
+    }),
+
+    // LIVE windowed quantiles on an UNBOUNDED value domain — the KLL
+    // sibling of stream_pctile_live for metrics where the histogram's
+    // declared range/binWidth has nothing to declare: each micro-batch
+    // appends its own ≤ k-row deterministic sketch per hour window
+    // (ZERO streaming state — no state store at all), the fold is one
+    // multiway merge per finalized window plus the weighted
+    // nearest-rank pick, measured BESIDE the exact per-window
+    // quantiles. The oracle replays the staged lake's single-slice
+    // case (one source file → one micro-batch → one partial per
+    // window, then the fold's recompaction); the multi-batch fold is
+    // the same compactByGroup call, spec-covered with its additive
+    // error band.
+    "stream_kll_live" -> ((s, dir) => {
+      val (raw, tmp) = stageStream(s, dir, "events", "graft_skll")
+      val src = raw.withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      awaitScoped(s)(EventStreams.kllPartialsToLake(src, s"$tmp/sink",
+        s"$tmp/ckpt", value = "value", k = 64))
+      val bound = Tables.events(s, dir)
+        .agg((max(col("ts_utc")) - expr("INTERVAL 20 MINUTES")).as("bound"))
+      val ps = Seq(0.5, 0.95, 0.99)
+      val partials = LakeReader.read(s, s"$tmp/sink")
+        .crossJoin(broadcast(bound))
+        .filter(col("window_end") <= col("bound"))
+        .select(col("window_start"), col("kll_value"), col("kll_weight"))
+      val sk = Kll.compactByGroup(partials, Seq("window_start"), k = 64)
+      val q = Kll.quantilesByGroup(sk, Seq("window_start"), ps, k = 64)
+      val exact = Percentiles.nearestRank(
+          Tables.events(s, dir)
+            .select(date_trunc("hour", col("ts_utc")).as("window_start"),
+              col("value"))
+            .crossJoin(broadcast(bound))
+            .filter(col("window_start") + expr("INTERVAL 1 HOUR") <=
+              col("bound")),
+          Seq("window_start"), "value", ps)
+        .select(col("window_start"), col("p"),
+          col("pct_value").cast("double").as("__ex"))
+      q.join(exact, Seq("window_start", "p"))
+        .select(col("window_start"), col("p"),
+          col("kll_q").cast("float").as("kll_q"),
+          col("__ex").cast("float").as("exact_q"), col("n_weight"))
+        .orderBy(col("window_start"), col("p"))
     }),
 
     "stream_topk_live" -> ((s, dir) => {
@@ -1118,6 +1161,61 @@ object PipelineQueries {
         |  CAST(min(CASE WHEN cum >= ceil(CAST(0.99 AS DOUBLE) * n)
         |    THEN bin * 100 END) AS BIGINT) AS p99_cents
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // two chained compactions replayed keyed by window (the staged
+    // lake's single-slice case: build per window, then the fold's
+    // recompaction), same md5 offsets, same weighted nearest-rank pick
+    "stream_kll_live" ->
+      """WITH b AS (SELECT max(ts) - INTERVAL '20 minutes' AS bound FROM events),
+        | fin AS (SELECT date_trunc('hour', ts) AS ws,
+        |     CAST(value AS DOUBLE) AS val
+        |   FROM events, b
+        |   WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= b.bound
+        |     AND value IS NOT NULL),
+        | led1 AS (SELECT ws, val, count(*) AS w FROM fin GROUP BY 1, 2),
+        | cum1 AS (SELECT ws, val, w,
+        |     sum(w) OVER (PARTITION BY ws ORDER BY val) AS cm FROM led1),
+        | tot1 AS (SELECT ws, sum(w) AS wt FROM led1 GROUP BY 1),
+        | prm1 AS (SELECT ws, wt, (wt + 63) // 64 AS step,
+        |    1 + (CAST(concat('0x', substr(md5(concat('kll:',
+        |      CAST(wt AS VARCHAR))), 1, 15)) AS BIGINT) %
+        |      ((wt + 63) // 64)) AS phi FROM tot1),
+        | sk1 AS (SELECT c.ws, val,
+        |    ((CASE WHEN cm >= phi THEN (cm - phi) // step + 1 ELSE 0 END) -
+        |     (CASE WHEN cm - w >= phi THEN (cm - w - phi) // step + 1
+        |       ELSE 0 END)) * step AS kw
+        |   FROM cum1 c JOIN prm1 p ON p.ws = c.ws),
+        | part AS (SELECT ws, val, kw FROM sk1 WHERE kw > 0),
+        | cum2 AS (SELECT ws, val, kw,
+        |     sum(kw) OVER (PARTITION BY ws ORDER BY val) AS cm FROM part),
+        | tot2 AS (SELECT ws, sum(kw) AS wt FROM part GROUP BY 1),
+        | prm2 AS (SELECT ws, wt, (wt + 63) // 64 AS step,
+        |    1 + (CAST(concat('0x', substr(md5(concat('kll:',
+        |      CAST(wt AS VARCHAR))), 1, 15)) AS BIGINT) %
+        |      ((wt + 63) // 64)) AS phi FROM tot2),
+        | sk2 AS (SELECT c.ws, val,
+        |    ((CASE WHEN cm >= phi THEN (cm - phi) // step + 1 ELSE 0 END) -
+        |     (CASE WHEN cm - kw >= phi THEN (cm - kw - phi) // step + 1
+        |       ELSE 0 END)) * step AS kw
+        |   FROM cum2 c JOIN prm2 p ON p.ws = c.ws),
+        | sk3 AS (SELECT ws, val, kw FROM sk2 WHERE kw > 0),
+        | cum3 AS (SELECT ws, val, kw,
+        |     sum(kw) OVER (PARTITION BY ws ORDER BY val) AS cw FROM sk3),
+        | tot3 AS (SELECT ws, sum(kw) AS w2 FROM sk3 GROUP BY 1),
+        | pk AS (SELECT c.ws, p, val AS kll_q, t.w2
+        |   FROM cum3 c JOIN tot3 t ON t.ws = c.ws,
+        |    (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS p)
+        |   WHERE cw - kw < ceil(p * w2) AND ceil(p * w2) <= cw),
+        | rr AS (SELECT ws, val,
+        |     row_number() OVER (PARTITION BY ws ORDER BY val) AS rn,
+        |     count(*) OVER (PARTITION BY ws) AS n FROM fin),
+        | ex AS (SELECT ws, p, val AS exact_q FROM rr,
+        |    (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS p)
+        |   WHERE rn = ceil(p * n))
+        |SELECT pk.ws AS window_start, pk.p, CAST(kll_q AS REAL) AS kll_q,
+        |  CAST(exact_q AS REAL) AS exact_q, CAST(w2 AS BIGINT) AS n_weight
+        |FROM pk JOIN ex ON ex.ws = pk.ws AND ex.p = pk.p
+        |ORDER BY 1, 2""".stripMargin,
 
     "stream_drift_live" ->
       """WITH b AS (SELECT max(ts) - INTERVAL '20 minutes' AS bound FROM events),

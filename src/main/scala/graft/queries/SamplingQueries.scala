@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{CountMin, Dedup, Hll, Kmv, Packing, Sampling, Snapshot, TextAnalysis, Vocab}
+import graft.ops.{CountMin, Dedup, Hll, Kll, Kmv, Packing, Percentiles, Sampling, Snapshot, TextAnalysis, Vocab}
 
 /** Training-data curation layer over `documents`: deterministic
   * splits/samples/mixtures, vocabulary + TF-IDF, token-budget packing,
@@ -224,6 +224,25 @@ object SamplingQueries {
       Kmv.jaccard(Kmv.build(a, "o_custkey", k = 256),
           Kmv.build(b, "o_custkey", k = 256), k = 256)
         .crossJoin(exact)
+    }),
+
+    // KLL-style deterministic rank sketch on an UNBOUNDED value
+    // domain: ≤ 512-row sketch of l_extendedprice (no declared range,
+    // unlike the histogram family), p50/p90/p99 from the weighted
+    // nearest-rank pick, measured BESIDE the exact ledger quantiles —
+    // the documented 2·step+1 rank band is visible in the output. The
+    // systematic md5-offset compaction replays bit-for-bit in DuckDB.
+    "freq_kll_quantiles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_extendedprice"))
+      val ps = Seq(0.5, 0.9, 0.99)
+      val q = Kll.quantiles(Kll.build(li, "l_extendedprice", k = 512),
+        ps, k = 512)
+      val exact = Percentiles.nearestRank(li, Nil, "l_extendedprice", ps)
+        .select(col("p"), col("pct_value").cast("double").as("__ex"))
+      q.join(broadcast(exact), Seq("p"))
+        .select(col("p"), col("kll_q").cast("float").as("kll_q"),
+          col("__ex").cast("float").as("exact_q"), col("n_weight"))
+        .orderBy(col("p"))
     }),
 
     // learned BPE merge table: 8 most-frequent-pair merges over the
@@ -890,6 +909,44 @@ object SamplingQueries {
         |  CAST(n_union_hashes AS BIGINT) AS n_union_hashes,
         |  CAST(x.n_exact_intersection AS BIGINT) AS n_exact_intersection
         |FROM nc, uest, x""".stripMargin,
+
+    // full sketch replay: same ledger + window prefix sum, same
+    // ceil-div step, same md5 offset, same weighted nearest-rank pick
+    // — exact integers until the REAL surfaces
+    "freq_kll_quantiles" ->
+      """WITH ledger AS (SELECT CAST(l_extendedprice AS DOUBLE) AS val,
+        |    count(*) AS w
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        | cum AS (SELECT val, w, sum(w) OVER (ORDER BY val) AS cm
+        |   FROM ledger),
+        | tot AS (SELECT sum(w) AS wt FROM ledger),
+        | prm AS (SELECT wt, (wt + 511) // 512 AS step,
+        |    1 + (CAST(concat('0x', substr(md5(concat('kll:',
+        |      CAST(wt AS VARCHAR))), 1, 15)) AS BIGINT) %
+        |      ((wt + 511) // 512)) AS phi FROM tot),
+        | sk AS (SELECT val,
+        |    ((CASE WHEN cm >= phi THEN (cm - phi) // step + 1 ELSE 0 END) -
+        |     (CASE WHEN cm - w >= phi THEN (cm - w - phi) // step + 1
+        |       ELSE 0 END)) * step AS kw
+        |   FROM cum, prm),
+        | sk2 AS (SELECT val, kw FROM sk WHERE kw > 0),
+        | scm AS (SELECT val, kw, sum(kw) OVER (ORDER BY val) AS cw
+        |   FROM sk2),
+        | sw AS (SELECT sum(kw) AS w2 FROM sk2),
+        | pk AS (SELECT p, val AS kll_q, w2 FROM scm, sw,
+        |    (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS p)
+        |   WHERE cw - kw < ceil(p * w2) AND ceil(p * w2) <= cw),
+        | rr AS (SELECT l_extendedprice AS v,
+        |     row_number() OVER (ORDER BY l_extendedprice) AS rn,
+        |     count(*) OVER () AS n
+        |   FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        | ex AS (SELECT p, CAST(v AS DOUBLE) AS exact_q FROM rr,
+        |    (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS p)
+        |   WHERE rn = ceil(p * n))
+        |SELECT pk.p, CAST(kll_q AS REAL) AS kll_q,
+        |  CAST(ex.exact_q AS REAL) AS exact_q,
+        |  CAST(w2 AS BIGINT) AS n_weight
+        |FROM pk JOIN ex USING (p) ORDER BY p""".stripMargin,
 
     // integer replay: same md5 cells, per-row Σ cnt², min over rows
     "freq_cms_selfjoin_f2" ->

@@ -433,6 +433,42 @@ object EventStreams {
       }
   }
 
+  /** Per-micro-batch partial KLL sketches per window, appended to the
+    * lake — the quantile monitor for UNBOUNDED value domains where
+    * [[histWindowed]]'s declared range/binWidth contract has nothing
+    * to declare (latencies, token counts, heavy tails). ZERO streaming
+    * state: each batch builds its own ≤ k-row deterministic sketch per
+    * window ([[graft.ops.Kll.buildByGroup]] — one groupBy + ledger
+    * prefix sum on batch-local data) and appends it; no state store,
+    * no watermark expiry to size, sink growth ≤ k rows per (window,
+    * batch). The fold is ONE multiway merge per window
+    * ([[graft.ops.Kll.compactByGroup]] over the ≤ k·batches partial
+    * rows) plus a weighted nearest-rank pick — Kll's documented
+    * additive error band, with merge depth = the number of batches
+    * that touched the window. Emits (window_start, window_end,
+    * kll_value, kll_weight) partials; finalize windows with the
+    * watermark-bound filter the other stream folds use. */
+  def kllPartialsToLake(stream: DataFrame, sinkPath: String,
+                        checkpoint: String, value: String = "value",
+                        k: Int = 256, tsCol: String = "ts_utc",
+                        windowLen: String = "1 hour",
+                        trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Kll.buildByGroup(
+            batch.filter(col(value).isNotNull)
+              .withColumn("__w", window(col(tsCol), windowLen))
+              .select(col("__w.start").as("window_start"),
+                col("__w.end").as("window_end"), col(value)),
+            Seq("window_start", "window_end"), value, k)
+          .write.mode("append").parquet(sinkPath)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Stream → serving upsert: merge each micro-batch into a keyed
     * warehouse (streaming replacement for the reference's
     * watermark+DELETE+append load, load_stock_metrics.py:40-89). */

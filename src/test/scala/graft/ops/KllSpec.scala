@@ -1,0 +1,127 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KllSpec extends SparkSpec {
+  import spark.implicits._
+
+  // uniform multiset: value i at rank i, so rank error reads directly
+  // as value error
+  private val uniform = (1 to 10000).map(_.toDouble).toDF("v")
+
+  private def exactQ(df: org.apache.spark.sql.DataFrame,
+                     ps: Seq[Double]): Map[Double, Double] =
+    Percentiles.nearestRank(df, Nil, "v", ps).rows
+      .map(r => r(0).asInstanceOf[Double] ->
+        r(1).asInstanceOf[Double]).toMap
+
+  test("build: exact below k (step 1 keeps every rank); quantile picks " +
+    "equal the nearest-rank values; nulls carry no evidence") {
+    val small = (1 to 100).map(_.toDouble).toDF("v")
+    val sk = Kll.build(small, "v", k = 256)
+    sk.count() shouldBe 100L
+    sk.agg(sum("kll_weight")).rows.head.head shouldBe 100L
+    val ps = Seq(0.25, 0.5, 0.99)
+    val qs = Kll.quantiles(sk, ps, 256).rows
+      .map(r => r(0).asInstanceOf[Double] -> r(1).asInstanceOf[Double]).toMap
+    val ex = exactQ(small, ps)
+    ps.foreach(p => qs(p) shouldBe ex(p))
+    // nulls excluded
+    Kll.build(small.unionByName(Seq(Option.empty[Double]).toDF("v")),
+      "v", 256).agg(sum("kll_weight")).rows.head.head shouldBe 100L
+  }
+
+  test("build: <= k rows and quantiles within the documented " +
+    "2*step + 1 rank band on a 10000-value uniform multiset") {
+    val k = 256
+    val step = (10000 + k - 1) / k // 40
+    val sk = Kll.build(uniform, "v", k)
+    sk.count() should be <= k.toLong
+    val ps = Seq(0.1, 0.5, 0.9, 0.99)
+    val qs = Kll.quantiles(sk, ps, k).rows
+      .map(r => r(0).asInstanceOf[Double] -> r(1).asInstanceOf[Double]).toMap
+    val ex = exactQ(uniform, ps)
+    ps.foreach { p =>
+      math.abs(qs(p) - ex(p)) should be <= (2 * step + 1).toDouble
+    }
+  }
+
+  test("build: deterministic — the same multiset compacts to the " +
+    "identical sketch, rows and weights") {
+    val a = Kll.build(uniform, "v", 64).orderBy("kll_value").rows
+    val b = Kll.build(uniform, "v", 64).orderBy("kll_value").rows
+    a.map(_.toString) shouldBe b.map(_.toString)
+  }
+
+  test("merge: per-slice sketches combine within the additive error " +
+    "band; shape contract rejects oversized and mis-schema'd frames") {
+    val k = 256
+    val lo = uniform.filter(col("v") <= 5000)
+    val hi = uniform.filter(col("v") > 5000)
+    val merged = Kll.merge(k, Kll.build(lo, "v", k), Kll.build(hi, "v", k))
+    merged.count() should be <= k.toLong
+    // err(build_half) < 2*20 ranks each, final compaction < 2*40 + 1
+    val band = (2 * 20 + 2 * 20 + 2 * 40 + 1).toDouble
+    val ps = Seq(0.5, 0.9)
+    val qs = Kll.quantiles(merged, ps, k).rows
+      .map(r => r(0).asInstanceOf[Double] -> r(1).asInstanceOf[Double]).toMap
+    val ex = exactQ(uniform, ps)
+    ps.foreach(p => math.abs(qs(p) - ex(p)) should be <= band)
+    // a k=1024 sketch does not fit a declared k=64 merge
+    intercept[IllegalArgumentException] {
+      Kll.merge(64, Kll.build(uniform, "v", 1024))
+    }.getMessage should include("more than k=64")
+    intercept[IllegalArgumentException] {
+      Kll.merge(64, uniform)
+    }.getMessage should include("kll_value")
+    // quantiles carries the same probe
+    intercept[IllegalArgumentException] {
+      Kll.quantiles(Kll.build(uniform, "v", 1024), Seq(0.5), 64)
+    }.getMessage should include("more than k=64")
+    intercept[IllegalArgumentException] {
+      Kll.quantiles(Kll.build(uniform, "v", 64), Seq(1.5), 64)
+    }
+  }
+
+  test("buildByGroup + quantilesByGroup: per-group sketches, exact " +
+    "below k per group, banded above; compactByGroup is the multiway " +
+    "merge") {
+    val k = 64
+    // group a: 50 values (exact); group b: 2000 values (sketched)
+    val df = ((1 to 50).map(i => ("a", i.toDouble)) ++
+      (1 to 2000).map(i => ("b", i.toDouble))).toDF("g", "v")
+    val sk = Kll.buildByGroup(df, Seq("g"), "v", k)
+    sk.filter(col("g") === "a").count() shouldBe 50L
+    sk.filter(col("g") === "b").count() should be <= k.toLong
+    val qs = Kll.quantilesByGroup(sk, Seq("g"), Seq(0.5), k).rows
+      .map(r => r(0).toString -> r(2).asInstanceOf[Double]).toMap
+    qs("a") shouldBe 25.0 // exact group: the nearest-rank value itself
+    val stepB = (2000 + k - 1) / k // 32
+    math.abs(qs("b") - 1000.0) should be <= (2 * stepB + 1).toDouble
+    // multiway merge: per-slice partials unioned into one ledger
+    val slices = (0 until 4).map(i =>
+      Kll.buildByGroup(df.filter(pmod(col("v").cast("long"), lit(4)) === i),
+        Seq("g"), "v", k))
+    val merged = Kll.compactByGroup(
+      slices.reduce(_ unionByName _), Seq("g"), k)
+    merged.groupBy("g").count().rows
+      .foreach(r => r(1).asInstanceOf[Long] should be <= k.toLong)
+    val mq = Kll.quantilesByGroup(merged, Seq("g"), Seq(0.5), k).rows
+      .map(r => r(0).toString -> r(2).asInstanceOf[Double]).toMap
+    // slices ~500 values each: err < 4 slices · 2·ceil(500/64) + 2·32
+    math.abs(mq("b") - 1000.0) should be <= (4 * 2 * 8 + 2 * 32 + 1).toDouble
+  }
+
+  test("merge == build on the union when nothing recompacts away: " +
+    "weights add exactly on the shared value ledger") {
+    // two slices small enough that every path stays exact
+    val a = (1 to 50).map(_.toDouble).toDF("v")
+    val b = (26 to 75).map(_.toDouble).toDF("v") // overlap 26..50
+    val merged = Kll.merge(256, Kll.build(a, "v", 256),
+      Kll.build(b, "v", 256))
+    val direct = Kll.build(a.unionByName(b), "v", 256)
+    merged.orderBy("kll_value").rows.map(_.toString) shouldBe
+      direct.orderBy("kll_value").rows.map(_.toString)
+  }
+}
