@@ -100,6 +100,15 @@ object Kll {
                      k: Int): DataFrame = {
     checkK(k)
     checkSketchFrame(ledger, keys)
+    systematicKeep(cumulate(ledger, keys), keys, k)
+  }
+
+  /** The shared prefix-sum prelude: fold duplicate values, cumulate
+    * the ledger distributed, broadcast-join the per-group totals back.
+    * Output: (keys…, kll_value, kll_weight, __cum, __w). The range
+    * sort + checkpoint inside [[Ranking.withRunningTotals]] happens
+    * HERE, once — both the compaction and any exact pick read it. */
+  private def cumulate(ledger: DataFrame, keys: Seq[String]): DataFrame = {
     val keyCols = keys.map(col)
     val folded = ledger
       .groupBy((keyCols :+ col("kll_value")): _*)
@@ -108,6 +117,13 @@ object Kll {
       Seq("kll_weight" -> "__cum"))
     val tot = cum.groupBy(keyCols: _*).agg(sum(col("kll_weight")).as("__w"))
     joinTot(cum, tot, keys)
+  }
+
+  /** The systematic-rank keep over a [[cumulate]]d ledger — the
+    * compaction arithmetic itself. */
+  private def systematicKeep(withTot: DataFrame, keys: Seq[String],
+                             k: Int): DataFrame =
+    withTot
       .withColumn("__step", expr(s"(__w + ${k - 1}) div $k"))
       .withColumn("__phi",
         lit(1L) + pmod(hash60(col("__w")), col("__step")))
@@ -117,8 +133,41 @@ object Kll {
         expr("CASE WHEN __cum - kll_weight >= __phi " +
           "THEN (__cum - kll_weight - __phi) div __step + 1 ELSE 0 END"))
       .filter(col("__kept") > 0)
-      .select(keyCols ++ Seq(col("kll_value"),
+      .select(keys.map(col) ++ Seq(col("kll_value"),
         (col("__kept") * col("__step")).as("kll_weight")): _*)
+
+  /** Sketch-beside-exact audit from ONE cumulated ledger — the
+    * (estimate, exact) comparison every sketch query in this repo
+    * ships, at one ledger pass instead of two: the prefix sum is
+    * computed once; the compaction keeps its systematic sample from
+    * it while the EXACT weighted nearest-rank quantiles
+    * ([[Percentiles.weightedNearestRank]] semantics) pick from the
+    * very same cumulative — so the audit costs one bounded triangular
+    * close more than the sketch alone, never a second data-sized
+    * sort. Output: (keys…, p, kll_q, exact_q, n_weight) — kll_q from
+    * the ≤ k-row sketch, exact_q the true quantile, n_weight the
+    * sketch's Σ weight. */
+  def auditQuantiles(ledger: DataFrame, keys: Seq[String], ps: Seq[Double],
+                     k: Int): DataFrame = {
+    checkK(k)
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"quantiles must lie in (0, 1], got $ps")
+    checkSketchFrame(ledger, keys)
+    val withTot = cumulate(ledger, keys)
+    // ≤ k rows per group by construction — checkpointed because the
+    // quantile close reads it three times (two triangular sides + tot)
+    val sk = systematicKeep(withTot, keys, k).localCheckpoint()
+    val q = quantilesByGroup(sk, keys, ps, k, probed = true)
+    val exact = withTot
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .filter(col("__cum") - col("kll_weight") <
+          ceil(col("p") * col("__w")) &&
+        ceil(col("p") * col("__w")) <= col("__cum"))
+      .select(keys.map(col) ++ Seq(col("p"),
+        col("kll_value").as("exact_q")): _*)
+    q.join(broadcast(exact), keys :+ "p")
+      .select(keys.map(col) ++ Seq(col("p"), col("kll_q"), col("exact_q"),
+        col("n_weight")): _*)
   }
 
   /** Build a ≤ k-row sketch of `value` (cast to DOUBLE — the portable

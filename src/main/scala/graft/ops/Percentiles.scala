@@ -218,6 +218,50 @@ object Percentiles {
         max(col("__tot")).as("total_weight"))
   }
 
+  /** Weighted nearest-rank quantiles per group — [[weightedMedian]]
+    * generalized to any p-list (and [[nearestRank]] generalized to
+    * weighted rows): for each p in (0, 1] the value whose cumulative
+    * weight range contains ⌈p·W⌉, W = the group's total weight. A
+    * row with weight w stands for w observations, so this over a
+    * (value, count) ledger is EXACTLY nearestRank over the rows the
+    * ledger summarizes — the shared-ledger form for pipelines that
+    * already hold weighted/aggregated data (pre-collapsed ledgers,
+    * sketch partials, importance weights).
+    *
+    * Weights must be non-negative integers ([[weightedMedian]]'s
+    * contract — the cumulative compare stays exact int64); zero-weight
+    * rows carry no mass and are excluded with nulls. ⌈p·W⌉ is the one
+    * double product, the same fixed chain in both engines
+    * ([[nearestRank]]'s discipline). Output: (keys…, p, pct_value).
+    *
+    * Shape: one groupBy collapses duplicate values (map-side
+    * combined), [[Ranking.withRunningTotals]] cumulates the ledger
+    * distributed, the p-list explodes over ledger rows, the pick is a
+    * pure filter — no per-group sort, no single-task window. */
+  def weightedNearestRank(df: DataFrame, keys: Seq[String], value: String,
+                          weight: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"percentiles must lie in (0, 1], got $ps")
+    val vw = df.filter(col(value).isNotNull && col(weight).isNotNull &&
+        col(weight) > 0)
+      .groupBy((keys.map(col) :+ col(value).as("__v")): _*)
+      .agg(sum(col(weight).cast("long")).as("__w"))
+    val cum = Ranking.withRunningTotals(vw, keys, Seq(col("__v")),
+      Seq("__w" -> "__cum"))
+    val tot = cum.groupBy(keys.map(col): _*).agg(sum(col("__w")).as("__tot"))
+    val withTot =
+      if (keys.isEmpty) cum.crossJoin(broadcast(tot))
+      else cum.as("__c").join(broadcast(tot).as("__t"),
+          keys.map(k => col(s"__c.$k") <=> col(s"__t.$k")).reduce(_ && _))
+        .select(cum.columns.map(c => col(s"__c.$c")) :+
+          col("__t.__tot"): _*)
+    withTot
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .filter(col("__cum") - col("__w") < ceil(col("p") * col("__tot")) &&
+        ceil(col("p") * col("__tot")) <= col("__cum"))
+      .select(keys.map(col) :+ col("p") :+ col("__v").as("pct_value"): _*)
+  }
+
   /** Equi-depth histogram: `buckets` variable-width bins each holding
     * ~n/buckets rows — the ANALYZE-style statistic behind selectivity
     * estimation and quantile-bucketed feature binning (equal-WIDTH is

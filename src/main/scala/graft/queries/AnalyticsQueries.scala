@@ -148,6 +148,18 @@ object AnalyticsQueries {
           ps = Seq(0.5, 0.9, 0.99))
         .orderBy(col("event_type"), col("p"))),
 
+    // ── Volume-weighted price quantiles per return flag: each price
+    // counts its quantity, not its row — the weighted nearest-rank
+    // pick (weightedMedian generalized to a p-list). Exact int64
+    // cumulative over the (flag, price) ledger, no per-group sort.
+    "agg_weighted_quantiles" -> ((s, dir) =>
+      Percentiles.weightedNearestRank(
+          Tables.lineitem(s, dir).select(col("l_returnflag"),
+            col("l_extendedprice"), col("l_quantity")),
+          keys = Seq("l_returnflag"), value = "l_extendedprice",
+          weight = "l_quantity", ps = Seq(0.5, 0.9))
+        .orderBy(col("l_returnflag"), col("p"))),
+
     // ── Batch CDC apply: orders act as a balance changelog over the
     // customer base — last change per key wins, 'F' status deletes,
     // open/pending statuses upsert o_totalprice as the new balance.
@@ -1600,6 +1612,24 @@ object AnalyticsQueries {
         |SELECT event_type, p, value AS pct_value
         |FROM x WHERE rn = ceil(p * n)
         |ORDER BY event_type, p""".stripMargin,
+
+    // weighted ledger + window prefix sum; the same ceil(p·W) pick in
+    // exact integer cumulative arithmetic
+    "agg_weighted_quantiles" ->
+      """WITH vw AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    sum(CAST(l_quantity AS BIGINT)) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_quantity > 0
+        |  GROUP BY 1, 2),
+        | cum AS (SELECT g, v, w,
+        |    sum(w) OVER (PARTITION BY g ORDER BY v) AS cm FROM vw),
+        | tot AS (SELECT g, sum(w) AS n FROM vw GROUP BY 1)
+        |SELECT c.g AS l_returnflag, p, c.v AS pct_value
+        |FROM cum c JOIN tot t ON t.g = c.g,
+        |  (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS p)
+        |WHERE c.cm - c.w < ceil(p * t.n) AND ceil(p * t.n) <= c.cm
+        |ORDER BY 1, 2""".stripMargin,
 
     "cdc_apply" -> cdcSnapshotOracle,
 

@@ -233,15 +233,17 @@ object SamplingQueries {
     // the documented 2·step+1 rank band is visible in the output. The
     // systematic md5-offset compaction replays bit-for-bit in DuckDB.
     "freq_kll_quantiles" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir).select(col("l_extendedprice"))
-      val ps = Seq(0.5, 0.9, 0.99)
-      val q = Kll.quantiles(Kll.build(li, "l_extendedprice", k = 512),
-        ps, k = 512)
-      val exact = Percentiles.nearestRank(li, Nil, "l_extendedprice", ps)
-        .select(col("p"), col("pct_value").cast("double").as("__ex"))
-      q.join(broadcast(exact), Seq("p"))
+      // ONE raw collapse, ONE prefix sum (Kll.auditQuantiles — the
+      // agg_mad shared-scaffolding discipline): the compaction keeps
+      // its systematic sample from the same cumulated ledger the
+      // exact weighted nearest-rank audit picks from
+      val ledger = Tables.lineitem(s, dir)
+        .filter(col("l_extendedprice").isNotNull)
+        .groupBy(col("l_extendedprice").cast("double").as("kll_value"))
+        .agg(count(lit(1)).as("kll_weight"))
+      Kll.auditQuantiles(ledger, Nil, ps = Seq(0.5, 0.9, 0.99), k = 512)
         .select(col("p"), col("kll_q").cast("float").as("kll_q"),
-          col("__ex").cast("float").as("exact_q"), col("n_weight"))
+          col("exact_q").cast("float").as("exact_q"), col("n_weight"))
         .orderBy(col("p"))
     }),
 

@@ -198,6 +198,32 @@ class PercentilesCdcSpec extends SparkSpec {
       .rows.head(1) shouldBe 10.0
   }
 
+  test("weightedNearestRank: equals nearestRank on the expanded rows; " +
+    "p=0.5 agrees with weightedMedian; zero/null weights excluded") {
+    val df = Seq(
+      ("g1", 1.0, Some(3L)), ("g1", 2.0, Some(1L)), ("g1", 9.0, Some(2L)),
+      ("g2", 5.0, Some(1L)), ("g2", 7.0, Some(1L)),
+      ("g3", 4.0, Some(0L)), ("g3", 6.0, None)
+    ).toDF("g", "v", "w")
+    val ps = Seq(0.25, 0.5, 0.9, 1.0)
+    val out = Percentiles.weightedNearestRank(df, Seq("g"), "v", "w", ps)
+      .rows.map(r => (r(0).toString, r(1).asInstanceOf[Double]) ->
+        r(2).asInstanceOf[Double]).toMap
+    // expand each row weight-many times and compare against nearestRank
+    val expanded = Seq.fill(3)(("g1", 1.0)) ++ Seq(("g1", 2.0)) ++
+      Seq.fill(2)(("g1", 9.0)) ++ Seq(("g2", 5.0), ("g2", 7.0))
+    val exact = Percentiles.nearestRank(expanded.toDF("g", "v"),
+        Seq("g"), "v", ps)
+      .rows.map(r => (r(0).toString, r(1).asInstanceOf[Double]) ->
+        r(2).asInstanceOf[Double]).toMap
+    out shouldBe exact
+    out(("g1", 0.5)) shouldBe 1.0 // the weightedMedian reading
+    out.keys.count(_._1 == "g3") shouldBe 0
+    intercept[IllegalArgumentException] {
+      Percentiles.weightedNearestRank(df, Seq("g"), "v", "w", Seq(0.0))
+    }
+  }
+
   test("medianAbsoluteDeviation: equals the two-pass nearestRank form " +
     "on grouped, tied, null-laden, and null-key input") {
     val df = Seq(
