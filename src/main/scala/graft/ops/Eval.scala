@@ -230,6 +230,48 @@ object Eval {
           (lit(2.0) * prec * rec / (prec + rec)).cast("float")).as("f1"))
   }
 
+  /** Binned average precision — the scalar that summarizes
+    * [[prPoints]]' front the way AUC summarizes ROC, and the one to
+    * report on a rare-positive corpus (a random scorer reads AP ≈ the
+    * prevalence, not 0.5): step-wise AP = Σ_b ΔR_b · P_b over
+    * descending thresholds, where the recall step at bin b is
+    * pos_b / P and the precision is the bin's ≥-threshold operating
+    * point — so each occupied bin contributes
+    * pos_b · precision_b / P and no extra pass is needed beyond
+    * prPoints' own cumulatives.
+    *
+    * One row: n_pos, n_neg, avg_precision (NULL on a no-positive
+    * input — one-class surfaces as NULL, the family convention) and
+    * prevalence (the random-scorer baseline to read AP against).
+    * Each term quantizes to DECIMAL(30,12) before the ≤ bins-row sum
+    * (order-free). Same ≤ bins-row machinery as [[rocPoints]]. */
+  def averagePrecision(df: DataFrame, score: Column, label: Column,
+                       bins: Int = 20): DataFrame = {
+    val base = binnedBase(df, score, label, bins)
+    val byBin = base.groupBy(col("bin"))
+      .agg(sum(col("__y").cast("long")).as("__pos"),
+        sum(lit(1L) - col("__y").cast("long")).as("__neg"))
+    val cum = byBin.as("a")
+      .join(broadcast(byBin.as("b")), col("b.bin") >= col("a.bin"))
+      .groupBy(col("a.bin").as("bin"))
+      .agg(max(col("a.__pos")).as("__pos"),
+        sum(col("b.__pos")).as("n_pos_ge"), sum(col("b.__neg")).as("n_neg_ge"))
+    val tot = byBin.agg(sum(col("__pos")).as("__p"), sum(col("__neg")).as("__n"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("__p"), col("__n"))
+      .agg(sum((col("__pos").cast("double") *
+          (col("n_pos_ge").cast("double") /
+            (col("n_pos_ge") + col("n_neg_ge")).cast("double")))
+        .cast("decimal(30,12)")).as("__ap_num"))
+      .select(col("__p").as("n_pos"), col("__n").as("n_neg"),
+        when(col("__p") > 0L,
+          (col("__ap_num").cast("double") / col("__p").cast("double"))
+            .cast("float")).as("avg_precision"),
+        when(col("__p") + col("__n") > 0L,
+          (col("__p").cast("double") / (col("__p") + col("__n")).cast("double"))
+            .cast("float")).as("prevalence"))
+  }
+
   /** Brier score with the Murphy (1973) calibration/refinement
     * decomposition over the [[calibration]] bins — the one-number
     * probability loss beside its diagnosis: brier = (1/N)·Σ(s−y)²

@@ -110,9 +110,19 @@ object Kll {
     * HERE, once — both the compaction and any exact pick read it. */
   private def cumulate(ledger: DataFrame, keys: Seq[String]): DataFrame = {
     val keyCols = keys.map(col)
+    // weight contract, row-wise and loud: a null/zero/negative weight
+    // is a malformed ledger (build/merge never produce one) and would
+    // silently corrupt the cumulative ranks — the guard wraps the
+    // weight itself, which every downstream step aggregates, so no
+    // projection can prune it (the CountMin join-key lesson)
     val folded = ledger
       .groupBy((keyCols :+ col("kll_value")): _*)
-      .agg(sum(col("kll_weight")).as("kll_weight"))
+      .agg(sum(when(col("kll_weight").isNotNull && col("kll_weight") > 0,
+          col("kll_weight"))
+        .otherwise(raise_error(concat(
+          lit("kll_weight must be a positive integer, got "),
+          coalesce(col("kll_weight").cast("string"), lit("null"))))))
+        .as("kll_weight"))
     val cum = Ranking.withRunningTotals(folded, keys, Seq(col("kll_value")),
       Seq("kll_weight" -> "__cum"))
     val tot = cum.groupBy(keyCols: _*).agg(sum(col("kll_weight")).as("__w"))

@@ -1304,6 +1304,20 @@ object AnalyticsQueries {
         .orderBy(col("threshold"))
     }),
 
+    // ── Binned average precision — the PR front's scalar (AUC's
+    // counterpart for rare positives: a random scorer reads AP ≈ the
+    // prevalence, which is exactly what the dummy value/100 scorer
+    // shows here, emitted beside it). Reuses prPoints' cumulatives;
+    // terms DECIMAL-quantized, order-free.
+    "eval_avg_precision" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull &&
+          col("value") >= 0 && col("value") <= 100)
+      Eval.averagePrecision(ev,
+        score = col("value").cast("double") / lit(100.0),
+        label = col("event_type") === "purchase", bins = 20)
+    }),
+
     // ── Brier score with the Murphy calibration/refinement
     // decomposition over the eval_calibration bins: the exact
     // probability loss, what recalibration could remove
@@ -2971,6 +2985,37 @@ object AnalyticsQueries {
         |    CAST(CAST(2.0 AS DOUBLE) * prec * rec / (prec + rec) AS REAL)
         |    END AS f1
         |FROM r ORDER BY threshold""".stripMargin,
+
+    // same ≤ bins cumulatives as the PR oracle; each pos_b·precision_b
+    // term quantizes to DECIMAL(30,12) before the order-free sum
+    "eval_avg_precision" ->
+      """WITH e AS (SELECT
+        |    CAST(value AS DOUBLE) / CAST(100.0 AS DOUBLE) AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND value >= 0 AND value <= 100),
+        | b AS (SELECT least(CAST(floor(score * CAST(20.0 AS DOUBLE))
+        |      AS BIGINT), 19) AS bin, y FROM e),
+        | g AS (SELECT bin, sum(y) AS pos, count(*) - sum(y) AS neg
+        |   FROM b GROUP BY 1),
+        | t AS (SELECT sum(pos) AS p, sum(neg) AS n FROM g),
+        | c AS (SELECT a.bin, max(a.pos) AS pos,
+        |     sum(b2.pos) AS n_pos_ge, sum(b2.neg) AS n_neg_ge
+        |   FROM g a JOIN g b2 ON b2.bin >= a.bin GROUP BY 1),
+        | s AS (SELECT t.p, t.n,
+        |    sum(CAST(CAST(pos AS DOUBLE) *
+        |      (CAST(n_pos_ge AS DOUBLE) /
+        |        CAST(n_pos_ge + n_neg_ge AS DOUBLE))
+        |      AS DECIMAL(30,12))) AS apn
+        |   FROM c, t GROUP BY 1, 2)
+        |SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+        |  CASE WHEN p > 0 THEN
+        |    CAST(CAST(apn AS DOUBLE) / CAST(p AS DOUBLE) AS REAL) END
+        |    AS avg_precision,
+        |  CASE WHEN p + n > 0 THEN
+        |    CAST(CAST(p AS DOUBLE) / CAST(p + n AS DOUBLE) AS REAL) END
+        |    AS prevalence
+        |FROM s""".stripMargin,
 
     // exact Brier from per-row DECIMAL-quantized (s−y)² sums; the
     // Murphy terms quantize each n_b·gap² before the ≤ bins-row sum —

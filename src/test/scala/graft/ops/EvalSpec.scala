@@ -149,6 +149,31 @@ class EvalSpec extends SparkSpec {
     all(deg.map(_(5) == null)) shouldBe true
   }
 
+  test("averagePrecision: hand-computed; a perfect scorer reads 1; " +
+    "no-positive input reads NULL beside a real prevalence") {
+    // bins=2: low {0.1(y0), 0.2(y0), 0.3(y1)}, high {0.8(y1), 0.9(y1)}
+    // terms: high bin pos=2, precision 2/2=1 -> 2; low bin pos=1,
+    // precision 3/5 -> 0.6; AP = 2.6/3
+    val df = Seq((0.1, 0), (0.2, 0), (0.3, 1), (0.8, 1), (0.9, 1))
+      .toDF("s", "y")
+    val out = Eval.averagePrecision(df, col("s"), col("y"), bins = 2)
+      .rows.head
+    out(0) shouldBe 3L
+    out(1) shouldBe 2L
+    out(2).asInstanceOf[Float].toDouble shouldBe 2.6 / 3 +- 1e-6
+    out(3).asInstanceOf[Float].toDouble shouldBe 0.6 +- 1e-6
+    // perfect separation at bins=2: all positives above, negatives below
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)).toDF("s", "y")
+    Eval.averagePrecision(perfect, col("s"), col("y"), bins = 2)
+      .rows.head(2) shouldBe 1.0f
+    // no positives: AP NULL, prevalence 0
+    val noPos = Seq((0.9, 0), (0.1, 0)).toDF("s", "y")
+    val deg = Eval.averagePrecision(noPos, col("s"), col("y"), bins = 2)
+      .rows.head
+    (deg(2) == null) shouldBe true
+    deg(3) shouldBe 0.0f
+  }
+
   test("brier: hand-computed score and Murphy terms; residual is zero " +
     "when scores are constant within bins") {
     // bin-constant scores (bins=2, scores 0.25 and 0.75):

@@ -113,6 +113,17 @@ class KllSpec extends SparkSpec {
     math.abs(mq("b") - 1000.0) should be <= (4 * 2 * 8 + 2 * 32 + 1).toDouble
   }
 
+  test("compactByGroup: a malformed partial (null/zero/negative " +
+    "weight) fails loudly, never a silently corrupted cumulative") {
+    for (w <- Seq(Some(0L), Some(-3L), Option.empty[Long])) {
+      val bad = Seq((1.0, Some(5L)), (2.0, w))
+        .toDF("kll_value", "kll_weight")
+      intercept[Exception] {
+        Kll.compactByGroup(bad, Nil, 64).rows
+      }.getMessage should include("kll_weight must be a positive")
+    }
+  }
+
   test("merge == build on the union when nothing recompacts away: " +
     "weights add exactly on the shared value ledger") {
     // two slices small enough that every path stays exact
