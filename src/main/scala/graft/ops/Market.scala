@@ -169,9 +169,16 @@ object Market {
   }
 
   /** The shared Apriori prelude: per-item basket counts, the basket
-    * total, and the support-pruned + cap-filtered presence frame
-    * (localCheckpointed — it feeds several consumers in every rule
-    * pass). */
+    * total, and the support-pruned + cap-filtered presence frame —
+    * the last MATERIALIZED here, once (the
+    * [[Recommend.presenceAndSims]] discipline): `inPlay` feeds the
+    * pair self-join twice and [[tripleRules]] five times, and every
+    * scan would otherwise re-run both prune joins from `bi`
+    * (measured: tripleRules 3.95→3.02 s min at sf0.1 from this cut
+    * alone). `itemCounts`/`nBaskets` stay lazy deliberately — they
+    * are one groupBy over the already-checkpointed `bi` per consumer,
+    * and an eager cut of each added a job barrier that cost more than
+    * the recomputation it saved (measured, same A/B). */
   private[ops] def frequentPresence(df: DataFrame, basket: String, item: String,
                                minSupport: Long, maxBasketItems: Int)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -184,7 +191,7 @@ object Market {
       .agg(count(lit(1)).as("__k"))
       .filter(col("__k") <= maxBasketItems)
       .select(col("__basket"))
-    (itemCounts, nBaskets, kept.join(sized, "__basket"))
+    (itemCounts, nBaskets, kept.join(sized, "__basket").localCheckpoint())
   }
 
   /** Per-basket unordered pair expansion + support prune: one row per
