@@ -20,26 +20,30 @@ object Eval {
     * null scores/labels and out-of-range scores carry no evidence and
     * are excluded (an out-of-range score is a SCALING bug the caller
     * must fix — it must not corrupt the bin it would land in). The
-    * label is contract-checked row-wise: anything outside {0,1} raises
-    * with the offending value — a multiclass label silently summed as
-    * a count would read rates > 1 (and negative ROC complements), the
-    * plausible-but-wrong shape this repo fails loudly on. The guard
-    * wraps __y itself, which every consumer aggregates, so no join or
-    * projection can prune it. */
+    * label is contract-checked row-wise ON THE PRE-CAST value:
+    * anything outside {0,1} raises with the offending value — a
+    * multiclass label silently summed as a count would read rates > 1
+    * (and negative ROC complements), and a FRACTIONAL label (a
+    * probability column passed where the outcome belongs, 0.7) would
+    * otherwise truncate to 0 under an int cast and compute
+    * plausible-but-wrong rates, so the check runs on the double value
+    * before any truncating cast. The guard wraps __y itself, which
+    * every consumer aggregates, so no join or projection can prune
+    * it. */
   private def binnedBase(df: DataFrame, score: Column, label: Column,
                          bins: Int): DataFrame = {
     require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
     val s = score.cast("double")
-    val y = label.cast("int")
+    val y = label.cast("double")
     df.filter(s.isNotNull && label.isNotNull && s >= 0.0 && s <= 1.0)
       .select(
         least(floor(s * lit(bins.toDouble)).cast("long"),
           lit(bins.toLong - 1)).as("bin"),
         s.as("__s"),
-        when(y.isin(0, 1), y)
+        when(y.isin(0.0, 1.0), y.cast("int"))
           .otherwise(raise_error(concat(
             lit("label must be 0/1 (binary outcome), got "),
-            y.cast("string")))).as("__y"))
+            label.cast("string")))).as("__y"))
   }
 
   /** Reliability diagram + expected calibration error (Naeini et al.

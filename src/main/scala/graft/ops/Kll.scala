@@ -80,11 +80,18 @@ object Kll {
 
   /** Null-safe per-group join of the 1-row-per-group totals frame
     * back onto the cumulated ledger (a null key is a group — the
-    * [[Percentiles]] convention). */
+    * [[Percentiles]] convention). The broadcast hint applies ONLY to
+    * the unkeyed 1-row case: the keyed totals frame is GROUPS-sized
+    * (per-key sketches over millions of groups is exactly the
+    * segmented-quantiles case this class advertises), so the keyed
+    * branch is a plain null-safe equi-join — AQE broadcasts it while
+    * it fits and shuffle-partitions it by key when it doesn't, and
+    * neither the driver nor a broadcast ever holds the full keyed
+    * frame. */
   private def joinTot(cum: DataFrame, tot: DataFrame,
                       keys: Seq[String]): DataFrame =
     if (keys.isEmpty) cum.crossJoin(broadcast(tot))
-    else cum.as("__a").join(broadcast(tot).as("__b"),
+    else cum.as("__a").join(tot.as("__b"),
         keys.map(kk => col(s"__a.$kk") <=> col(s"__b.$kk")).reduce(_ && _))
       .select(cum.columns.map(c => col(s"__a.$c")) :+ col("__b.__w"): _*)
 
@@ -175,7 +182,9 @@ object Kll {
         ceil(col("p") * col("__w")) <= col("__cum"))
       .select(keys.map(col) ++ Seq(col("p"),
         col("kll_value").as("exact_q")): _*)
-    q.join(broadcast(exact), keys :+ "p")
+    // the exact-pick frame is groups × ps rows — broadcast only the
+    // unkeyed (ps-sized) case; keyed, the equi-join partitions by key
+    q.join(if (keys.isEmpty) broadcast(exact) else exact, keys :+ "p")
       .select(keys.map(col) ++ Seq(col("p"), col("kll_q"), col("exact_q"),
         col("n_weight")): _*)
   }
@@ -232,6 +241,10 @@ object Kll {
     * sketched picks are directly comparable. Output: (p, kll_q,
     * n_weight). Shape-guarded like [[merge]]. */
   def quantiles(sketch: DataFrame, ps: Seq[Double], k: Int): DataFrame = {
+    // k-range contract FIRST ([[merge]]'s ordering): an out-of-range k
+    // must fail with the k-contract error, not a misleading row-probe
+    // message — and never pay the checkpoint before failing
+    checkK(k)
     checkSketchFrame(sketch, Nil)
     val sk = sketch.localCheckpoint()
     require(sk.limit(k + 1).count() <= k,
@@ -244,8 +257,9 @@ object Kll {
     * pass over the sketch-sized frame (never the data).
     *
     * Plan: a bounded ≤ k² per-group triangular self-join for the
-    * cumulative weights, 1-row-per-group broadcast totals, a pure
-    * filter — nothing data-sized. */
+    * cumulative weights (keyed: shuffle-partitioned by group, no
+    * broadcast — the frame is groups-sized), 1-row-per-group totals,
+    * a pure filter — nothing data-sized. */
   def quantilesByGroup(sketch: DataFrame, keys: Seq[String],
                        ps: Seq[Double], k: Int): DataFrame =
     quantilesByGroup(sketch, keys, ps, k, probed = false)
@@ -268,8 +282,15 @@ object Kll {
     val keyEq =
       if (keys.isEmpty) lit(true)
       else keys.map(kk => col(s"b.$kk") <=> col(s"a.$kk")).reduce(_ && _)
+    // triangular close: UNKEYED the sketch is ≤ k rows — broadcast it
+    // and let BNLJ run the bounded k² pairing. KEYED the frame is
+    // groups × k rows (unbounded in the group count), so no hint: the
+    // null-safe key equality extracts as equi-join keys and the close
+    // shuffle-partitions BY GROUP, each partition doing its own ≤ k²
+    // triangle — per-key sketches over millions of groups never funnel
+    // through a driver-held broadcast
     val cw = sk.as("a")
-      .join(broadcast(sk.as("b")),
+      .join(if (keys.isEmpty) broadcast(sk.as("b")) else sk.as("b"),
         keyEq && col("b.kll_value") <= col("a.kll_value"))
       .groupBy((keys.map(kk => col(s"a.$kk").as(kk)) :+
         col("a.kll_value").as("kll_value")): _*)

@@ -229,29 +229,49 @@ object Percentiles {
     * sketch partials, importance weights).
     *
     * Weights must be non-negative integers ([[weightedMedian]]'s
-    * contract — the cumulative compare stays exact int64); zero-weight
-    * rows carry no mass and are excluded with nulls. ⌈p·W⌉ is the one
-    * double product, the same fixed chain in both engines
-    * ([[nearestRank]]'s discipline). Output: (keys…, p, pct_value).
+    * contract — the cumulative compare stays exact int64), and the
+    * contract is enforced ROW-WISE AND LOUD ([[Kll]]'s ledger
+    * discipline): a negative or non-integral weight raises with the
+    * offending value — silently dropping a negative or truncating 2.7
+    * to 2 would shift every cumulative rank into a plausible-but-wrong
+    * pick (and Spark's cast truncates where other engines round, an
+    * engine-divergence for out-of-contract input). The guard wraps the
+    * weight itself, which the zero-mass filter and the sum both
+    * consume, so no projection can prune it. Zero-weight rows carry no
+    * mass and are excluded like nulls. ⌈p·W⌉ is the one double
+    * product, the same fixed chain in both engines ([[nearestRank]]'s
+    * discipline). Output: (keys…, p, pct_value).
     *
     * Shape: one groupBy collapses duplicate values (map-side
     * combined), [[Ranking.withRunningTotals]] cumulates the ledger
     * distributed, the p-list explodes over ledger rows, the pick is a
-    * pure filter — no per-group sort, no single-task window. */
+    * pure filter — no per-group sort, no single-task window. The
+    * totals join carries a broadcast hint ONLY unkeyed (1 row): keyed,
+    * the frame is GROUPS-sized, so the plain equi-join lets AQE
+    * broadcast while it fits and shuffle-partition by key when it
+    * doesn't. */
   def weightedNearestRank(df: DataFrame, keys: Seq[String], value: String,
                           weight: String, ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
       s"percentiles must lie in (0, 1], got $ps")
-    val vw = df.filter(col(value).isNotNull && col(weight).isNotNull &&
-        col(weight) > 0)
-      .groupBy((keys.map(col) :+ col(value).as("__v")): _*)
-      .agg(sum(col(weight).cast("long")).as("__w"))
+    val wd = col(weight).cast("double")
+    val wChecked = when(wd >= 0.0 && wd === floor(wd),
+        col(weight).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("weight must be a non-negative integer, got "),
+        col(weight).cast("string"))))
+    val vw = df.filter(col(value).isNotNull && col(weight).isNotNull)
+      .select((keys.map(col) :+ col(value).as("__v") :+
+        wChecked.as("__w0")): _*)
+      .filter(col("__w0") > 0)
+      .groupBy((keys.map(col) :+ col("__v")): _*)
+      .agg(sum(col("__w0")).as("__w"))
     val cum = Ranking.withRunningTotals(vw, keys, Seq(col("__v")),
       Seq("__w" -> "__cum"))
     val tot = cum.groupBy(keys.map(col): _*).agg(sum(col("__w")).as("__tot"))
     val withTot =
       if (keys.isEmpty) cum.crossJoin(broadcast(tot))
-      else cum.as("__c").join(broadcast(tot).as("__t"),
+      else cum.as("__c").join(tot.as("__t"),
           keys.map(k => col(s"__c.$k") <=> col(s"__t.$k")).reduce(_ && _))
         .select(cum.columns.map(c => col(s"__c.$c")) :+
           col("__t.__tot"): _*)

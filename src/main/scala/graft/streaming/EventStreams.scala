@@ -447,7 +447,19 @@ object EventStreams {
     * additive error band, with merge depth = the number of batches
     * that touched the window. Emits (window_start, window_end,
     * kll_value, kll_weight) partials; finalize windows with the
-    * watermark-bound filter the other stream folds use. */
+    * watermark-bound filter the other stream folds use.
+    *
+    * IDEMPOTENT on retried batches, like [[toLake]]'s file-sink
+    * commit manifest but by construction: foreachBatch is
+    * at-least-once, so a blind append would let a micro-batch
+    * replayed after a crash land its per-window partial TWICE —
+    * silently doubling those windows' weights and skewing every
+    * folded quantile. Each batch therefore writes under its own
+    * `batch_id=<id>` subpath in overwrite mode ([[kllPartialBatch]]):
+    * a replay overwrites its own previous (possibly torn) files and
+    * can never double a weight. Readers glob the sink ROOT —
+    * partition discovery surfaces batch_id as an extra column the
+    * fold ignores. */
   def kllPartialsToLake(stream: DataFrame, sinkPath: String,
                         checkpoint: String, value: String = "value",
                         k: Int = 256, tsCol: String = "ts_utc",
@@ -457,17 +469,28 @@ object EventStreams {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.Kll.buildByGroup(
-            batch.filter(col(value).isNotNull)
-              .withColumn("__w", window(col(tsCol), windowLen))
-              .select(col("__w.start").as("window_start"),
-                col("__w.end").as("window_end"), col(value)),
-            Seq("window_start", "window_end"), value, k)
-          .write.mode("append").parquet(sinkPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        kllPartialBatch(batch, sinkPath, batchId, value, k, tsCol, windowLen)
       }
       .trigger(trigger)
       .start()
+
+  /** One micro-batch of [[kllPartialsToLake]]: build the batch-local
+    * per-window sketch and land it idempotently at
+    * `sinkPath/batch_id=<id>` in OVERWRITE mode — the replay-safety
+    * leg. Public so the idempotence is spec-testable without
+    * engineering a mid-stream crash: calling it twice with the same
+    * batchId must leave the sink's fold unchanged. */
+  def kllPartialBatch(batch: DataFrame, sinkPath: String, batchId: Long,
+                      value: String, k: Int, tsCol: String,
+                      windowLen: String): Unit =
+    graft.ops.Kll.buildByGroup(
+        batch.filter(col(value).isNotNull)
+          .withColumn("__w", window(col(tsCol), windowLen))
+          .select(col("__w.start").as("window_start"),
+            col("__w.end").as("window_end"), col(value)),
+        Seq("window_start", "window_end"), value, k)
+      .write.mode("overwrite").parquet(s"$sinkPath/batch_id=$batchId")
 
   /** Stream → serving upsert: merge each micro-batch into a keyed
     * warehouse (streaming replacement for the reference's

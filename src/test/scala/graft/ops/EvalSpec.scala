@@ -208,6 +208,15 @@ class EvalSpec extends SparkSpec {
       Eval.brier(bad, col("s"), col("y"), bins = 2).rows
     }
     e3.getMessage should include("label must be 0/1")
+    // a FRACTIONAL label (probability column passed as the outcome)
+    // must also raise — the pre-cast check; an int cast would
+    // silently truncate 0.7 to 0 and compute plausible wrong rates
+    val frac = Seq((0.5, 0.7), (0.6, 0.0)).toDF("s", "y")
+    val e4 = intercept[Exception] {
+      Eval.calibration(frac, col("s"), col("y"), bins = 2).rows
+    }
+    e4.getMessage should include("label must be 0/1")
+    e4.getMessage should include("0.7")
   }
 
   test("cumulativeGains: hand-computed bands, shares and lift; " +

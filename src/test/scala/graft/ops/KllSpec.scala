@@ -82,6 +82,11 @@ class KllSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Kll.quantiles(Kll.build(uniform, "v", 64), Seq(1.5), 64)
     }
+    // the k-range contract fires FIRST (merge's ordering): an
+    // out-of-range k gets the k error, not a misleading row-probe one
+    intercept[IllegalArgumentException] {
+      Kll.quantiles(Kll.build(uniform, "v", 64), Seq(0.5), 8)
+    }.getMessage should include("k must be in [16,65536]")
   }
 
   test("buildByGroup + quantilesByGroup: per-group sketches, exact " +
@@ -122,6 +127,64 @@ class KllSpec extends SparkSpec {
         Kll.compactByGroup(bad, Nil, 64).rows
       }.getMessage should include("kll_weight must be a positive")
     }
+  }
+
+  test("merge tree of depth 4: error stays inside the documented " +
+    "additive band (err_out < sum of err_in + 2*step_out per merge)") {
+    val k = 256
+    val big = (1 to 16384).map(_.toDouble).toDF("v")
+    // 16 equal slices of 1024 values -> pairwise binary merge tree,
+    // 4 merge levels deep — the deepest path the contract prices
+    val leaves = (0 until 16).map { i =>
+      Kll.build(big.filter(pmod(col("v").cast("long") - 1, lit(16)) === i),
+        "v", k)
+    }
+    def treeMerge(level: Seq[org.apache.spark.sql.DataFrame])
+        : org.apache.spark.sql.DataFrame =
+      if (level.size == 1) level.head
+      else treeMerge(level.grouped(2).map(p => Kll.merge(k, p: _*)).toSeq)
+    val root = treeMerge(leaves)
+    root.count() should be <= k.toLong
+    // exact recursive bound: builds err < 2*ceil(1024/256) = 8 each;
+    // merge levels add 2*step_out at weights 2048/4096/8192/16384
+    // (steps 8/16/32/64): E = 2E_in + 2*step_out per level -> root
+    // bound 640 ranks (+1 pick slack). Uniform multiset: rank == value.
+    val band = 641.0
+    val ps = Seq(0.1, 0.5, 0.9, 0.99)
+    val qs = Kll.quantiles(root, ps, k).rows
+      .map(r => r(0).asInstanceOf[Double] -> r(1).asInstanceOf[Double]).toMap
+    val ex = exactQ(big, ps)
+    val errs = ps.map(p => math.abs(qs(p) - ex(p)))
+    errs.foreach(_ should be <= band)
+    // measured constant stays far inside the bound (scaladoc cites
+    // this spec): the systematic sample keeps the tree honest
+    errs.max should be <= (2 * 64 + 1).toDouble * 3
+  }
+
+  test("quantilesByGroup keyed: the groups-sized sketch frame is " +
+    "never hint-broadcast — the triangular close partitions by group") {
+    // many groups: the segmented-quantiles shape where a broadcast of
+    // the keyed sketch frame would bottleneck on the driver at scale.
+    // Auto-broadcast off so the pin proves NO HINT forces a broadcast
+    // (a hinted join broadcasts regardless of threshold); at runtime
+    // AQE remains free to broadcast a genuinely small frame.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = (1 to 20000).map(i => (s"g${i % 500}", (i / 500).toDouble))
+        .toDF("g", "v")
+      val sk = Kll.buildByGroup(df, Seq("g"), "v", k = 16)
+      val q = Kll.quantilesByGroup(sk, Seq("g"), Seq(0.5), k = 16)
+      q.count() shouldBe 500L
+      val plan = q.queryExecution.executedPlan.toString
+      plan should not include "BroadcastHashJoin"
+      plan should not include "BroadcastNestedLoopJoin"
+      // and the pick stays inside the band: per group 40 values
+      // (0..39 one each), W=40, k=16 -> step=3 -> within 2*3+1 ranks
+      // of the exact median 19
+      val v = q.filter(col("g") === "g7").rows.head(2).asInstanceOf[Double]
+      math.abs(v - 19.0) should be <= 7.0
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("merge == build on the union when nothing recompacts away: " +

@@ -224,6 +224,20 @@ class PercentilesCdcSpec extends SparkSpec {
     }
   }
 
+  test("weightedNearestRank: negative or fractional weights fail " +
+    "loudly — never a silent drop or an engine-specific truncation") {
+    val neg = Seq(("g", 1.0, 2L), ("g", 2.0, -1L)).toDF("g", "v", "w")
+    intercept[Exception] {
+      Percentiles.weightedNearestRank(neg, Seq("g"), "v", "w", Seq(0.5)).rows
+    }.getMessage should include("weight must be a non-negative integer")
+    val frac = Seq(("g", 1.0, 2.0), ("g", 2.0, 2.7)).toDF("g", "v", "w")
+    val e = intercept[Exception] {
+      Percentiles.weightedNearestRank(frac, Seq("g"), "v", "w", Seq(0.5)).rows
+    }
+    e.getMessage should include("weight must be a non-negative integer")
+    e.getMessage should include("2.7")
+  }
+
   test("medianAbsoluteDeviation: equals the two-pass nearestRank form " +
     "on grouped, tied, null-laden, and null-key input") {
     val df = Seq(

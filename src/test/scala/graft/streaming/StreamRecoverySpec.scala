@@ -188,4 +188,39 @@ class StreamRecoverySpec extends SparkSpec {
     // neither duplicated the window nor leaked into it
     tenOClock shouldBe Seq(Seq(1L, 1.0))
   }
+
+  test("kllPartialsToLake replay safety: re-running a micro-batch with " +
+    "the same batchId leaves the sink and its fold unchanged") {
+    import graft.ops.Kll
+    val dir = Files.createTempDirectory("recov_kll").toString
+    val sink = s"$dir/sink"
+    val batch = (1 to 1000).map(i => (ts("2024-01-01 10:00:30"), i.toDouble))
+      .toDF("ts_utc", "value")
+    def write(id: Long) = EventStreams.kllPartialBatch(batch, sink,
+      batchId = id, value = "value", k = 64, tsCol = "ts_utc",
+      windowLen = "1 hour")
+    def partials() = spark.read.parquet(sink)
+      .select("window_start", "kll_value", "kll_weight")
+    write(0L)
+    val n1 = partials().count()
+    val fold1 = Kll.compactByGroup(partials(), Seq("window_start"), 64)
+      .orderBy("kll_value").rows.map(_.toString)
+    // the at-least-once replay: same batch, same id, written again —
+    // the overwrite-per-batch_id sink must absorb it, where the old
+    // blind append would double every window weight
+    write(0L)
+    partials().count() shouldBe n1
+    Kll.compactByGroup(partials(), Seq("window_start"), 64)
+      .orderBy("kll_value").rows.map(_.toString) shouldBe fold1
+    // sum weight ~ the batch once (compaction drift < 2*step = 32)
+    val w1 = partials().agg(sum("kll_weight")).rows.head.head
+      .asInstanceOf[Long]
+    w1 should (be >= 968L and be <= 1032L)
+    // a genuinely NEW batch lands beside it — partition dirs coexist
+    // and the root read folds both
+    write(1L)
+    val w2 = partials().agg(sum("kll_weight")).rows.head.head
+      .asInstanceOf[Long]
+    w2 should (be >= 2L * 968 and be <= 2L * 1032)
+  }
 }
