@@ -11,8 +11,7 @@ import org.apache.spark.sql.functions._
   * bucket counter, one-sided error (estimate ≥ true count, over by at
   * most εN with probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉).
   *
-  * Unlike the HLL/t-digest pair in [[Dedup.corpusProfile]] (engine-
-  * internal register layouts, rows-only by declared design), THIS
+  * Like the portable HLL/KLL pair in [[Dedup.corpusProfile]], THIS
   * sketch is engine-replayable end to end: buckets come from the
   * repo's standard md5 hash trick ([[Sampling.hashBucket]] — the first
   * 8 hex chars of md5("cms<row>:" ++ key) as an unsigned int, mod

@@ -45,17 +45,43 @@ object Dedup {
     df.groupBy(md5(col(content)).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(id)).as("keeper_id"))
 
-  /** Sketch-based corpus profile: HyperLogLog distinct counts and
-    * t-digest percentiles in ONE pass with constant memory per sketch —
-    * how a 100 TB corpus is profiled before dedup (exact distinct-count
-    * would shuffle every value). `rsd` is the HLL relative error. */
+  /** Sketch-based corpus profile: distinct-content estimate and size
+    * percentiles from bounded-state sketches — how a 100 TB corpus is
+    * profiled before dedup (exact distinct-count would shuffle every
+    * value; exact percentiles would sort it). Built ENTIRELY on the
+    * repo's portable sketch lanes — [[Hll]] registers (2^b cells, md5
+    * hashes) for the distinct estimate and the deterministic [[Kll]]
+    * rank sketch (≤ k rows, systematic md5-offset compaction) for the
+    * size quantiles — so unlike Spark's builtin
+    * approx_count_distinct/percentile_approx pair (engine-internal
+    * register layout and centroid merge order), every register, every
+    * sketch row and both estimates replay bit-for-bit in any engine
+    * with md5: the profile sits on the hard hash-verified correctness
+    * signal, not a rows-only check. Same scale shape as the builtins:
+    * one pass over the data per sketch, constant state, mergeable
+    * across slices. Output: (n_docs, approx_distinct_docs FLOAT,
+    * size_p50, size_p95, size_p99). */
   def corpusProfile(df: DataFrame, content: String, sizeCol: String,
-                    rsd: Double = 0.05): DataFrame =
-    df.agg(
-      count(lit(1)).as("n_docs"),
-      approx_count_distinct(md5(col(content)), rsd).as("approx_distinct_docs"),
-      percentile_approx(col(sizeCol), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
-        .as("size_p50_p95_p99"))
+                    b: Int = 8, k: Int = 256): DataFrame = {
+    // NO shared cut: the three consumers prune to DISJOINT columns
+    // (count: none, HLL: content, KLL: sizeCol), so each scan reads
+    // only its own column — a checkpoint would materialize the heavy
+    // content column once more for zero reuse
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val est = Hll.estimate(
+        Hll.build(df.filter(col(content).isNotNull), content, b), b)
+      .select(col("hll_estimate").as("approx_distinct_docs"))
+    val ledger = df.filter(col(sizeCol).isNotNull)
+      .groupBy(col(sizeCol).cast("double").as("kll_value"))
+      .agg(count(lit(1)).as("kll_weight"))
+    val qs = Kll.quantiles(Kll.compactByGroup(ledger, Nil, k),
+        Seq(0.5, 0.95, 0.99), k)
+      .agg(
+        max(when(col("p") === 0.5, col("kll_q"))).as("size_p50"),
+        max(when(col("p") === 0.95, col("kll_q"))).as("size_p95"),
+        max(when(col("p") === 0.99, col("kll_q"))).as("size_p99"))
+    n.crossJoin(broadcast(est)).crossJoin(broadcast(qs))
+  }
 
   /** Word n-gram shingles (space-joined); documents shorter than `n`
     * tokens collapse to a single whole-document shingle. */

@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
   * 2007) — the distinct-count sketch re-derived so that EVERY register and
   * the final estimate replay bit-for-bit in any engine with md5.
   *
-  * Spark's own `approx_count_distinct` (HLL++) is rows-only by declared
-  * design in [[Dedup.corpusProfile]]: its register layout and bias tables
-  * are engine-internal. This module is the oracled sibling: the hash is
+  * Spark's own `approx_count_distinct` (HLL++) can never be oracled: its
+  * register layout and bias tables are engine-internal — which is why
+  * [[Dedup.corpusProfile]] builds on THIS module instead. The hash is
   * the repo's standard md5 trick (first 15 hex chars of md5("hll:" ++ key)
   * = a 60-bit non-negative integer — 15, not 16, so the BIGINT parse never
   * wraps negative in either engine), the register is the low `b` bits

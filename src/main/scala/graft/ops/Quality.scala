@@ -80,8 +80,9 @@ object Quality {
     * rescanned), and the long form unpivots the single result row at
     * zero data cost. Distinct counts are EXACT — that is what makes the
     * profile oracle-checkable; at petabyte cardinalities swap in
-    * [[Dedup.corpusProfile]]'s approx_count_distinct sketches, which
-    * trade the oracle for constant memory. */
+    * [[Dedup.corpusProfile]]'s portable HLL/KLL sketches, which keep
+    * constant memory (and, being md5-replayable, keep the oracle
+    * too). */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     require(cols.distinct.size == cols.size,

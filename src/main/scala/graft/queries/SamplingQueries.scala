@@ -113,8 +113,9 @@ object SamplingQueries {
     }),
 
     // portable HLL distinct-count estimates beside the exact counts —
-    // the ORACLED sibling of corpusProfile's rows-only
-    // approx_count_distinct: md5 registers, binary-string-length ranks,
+    // the machinery corpusProfile's distinct column rides (r18: the
+    // profile moved off the unoracleable builtin approx_count_distinct
+    // onto this): md5 registers, binary-string-length ranks,
     // integer-shifted harmonic sum, so every register and both estimates
     // replay in DuckDB. Two rows exercise BOTH estimator regimes: the
     // 31-token vocabulary under m=256 fires the small-range linear-

@@ -424,17 +424,22 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // rows-only BY DECLARED DESIGN, and narrowed to the sketch columns
-    // alone: Spark's HLL++ register layout and t-digest centroid merge
-    // order are engine-internal, so no DuckDB SQL can replay these two
-    // values — while every EXACT column this profile used to carry
-    // (n_docs, and the exact complements of both sketches) is hash-
-    // verified by corpus_profile_exact below. The pair splits the
-    // contract cleanly: exact subset oracled, sketch subset rows-only.
+    // FULLY ORACLED since the profile moved onto the portable sketch
+    // lanes: the HLL distinct estimate replays register-for-register
+    // (md5 hashes, integer-shifted harmonic sum — the
+    // freq_hll_portable machinery) and the size quantiles ride the
+    // deterministic KLL compaction (systematic md5-offset rank
+    // sample — the freq_kll_quantiles machinery), so the whole
+    // profile is row/schema/hash-verified where Spark's builtin
+    // approx_count_distinct/percentile_approx pair could only ever be
+    // rows-only. corpus_profile_exact below stays as the exact
+    // complement documenting the sketch-vs-exact trade.
     "dedup_corpus_profile" -> ((s, dir) =>
       Dedup.corpusProfile(Tables.documents(s, dir), "text", "n_chars")
-        .select(col("approx_distinct_docs"),
-          col("size_p50_p95_p99").getItem(0).as("p50"))),
+        .select(col("n_docs"), col("approx_distinct_docs"),
+          col("size_p50").cast("float").as("size_p50"),
+          col("size_p95").cast("float").as("size_p95"),
+          col("size_p99").cast("float").as("size_p99"))),
 
     // the exact complement of the sketch profile (one extra shuffle for
     // the exact distinct; exact interpolated median) — fully oracled,
@@ -1624,6 +1629,70 @@ object TextQueries {
          |SELECT doc_id FROM fresh
          |WHERE doc_id NOT IN (SELECT id_a FROM dup)
          |ORDER BY doc_id""".stripMargin,
+
+    // full sketch replay on BOTH lanes: HLL registers (md5 60-bit
+    // hash, low-8-bit register, binary-string-length rank, integer-
+    // shifted harmonic sum — the freq_hll_portable machinery) and the
+    // deterministic KLL compaction over the n_chars ledger (ceil-div
+    // step, md5 offset, weighted nearest-rank pick — the
+    // freq_kll_quantiles machinery); floats only at the final
+    // division/ln, REAL at the surface exactly as the engine computes
+    "dedup_corpus_profile" ->
+      """WITH cells AS (SELECT CAST(concat('0x',
+        |     substr(md5(concat('hll:', text)), 1, 15)) AS BIGINT) AS h
+        |   FROM documents WHERE text IS NOT NULL),
+        | r AS (SELECT h % 256 AS reg,
+        |     CASE WHEN (h >> 8) = 0 THEN 53
+        |          ELSE 53 - length(bin(h >> 8)) END AS rk
+        |   FROM cells),
+        | sk AS (SELECT reg, max(rk) AS rk FROM r GROUP BY 1),
+        | mx AS (SELECT max(rk) AS rmax FROM sk),
+        | agg AS (SELECT count(*) AS observed, max(mx.rmax) AS rmax,
+        |     sum(1::BIGINT << CAST(mx.rmax - sk.rk AS INT)) AS zobs
+        |   FROM sk CROSS JOIN mx),
+        | e AS (SELECT rmax, 256 - observed AS zeros,
+        |     zobs + (256 - observed) * (1::BIGINT << CAST(rmax AS INT)) AS znum
+        |   FROM agg),
+        | hraw AS (SELECT zeros,
+        |     CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+        |       CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)) *
+        |       CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE) *
+        |       power(CAST(2.0 AS DOUBLE), CAST(rmax AS DOUBLE)) /
+        |       CAST(znum AS DOUBLE) AS rawv
+        |   FROM e),
+        | hest AS (SELECT CASE WHEN rawv <= 2.5 * CAST(256.0 AS DOUBLE)
+        |       AND zeros > 0
+        |       THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) /
+        |         CAST(zeros AS DOUBLE))
+        |       ELSE rawv END AS adv FROM hraw),
+        | ledger AS (SELECT CAST(n_chars AS DOUBLE) AS val, count(*) AS w
+        |   FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        | cum AS (SELECT val, w, sum(w) OVER (ORDER BY val) AS cm FROM ledger),
+        | tot AS (SELECT sum(w) AS wt FROM ledger),
+        | prm AS (SELECT (wt + 255) // 256 AS step,
+        |    1 + (CAST(concat('0x', substr(md5(concat('kll:',
+        |      CAST(wt AS VARCHAR))), 1, 15)) AS BIGINT) %
+        |      ((wt + 255) // 256)) AS phi FROM tot),
+        | sk2 AS (SELECT val,
+        |    ((CASE WHEN cm >= phi THEN (cm - phi) // step + 1 ELSE 0 END) -
+        |     (CASE WHEN cm - w >= phi THEN (cm - w - phi) // step + 1
+        |       ELSE 0 END)) * step AS kw
+        |   FROM cum, prm),
+        | sk3 AS (SELECT val, kw FROM sk2 WHERE kw > 0),
+        | scm AS (SELECT val, kw, sum(kw) OVER (ORDER BY val) AS cw FROM sk3),
+        | sw AS (SELECT sum(kw) AS w2 FROM sk3),
+        | pk AS (SELECT p, val AS q FROM scm, sw,
+        |    (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS p)
+        |   WHERE cw - kw < ceil(p * w2) AND ceil(p * w2) <= cw),
+        | piv AS (SELECT
+        |   CAST(max(CASE WHEN p = 0.5 THEN q END) AS REAL) AS size_p50,
+        |   CAST(max(CASE WHEN p = 0.95 THEN q END) AS REAL) AS size_p95,
+        |   CAST(max(CASE WHEN p = 0.99 THEN q END) AS REAL) AS size_p99
+        |  FROM pk),
+        | nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT nn.n_docs, CAST(hest.adv AS REAL) AS approx_distinct_docs,
+        |  piv.size_p50, piv.size_p95, piv.size_p99
+        |FROM nn, hest, piv""".stripMargin,
 
     // both engines: continuous (interpolated) median at index p*(n-1)
     "corpus_profile_exact" ->
