@@ -296,7 +296,24 @@ object Bench {
       .map { case (cls, rs) =>
         s""""$cls":${r3(rs.map(_._2._1).filter(_ >= 0).sum)}"""
       }.mkString("{", ",", "}")
+    // ---- contention gate (round-18) ---------------------------------
+    // The r17 round closed with six committed captures, every one
+    // carrying 4–14 stall re-trials — the health fields made each
+    // self-identifying, but nothing REFUSED a contaminated capture, so
+    // the round's only clean evidence was the min-composite fold. The
+    // gate makes quietness a first-class verdict: `quiet` is true only
+    // when the run never fought the box (no suppression reason — few
+    // stalls, both calib probes in band at both endpoints). Under
+    // SPARK_GRAFT_BENCH_STRICT=1 a non-quiet capture is REJECTED: the
+    // artifact lands at <out>.rejected.json (evidence is never
+    // discarded) and the process exits 2 so a capture loop retries
+    // instead of committing it. The driver never sets STRICT, so round
+    // artifacts are always produced; the builder's capture loop does.
+    val quiet = suppressWhy.isEmpty
+    val strict = sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1")
     val health =
+      s""""quiet":$quiet,""" +
+      (if (strict) s""""gate":"strict",""" else "") +
       s""""loadavg_before":${jarr(loadBefore)},"loadavg_after":${jarr(loadAfter)},""" +
       s""""calib_sec_before":${r3(calibBefore)},"calib_sec_after":${r3(calibAfter)},""" +
       s""""calib_io_sec_before":${r3(ioCalibBefore)},"calib_io_sec_after":${r3(ioCalibAfter)},""" +
@@ -330,9 +347,16 @@ object Bench {
     // full history was once lost to a 4-query iteration run).
     val defaultOut =
       if (only.isDefined) "BENCH_partial.json" else "BENCH_local.json"
-    val outPath = java.nio.file.Paths.get(
+    val requestedOut = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
       .toAbsolutePath
+    // strict gate: a rejected capture's evidence still lands on disk,
+    // just never on the committed path
+    val outPath =
+      if (strict && !quiet)
+        requestedOut.resolveSibling(
+          requestedOut.getFileName.toString + ".rejected.json")
+      else requestedOut
     // the env-supplied path goes inside a JSON string — escape it, or a
     // quote/backslash in the path corrupts the very line meant to make a
     // mis-landed artifact visible
@@ -359,5 +383,10 @@ object Bench {
     // (possibly inflated) total
     println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n":$nOk,$health,"sf":"$sfJson"}""")
     spark.stop()
+    if (strict && !quiet) {
+      System.err.println(s"[bench] STRICT gate: capture not quiet " +
+        s"(${suppressWhy.mkString("+")}) — artifact at $outPath, exit 2")
+      sys.exit(2)
+    }
   }
 }
