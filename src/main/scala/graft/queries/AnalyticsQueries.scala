@@ -334,6 +334,18 @@ object AnalyticsQueries {
         .orderBy(col("item_a"), col("item_b"), col("item_c"))
     }),
 
+    // ── The mega-basket cap's OBSERVER, first-class (the
+    // rec_truncation_dropped contract applied to the basket cap):
+    // exactly which customers hold more than maxBasketItems FREQUENT
+    // brands — and would therefore be excluded from pair generation
+    // at that cap — with their sizes. An empty frame proves a rules
+    // run at this cap is cap-free; a non-empty one is the declared
+    // bound engaging, named row by row instead of silently.
+    "basket_oversize_observer" -> ((s, dir) =>
+      Market.oversizeBaskets(custBrand(s, dir), basket = "user_id",
+          item = "brand", minSupport = 50L, maxBasketItems = 20)
+        .orderBy(col("user_id"))),
+
     // ── Item-item collaborative filtering, similarity leg: brands are
     // similar when the same customers buy both — cosine over binary
     // user-presence vectors (n_ab / √(n_a·n_b)), support-pruned via the
@@ -2573,6 +2585,15 @@ object AnalyticsQueries {
         | JOIN ic icc ON icc.i = tr.item_c
         | CROSS JOIN nb
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // observer replay: same presence + item-count prune, per-customer
+    // frequent-brand count, kept above the cap
+    "basket_oversize_observer" ->
+      s"""WITH $custBrandCtes
+         |SELECT u AS user_id,
+         |  CAST(count(*) AS BIGINT) AS n_frequent_items
+         |FROM keep GROUP BY u HAVING count(*) > 20
+         |ORDER BY user_id""".stripMargin,
 
     "rec_item_sims" ->
       s"""WITH $custBrandCtes
