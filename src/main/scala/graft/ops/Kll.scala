@@ -48,6 +48,11 @@ import org.apache.spark.sql.functions._
   *    2·step_out. A merge tree of depth d over equal slices costs
   *    O(d·W/k) ranks — at 1000 executors (one slice each, one final
   *    merge) d = 2. Size k to the DEEPEST merge path, not the data.
+  *    Evidence at depth 4 (KllSpec): a binary tree over 16×1024
+  *    uniform values at k = 256 lands within 3·(2·step_root + 1) =
+  *    387 ranks of exact on every tested quantile — ~60% of one
+  *    2·step_out band per LEVEL, far inside the 641-rank recursive
+  *    worst case (the systematic sample wastes little of the bound).
   *
   * Scale shape: [[build]] collapses raw rows to the distinct-value
   * ledger (ONE map-side-combined exchange — the same class as an
