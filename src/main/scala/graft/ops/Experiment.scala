@@ -363,8 +363,12 @@ object Experiment {
     val weight = poissonCdf.zipWithIndex.foldRight(lit(5)) {
       case ((thr, k), rest) => when(u < lit(thr), lit(k)).otherwise(rest)
     }
-    val byArm = df
-      .filter(col(variant).isin(armA, armB) && col(value).isNotNull)
+    // the ×B replica explode + per-(row, replica) md5 draw + map-side
+    // combine all run ON THE SCAN PARTITIONING — a one-split events
+    // file would hash |rows|·B draws in ONE task ([[Skew.spread]];
+    // no-op once splits ≥ cores, so at 100 TB the exchange never fires)
+    val byArm = Skew.spread(df
+      .filter(col(variant).isin(armA, armB) && col(value).isNotNull))
       .select(col(group), col(variant), col(value), col(id),
         explode(sequence(lit(0), lit(replicas - 1))).as("__r"))
       .groupBy(col(group), col(variant), col("__r"))

@@ -181,8 +181,19 @@ object Market {
     * the recomputation it saved (measured, same A/B). */
   private[ops] def frequentPresence(df: DataFrame, basket: String, item: String,
                                minSupport: Long, maxBasketItems: Int)
+      : (DataFrame, DataFrame, DataFrame) =
+    frequentPresenceOn(presence(df, basket, item).localCheckpoint(),
+      minSupport, maxBasketItems)
+
+  /** [[frequentPresence]] over an ALREADY-MATERIALIZED presence frame
+    * (columns `__basket`/`__item`, distinct, checkpointed) — the entry
+    * for callers that hold the presence cut already
+    * ([[Recommend.presenceAndSims]]): re-running distinct+checkpoint on
+    * a frame that IS the distinct would pay one full shuffle and one
+    * job barrier for identity output. */
+  private[ops] def frequentPresenceOn(bi: DataFrame, minSupport: Long,
+                                      maxBasketItems: Int)
       : (DataFrame, DataFrame, DataFrame) = {
-    val bi = presence(df, basket, item).localCheckpoint()
     val itemCounts = bi.groupBy(col("__item")).agg(count(lit(1)).as("n_i"))
     val nBaskets = bi.select(col("__basket")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
@@ -204,7 +215,7 @@ object Market {
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairSupport)
 
-  private[ops] def presence(df: DataFrame, basket: String, item: String) =
+  private[graft] def presence(df: DataFrame, basket: String, item: String) =
     df.filter(col(basket).isNotNull && col(item).isNotNull)
       .select(col(basket).as("__basket"), col(item).as("__item"))
       .distinct()

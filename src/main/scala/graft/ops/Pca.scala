@@ -44,8 +44,12 @@ object Pca {
     * Rows with a null vector are excluded; ragged vectors fail the
     * pairing arithmetic loudly rather than silently truncating. */
   def covariance(df: DataFrame, vec: String): DataFrame = {
-    val v = df.filter(col(vec).isNotNull)
-      .select(transform(col(vec), x => x.cast("double")).as("e"))
+    // the O(n·d²) pair expansion + map-side partial sums run ON THE
+    // SCAN PARTITIONING (no exchange before them): a corpus in one
+    // file split would compute every cell product in ONE task
+    // ([[Skew.spread]] — no-op once splits ≥ cores, the 100 TB case)
+    val v = Skew.spread(df.filter(col(vec).isNotNull)
+      .select(transform(col(vec), x => x.cast("double")).as("e")))
     // the pair expansion carries ONE summed column, quantized to
     // INTEGER PICOS (round(x·10¹²) as long) instead of DECIMAL(30,12):
     // the same 12-decimal grid and HALF_UP direction, but the sum runs

@@ -37,6 +37,29 @@ object Recommend {
       s"minPairUsers must be >= 1, got $minPairUsers")
     val (itemCounts, _, inPlay) =
       Market.frequentPresence(df, user, item, minUsers, maxUserItems)
+    simsFromPrelude(itemCounts, inPlay, minPairUsers)
+  }
+
+  /** [[itemSims]] over an ALREADY-MATERIALIZED presence frame (columns
+    * `__basket`/`__item`, distinct, checkpointed — the
+    * [[presenceAndSims]] cut): skips [[Market.presence]]'s
+    * distinct+checkpoint, which on such input is one full shuffle plus
+    * one job barrier for identity output. Same rows as
+    * `itemSims(pres, "__basket", "__item", ...)`. */
+  private def itemSimsOn(pres: DataFrame, minUsers: Long, minPairUsers: Long,
+                         maxUserItems: Int): DataFrame = {
+    require(minUsers >= 1, s"minUsers must be >= 1, got $minUsers")
+    require(minPairUsers >= 1,
+      s"minPairUsers must be >= 1, got $minPairUsers")
+    val (itemCounts, _, inPlay) =
+      Market.frequentPresenceOn(pres, minUsers, maxUserItems)
+    simsFromPrelude(itemCounts, inPlay, minPairUsers)
+  }
+
+  /** Shared closing of [[itemSims]]/[[itemSimsOn]]: pair counts over
+    * the pruned presence, then the two n_i joins and the cosine. */
+  private def simsFromPrelude(itemCounts: DataFrame, inPlay: DataFrame,
+                              minPairUsers: Long): DataFrame =
     Market.pairCounts(inPlay, minPairUsers)
       .join(itemCounts.select(col("__item").as("item_a"),
         col("n_i").as("n_a")), "item_a")
@@ -47,7 +70,6 @@ object Recommend {
         (col("n_ab").cast("double") /
           sqrt(col("n_a").cast("double") * col("n_b").cast("double")))
           .as("cosine"))
-  }
 
   /** The directional (i → j) expansion of an unordered sim frame:
     * every pair contributes both orientations. 2·|pairs| rows. */
@@ -119,8 +141,9 @@ object Recommend {
   }
 
   /** The shared CF prelude, materialized ONCE: the (user, item)
-    * presence frame (serves both the similarity build — idempotent on
-    * an already-distinct frame — and the seen-set) and the item-item
+    * presence frame (serves both the similarity build — via
+    * [[itemSimsOn]], which consumes it as-is instead of re-running
+    * distinct+checkpoint on it — and the seen-set) and the item-item
     * sims frame, each localCheckpointed. Public so audits that score
     * the SAME graph more than once (the full-vs-truncated recall
     * audit, rec_topn_recall) pay the Apriori chain — the dominant cost
@@ -129,8 +152,8 @@ object Recommend {
                       minUsers: Long, minPairUsers: Long,
                       maxUserItems: Int = 10000): (DataFrame, DataFrame) = {
     val pres = Market.presence(df, user, item).localCheckpoint()
-    val sims = itemSims(pres, "__basket", "__item", minUsers, minPairUsers,
-      maxUserItems).localCheckpoint() // feeds both join orientations
+    val sims = itemSimsOn(pres, minUsers, minPairUsers, maxUserItems)
+      .localCheckpoint() // feeds both join orientations
     (pres, sims)
   }
 

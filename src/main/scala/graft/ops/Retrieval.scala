@@ -36,7 +36,10 @@ object Retrieval {
                id: String = "doc_id", text: String = "text",
                queryId: String = "query_id", queryText: String = "qtext",
                excludeSelf: Boolean = false): DataFrame = {
-    val toks = corpus
+    // tokenization explode runs on the scan partitioning (twice: tf
+    // and dl each rebuild it) — spread a few-split corpus so both
+    // passes parallelize (no-op once splits >= cores)
+    val toks = Skew.spread(corpus)
       .select(col(id), explode(TextAnalysis.tokens(col(text))).as("token"))
       .filter(length(col("token")) > 0)
     val tf = toks.groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
@@ -80,7 +83,7 @@ object Retrieval {
     * sets) — the hourly refresh path that never rescans the corpus. */
   def corpusStats(corpus: DataFrame, id: String = "doc_id",
                   text: String = "text"): DataFrame = {
-    val toks = corpus
+    val toks = Skew.spread(corpus)
       .select(col(id), explode(TextAnalysis.tokens(col(text))).as("token"))
       .filter(length(col("token")) > 0)
     toks.groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))

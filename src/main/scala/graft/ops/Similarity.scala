@@ -89,7 +89,16 @@ object Similarity {
                                blocks: Int = 256): DataFrame = {
     val over =
       q.limit(maxBroadcastQueries + 1).count() > maxBroadcastQueries
-    if (!over) candSide.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    // broadcast branch: the candidate side streams with NO exchange, so
+    // its scan parallelism IS the stage parallelism — a small corpus
+    // that fits one file split would evaluate the whole |C|·|Q| cosine
+    // product in ONE task ([[Skew.spread]]'s er_fuzzy_pairs lesson; the
+    // round-18 LofTime bisection measured emb_lof_outliers' n² scoring
+    // single-threaded for exactly this reason). spread is a no-op when
+    // splits ≥ cores — the 100 TB case by construction. The blocked
+    // fallback needs nothing: its __qb equi-join re-shuffles anyway.
+    if (!over) Skew.spread(candSide)
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
     else {
       val qb = q.select(col("*"),
         explode(sequence(lit(0), lit(blocks - 1))).as("__qb"))
@@ -221,8 +230,8 @@ object Similarity {
     * (point p, neighbor o) with `dist` and the per-p rank `rn`,
     * EXACTLY k rows per p (the caller guarantees it — a short
     * neighbor list would silently bias the k-divided lrd sums). */
-  private[ops] def lofFromKnn(ranked: DataFrame, id: String,
-                              k: Int): DataFrame = {
+  private[graft] def lofFromKnn(ranked: DataFrame, id: String,
+                                k: Int): DataFrame = {
     val dk = ranked.filter(col("rn") === k)
       .select(col("p").as("__dkp"), col("dist").as("__dk"))
     val reach = ranked

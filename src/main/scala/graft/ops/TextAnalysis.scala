@@ -275,7 +275,9 @@ object TextAnalysis {
                    k: Int = 3): DataFrame = {
     require(nStopwords >= 1, s"need at least one stopword, got $nStopwords")
     require(k >= 1, s"need k >= 1, got $k")
-    val tok = df
+    // tokenization explode runs on the scan partitioning — spread a
+    // few-split corpus so it parallelizes (no-op once splits >= cores)
+    val tok = Skew.spread(df)
       .select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tok")))
       .filter(length(col("tok")) > 0)
     val dfT = tok.select(col(id), col("tok")).distinct()

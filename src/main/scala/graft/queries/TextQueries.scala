@@ -22,7 +22,10 @@ object TextQueries {
     * frame under `graph_pagerank`, `graph_triangles` and `graph_khop`,
     * factored so the three queries and their oracles cannot drift. */
   private def coocEdges(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
+    // tokenize + shingle explode run on the scan partitioning — a
+    // one-split corpus would shingle every document in ONE task
+    // (Skew.spread: no-op once splits >= cores, the 100 TB case)
+    val sh = graft.ops.Skew.spread(Tables.documents(s, dir))
       .select(col("doc_id"),
         explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 3)).as("gram"))
       .distinct()
