@@ -36,10 +36,12 @@ object Retrieval {
                id: String = "doc_id", text: String = "text",
                queryId: String = "query_id", queryText: String = "qtext",
                excludeSelf: Boolean = false): DataFrame = {
-    // tokenization explode runs on the scan partitioning (twice: tf
-    // and dl each rebuild it) — spread a few-split corpus so both
-    // passes parallelize (no-op once splits >= cores)
-    val toks = Skew.spread(corpus)
+    // NOTE (r18): rebalancing the corpus before this explode was tried
+    // and MEASURED SLOWER at sf0.1 (text_bm25_topk 1.34 → 2.51 s quiet
+    // box): the ~100-token fan-out per row is too thin to repay the
+    // exchange + stage barrier, unlike the shingle+distinct derivation
+    // in coocEdges where the same rebalance wins 1.5 s
+    val toks = corpus
       .select(col(id), explode(TextAnalysis.tokens(col(text))).as("token"))
       .filter(length(col("token")) > 0)
     val tf = toks.groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
@@ -83,7 +85,7 @@ object Retrieval {
     * sets) — the hourly refresh path that never rescans the corpus. */
   def corpusStats(corpus: DataFrame, id: String = "doc_id",
                   text: String = "text"): DataFrame = {
-    val toks = Skew.spread(corpus)
+    val toks = corpus
       .select(col(id), explode(TextAnalysis.tokens(col(text))).as("token"))
       .filter(length(col("token")) > 0)
     toks.groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))

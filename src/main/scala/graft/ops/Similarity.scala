@@ -72,6 +72,16 @@ object Similarity {
     * unconditional broadcast would OOM the build side. */
   val DefaultMaxBroadcastQueries: Int = 100000
 
+  /** Minimum broadcast-side row count for [[queryProductJoin]] to
+    * rebalance a narrow candidate scan before the product: below it the
+    * per-candidate work (|Q| kernel evals) is too thin to repay the
+    * exchange + stage barrier the rebalance costs when it fires.
+    * Measured at sf0.1 (quiet box, capture 9 → capture 12): |Q| = 2000
+    * (LOF all-pairs) wins 4.1 s, |Q| ≤ 16 (probe top-k, recall audits)
+    * loses 0.3–0.7 s per query. 256 sits between the regimes — ≥ 8
+    * task-widths of kernel work per candidate row at local[32]. */
+  private[ops] val SpreadMinQueries: Long = 256L
+
   /** The (candidate × query) join behind every flat scan
     * ([[bruteForceTopK]], [[pqTopK]], [[sq8TopK]]): semantically an
     * all-pairs product filtered on query_id ≠ neighbor_id. Small query
@@ -87,18 +97,28 @@ object Similarity {
   private def queryProductJoin(candSide: DataFrame, q: DataFrame,
                                maxBroadcastQueries: Int,
                                blocks: Int = 256): DataFrame = {
-    val over =
-      q.limit(maxBroadcastQueries + 1).count() > maxBroadcastQueries
+    val nQ = q.limit(maxBroadcastQueries + 1).count()
+    val over = nQ > maxBroadcastQueries
     // broadcast branch: the candidate side streams with NO exchange, so
     // its scan parallelism IS the stage parallelism — a small corpus
     // that fits one file split would evaluate the whole |C|·|Q| cosine
     // product in ONE task ([[Skew.spread]]'s er_fuzzy_pairs lesson; the
     // round-18 LofTime bisection measured emb_lof_outliers' n² scoring
     // single-threaded for exactly this reason). spread is a no-op when
-    // splits ≥ cores — the 100 TB case by construction. The blocked
-    // fallback needs nothing: its __qb equi-join re-shuffles anyway.
-    if (!over) Skew.spread(candSide)
-      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    // splits ≥ cores — the 100 TB case by construction — but it is NOT
+    // free when it fires: one exchange + one stage barrier. The probe
+    // count says whether it pays: per candidate row the stage does |Q|
+    // kernel evals, so a fat query side (the all-pairs LOF/audit shape,
+    // |Q| = corpus) buys seconds, while a 4–16-probe top-k buys nothing
+    // and eats the barrier (measured both ways at sf0.1: lof 5.35 →
+    // 1.22 s with the rebalance, sim_cosine_topk 0.35 → 0.89 s WITH it
+    // — gated below at SpreadMinQueries, between those regimes). The
+    // blocked fallback needs nothing: its __qb equi-join re-shuffles.
+    if (!over) {
+      val cand =
+        if (nQ >= SpreadMinQueries) Skew.spread(candSide) else candSide
+      cand.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    }
     else {
       val qb = q.select(col("*"),
         explode(sequence(lit(0), lit(blocks - 1))).as("__qb"))

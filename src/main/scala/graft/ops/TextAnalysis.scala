@@ -275,9 +275,10 @@ object TextAnalysis {
                    k: Int = 3): DataFrame = {
     require(nStopwords >= 1, s"need at least one stopword, got $nStopwords")
     require(k >= 1, s"need k >= 1, got $k")
-    // tokenization explode runs on the scan partitioning — spread a
-    // few-split corpus so it parallelizes (no-op once splits >= cores)
-    val tok = Skew.spread(df)
+    // NOTE (r18): a Skew.spread here was tried and measured slower at
+    // sf0.1 (+0.6 s quiet box) — the tokenization fan-out is too thin
+    // to repay the exchange; see Retrieval.bm25TopK's note
+    val tok = df
       .select(col(id), posexplode(tokens(col(text))).as(Seq("pos", "tok")))
       .filter(length(col("tok")) > 0)
     val dfT = tok.select(col(id), col("tok")).distinct()

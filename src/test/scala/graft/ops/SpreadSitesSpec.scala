@@ -26,16 +26,25 @@ class SpreadSitesSpec extends SparkSpec {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  test("queryProductJoin broadcast branch spreads a one-split candidate scan") {
+  test("queryProductJoin broadcast branch spreads a one-split candidate " +
+      "scan when the query side is fat, and leaves it alone when thin") {
     val dir = oneSplitParquet { d =>
-      (0L until 64L).map(i => (i, Array.fill(4)(i.toDouble + 1)))
+      (0L until Similarity.SpreadMinQueries + 8).map(i =>
+          (i, Array.fill(4)(i.toDouble + 1)))
         .toDF("vec_id", "embedding").coalesce(1).write.mode("overwrite").parquet(d)
     }
     val emb = spark.read.parquet(dir)
-    val plan = planOf(Similarity.bruteForceTopK(
+    // fat query side (all-pairs, the LOF/audit shape): rebalanced
+    val fat = planOf(Similarity.bruteForceTopK(
       emb, emb, id = "vec_id", vec = "embedding", k = 3))
-    assert(plan.contains("RoundRobinPartitioning"),
-      s"expected the candidate side rebalanced, plan:\n$plan")
+    assert(fat.contains("RoundRobinPartitioning"),
+      s"expected the candidate side rebalanced, plan:\n$fat")
+    // thin query side (probe top-k): per-candidate work is |Q| kernel
+    // evals — too little to repay the exchange, measured at sf0.1
+    val thin = planOf(Similarity.bruteForceTopK(
+      emb.filter($"vec_id" < 4), emb, id = "vec_id", vec = "embedding", k = 3))
+    assert(!thin.contains("RoundRobinPartitioning"),
+      s"expected NO rebalance under ${Similarity.SpreadMinQueries} queries, plan:\n$thin")
   }
 
   test("Pca.covariance spreads a one-split vector scan") {
