@@ -177,14 +177,21 @@ object Recommend {
       case None => dirAll
     }
     // seen-set anti-join BEFORE the aggregation: on a dense catalog
-    // most candidate rows point at already-seen items, and the anti
-    // join carries no hint — AQE broadcasts the presence frame while
-    // it fits (a map-side early cut, measured 25% faster here) and
-    // falls back to a shuffle join when it doesn't; exclusion and
-    // summation commute, so either physical order yields the same rows
+    // most candidate rows point at already-seen items (exclusion and
+    // summation commute, but aggregating first was MEASURED 2× slower —
+    // ScoreTime r19: the early cut does real work). The seen side is
+    // HASH-built, not sort-merged: the streamed side is the candidate
+    // expansion (|pres| × sim fan-out — strictly the larger side), and
+    // an SMJ pays a full sort of it, measured +3 s at sf0.1 (ScoreTime
+    // interleaved A/C: med 7.0 → 4.1 s). The build side is the DISTINCT
+    // presence frame — one row per (user, item), |pres|/R rows per
+    // reducer with no per-key skew, so the per-partition hash table is
+    // bounded the same way the SMJ sort buffer would be, and AQE's
+    // skew-split still applies to shuffled-hash joins.
     val scored = pres
       .join(dir, col("__item") === col("__i"))
-      .join(pres.select(col("__basket"), col("__item").as("__j")),
+      .join(pres.select(col("__basket"), col("__item").as("__j"))
+          .hint("shuffle_hash"),
         Seq("__basket", "__j"), "left_anti")
       .groupBy(col("__basket"), col("__j"))
       .agg(sum(col("cosine").cast("decimal(20,12)")).as("__score"),

@@ -220,10 +220,16 @@ object Retrieval {
         val scored = rem.join(msim, Seq("query_id", id))
           .withColumn("__score",
             lit(lambda) * col("__rel") - lit(1 - lambda) * col("__msim"))
+        // cut NEXT (the round's one expensive frame — scoring join +
+        // argmax window), not the union: both continuation frames read
+        // it, and checkpointing them instead re-ran the scoring once
+        // per consumer (2× per round); the union of ≤k cut pieces and
+        // the anti-join over cuts carry no lineage worth truncating
         val next = pickTop(scored, col("__score"))
           .withColumn("mmr_rank", lit(i.toLong))
           .select(sel.columns.map(col): _*)
-        (sel.union(next).localCheckpoint(),
+          .localCheckpoint()
+        (sel.union(next),
           rem.join(next.select(col("query_id"), col(id)),
             Seq("query_id", id), "left_anti").localCheckpoint())
     }

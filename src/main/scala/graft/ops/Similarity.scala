@@ -79,7 +79,13 @@ object Similarity {
     * Measured at sf0.1 (quiet box, capture 9 → capture 12): |Q| = 2000
     * (LOF all-pairs) wins 4.1 s, |Q| ≤ 16 (probe top-k, recall audits)
     * loses 0.3–0.7 s per query. 256 sits between the regimes — ≥ 8
-    * task-widths of kernel work per candidate row at local[32]. */
+    * task-widths of kernel work per candidate row at local[32].
+    *
+    * Pinned by the r19 |Q| sweep (tools/KneeTime, 3-rep medians,
+    * spread − unspread seconds): 16 → −0.41, 32 → −0.47, 64 → −0.17,
+    * 96 → −0.15, 128 → −0.59, 192 → −0.06 (wash), 256 → **+0.62**,
+    * 512 → +1.70, 2000 → +10.6. The knee sits between 192 and 256 —
+    * this constant IS the measured crossover, not an interpolation. */
   private[ops] val SpreadMinQueries: Long = 256L
 
   /** The (candidate × query) join behind every flat scan
@@ -93,10 +99,20 @@ object Similarity {
     * product becomes an equi-join on the bucket id — a real shuffle
     * join (no driver-sized broadcast, no cartesian in the plan), with
     * parallelism `blocks` and per-reducer work |C|/blocks · |Q|. Same
-    * rows out either way; only the join strategy changes. */
+    * rows out either way; only the join strategy changes.
+    *
+    * `widen` runs AFTER the spread decision: a caller whose scored
+    * column is a WIDE derivation of a compact stored form (PQ/SQ8
+    * reconstruction: m small ints → dim doubles) passes the compact
+    * frame as `candSide` and the reconstruction as `widen`, so a firing
+    * rebalance exchanges the codes, not the dim-length arrays the codes
+    * exist to avoid moving. Identity for callers already at their final
+    * width. Same rows either way — the projection is deterministic and
+    * per-candidate, only its side of the exchange moves. */
   private def queryProductJoin(candSide: DataFrame, q: DataFrame,
                                maxBroadcastQueries: Int,
-                               blocks: Int = 256): DataFrame = {
+                               blocks: Int = 256,
+                               widen: DataFrame => DataFrame = identity): DataFrame = {
     val nQ = q.limit(maxBroadcastQueries + 1).count()
     val over = nQ > maxBroadcastQueries
     // broadcast branch: the candidate side streams with NO exchange, so
@@ -115,14 +131,14 @@ object Similarity {
     // — gated below at SpreadMinQueries, between those regimes). The
     // blocked fallback needs nothing: its __qb equi-join re-shuffles.
     if (!over) {
-      val cand =
-        if (nQ >= SpreadMinQueries) Skew.spread(candSide) else candSide
+      val cand = widen(
+        if (nQ >= SpreadMinQueries) Skew.spread(candSide) else candSide)
       cand.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
     }
     else {
       val qb = q.select(col("*"),
         explode(sequence(lit(0), lit(blocks - 1))).as("__qb"))
-      candSide
+      widen(candSide)
         .withColumn("__qb", pmod(xxhash64(col("neighbor_id")), lit(blocks)).cast("int"))
         .join(qb, Seq("__qb"))
         .filter(col("query_id") =!= col("neighbor_id"))
@@ -293,8 +309,11 @@ object Similarity {
                      dim: Int, nCentroids: Int = 16, nprobe: Int = 4,
                      centroids: Option[Array[Array[Double]]] = None): DataFrame =
     lofShortlistTail(df, id, k, nprobe,
+      // all-pairs audit shape: |Q| = corpus — declare the fat probe
+      // side so a narrow corpus scan rebalances before the shortlist
+      // scoring (see the spreadPostings contract on ivfTopK)
       ivfTopK(df, df, id, vec, dim, k, nCentroids, nprobe,
-        centroids = centroids))
+        centroids = centroids, spreadPostings = true))
 
   /** [[lofOutliersIvf]] over a PERSISTED [[IvfIndex]] — LOF as a pure
     * READ-SIDE operator: the expensive pass (centroid selection +
@@ -312,8 +331,10 @@ object Similarity {
     val spark = df.sparkSession
     val cents = IvfIndex.loadCentroids(spark, indexPath)
     lofShortlistTail(df, id, k, nprobe,
+      // all-pairs audit shape (|Q| = corpus): a ≤nCentroids-file
+      // persisted postings read rebalances before shortlist scoring
       ivfProbe(IvfIndex.loadPostings(spark, indexPath), df, id, vec,
-        cents, nprobe, k))
+        cents, nprobe, k, spreadPostings = true))
   }
 
   /** Shared closing of the shortlisted-LOF family: rank→distance
@@ -657,10 +678,22 @@ object Similarity {
     * nearest to each query instead of the whole corpus. At scale the
     * candidate side shrinks by ~k/nprobe while recall stays high for
     * clustered data — the standard ANN recall/cost dial. */
+  /** `spreadPostings` (here and on the probe entries below): the
+    * caller DECLARES the probe-side regime instead of the operator
+    * probing it at runtime — per posting row the probe join does
+    * ~|Q|·nprobe/nCentroids kernel evals, so an all-pairs audit shape
+    * (|Q| = corpus: the LOF family) rebalances a narrow postings scan
+    * and a k-probe serving batch must not (a runtime |Q| gate probe
+    * was tried first and its bounded count job alone cost every thin
+    * sim_ivf/ivfpq query +0.1–0.2 s — ~14 queries, canceling the fat
+    * wins; the regime is static per call site, like
+    * `maxBroadcastQueries`). Skew.spread stays a structural no-op once
+    * splits ≥ cores, so a wrongly-true flag cannot fire at 100 TB. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, id: String, vec: String,
               dim: Int, k: Int, nCentroids: Int = 16, nprobe: Int = 4,
               seed: Long = 7L,
-              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+              centroids: Option[Array[Array[Double]]] = None,
+              spreadPostings: Boolean = false): DataFrame = {
     val cents = centroids.getOrElse(ivfCentroids(dim, nCentroids, seed))
     // MATERIALIZE the ephemeral index before probing: fused into the
     // probe join, the assignment's nCentroids-cosine argmax key
@@ -669,19 +702,32 @@ object Similarity {
     // ([[IvfIndex]], the production path) never has the problem; this
     // cut gives the convenience composition the same shape, at the
     // cost of making it EAGER (one build job at call time).
-    val indexed = ivfAssignWith(candidates, vec, cents)
+    // FAT probe sides spread the BUILD input (no-op once splits >=
+    // cores): a one-split corpus would otherwise assign single-threaded
+    // AND hand the checkpoint — hence the probe join that streams it —
+    // a ONE-partition layout, serializing the |Q|·|list| shortlist
+    // scoring however many cores exist (the r18 emb_lof_outliers
+    // lesson, reproduced on this path in r19: the IVF variant measured
+    // SLOWER than the spread exact variant it shortlists for — stash
+    // A/B: 5.4 → 3.8 s med solo; an UNGATED build spread cost
+    // sim_ivf_data_topk +0.55 s, the regression the flag guards).
+    val indexed =
+      ivfAssignWith(if (spreadPostings) Skew.spread(candidates) else candidates,
+        vec, cents)
       .select(col(id).as("neighbor_id"), col(vec).as("cv"), col("centroid_id"))
       .localCheckpoint()
+    // the checkpoint already carries the chosen layout — no re-spread
     ivfProbe(indexed, queries, id, vec, cents, nprobe, k)
   }
 
   /** Probe a pre-assigned IVF postings frame (neighbor_id, cv,
     * centroid_id) — the path a PERSISTED index takes: postings come off
     * the lake, assignment is NOT recomputed (see [[IvfIndex]]).
-    * [[ivfTopK]] is assignment + this. */
+    * [[ivfTopK]] is assignment + this. `spreadPostings` per the
+    * [[ivfTopK]] contract. */
   def ivfProbe(indexed: DataFrame, queries: DataFrame, id: String,
                vec: String, cents: Array[Array[Double]], nprobe: Int,
-               k: Int): DataFrame = {
+               k: Int, spreadPostings: Boolean = false): DataFrame = {
     // per query: the nprobe highest-cosine centroids
     val probeList = sort_array(centroidScores(col(vec), cents), asc = false)
     val probed = queries
@@ -692,8 +738,12 @@ object Similarity {
     // BROADCAST the probe side: the corpus must never hash-shuffle on
     // centroid_id (nCentroids distinct values would pin the whole corpus
     // onto ≤nCentroids reducers regardless of cluster size). Broadcasting
-    // the tiny queries×nprobe frame keeps the index a pure streamed scan.
-    val scored = indexed.join(broadcast(probed), Seq("centroid_id"))
+    // the tiny queries×nprobe frame keeps the index a pure streamed scan
+    // — which makes the scan's own split count the stage parallelism:
+    // a ≤nCentroids-file persisted index rebalances when the caller
+    // declares a fat probe side, no-op past cores splits.
+    val ind = if (spreadPostings) Skew.spread(indexed) else indexed
+    val scored = ind.join(broadcast(probed), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
     topKPerQuery(scored, k)
@@ -745,14 +795,17 @@ object Similarity {
   def pqTopK(queries: DataFrame, candidates: DataFrame, id: String, vec: String,
              codebooks: Array[Array[Array[Double]]], k: Int,
              maxBroadcastQueries: Int = DefaultMaxBroadcastQueries): DataFrame = {
-    // reconstruct BEFORE the join: per candidate once, not per
+    // reconstruct BEFORE the join (per candidate once, not per
     // (query, candidate) pair — with Q queries the post-join form would
-    // rebuild the dim-length array Q× per candidate for identical results
-    val enc = pqEncode(candidates, vec, codebooks)
-      .select(col(id).as("neighbor_id"),
-        pqReconstruct(col("pq_code"), codebooks).as("recon"))
+    // rebuild the dim-length array Q× per candidate) but AFTER any
+    // spread: the rebalance exchange must move the m-int codes, not the
+    // dim-double arrays the codes-only scan exists to avoid moving
+    val codes = pqEncode(candidates, vec, codebooks)
+      .select(col(id).as("neighbor_id"), col("pq_code"))
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
-    val scored = queryProductJoin(enc, q, maxBroadcastQueries)
+    val scored = queryProductJoin(codes, q, maxBroadcastQueries,
+        widen = _.select(col("neighbor_id"),
+          pqReconstruct(col("pq_code"), codebooks).as("recon")))
       .withColumn("cosine", dot(col("qv"), col("recon")))
     topKPerQuery(scored, k)
   }
@@ -788,8 +841,13 @@ object Similarity {
   def ivfPqProbe(postings: DataFrame, queries: DataFrame, id: String,
                  vec: String, cents: Array[Array[Double]],
                  codebooks: Array[Array[Array[Double]]],
-                 nprobe: Int, k: Int): DataFrame = {
-    val enc = postings.select(col("centroid_id"), col("neighbor_id"),
+                 nprobe: Int, k: Int,
+                 spreadPostings: Boolean = false): DataFrame = {
+    // spreadPostings per the [[ivfTopK]] contract; the spread (when it
+    // fires) moves the COMPACT codes — reconstruction stays above the
+    // exchange (the pqTopK widen lesson)
+    val pSide = if (spreadPostings) Skew.spread(postings) else postings
+    val enc = pSide.select(col("centroid_id"), col("neighbor_id"),
       pqReconstruct(col("pq_code"), codebooks).as("recon"))
     val probeList = sort_array(centroidScores(col(vec), cents), asc = false)
     val probed = queries
@@ -914,8 +972,12 @@ object Similarity {
   def ivfPqResidualProbe(postings: DataFrame, queries: DataFrame, id: String,
                          vec: String, cents: Array[Array[Double]],
                          codebooks: Array[Array[Array[Double]]],
-                         nprobe: Int, k: Int): DataFrame = {
-    val enc = postings.select(col("centroid_id"), col("neighbor_id"),
+                         nprobe: Int, k: Int,
+                         spreadPostings: Boolean = false): DataFrame = {
+    // spreadPostings per the [[ivfTopK]] contract; spread moves the
+    // compact codes, reconstruction stays above the exchange
+    val pSide = if (spreadPostings) Skew.spread(postings) else postings
+    val enc = pSide.select(col("centroid_id"), col("neighbor_id"),
       pqReconstructResidual(col("pq_code"), col("centroid_id"), cents, codebooks)
         .as("recon"))
     val probeList = sort_array(centroidScores(col(vec), cents), asc = false)
@@ -992,11 +1054,15 @@ object Similarity {
   def sq8TopK(queries: DataFrame, candidates: DataFrame, id: String, vec: String,
               mins: Array[Double], maxs: Array[Double], k: Int,
               maxBroadcastQueries: Int = DefaultMaxBroadcastQueries): DataFrame = {
-    val enc = sq8Encode(candidates, vec, mins, maxs)
-      .select(col(id).as("neighbor_id"),
-        sq8Reconstruct(col("sq_code"), mins, maxs).as("recon"))
+    // codes frame into the join, mid-bucket reconstruction after the
+    // spread decision (same reasoning as [[pqTopK]]: a firing rebalance
+    // exchanges dim int codes — ints, 4× narrower than the doubles)
+    val codes = sq8Encode(candidates, vec, mins, maxs)
+      .select(col(id).as("neighbor_id"), col("sq_code"))
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
-    val scored = queryProductJoin(enc, q, maxBroadcastQueries)
+    val scored = queryProductJoin(codes, q, maxBroadcastQueries,
+        widen = _.select(col("neighbor_id"),
+          sq8Reconstruct(col("sq_code"), mins, maxs).as("recon")))
       .withColumn("cosine", dot(col("qv"), col("recon")))
     topKPerQuery(scored, k)
   }

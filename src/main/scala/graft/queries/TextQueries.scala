@@ -21,14 +21,28 @@ object TextQueries {
     * when they share a 3-gram seen in 2–4 docs) — the shared edge
     * frame under `graph_pagerank`, `graph_triangles` and `graph_khop`,
     * factored so the three queries and their oracles cannot drift. */
-  private def coocEdges(s: SparkSession, dir: String): DataFrame = {
+  /** The (doc_id, gram) DISTINCT shingle frame [[coocEdges]] closes
+    * over — factored out (lazy) so SpreadSitesSpec can pin the
+    * rebalance, which the checkpoint below otherwise hides from the
+    * final plan. */
+  private[graft] def coocShingles(s: SparkSession, dir: String): DataFrame =
     // tokenize + shingle explode run on the scan partitioning — a
     // one-split corpus would shingle every document in ONE task
     // (Skew.spread: no-op once splits >= cores, the 100 TB case)
-    val sh = graft.ops.Skew.spread(Tables.documents(s, dir))
+    graft.ops.Skew.spread(Tables.documents(s, dir))
       .select(col("doc_id"),
         explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 3)).as("gram"))
       .distinct()
+
+  private[graft] def coocEdges(s: SparkSession, dir: String): DataFrame = {
+    // THREE consumers scan sh (the rare-gram groupBy and both sides of
+    // the rt self-join) and each would re-run the tokenize + explode +
+    // distinct chain from the documents scan — cut once (EdgeTime r19
+    // interleaved A/B: med 3.17 → 2.40 s, min 1.85 → 1.26). Cutting rt
+    // as well was MEASURED SLOWER (med 2.63): a 2-consumer frame with
+    // one cheap join of lineage atop the cut — the Market.itemCounts
+    // lesson holds here too.
+    val sh = coocShingles(s, dir).localCheckpoint()
     val rare = sh.groupBy(col("gram")).agg(count(lit(1)).as("c"))
       .filter(col("c").between(2, 4)).select(col("gram"))
     val rt = sh.join(rare, "gram")
@@ -246,7 +260,10 @@ object TextQueries {
     // edge set, so this shares graph_degree_profile's oracle: any
     // append-path loss or duplication flips the hash.
     "graph_edges_append" -> ((s, dir) => {
-      val all = coocEdges(s, dir)
+      // the edge frame feeds BOTH the base write and the delta append —
+      // cut the (tiny) final frame instead of re-running the self-join
+      // close per consumer (EdgeTime r19 phase 2: med 1.54 → 1.32 s)
+      val all = coocEdges(s, dir).localCheckpoint()
       val tmp = QuerySql.tempDir("graft_edgeappend")
       Graph.saveEdges(all.filter(col("src") <= 450 && col("dst") <= 450),
         "src", "dst", tmp)
